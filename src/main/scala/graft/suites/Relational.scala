@@ -1,0 +1,330 @@
+package graft.suites
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface (SURVEY.md §2.2–2.7 generic ops):
+  * scan/filter/project with pushdown, equi/semi/anti/outer/cross/theta
+  * joins, group-by aggregation, rollup, windows, set ops, top-k.
+  *
+  * Every query is deterministic (explicit orderBy + rounded float
+  * aggregates) so the driver's DuckDB hash-compare is stable. Float sums
+  * are rounded AFTER aggregation; single-row arithmetic is bit-identical
+  * across engines so it needs no rounding.
+  *
+  * Scale notes (100 TB design intent, tested at sf0.1):
+  *  - dimension joins (region/nation/buckets) are explicitly broadcast;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key and are
+  *    AQE-coalesced; no driver-side collects anywhere;
+  *  - aggregates are partial (map-side combine) by construction.
+  */
+object Relational {
+
+  // lazy: the q*Sql vals below are initialized after this field otherwise
+  lazy val all: Seq[Q] = Seq(
+    Q("q01_agg_pricing_summary", q01, Some(q01Sql)),
+    Q("q02_filter_project_pushdown", q02, Some(q02Sql)),
+    Q("q03_join_broadcast_dims", q03, Some(q03Sql)),
+    Q("q04_join_shuffle_large", q04, Some(q04Sql)),
+    Q("q05_semi_join_exists", q05, Some(q05Sql)),
+    Q("q06_anti_join_not_exists", q06, Some(q06Sql)),
+    Q("q07_left_join_count", q07, Some(q07Sql)),
+    Q("q08_full_outer_join", q08, Some(q08Sql)),
+    Q("q09_cross_join", q09, Some(q09Sql)),
+    Q("q10_range_theta_join", q10, Some(q10Sql)),
+    Q("q11_window_topk_per_group", q11, Some(q11Sql)),
+    Q("q12_window_running_lag", q12, Some(q12Sql)),
+    Q("q13_distinct_order", q13, Some(q13Sql)),
+    Q("q14_set_union_intersect_except", q14, Some(q14Sql)),
+    Q("q15_orderby_limit_topk", q15, Some(q15Sql))
+  )
+
+  /** TPC-H Q1-style grouped pricing summary (SURVEY §2.4 A1/A5 analog). */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective filter + narrow projection; both must reach the parquet scan
+    * (SURVEY §2.2 P5/P8: PushedFilters + pruned ReadSchema). */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") >= 0.05 && col("l_quantity") < 5)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // no rounding: a single IEEE multiply is bit-identical across
+        // engines, while rounding 2dp*2dp products hits .xx5 half-boundaries
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | l_extendedprice * (1 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_discount >= 0.05 AND l_quantity < 5
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star join: fact ⋈ broadcast dimension chain (SURVEY §2.3 J3). */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d); val r = Tables.region(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"))
+  }
+
+  private val q03Sql =
+    """SELECT r_name, round(sum(o_totalprice), 2) AS total_revenue,
+      | count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Fact-fact shuffle join on the order key (SURVEY §2.3 generic). */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-semi join = EXISTS (SURVEY §2.3). */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join = NOT EXISTS; the reference's resume pattern
+    * (SURVEY §2.3 J1/J4). */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left outer join preserving zero-order customers (SURVEY §2.3). */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q07Sql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      | round(coalesce(sum(o_totalprice), 0), 2) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Full outer join of two aggregated sides (SURVEY §2.3). */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val cs = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val ss = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    cs.join(ss, cs("c_nationkey") === ss("s_nationkey"), "full_outer")
+      .select(
+        coalesce(cs("c_nationkey"), ss("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q08Sql =
+    """WITH cs AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+      |            WHERE c_acctbal < 0 GROUP BY c_nationkey),
+      |     ss AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+      |            WHERE s_acctbal < 0 GROUP BY s_nationkey)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM cs FULL JOIN ss ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Cross join of two small relations (SURVEY §2.3 J2 settings-grid
+    * analog). */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val st = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+    r.crossJoin(st)
+      .select(col("r_name"), col("o_orderstatus"))
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  private val q09Sql =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+      |ORDER BY r_name, o_orderstatus""".stripMargin
+
+  /** Theta (range-predicate) join against a broadcast literal bucket dim
+    * (SURVEY §2.3 theta; the scale pattern for banded joins). */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq(
+      ("p00_low", 0.0, 1000.0),
+      ("p01_mid", 1000.0, 1500.0),
+      ("p02_high", 1500.0, 1e12)).toDF("bucket", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(buckets),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q10Sql =
+    """SELECT bucket, count(*) AS n_parts,
+      | round(avg(p_retailprice), 4) AS avg_price
+      |FROM part JOIN (VALUES ('p00_low', 0.0, 1000.0),
+      |                       ('p01_mid', 1000.0, 1500.0),
+      |                       ('p02_high', 1500.0, 1e12)) b(bucket, lo, hi)
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** row_number window: top-3 orders per customer (SURVEY §2.5). */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q11Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running aggregate + lag over an ordered per-user event stream
+    * (SURVEY §2.5 window surface). */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        round(sum(col("value"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("running_value"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q12Sql =
+    """SELECT user_id, event_id,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+      |   AS running_value,
+      | lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   AS prev_event,
+      | lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   AS next_event
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Distinct + sort (SURVEY §2.4 A3/A4). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment"))
+
+  private val q13Sql =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  /** Set ops: symmetric difference via union/intersect/except
+    * (SURVEY §2.6). */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    val b = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    a.union(b).distinct()
+      .except(a.intersect(b))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q14Sql =
+    """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+      |     b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      |           WHERE o_totalprice > 200000)
+      |(SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+      |EXCEPT
+      |(SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Global top-k: Spark plans TakeOrderedAndProject (SURVEY §2.5). */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val q15Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+}

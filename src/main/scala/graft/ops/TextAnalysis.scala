@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, quality scoring, heuristic language ID,
+  * and document fingerprinting.
+  *
+  * All operators are pure Column expressions (codegen'd, no UDFs), so they
+  * stay inside WholeStageCodegen and scale linearly with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (single-space-delimited corpus). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles (n consecutive tokens joined by a
+    * space).
+    *
+    * Implemented by zipping n shifted copies of the token array instead of
+    * indexing `w` inside a per-token lambda: Catalyst inlines column
+    * references into lambda bodies (CollapseProject counts static
+    * references, not runtime multiplicity), so an `element_at(w, i+j)`
+    * formulation re-evaluates split() per token — measured O(tokens^2)
+    * per row. Here every `w` reference sits in a zip_with/slice ARGUMENT,
+    * which is evaluated once per row. zip_with pads the shorter (shifted)
+    * arrays with null and concat propagates null, so positions past
+    * #tokens-n drop out in the filter. */
+  def ngrams(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val zipped = (1 until n).foldLeft(w) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(zipped, g => g.isNotNull))
+  }
+
+  /** Jaccard similarity of two pre-computed distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** Mean token length assuming single-space delimiting:
+    * (chars - separators) / tokens. */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text).cast("double") - (n - lit(1))) / n
+  }
+
+  /** Fraction of characters that are lowercase a-z (quality signal). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text)
+
+  /** Stopword hit lists per language for the heuristic language ID.
+    * Tiny on purpose: broadcast as literals into codegen. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "que", "y", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "pour"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "不"))
+
+  /** Heuristic n-gram/stopword language ID: language with the most
+    * distinct stopword hits wins; ties break in `stopwords` order;
+    * zero hits => "und". Pure set-intersection expressions. */
+  def langIdPredicted(text: Column): Column = {
+    val w = array_distinct(tokens(text))
+    val hits = stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(w, typedLit(words)))
+    }
+    val all = hits.map(_._2)
+    hits.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, h), i), elsE) =>
+        // h wins if positive and >= every later language's hits (earlier
+        // ones already had their chance in the fold's when-chain)
+        val laterGe = all.drop(i + 1).foldLeft(h > 0)((c, o) => c && h >= o)
+        when(laterGe, lit(lang)).otherwise(elsE)
+    }
+  }
+
+  /** 64-bit-ish polynomial rolling-hash fingerprint over the character
+    * stream: fold(acc*31 + codepoint) mod 1e9+7. Stable across engines
+    * (pure integer arithmetic, no overflow within Long). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
+
+  /** Per-document quality feature frame. */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      round(meanTokenLength(t), 4).as("avg_token_len"),
+      round(alphaRatio(t), 6).as("alpha_ratio"))
+  }
+}

@@ -1,0 +1,227 @@
+package graft.suites
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic operator surface: statistical aggregates, rollup/cube grouping
+  * sets, scalar string/date/null/JSON functions, scalar subqueries,
+  * sessionization and time-bucket aggregation over the event stream
+  * (SURVEY.md §2.4–2.7 generic coverage).
+  */
+object Analytic {
+
+  lazy val all: Seq[Q] = Seq(
+    Q("q16_agg_stats", q16, Some(q16Sql)),
+    Q("q17_rollup", q17, Some(q17Sql)),
+    Q("q18_cube", q18, Some(q18Sql)),
+    Q("q19_string_funcs", q19, Some(q19Sql)),
+    Q("q20_date_funcs", q20, Some(q20Sql)),
+    Q("q21_null_handling", q21, Some(q21Sql)),
+    Q("q23_scalar_subquery", q23, Some(q23Sql)),
+    Q("q24_sessionize", q24, Some(q24Sql)),
+    Q("q25_time_bucket", q25, Some(q25Sql)),
+    Q("q26_json_extract", q26, Some(q26Sql))
+  )
+
+  /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
+    * scaled by 1e6 before rounding: its magnitude (~2e10) exceeds what
+    * 4-dp rounding can stabilize across engines' summation orders. */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        round(stddev_samp(col("o_totalprice")), 4).as("stddev_price"),
+        round(var_samp(col("o_totalprice")) / 1e6, 4).as("var_price_m"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        round(median(col("o_totalprice")), 2).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q16Sql =
+    """SELECT o_orderstatus,
+      | round(avg(o_totalprice), 4) AS avg_price,
+      | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      | round(stddev_samp(o_totalprice), 4) AS stddev_price,
+      | round(var_samp(o_totalprice) / 1e6, 4) AS var_price_m,
+      | count(DISTINCT o_custkey) AS n_cust,
+      | round(median(o_totalprice), 2) AS median_price,
+      | count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** ROLLUP grouping sets with coalesced labels (SURVEY §2.4). */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q17Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      | coalesce(o_orderpriority, 'ALL') AS priority,
+      | count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** CUBE over derived year x status (SURVEY §2.4). */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .cube(col("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"))
+      .orderBy(col("yr"), col("status"))
+
+  private val q18Sql =
+    """SELECT coalesce(yr, -1) AS yr, coalesce(o_orderstatus, 'ALL') AS status,
+      | count(*) AS n
+      |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus
+      |      FROM orders)
+      |GROUP BY CUBE(yr, o_orderstatus) ORDER BY yr, status""".stripMargin
+
+  /** Scalar string-function battery (SURVEY §2.7 F1-F4). */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_name"), 1, 8).as("prefix8"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"))
+      .orderBy(col("p_partkey"))
+
+  private val q19Sql =
+    """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+      | substr(p_name, 1, 8) AS prefix8,
+      | CAST(length(p_name) AS INT) AS name_len,
+      | replace(p_name, ' ', '_') AS snake,
+      | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      | concat_ws('|', p_brand, p_type) AS brand_type,
+      | lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time extraction + grouped aggregation (SURVEY §2.7 F8). */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        quarter(col("o_orderdate")).as("qtr"),
+        col("o_totalprice"))
+      .groupBy(col("yr"), col("mo"), col("qtr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  private val q20Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      | CAST(month(o_orderdate) AS INT) AS mo,
+      | CAST(quarter(o_orderdate) AS INT) AS qtr,
+      | count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin
+
+  /** nullif/coalesce null-handling semantics (SURVEY §2.7 F7). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0))
+        .as("disc_or_neg"))
+      .groupBy(col("disc_or_neg"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("disc_or_neg"))
+
+  private val q21Sql =
+    """SELECT coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg,
+      | count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY disc_or_neg""".stripMargin
+
+  /** Scalar subquery as a broadcast 1-row cross join (SURVEY §2.3). */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val thr = o.agg((avg(col("o_totalprice")) * 1.5).as("thr"))
+    o.crossJoin(broadcast(thr))
+      .filter(col("o_totalprice") > col("thr"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q23Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Sessionization: 30-minute-gap session starts per user via lag +
+    * integer microsecond arithmetic (SURVEY §2.5/§2.8 analog). */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q24Sql =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_us
+      |  FROM events)
+      |SELECT user_id,
+      | CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      | count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Tumbling-hour time buckets over the event stream (SURVEY §2.8 batch
+    * analog of a windowed streaming agg). */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("total_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("hr"))
+
+  private val q25Sql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+      | count(*) AS n, round(sum(value), 4) AS total_value,
+      | round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
+
+  /** JSON field extraction + aggregation (SURVEY §2.7 F9 inverse). */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  private val q26Sql =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+      | round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}

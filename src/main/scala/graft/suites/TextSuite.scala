@@ -1,0 +1,164 @@
+package graft.suites
+
+import graft.{Q, Tables}
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline surface: exact + near dedup, quality
+  * scoring, language ID, fingerprinting, multimodal binary plumbing.
+  * SQL-expressible ops carry full DuckDB oracles; hash-based ops
+  * (MinHash/SimHash use xxhash64, which DuckDB lacks) are rows-only and
+  * are instead verified by ScalaTest specs with planted duplicates.
+  */
+object TextSuite {
+
+  lazy val all: Seq[Q] = Seq(
+    Q("q30_dedup_exact", q30, Some(q30Sql)),
+    Q("q31_text_quality", q31, Some(q31Sql)),
+    Q("q32_token_stats_by_lang", q32, Some(q32Sql)),
+    Q("q33_langid_predict", q33, Some(q33Sql)),
+    Q("q34_fingerprint", q34, Some(q34Sql)),
+    Q("q35_ngram_jaccard_pairs", q35, Some(q35Sql)),
+    Q("q36_minhash_candidates", q36, None),
+    Q("q38_simhash_candidates", q38, None),
+    Q("q40_multimodal_features", q40, None),
+    Q("q41_binary_meta", q41, Some(q41Sql))
+  )
+
+  /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDuplicates(Tables.documents(s, d)).orderBy(col("h"))
+
+  private val q30Sql =
+    """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
+  /** Per-document quality features (token count, mean token length,
+    * alphabetic ratio) — all codegen'd expressions. */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  private val q31Sql =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      | round((CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+      |       / len(string_split(text, ' ')), 4) AS avg_token_len,
+      | round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |       / length(text), 6) AS alpha_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus token statistics per language label. */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("nt"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        round(avg(col("nt")), 4).as("avg_tokens"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  private val q32Sql =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+      | max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Heuristic stopword language ID vs the labeled lang column. */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdPredicted(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))
+
+  private val q33Sql = {
+    val hits = TextAnalysis.stopwords.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_distinct(list_intersect(list_distinct(string_split(text, ' ')), $arr))) AS h_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val laterGe = langs.drop(i + 1).map(o => s"h_$l >= h_$o")
+      val conds = (s"h_$l > 0" +: laterGe).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang,
+       |  CASE $cases ELSE 'und' END AS predicted
+       |FROM (SELECT doc_id, lang, $hits FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Polynomial rolling-hash document fingerprint (SURVEY §2.7 analog of
+    * content keying). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q34Sql =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(7 AS BIGINT),
+      |     list_transform(string_split(text, ''),
+      |       c -> CAST(unicode(c) AS BIGINT))),
+      |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs within source partitions. */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.05)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q35Sql =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_filter(list_transform(w, (x, i) ->
+      |      CASE WHEN i + 2 <= len(w)
+      |           THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2] END),
+      |      z -> z IS NOT NULL)) AS grams
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+      |        FROM documents))
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+      |      6) AS jaccard
+      |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash-LSH near-dup candidates (xxhash64-based; rows-only check,
+    * verified against exact Jaccard in DedupSpec). */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashCandidatePairs(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash near-dup candidates (rows-only; verified in DedupSpec). */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashCandidatePairs(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Multimodal plumbing: binary payload -> per-partition stub decode ->
+    * typed feature rows (rows-only; structure verified in MultimodalSpec). */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(s, Multimodal.withBlob(Tables.documents(s, d)))
+      .toDF()
+      .select(col("doc_id"), col("modality"), col("n_bytes"), col("checksum"))
+      .orderBy(col("doc_id"))
+
+  /** Binary-column metadata scan (oracle-checked slice of q40). */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("blob_len"),
+        col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val q41Sql =
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS blob_len,
+      | source, lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,62 @@
+package graft.suites
+
+import graft.{Q, Tables}
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding / similarity-search surface: array ops, exact cosine top-k,
+  * LSH-bucketed approximate search (SURVEY training-data extensions).
+  */
+object VectorSuite {
+
+  lazy val all: Seq[Q] = Seq(
+    Q("q22_array_ops", q22, Some(q22Sql)),
+    Q("q37_cosine_topk", q37, Some(q37Sql)),
+    Q("q39_ann_lsh", q39, None)
+  )
+
+  /** Array scalar functions over the embedding column. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"),
+        round(
+          aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double"))
+            / size(col("embedding")), 6).as("mean_val"))
+      .orderBy(col("vec_id"))
+
+  private val q22Sql =
+    """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+      | CAST(embedding[1] AS DOUBLE) AS first_val,
+      | round(sqrt(list_sum(list_transform(embedding,
+      |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+      | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |   / len(embedding), 6) AS mean_val
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Exact brute-force cosine top-10 against vec_id=0's embedding. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+
+  private val q37Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n1,
+      |  sqrt(list_sum(list_transform(qe,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n2
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, round(dot / (n1 * n2), 6) AS cosine FROM s
+      |ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id LIMIT 10""".stripMargin
+
+  /** LSH-bucketed approximate nearest neighbours (recall vs q37 is
+    * asserted in SimilaritySpec; rows-only here). */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+}

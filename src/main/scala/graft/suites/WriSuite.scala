@@ -1,0 +1,147 @@
+package graft.suites
+
+import graft.{Q, Tables}
+import graft.wri.{Classify, Cog, Fixtures, Inventory, Stac}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WRI geospatial pipeline surface (SURVEY §2/§3): classification
+  * projections (oracle-checked against DuckDB on synthesized paths), the
+  * encoder settings grid (oracle-checked cross join), and the three
+  * pipeline stages over self-generated GeoTIFF fixtures (rows-only; the
+  * deep checks incl. golden STAC JSON equality live in
+  * graft.wri.PipelineSpec).
+  */
+object WriSuite {
+
+  lazy val all: Seq[Q] = Seq(
+    Q("wri_classify", wriClassify, Some(wriClassifySql)),
+    Q("wri_settings_grid", wriGrid, Some(wriGridSql)),
+    Q("wri_inventory", wriInventory, None),
+    Q("wri_cog_pipeline", wriCog, None),
+    Q("wri_stac_items", wriStac, None)
+  )
+
+  /** Pseudo raster paths synthesized from the documents table so the
+    * classification exprs (P1-P4) get a DuckDB-verifiable surface. */
+  private def pathsDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("data/"), col("source"), lit("/indicators/"),
+          col("source"), lit("_resistance_x.tif")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("data/water/"), col("source"), lit("_domain_score.tif")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("data/"), col("source"), lit("/archive/"),
+            col("source"), lit("_resilience.tif")))
+        .when(col("doc_id") % 6 === 3, lit("data/WRI_score.tif"))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("data/livelihoods/indicators_no_mask/"), col("source"),
+            lit("_recovery_no_mask.tif")))
+        .otherwise(concat(lit("data/misc/"), col("source"),
+          lit("_unclassified.tif")))
+        .as("path"))
+
+  private def wriClassify(s: SparkSession, d: String): DataFrame =
+    pathsDf(s, d).select(
+        col("doc_id"), col("path"),
+        Classify.dataType(col("path")).as("data_type"),
+        Classify.domain(col("path")).as("wri_domain"),
+        Classify.dimension(Classify.dataType(col("path")),
+          Classify.basename(col("path"))).as("wri_dimension"),
+        Classify.cogFilename(col("path")).as("cog_filename"))
+      .orderBy(col("doc_id"))
+
+  private val wriClassifySql: String = {
+    val domainWhens = Classify.domainDirs.map(dd =>
+      s"WHEN list_contains(parts, '$dd') THEN '$dd'").mkString("\n      ")
+    val nameWhens = Classify.domainDirs.map(dd =>
+      s"WHEN contains(parts[-1], '$dd') THEN '$dd'").mkString("\n      ")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 6 AS INT)
+       |      WHEN 0 THEN 'data/' || source || '/indicators/' || source || '_resistance_x.tif'
+       |      WHEN 1 THEN 'data/water/' || source || '_domain_score.tif'
+       |      WHEN 2 THEN 'data/' || source || '/archive/' || source || '_resilience.tif'
+       |      WHEN 3 THEN 'data/WRI_score.tif'
+       |      WHEN 4 THEN 'data/livelihoods/indicators_no_mask/' || source || '_recovery_no_mask.tif'
+       |      ELSE 'data/misc/' || source || '_unclassified.tif' END AS path
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, path, string_split(path, '/') AS parts,
+       |    CASE WHEN regexp_matches(path, '/retro_|/archive/|/final_checks/') THEN 'exclude'
+       |         WHEN regexp_matches(path, '/indicators/') THEN 'indicator'
+       |         WHEN regexp_matches(path, 'WRI_score\\.tif$$') THEN 'final_score'
+       |         WHEN regexp_matches(path, '_(domain_score|resilience|resistance|status)\\.tif$$') THEN 'aggregate'
+       |         ELSE 'exclude' END AS data_type
+       |  FROM p)
+       |SELECT doc_id, path, data_type,
+       |  CASE WHEN list_position(parts, 'indicators') > 1
+       |         THEN parts[list_position(parts, 'indicators') - 1]
+       |      $domainWhens
+       |      $nameWhens
+       |      ELSE 'unknown' END AS wri_domain,
+       |  CASE WHEN data_type = 'indicator' THEN
+       |         CASE WHEN regexp_matches(parts[-1], '_resistance_') THEN 'resistance'
+       |              WHEN regexp_matches(parts[-1], '_recovery_') THEN 'recovery'
+       |              WHEN regexp_matches(parts[-1], '_status_') THEN 'status' END
+       |       WHEN data_type = 'aggregate' THEN
+       |         CASE WHEN contains(parts[-1], 'domain_score') THEN 'domain_score'
+       |              WHEN contains(parts[-1], 'resilience') THEN 'resilience'
+       |              WHEN contains(parts[-1], 'resistance') THEN 'resistance'
+       |              WHEN contains(parts[-1], 'status') THEN 'status' END
+       |  END AS wri_dimension,
+       |  CASE WHEN regexp_matches(path, '/indicators_no_mask/')
+       |       THEN regexp_replace(parts[-1], '\\.[^.]*$$', '') || '_no_mask.tif'
+       |       ELSE regexp_replace(parts[-1], '\\.[^.]*$$', '') || '.tif'
+       |  END AS cog_filename
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** Encoder settings grid (J2 cross join; 48 configs). */
+  private def wriGrid(s: SparkSession, d: String): DataFrame =
+    Cog.settingsGrid(s).orderBy(col("COMPRESS"), col("PREDICTOR"),
+      col("BLOCKSIZE"), col("BIGTIFF"), col("RESAMPLING"))
+
+  private val wriGridSql =
+    """SELECT * FROM (VALUES ('DEFLATE'), ('ZSTD'), ('LZW')) c("COMPRESS")
+      |CROSS JOIN (VALUES (2), (3)) p("PREDICTOR")
+      |CROSS JOIN (VALUES (256), (512)) b("BLOCKSIZE")
+      |CROSS JOIN (VALUES ('IF_SAFER'), ('YES')) g("BIGTIFF")
+      |CROSS JOIN (VALUES ('NEAREST'), ('AVERAGE')) r("RESAMPLING")
+      |ORDER BY "COMPRESS", "PREDICTOR", "BLOCKSIZE", "BIGTIFF", "RESAMPLING"""".stripMargin
+
+  // fixture roots are per-JVM singletons so repeated query runs reuse them
+  private lazy val fixtureRoot: String =
+    java.nio.file.Files.createTempDirectory("wri_fixtures").toString
+
+  /** Stage 00 over self-generated fixtures (rows-only smoke; golden
+    * checks in PipelineSpec). */
+  private def wriInventory(s: SparkSession, d: String): DataFrame = {
+    val dataDir = Fixtures.writeInventoryTree(fixtureRoot)
+    Inventory.run(s, dataDir).raw
+      .select(col("filename"), col("data_type"), col("wri_domain"),
+        col("wri_dimension"), col("success"), col("passes_assumptions"),
+        col("assumption_error"))
+      .orderBy(col("filename"))
+  }
+
+  /** Stage 01 over small real rasters: encode + status summary. */
+  private def wriCog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(fixtureRoot)
+    val meta = inputs.toDF("filepath", "cog_filename")
+    val out = java.nio.file.Files.createTempDirectory("wri_cogs").toString
+    Cog.summary(Cog.run(s, meta, out))
+  }
+
+  /** Stage 02 over the fixture inventory (hermetic probe = false). */
+  private def wriStac(s: SparkSession, d: String): DataFrame = {
+    val dataDir = Fixtures.writeInventoryTree(fixtureRoot)
+    val consistent = Inventory.run(s, dataDir).consistent
+    Stac.buildItems(s, consistent)
+      .select(col("item_id"), col("is_hosted"), length(col("json")).as("json_len"))
+      .orderBy(col("item_id"))
+  }
+}

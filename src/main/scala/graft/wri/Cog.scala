@@ -1,0 +1,122 @@
+package graft.wri
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Stage 01 — COG conversion (SURVEY §3.2; `01b_make_cog_all.R`).
+  *
+  * Spark shape: metadata DF -> left-anti join vs. the output listing
+  * (idempotent skip-if-exists, J4) -> per-file encode in mapPartitions
+  * (the task boundary replaces the reference's gdal_translate subprocess
+  * boundary; the encoder runs in-JVM) -> per-row status log table ->
+  * groupBy(status).count() (A5: counters as data, not mutable state).
+  *
+  * Files are independent, so this scales linearly with executors —
+  * inter-file parallelism replacing the reference's intra-file
+  * NUM_THREADS=50 (`scripts/README.md:184-190`).
+  */
+object Cog {
+
+  case class CogStatus(cog_filename: String, status: String,
+      out_size_mb: Option[Double], error: Option[String])
+
+  /** Convert every consistent layer to a COG under outDir. Returns the
+    * per-file status log. */
+  def run(spark: SparkSession, consistent: DataFrame, outDir: String,
+      opts: TiffWriter.CogOptions = TiffWriter.CogOptions()): DataFrame = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(outDir))
+
+    // idempotent resume: skip outputs that already exist (anti-join vs a
+    // listing rather than per-row fs checks, SURVEY §2.2 P10)
+    val existing = Option(Paths.get(outDir).toFile.list()).getOrElse(Array.empty)
+    val existingDf = spark.createDataset(existing.toIndexedSeq).toDF("cog_filename")
+    val todo = consistent.select("filepath", "cog_filename")
+      .join(existingDf, Seq("cog_filename"), "left_anti")
+      .select("filepath", "cog_filename") // join moves the key first
+
+    val skipped = consistent.select("cog_filename")
+      .join(existingDf, Seq("cog_filename"), "left_semi")
+      .as[String].map(f => CogStatus(f, "skipped", None, None))
+
+    val done = todo.as[(String, String)].mapPartitions { it =>
+      it.map { case (src, cogName) =>
+        val dst = s"$outDir/$cogName"
+        try {
+          if (!Files.exists(Paths.get(src)))
+            CogStatus(cogName, "missing_input", None, None)
+          else {
+            val (h, px) = TiffIO.readPixels(src)
+            TiffWriter.writeCog(dst, h.width, h.height, px,
+              TiffIO.GeoInfo(h.epsg.getOrElse(0), h.resX, h.resY,
+                h.xmin, h.ymax), opts)
+            val mb = Files.size(Paths.get(dst)) / 1024.0 / 1024.0
+            CogStatus(cogName, "written",
+              Some(math.round(mb * 100) / 100.0), None)
+          }
+        } catch {
+          case e: Exception =>
+            CogStatus(cogName, "failed", None, Some(e.toString))
+        }
+      }
+    }
+    done.union(skipped).toDF()
+  }
+
+  /** Status summary (reference's written/skipped/missing/failed tallies,
+    * `01b:117-123`). */
+  def summary(statusLog: DataFrame): DataFrame =
+    statusLog.groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+
+  /** The benchmark settings grid (`experiments/test_cog_settings_benchmark
+    * .R:38-44`, SURVEY §2.3 J2): full cartesian product as a crossJoin of
+    * literal dims. */
+  def settingsGrid(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val compress = Seq("DEFLATE", "ZSTD", "LZW").toDF("COMPRESS")
+    val predictor = Seq(2, 3).toDF("PREDICTOR")
+    val block = Seq(256, 512).toDF("BLOCKSIZE")
+    val bigtiff = Seq("IF_SAFER", "YES").toDF("BIGTIFF")
+    val resampling = Seq("NEAREST", "AVERAGE").toDF("RESAMPLING")
+    compress.crossJoin(predictor).crossJoin(block)
+      .crossJoin(bigtiff).crossJoin(resampling)
+  }
+
+  /** Run the settings sweep over one input raster, timing each encode
+    * (replaces `experiments/test_cog_settings_benchmark.R`). */
+  def settingsSweep(spark: SparkSession, srcPath: String, outDir: String): DataFrame = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(outDir))
+    settingsGrid(spark)
+      .as[(String, Int, Int, String, String)]
+      .mapPartitions { it =>
+        it.map { case (comp, pred, block, bigtiff, resamp) =>
+          val c: TiffIO.Compression = comp match {
+            case "DEFLATE" => TiffIO.Deflate
+            case "ZSTD" => TiffIO.Zstd
+            case "LZW" => TiffIO.Lzw
+          }
+          val r: TiffIO.Resampling =
+            if (resamp == "AVERAGE") TiffIO.Average else TiffIO.Nearest
+          val out = s"$outDir/cog_${comp}_${pred}_${block}_${bigtiff}_$resamp.tif"
+          val t0 = System.nanoTime()
+          val status = try {
+            val (h, px) = TiffIO.readPixels(srcPath)
+            TiffWriter.writeCog(out, h.width, h.height, px,
+              TiffIO.GeoInfo(h.epsg.getOrElse(0), h.resX, h.resY, h.xmin,
+                h.ymax),
+              TiffWriter.CogOptions(block, c, pred, r))
+            "ok"
+          } catch { case e: Exception => s"failed: ${e.getMessage}" }
+          val secs = (System.nanoTime() - t0) / 1e9
+          val size = if (Files.exists(Paths.get(out)))
+            Files.size(Paths.get(out)) else 0L
+          (out, status, comp, pred, block, bigtiff, resamp, secs, size)
+        }
+      }
+      .toDF("out_cog", "status", "COMPRESS", "PREDICTOR", "BLOCKSIZE",
+        "BIGTIFF", "RESAMPLING", "seconds", "bytes")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.wri
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 00 — layer inventory (SURVEY §3.1; `00b_extract_metadata_all.R`).
+  *
+  * Spark shape: binaryFile listing -> pure classification projections ->
+  * exclude filter BEFORE any raster I/O (the reference's own pushdown,
+  * `00b:68-74`) -> anti-join against the resume ledger (J1) -> header
+  * read via mapPartitions (S2; header-only, pixels never enter the plan)
+  * -> validation cascade (P6/P7) -> consistent/inconsistent split
+  * (`00b:161-177`).
+  *
+  * At scale: the listing parallelizes across executors; header reads are
+  * ~KB-sized reads per file; the only shuffles are the optional resume
+  * anti-join and final write coalesce.
+  */
+object Inventory {
+  import Model._
+
+  /** File listing + classification columns; no raster I/O yet. */
+  def listAndClassify(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif")
+      .option("recursiveFileLookup", "true")
+      .load(dataDir)
+      .select(
+        // strip the file: URI scheme so classification sees plain paths
+        regexp_replace(col("path"), "^file:", "").as("filepath"),
+        col("length"))
+      .select(
+        col("filepath"), col("length"),
+        Classify.dataType(col("filepath")).as("data_type"))
+      // cheap predicate BEFORE expensive header reads (P5)
+      .filter(col("data_type") =!= "exclude")
+
+  case class RawHeader(
+      filepath: String, file_size_mb: Option[Double],
+      nrows: Option[Int], ncols: Option[Int], nlayers: Option[Int],
+      resolution_x: Option[Double], resolution_y: Option[Double],
+      crs_epsg: Option[Int],
+      extent_xmin: Option[Double], extent_xmax: Option[Double],
+      extent_ymin: Option[Double], extent_ymax: Option[Double],
+      datatype: Option[String], success: Boolean, error: Option[String])
+
+  /** Header extraction as error-as-data rows (`utils.R:176-213`):
+    * failures never throw, they become success=false rows routed to the
+    * inconsistent split. */
+  def withHeaders(spark: SparkSession, listed: DataFrame): DataFrame = {
+    import spark.implicits._
+    val headers = listed.select(col("filepath"), col("length")).as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (fp, len) =>
+          try {
+            val h = TiffIO.readHeader(fp)
+            RawHeader(fp,
+              Some(math.round(len / 1024.0 / 1024.0 * 100) / 100.0),
+              Some(h.height), Some(h.width), Some(h.bands),
+              Some(h.resX), Some(h.resY), h.epsg,
+              Some(h.xmin), Some(h.xmax), Some(h.ymin), Some(h.ymax),
+              Some(h.datatype), success = true, None)
+          } catch {
+            case e: Exception =>
+              RawHeader(fp, None, None, None, None, None, None, None,
+                None, None, None, None, None, success = false,
+                Some(e.toString))
+          }
+        }
+      }.toDF()
+    listed.drop("length").join(headers, Seq("filepath"))
+  }
+
+  /** Classification + validation columns on top of raw headers. */
+  def validated(df: DataFrame): DataFrame = {
+    val err = Classify.assumptionError(
+      col("crs_epsg"), col("resolution_x"), col("resolution_y"),
+      col("extent_xmin"), col("extent_xmax"),
+      col("extent_ymin"), col("extent_ymax"))
+    df
+      .withColumn("filename", Classify.basename(col("filepath")))
+      .withColumn("wri_domain", Classify.domain(col("filepath")))
+      .withColumn("wri_dimension",
+        Classify.dimension(col("data_type"), col("filename")))
+      .withColumn("cog_filename", Classify.cogFilename(col("filepath")))
+      .withColumn("assumption_error", when(col("success"), err))
+      .withColumn("passes_assumptions",
+        when(col("success"), col("assumption_error").isNull))
+      .select(layerMetaSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  case class InventoryResult(
+      raw: DataFrame, consistent: DataFrame, inconsistent: DataFrame)
+
+  /** Full stage 00 over a data directory; `resumeFrom` optionally holds a
+    * previously-written raw table for skip-processed semantics (J1). */
+  def run(spark: SparkSession, dataDir: String,
+      resumeFrom: Option[DataFrame] = None): InventoryResult = {
+    val listed0 = listAndClassify(spark, dataDir)
+    val listed = resumeFrom match {
+      case Some(prev) =>
+        listed0.join(prev.select("filepath"), Seq("filepath"), "left_anti")
+      case None => listed0
+    }
+    val raw = validated(withHeaders(spark, listed))
+    val successful = raw.filter(col("success"))
+    InventoryResult(
+      raw = raw,
+      consistent = successful.filter(col("passes_assumptions")),
+      inconsistent = successful.filter(!col("passes_assumptions")))
+  }
+}

@@ -1,0 +1,216 @@
+package graft.wri
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Stage 02 — STAC catalog/collection/items (SURVEY §3.3;
+  * `02b_make_stac_all.R`). Items are built per-row on executors; the
+  * collection and catalog are O(1) driver-side documents assembled from
+  * tiny aggregates (A3/A4 distinct summaries).
+  *
+  * The hosting probe (S10, `02b:86-103`) is injectable so tests stay
+  * hermetic (SURVEY §7.4 risk 6); `knbProbe` is the production HEAD
+  * check.
+  */
+object Stac {
+  import Model._
+
+  /** Production HTTP HEAD probe (5s timeout, any error -> false). */
+  def knbProbe(filename: String): Boolean =
+    try {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(knbBaseUrl + filename))
+        .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody())
+        .timeout(java.time.Duration.ofSeconds(5)).build()
+      val code = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      code >= 200 && code < 300
+    } catch { case _: Exception => false }
+
+  case class ItemInput(
+      cog_filename: String, crs_epsg: Int, data_type: String,
+      wri_domain: String, wri_dimension: Option[String],
+      extent_xmin: Double, extent_xmax: Double,
+      extent_ymin: Double, extent_ymax: Double)
+
+  /** Per-item STAC JSON rows: (item_id, is_hosted, json). */
+  def buildItems(spark: SparkSession, consistent: DataFrame,
+      hostedProbe: String => Boolean = _ => false): DataFrame = {
+    import spark.implicits._
+    val probe = hostedProbe // serializable capture
+    consistent.select(
+        col("cog_filename"), col("crs_epsg"), col("data_type"),
+        col("wri_domain"), col("wri_dimension"),
+        col("extent_xmin"), col("extent_xmax"),
+        col("extent_ymin"), col("extent_ymax"))
+      .as[ItemInput]
+      .mapPartitions { it =>
+        val mapper = new ObjectMapper()
+        it.map { in =>
+          val hosted = probe(in.cog_filename)
+          val id = in.cog_filename.replaceAll("\\.[^.]*$", "")
+          (id, hosted, itemJson(mapper, in, id, hosted))
+        }
+      }.toDF("item_id", "is_hosted", "json")
+  }
+
+  private def itemJson(mapper: ObjectMapper, in: ItemInput, id: String,
+      hosted: Boolean): String = {
+    val s = Geo.extentToStacSpatial(
+      in.extent_xmin, in.extent_xmax, in.extent_ymin, in.extent_ymax)
+    val root = mapper.createObjectNode()
+    root.put("stac_version", "1.0.0")
+    root.putArray("stac_extensions")
+      .add("https://stac-extensions.github.io/projection/v1.1.0/schema.json")
+    root.put("type", "Feature")
+    root.put("id", id)
+    root.put("collection", collectionId)
+    val geom = root.putObject("geometry")
+    geom.put("type", "Polygon")
+    val ring = geom.putArray("coordinates").addArray()
+    s.ring.foreach { case (lon, lat) =>
+      val pt = ring.addArray()
+      pt.add(Geo.round4(lon)); pt.add(Geo.round4(lat))
+    }
+    val bbox = root.putArray("bbox")
+    s.bbox.foreach(v => bbox.add(Geo.round4(v)))
+    val props = root.putObject("properties")
+    props.put("datetime", itemDatetime)
+    props.put("proj:code", s"EPSG:${in.crs_epsg}")
+    props.put("data_type", in.data_type)
+    props.put("wri_domain", in.wri_domain)
+    in.wri_dimension match {
+      case Some(d) => props.put("wri_dimension", d)
+      case None => props.putNull("wri_dimension") // null, never "NA"
+    }
+    props.put("is_hosted", hosted)
+    val asset = root.putObject("assets").putObject("data")
+    asset.put("href",
+      if (hosted) knbBaseUrl + in.cog_filename
+      else s"../cogs/${in.cog_filename}")
+    asset.put("type", "image/tiff; application=geotiff; profile=cloud-optimized")
+    asset.putArray("roles").add("data") // stays an array (auto_unbox parity)
+    asset.put("title", "COG")
+    val links = root.putArray("links")
+    def link(rel: String, href: String, typ: String): Unit = {
+      val l = links.addObject()
+      l.put("rel", rel); l.put("href", href); l.put("type", typ)
+    }
+    link("self", s"$id.json", "application/geo+json")
+    link("root", "../../../catalog.json", "application/json")
+    link("parent", "../collection.json", "application/json")
+    link("collection", "../collection.json", "application/json")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Write item files (skip-if-exists, `02b:197-205`); returns count
+    * written. */
+  def writeItems(items: DataFrame, itemsDir: String,
+      overwrite: Boolean = false): Long = {
+    Files.createDirectories(Paths.get(itemsDir))
+    val dir = itemsDir
+    val ow = overwrite
+    items.select("item_id", "json").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val p = Paths.get(s"$dir/${r.getString(0)}.json")
+          if (ow || !Files.exists(p))
+            Files.writeString(p, r.getString(1),
+              StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+              StandardOpenOption.TRUNCATE_EXISTING)
+        }
+    }
+    items.count()
+  }
+
+  /** Collection document (A3/A4 summaries computed as Spark aggregates,
+    * collected as tiny scalars). */
+  def collectionJson(consistent: DataFrame, itemIds: Seq[String]): String = {
+    val mapper = new ObjectMapper()
+    val first = consistent.orderBy(col("filepath")).limit(1)
+      .select("extent_xmin", "extent_xmax", "extent_ymin", "extent_ymax")
+      .head()
+    val s = Geo.extentToStacSpatial(
+      first.getDouble(0), first.getDouble(1),
+      first.getDouble(2), first.getDouble(3))
+    val domains = consistent.select("wri_domain")
+      .filter(col("wri_domain").isNotNull).distinct()
+      .orderBy(col("wri_domain")).collect().map(_.getString(0)).toSeq
+    val dims = consistent.select("wri_dimension")
+      .filter(col("wri_dimension").isNotNull &&
+        trim(col("wri_dimension")) =!= "").distinct()
+      .orderBy(col("wri_dimension")).collect().map(_.getString(0)).toSeq
+
+    val root = mapper.createObjectNode()
+    root.put("stac_version", "1.0.0")
+    root.putArray("stac_extensions")
+      .add("https://stac-extensions.github.io/projection/v1.1.0/schema.json")
+    root.put("type", "Collection")
+    root.put("id", collectionId)
+    root.put("title", "WRI ignitR Dataset")
+    root.put("description", "WRI raster layers (COGs)")
+    root.put("license", "proprietary")
+    val extent = root.putObject("extent")
+    val sb = extent.putObject("spatial").putArray("bbox").addArray()
+    s.bbox.foreach(v => sb.add(Geo.round4(v)))
+    val ti = extent.putObject("temporal").putArray("interval").addArray()
+    ti.add(itemDatetime); ti.add(itemDatetime)
+    val sums = root.putObject("summaries")
+    val dt = sums.putArray("data_type")
+    Seq("aggregate", "final_score", "indicator").foreach(dt.add)
+    val dom = sums.putArray("wri_domain"); domains.foreach(dom.add)
+    val dim = sums.putArray("wri_dimension"); dims.foreach(dim.add)
+    sums.putArray("proj:code").add("EPSG:5070")
+    val links = root.putArray("links")
+    def link(rel: String, href: String, typ: String): Unit = {
+      val l = links.addObject()
+      l.put("rel", rel); l.put("href", href); l.put("type", typ)
+    }
+    link("self", "collection.json", "application/json")
+    link("root", "../../catalog.json", "application/json")
+    link("parent", "../../catalog.json", "application/json")
+    itemIds.sorted.foreach(id =>
+      link("item", s"items/$id.json", "application/geo+json"))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def catalogJson: String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("stac_version", "1.0.0")
+    root.put("type", "Catalog")
+    root.put("id", "wri-catalog")
+    root.put("title", "WRI Wildfire Resilience Index")
+    root.put("description",
+      "WRI raster layers as Cloud Optimized GeoTIFFs (COGs)")
+    val links = root.putArray("links")
+    val self = links.addObject()
+    self.put("rel", "self"); self.put("href", "catalog.json")
+    self.put("type", "application/json")
+    val child = links.addObject()
+    child.put("rel", "child")
+    child.put("href", s"collections/$collectionId/collection.json")
+    child.put("type", "application/json")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Full stage 02: items + collection + catalog under stacRoot. */
+  def run(spark: SparkSession, consistent: DataFrame, stacRoot: String,
+      hostedProbe: String => Boolean = _ => false): DataFrame = {
+    val items = buildItems(spark, consistent, hostedProbe)
+    val itemsDir = s"$stacRoot/collections/$collectionId/items"
+    writeItems(items, itemsDir)
+    val ids = items.select("item_id").orderBy("item_id")
+      .collect().map(_.getString(0)).toSeq
+    Files.writeString(
+      Paths.get(s"$stacRoot/collections/$collectionId/collection.json"),
+      collectionJson(consistent, ids))
+    Files.writeString(Paths.get(s"$stacRoot/catalog.json"), catalogJson)
+    items
+  }
+}

@@ -34,6 +34,13 @@ object Dev {
         time("signatures")(sigs.count())
         val pairs = ops.Dedup.minHashCandidatePairs(docs)
         println("[dev] pairs = " + time("candidate pairs")(pairs.count()))
+      case "albers" =>
+        functions.GraftFunctions.register(spark)
+        spark.sql("SELECT albers_lon(-5216639.67D, 991231.688D) lon, " +
+          "albers_lat(-5216639.67D, 991231.688D) lat").show(false)
+        try spark.sql("SELECT albers_lon('oops', 1.0D)").show()
+        catch { case e: Exception =>
+          println("[dev] type-check error: " + e.getMessage.take(200)) }
       case "explain" =>
         ops.Dedup.minHashCandidatePairs(Tables.documents(spark, sfDir))
           .explain("formatted")

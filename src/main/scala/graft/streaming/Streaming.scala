@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.8).
+  *
+  * The reference is strictly batch; these are the streaming analogs its
+  * incremental patterns map onto: file-arrival triggered ingestion (the
+  * resume ledger becomes checkpointing), watermarked tumbling-window
+  * aggregation, and custom sessionization state via mapGroupsWithState.
+  * Each transform is defined once and applies to both batch and streaming
+  * DataFrames, so correctness is testable in batch and the streaming spec
+  * drives the same code through a memory sink.
+  */
+object Streaming {
+
+  /** File-arrival source: new parquet files under `dir` become
+    * micro-batches (S1's streaming analog). */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregation over the event stream. */
+  def windowedEventCounts(events: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+  case class SessionState(lastMicros: Long, nSessions: Long, nEvents: Long)
+
+  /** Stateful per-user sessionization (30-min gap) via mapGroupsWithState
+    * — the KeyValueGroupedDataset state-store path. Events inside a batch
+    * are sorted before folding so the gap logic is order-correct. */
+  def sessionize(events: Dataset[Event],
+      gapMicros: Long = 1800L * 1000000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionSummary](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // full microsecond precision: getTime truncates to millis
+          def micro(e: Event): Long =
+            math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micro(e), e.event_id))
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val micros = micro(e)
+            val newSession = s.lastMicros == Long.MinValue ||
+              micros - s.lastMicros > gapMicros
+            s = SessionState(micros,
+              s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          SessionSummary(userId, s.nSessions, s.nEvents)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against bounded input via a
+    * memory sink; returns the sink contents. */
+  def drainToMemory(spark: SparkSession, streaming: DataFrame,
+      name: String, outputMode: OutputMode): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

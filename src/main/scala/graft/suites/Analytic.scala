@@ -22,7 +22,10 @@ object Analytic {
     Q("q23_scalar_subquery", q23, Some(q23Sql)),
     Q("q24_sessionize", q24, Some(q24Sql)),
     Q("q25_time_bucket", q25, Some(q25Sql)),
-    Q("q26_json_extract", q26, Some(q26Sql))
+    Q("q26_json_extract", q26, Some(q26Sql)),
+    Q("q27_pivot", q27, Some(q27Sql)),
+    Q("q28_unpivot", q28, Some(q28Sql)),
+    Q("q42_salted_agg", q42, Some(q42Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -224,4 +227,54 @@ object Analytic {
       | CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
       | round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Pivot order status into columns per year (SURVEY §2.4 extension). */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("yr"))
+
+  private val q27Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** Unpivot wide numeric columns to (metric, value) rows. */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        expr("stack(2, 'retailprice', p_retailprice, " +
+          "'size', CAST(p_size AS DOUBLE)) AS (metric, value)"))
+      .orderBy(col("p_partkey"), col("metric"))
+
+  private val q28Sql =
+    """SELECT p_partkey, metric, value FROM (
+      |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+      |  FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  /** Salted two-phase aggregation: hot-key-safe, result-identical to a
+    * plain groupBy (the oracle IS the plain groupBy). */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedSumCount(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+      .select(col("l_returnflag"), round(col("total"), 2).as("total"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q42Sql =
+    """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

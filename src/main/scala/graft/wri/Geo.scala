@@ -110,6 +110,13 @@ object Geo {
     StacSpatial(bbox, ring)
   }
 
+  /** Codegen-friendly scalar forms (static forwarders callable from
+    * generated Java; NaN = outside projection domain). */
+  def inverseLonJava(x: Double, y: Double): Double =
+    inverse(x, y).map(_._1).getOrElse(Double.NaN)
+  def inverseLatJava(x: Double, y: Double): Double =
+    inverse(x, y).map(_._2).getOrElse(Double.NaN)
+
   /** jsonlite-style 4-significant-decimal rounding used at serialization
     * time by the reference (`write_json` default digits=4). */
   def round4(v: Double): Double =

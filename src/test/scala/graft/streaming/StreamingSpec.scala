@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+/** Streaming transforms verified against their batch twins over the same
+  * bounded input (memory sink + processAllAvailable). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // stage events (with the ns->us conversion applied) into a stream dir
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("events_stream").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("windowed aggregation: streaming result equals batch result") {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = Streaming.fileStream(spark, streamDir, schema)
+    val got = Streaming.drainToMemory(spark,
+      Streaming.windowedEventCounts(stream), "win_counts",
+      OutputMode.Append())
+    // append mode only emits windows below the watermark; compare those
+    val batch = Streaming.windowedEventCounts(
+      spark.read.parquet(streamDir))
+    val gotRows = got.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batchRows = batch.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotRows.nonEmpty)
+    assert(gotRows.subsetOf(batchRows),
+      s"streaming emitted rows not in batch: ${gotRows.diff(batchRows).take(3)}")
+  }
+
+  test("stateful sessionization matches the batch q24 oracle query") {
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[Streaming.Event]
+    val sessions = Streaming.sessionize(events).collect()
+      .map(s => s.user_id -> (s.n_sessions, s.n_events)).toMap
+    val batch = graft.SparkEntry.queries("q24_sessionize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(sessions == batch)
+  }
+}

@@ -34,6 +34,25 @@ object Dev {
         time("signatures")(sigs.count())
         val pairs = ops.Dedup.minHashCandidatePairs(docs)
         println("[dev] pairs = " + time("candidate pairs")(pairs.count()))
+      case "wripipe" =>
+        // full stage 00 -> 01 -> 02 over self-generated fixtures
+        val root = java.nio.file.Files.createTempDirectory("wripipe_dev").toString
+        val dataDir = wri.Fixtures.writeInventoryTree(root)
+        val inv = wri.Inventory.run(spark, dataDir)
+        wri.Inventory.assertUniqueCogFilenames(inv.consistent)
+        wri.Inventory.writeOutputs(inv, s"$root/metadata")
+        println(s"[dev] stage00: consistent=${inv.consistent.count()} " +
+          s"inconsistent=${inv.inconsistent.count()} " +
+          s"failed=${inv.raw.filter(!col("success")).count()}")
+        val cogInputs = wri.Fixtures.writeCogInputs(root)
+        import spark.implicits._
+        val log = wri.Cog.run(spark,
+          cogInputs.toDF("filepath", "cog_filename"), s"$root/cogs")
+        wri.Cog.summary(log).show(false)
+        val items = wri.Stac.run(spark, inv.consistent, s"$root/stac")
+        println(s"[dev] stage02: items=${items.count()} " +
+          s"ids=${wri.Stac.listItemIds(s"$root/stac/collections/wri_ignitR/items").mkString(",")}")
+        println(s"[dev] outputs under $root")
       case "albers" =>
         functions.GraftFunctions.register(spark)
         spark.sql("SELECT albers_lon(-5216639.67D, 991231.688D) lon, " +

@@ -152,7 +152,6 @@ object Dedup {
       TextAnalysis.ngrams(col(textCol), n).as("grams"))
       .withColumn("gsz", size(col("grams")))
     val a = grams.as("a"); val b = grams.as("b")
-    val j = TextAnalysis.jaccard(col("a.grams"), col("b.grams"))
     a.join(b,
         col(s"a.$partitionCol") === col(s"b.$partitionCol") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -161,8 +160,14 @@ object Dedup {
         // O(|A|+|B|) intersect without changing results
         col("a.gsz").cast("double") >= col("b.gsz") * threshold &&
         col("b.gsz").cast("double") >= col("a.gsz") * threshold)
+      // materialize the intersect size ONCE (naive |A∩B|/|A∪B| evaluates
+      // the intersect twice per pair)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(j, 6).as("jaccard"))
+        size(array_intersect(col("a.grams"), col("b.grams")))
+          .cast("double").as("inter"),
+        (col("a.gsz") + col("b.gsz")).as("tot"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

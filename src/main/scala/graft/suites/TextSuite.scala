@@ -110,7 +110,7 @@ object TextSuite {
 
   /** Exact n-gram Jaccard near-dup pairs within source partitions. */
   private def q35(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.05)
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val q35Sql =
@@ -128,7 +128,7 @@ object TextSuite {
       |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
       |      6) AS jaccard
       |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin
+      |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash-LSH near-dup candidates (xxhash64-based; rows-only check,
     * verified against exact Jaccard in DedupSpec). */

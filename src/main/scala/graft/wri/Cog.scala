@@ -19,7 +19,10 @@ import java.nio.file.{Files, Paths}
 object Cog {
 
   case class CogStatus(cog_filename: String, status: String,
-      out_size_mb: Option[Double], error: Option[String])
+      out_size_mb: Option[Double], error: Option[String],
+      // A6 band statistics (NaN-aware min/max, as GDAL records in COG
+      // metadata — `meta.json:90-97`), computed during the encode pass
+      band_min: Option[Double], band_max: Option[Double])
 
   /** Convert every consistent layer to a COG under outDir. Returns the
     * per-file status log. */
@@ -38,26 +41,34 @@ object Cog {
 
     val skipped = consistent.select("cog_filename")
       .join(existingDf, Seq("cog_filename"), "left_semi")
-      .as[String].map(f => CogStatus(f, "skipped", None, None))
+      .as[String].map(f => CogStatus(f, "skipped", None, None, None, None))
 
     val done = todo.as[(String, String)].mapPartitions { it =>
       it.map { case (src, cogName) =>
         val dst = s"$outDir/$cogName"
         try {
           if (!Files.exists(Paths.get(src)))
-            CogStatus(cogName, "missing_input", None, None)
+            CogStatus(cogName, "missing_input", None, None, None, None)
           else {
             val (h, px) = TiffIO.readPixels(src)
             TiffWriter.writeCog(dst, h.width, h.height, px,
               TiffIO.GeoInfo(h.epsg.getOrElse(0), h.resX, h.resY,
                 h.xmin, h.ymax), opts)
+            var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+            var i = 0
+            while (i < px.length) {
+              val v = px(i)
+              if (!v.isNaN) { if (v < mn) mn = v; if (v > mx) mx = v }
+              i += 1
+            }
+            val stats = if (mn <= mx) (Some(mn), Some(mx)) else (None, None)
             val mb = Files.size(Paths.get(dst)) / 1024.0 / 1024.0
             CogStatus(cogName, "written",
-              Some(math.round(mb * 100) / 100.0), None)
+              Some(math.round(mb * 100) / 100.0), None, stats._1, stats._2)
           }
         } catch {
           case e: Exception =>
-            CogStatus(cogName, "failed", None, Some(e.toString))
+            CogStatus(cogName, "failed", None, Some(e.toString), None, None)
         }
       }
     }

@@ -92,6 +92,38 @@ object Inventory {
   case class InventoryResult(
       raw: DataFrame, consistent: DataFrame, inconsistent: DataFrame)
 
+  /** CSV sinks with the reference's split semantics (S5/S6;
+    * `00b:161-177`): consistent CSV always; raw + inconsistent only when
+    * problems exist. Parquet is the canonical store; CSV is the
+    * reference-compatible export. */
+  def writeOutputs(result: InventoryResult, metadataDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(metadataDir))
+    def csv(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$metadataDir/$name")
+    csv(result.consistent, "all_layers_consistent.csv")
+    val problems = result.inconsistent.limit(1).count() > 0 ||
+      result.raw.filter(!col("success")).limit(1).count() > 0
+    if (problems) {
+      csv(result.raw, "all_layers_raw.csv")
+      csv(result.inconsistent, "all_layers_inconsistent.csv")
+    }
+  }
+
+  /** CSV source with the explicit inventory schema — nothing inferred
+    * (S4; schema discipline per `02b:112-123`). */
+  def readMetaCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(layerMetaSchema).option("header", "true").csv(path)
+
+  /** Fail fast on duplicate COG keys (A2; `02b:128-131`). */
+  def assertUniqueCogFilenames(meta: DataFrame): Unit = {
+    val dup = meta.groupBy(col("cog_filename")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"Duplicate cog_filename (cannot use as unique COG ID): " +
+        dup.headOption.map(_.getString(0)).getOrElse(""))
+  }
+
   /** Full stage 00 over a data directory; `resumeFrom` optionally holds a
     * previously-written raw table for skip-processed semantics (J1). */
   def run(spark: SparkSession, dataDir: String,

@@ -199,14 +199,41 @@ object Stac {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  /** JSON-directory re-scan (S9): item ids from the files on disk. */
+  def listItemIds(itemsDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(itemsDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json")).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Required-column assert (`02b:112-123`): fail fast, by name. */
+  def assertRequired(meta: DataFrame): Unit = {
+    val required = Seq("filepath", "filename", "extent_xmin", "extent_xmax",
+      "extent_ymin", "extent_ymax", "crs_epsg", "data_type", "wri_domain",
+      "wri_dimension", "cog_filename")
+    val missing = required.filterNot(meta.columns.contains)
+    require(missing.isEmpty,
+      s"Metadata missing required columns: ${missing.mkString(", ")}")
+  }
+
   /** Full stage 02: items + collection + catalog under stacRoot. */
   def run(spark: SparkSession, consistent: DataFrame, stacRoot: String,
       hostedProbe: String => Boolean = _ => false): DataFrame = {
+    assertRequired(consistent)
     val items = buildItems(spark, consistent, hostedProbe)
     val itemsDir = s"$stacRoot/collections/$collectionId/items"
     writeItems(items, itemsDir)
-    val ids = items.select("item_id").orderBy("item_id")
-      .collect().map(_.getString(0)).toSeq
+    // S9: crawl the items directory (not the in-memory DF) for the
+    // collection's rel=item links, exactly like the reference's dir_ls
+    // re-scan (`02b:312-322`) — picks up items from earlier runs too
+    val ids = listItemIds(itemsDir)
     Files.writeString(
       Paths.get(s"$stacRoot/collections/$collectionId/collection.json"),
       collectionJson(consistent, ids))

@@ -103,6 +103,53 @@ class PipelineSpec extends SparkSpec {
       Paths.get(s"$root/stac/catalog.json"))).get("id").asText == "wri-catalog")
   }
 
+  test("stage 00: CSV sink/source round-trip with the split semantics") {
+    val metaDir = s"$root/metadata"
+    Inventory.writeOutputs(inv, metaDir)
+    // problems exist (corrupt + inconsistent files) -> all three outputs
+    for (n <- Seq("all_layers_consistent.csv", "all_layers_raw.csv",
+        "all_layers_inconsistent.csv"))
+      assert(Files.isDirectory(Paths.get(s"$metaDir/$n")), s"$n missing")
+    val back = Inventory.readMetaCsv(spark, s"$metaDir/all_layers_consistent.csv")
+    assert(back.count() == inv.consistent.count())
+    // CSV reads are always nullable; names + types must match
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      Model.layerMetaSchema.map(f => (f.name, f.dataType)))
+    val wri = back.filter(org.apache.spark.sql.functions.col("filename") ===
+      "WRI_score.tif").head()
+    assert(wri.getAs[String]("data_type") == "final_score")
+    assert(wri.getAs[Int]("crs_epsg") == 5070)
+  }
+
+  test("duplicate cog_filename fails fast (A2)") {
+    Inventory.assertUniqueCogFilenames(inv.consistent) // no throw
+    val dup = inv.consistent.union(inv.consistent)
+    val e = intercept[IllegalArgumentException] {
+      Inventory.assertUniqueCogFilenames(dup)
+    }
+    assert(e.getMessage.contains("Duplicate cog_filename"))
+  }
+
+  test("stage 01: status log records NaN-aware band min/max (A6)") {
+    val inputs = Fixtures.writeCogInputs(root)
+    import spark.implicits._
+    val meta = inputs.toDF("filepath", "cog_filename")
+    val log = Cog.run(spark, meta, s"$root/cogs_stats")
+      .filter(org.apache.spark.sql.functions.col("status") === "written")
+      .collect()
+    assert(log.nonEmpty)
+    log.foreach { r =>
+      val mn = r.getAs[Double]("band_min"); val mx = r.getAs[Double]("band_max")
+      assert(!mn.isNaN && !mx.isNaN && mn <= mx)
+    }
+  }
+
+  test("collection item links come from crawling the items dir (S9)") {
+    val ids = Stac.listItemIds(s"$root/stac/collections/wri_ignitR/items")
+    assert(ids.size == 5 && ids == ids.sorted)
+    assert(Stac.listItemIds(s"$root/nonexistent").isEmpty)
+  }
+
   test("settings grid is the full 48-config cartesian product") {
     val g = Cog.settingsGrid(spark)
     assert(g.count() == 48)

@@ -56,6 +56,96 @@ object Similarity {
       when(dot(v, typedLit(p.map(_.toFloat))) > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Deterministic distributed k-means (Lloyd) over the embedding column:
+    * init = the k lowest vec_ids; assignment in a typed map (tight loop,
+    * centroids broadcast in the closure); update = posexplode ->
+    * groupBy(cluster, dim) avg -> collect the tiny k x dim table per
+    * iteration. Driver state is only k*dim doubles. */
+  def kMeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_._2.map(_.toDouble).toArray)
+    (0 until iters).foreach { _ =>
+      val cs = centroids // closure capture
+      val assigned = vecs.map { case (id, v) =>
+        (nearestCentroid(v, cs), v)
+      }.toDF("cluster", "v")
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      updated.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) =
+          r.getAs[Double]("m")
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  private[ops] def nearestCentroid(v: Seq[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cent = cs(c)
+      while (i < cent.length) {
+        val diff = v(i) - cent(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF approximate top-k: vectors are bucketed into k-means cells; only
+    * the `nprobe` cells nearest the query are scored exactly. The scale
+    * path for 100 TB embedding search: the inverted file turns a full
+    * scan into a handful of cell scans. */
+  def ivfTopK(
+      emb: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = kMeansCentroids(emb, cells, kmeansIters)
+    val cs = centroids
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
+      .toDF("vec_id", "embedding", "cell")
+    val qVec = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).as[Seq[Float]].head()
+    val probeCells = centroids.indices
+      .sortBy { c =>
+        var d = 0.0; var i = 0
+        while (i < centroids(c).length) {
+          val diff = qVec(i) - centroids(c)(i); d += diff * diff; i += 1
+        }
+        d
+      }
+      .take(nprobe).toSet
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    assigned
+      .filter(col("cell").isInCollection(probeCells) &&
+        col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Approximate top-k: the signature is cut into `bands` bands of
     * `numPlanes/bands` bits; any vector sharing at least one band with the
     * query becomes a candidate and only candidates are scored exactly.

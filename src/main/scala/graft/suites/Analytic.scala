@@ -25,7 +25,8 @@ object Analytic {
     Q("q26_json_extract", q26, Some(q26Sql)),
     Q("q27_pivot", q27, Some(q27Sql)),
     Q("q28_unpivot", q28, Some(q28Sql)),
-    Q("q42_salted_agg", q42, Some(q42Sql))
+    Q("q42_salted_agg", q42, Some(q42Sql)),
+    Q("q43_asof_join", q43, Some(q43Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -277,4 +278,27 @@ object Analytic {
     """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total,
       | count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** As-of join (operator Spark lacks; ops.AsOf composes it as ONE
+    * key-shuffle + running last()): each click matched to the user's most
+    * recent prior purchase. Oracle is DuckDB's native ASOF JOIN. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    graft.ops.AsOf.asOfJoin(clicks, purchases, key = "user_id", ts = "ts",
+        rightPayload = Seq("event_id", "ts"), tieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("right_event_id").as("purch_event"),
+        (unix_micros(col("ts")) - unix_micros(col("right_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q43Sql =
+    """SELECT c.event_id, c.user_id, p.event_id AS purch_event,
+      | epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
 }

@@ -13,7 +13,8 @@ object VectorSuite {
   lazy val all: Seq[Q] = Seq(
     Q("q22_array_ops", q22, Some(q22Sql)),
     Q("q37_cosine_topk", q37, Some(q37Sql)),
-    Q("q39_ann_lsh", q39, None)
+    Q("q39_ann_lsh", q39, None),
+    Q("q44_ivf_topk", q44, None)
   )
 
   /** Array scalar functions over the embedding column. */
@@ -59,4 +60,9 @@ object VectorSuite {
     * asserted in SimilaritySpec; rows-only here). */
   private def q39(s: SparkSession, d: String): DataFrame =
     Similarity.annTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+
+  /** IVF (k-means inverted file) approximate top-k: nprobe cells scored
+    * instead of the full corpus (recall asserted in SimilaritySpec). */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
 }

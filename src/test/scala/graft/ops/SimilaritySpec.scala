@@ -48,6 +48,29 @@ class SimilaritySpec extends SparkSpec {
       s"best ANN hit ${ann.head.getLong(0)} not in brute top-50")
   }
 
+  test("ivfTopK: high recall vs brute force with nprobe=cells (exhaustive)") {
+    // probing every cell makes IVF exact: must equal brute-force top-10
+    val brute = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfAll = Similarity.ivfTopK(emb, 0L, 10, cells = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll == brute, s"ivf=$ivfAll brute=$brute")
+    // partial probing returns a subset of genuine cosines
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, cells = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bruteAll = Similarity.cosineTopK(emb, 0L, 499)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, c) => assert(bruteAll(id) == c) }
+  }
+
+  test("kMeans centroids are deterministic and partition the corpus") {
+    val c1 = Similarity.kMeansCentroids(emb, 4, iters = 2)
+    val c2 = Similarity.kMeansCentroids(emb, 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.length == 4 && c1.forall(_.length == 64))
+  }
+
   test("lsh signature is deterministic and bit-string shaped") {
     val planes = Similarity.hyperplanes(16, 64)
     val s1 = emb.limit(5).select(Similarity.lshSignature($"embedding", planes).as("s"))

@@ -58,7 +58,8 @@ object Dedup {
       maxBucketSize: Int = 50): DataFrame = {
     val rows = numHashes / numBands
     val sigs = docs
-      .select(col("doc_id"), TextAnalysis.ngrams(col(textCol), n).as("grams"))
+      .select(col("doc_id"),
+        TextAnalysis.hashedNgrams(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0) // MaxValue sentinel sigs never pair
       .select(col("doc_id"), minHashSignature(col("grams"), numHashes).as("sig"))
     val banded = sigs.select(
@@ -69,6 +70,7 @@ object Dedup {
             .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew guard: oversized buckets come from degenerate/boilerplate
     // shingles; scoring their quadratic pair blow-up is both useless and
     // the classic LSH hot-key failure at scale. Drop them.
@@ -120,6 +122,7 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 8): DataFrame = {
     val sh = docs.select(col("doc_id"), simHashBits(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         struct(b.as("band"),
@@ -148,9 +151,12 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.05,
       partitionCol: String = "source"): DataFrame = {
+    // persist: the self-join would otherwise recompute the per-char
+    // hashing for BOTH sides (no common-subplan reuse without it)
     val grams = docs.select(col("doc_id"), col(partitionCol),
-      TextAnalysis.ngrams(col(textCol), n).as("grams"))
+      TextAnalysis.hashedNgrams(col(textCol), n).as("grams"))
       .withColumn("gsz", size(col("grams")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = grams.as("a"); val b = grams.as("b")
     a.join(b,
         col(s"a.$partitionCol") === col(s"b.$partitionCol") &&

@@ -39,6 +39,30 @@ object TextAnalysis {
     array_distinct(filter(zipped, g => g.isNotNull))
   }
 
+  private val Mod = 1000000007L
+
+  /** Per-token polynomial hash (fold(acc*31 + codepoint) mod 1e9+7) —
+    * the engine-portable hash family also used by `fingerprint`, so
+    * DuckDB oracles can reproduce it exactly. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t =>
+      aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
+        lit(7L), (a, c) => (a * lit(31L) + c) % lit(Mod)))
+
+  /** Distinct HASHED n-gram shingles: token hashes combined by shifted-zip
+    * (same CollapseProject-safe shape as `ngrams`). Long shingles make
+    * downstream set-intersections ~an order of magnitude cheaper than
+    * string shingles; collisions (~1e-9/pair) are deterministic and
+    * identical in any engine using the same fold. */
+  def hashedNgrams(text: Column, n: Int): Column = {
+    val th = tokenHashes(text)
+    val zipped = (1 until n).foldLeft(th) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), greatest(size(th) - j, lit(0))),
+        (a, b) => (a * lit(131L) + b) % lit(Mod))
+    }
+    array_distinct(filter(zipped, g => g.isNotNull))
+  }
+
   /** Jaccard similarity of two pre-computed distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

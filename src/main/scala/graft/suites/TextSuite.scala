@@ -113,14 +113,22 @@ object TextSuite {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // hashed-shingle jaccard: identical polynomial fold on both engines
   private val q35Sql =
     """WITH g AS (
       |  SELECT doc_id, source,
-      |    list_distinct(list_filter(list_transform(w, (x, i) ->
-      |      CASE WHEN i + 2 <= len(w)
-      |           THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2] END),
+      |    list_distinct(list_filter(
+      |      list_transform(th, (x, i) ->
+      |        CASE WHEN i + 2 <= len(th)
+      |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |                  % 1000000007 END),
       |      z -> z IS NOT NULL)) AS grams
-      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+      |  FROM (SELECT doc_id, source,
+      |          list_transform(string_split(text, ' '), t ->
+      |            list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |              list_transform(string_split(t, ''),
+      |                c -> CAST(unicode(c) AS BIGINT))),
+      |              (a, b) -> (a * 31 + b) % 1000000007)) AS th
       |        FROM documents))
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

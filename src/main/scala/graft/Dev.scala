@@ -34,6 +34,17 @@ object Dev {
         time("signatures")(sigs.count())
         val pairs = ops.Dedup.minHashCandidatePairs(docs)
         println("[dev] pairs = " + time("candidate pairs")(pairs.count()))
+      case "bucket" =>
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        ops.Bucketing.writeBucketed(li, "li_b", "l_orderkey", 8)
+        ops.Bucketing.writeBucketed(o, "o_b", "l_orderkey", 8)
+        val j = ops.Bucketing.bucketedJoin(spark, "li_b", "o_b", "l_orderkey")
+        println(s"[dev] shuffle-free=${ops.Bucketing.isShuffleFree(j)} " +
+          s"rows=${j.count()} (plain=${li.join(o, "l_orderkey").count()})")
+        j.explain("formatted")
       case "wripipe" =>
         // full stage 00 -> 01 -> 02 over self-generated fixtures
         val root = java.nio.file.Files.createTempDirectory("wripipe_dev").toString

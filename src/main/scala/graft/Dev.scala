@@ -34,6 +34,12 @@ object Dev {
         time("signatures")(sigs.count())
         val pairs = ops.Dedup.minHashCandidatePairs(docs)
         println("[dev] pairs = " + time("candidate pairs")(pairs.count()))
+      case "q23" =>
+        val df = SparkEntry.queries("q23_scalar_subquery")(spark, sfDir)
+        time("q23 run1")(df.count())
+        time("q23 run2")(
+          SparkEntry.queries("q23_scalar_subquery")(spark, sfDir).count())
+        df.explain("formatted")
       case "bucket" =>
         val li = Tables.lineitem(spark, sfDir)
           .select(col("l_orderkey"), col("l_quantity"))

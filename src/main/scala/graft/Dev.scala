@@ -34,6 +34,17 @@ object Dev {
         time("signatures")(sigs.count())
         val pairs = ops.Dedup.minHashCandidatePairs(docs)
         println("[dev] pairs = " + time("candidate pairs")(pairs.count()))
+      case "sweep" =>
+        val root = java.nio.file.Files.createTempDirectory("sweep_dev").toString
+        val in = wri.Fixtures.writeCogInputs(root).head._1
+        val sweep = wri.Cog.settingsSweep(spark, in, s"$root/out")
+        sweep.groupBy("status", "BIGTIFF").count().orderBy("BIGTIFF").show(false)
+        // BigTIFF outputs must carry magic 43
+        val bigOut = sweep.filter(col("BIGTIFF") === "YES")
+          .select("out_cog").head().getString(0)
+        val magic = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(bigOut))(2)
+        println(s"[dev] sample BIGTIFF=YES output magic byte: $magic")
       case "q23" =>
         val df = SparkEntry.queries("q23_scalar_subquery")(spark, sfDir)
         time("q23 run1")(df.count())

@@ -118,7 +118,8 @@ object Cog {
             TiffWriter.writeCog(out, h.width, h.height, px,
               TiffIO.GeoInfo(h.epsg.getOrElse(0), h.resX, h.resY, h.xmin,
                 h.ymax),
-              TiffWriter.CogOptions(block, c, pred, r))
+              TiffWriter.CogOptions(block, c, pred, r,
+                bigTiff = bigtiff == "YES"))
             "ok"
           } catch { case e: Exception => s"failed: ${e.getMessage}" }
           val secs = (System.nanoTime() - t0) / 1e9

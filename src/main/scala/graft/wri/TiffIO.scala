@@ -84,7 +84,7 @@ object TiffIO {
     case 1 | 2 | 6 | 7 => 1
     case 3 | 8 => 2
     case 4 | 9 | 11 => 4
-    case 5 | 10 | 12 => 8
+    case 5 | 10 | 12 | 16 | 17 => 8 // incl. BigTIFF LONG8/SLONG8
     case _ => 1
   }
 
@@ -100,7 +100,7 @@ object TiffIO {
       raf.seek(off); raf.readFully(b)
       ByteBuffer.wrap(b)
     }
-    val head = readAt(0, 8)
+    val head = readAt(0, 16)
     val le = (head.get(0) & 0xff, head.get(1) & 0xff) match {
       case (0x49, 0x49) => true
       case (0x4d, 0x4d) => false
@@ -108,38 +108,56 @@ object TiffIO {
     }
     val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     head.order(order)
-    if (head.getShort(2) != 42)
-      throw new IllegalArgumentException("not a classic TIFF (magic)")
-    var ifdOff = head.getInt(4).toLong & 0xffffffffL
+    val magic = head.getShort(2).toInt
+    val big = magic == 43 // BigTIFF: 8-byte offsets, 20-byte IFD entries
+    if (magic != 42 && magic != 43)
+      throw new IllegalArgumentException(s"not a TIFF (magic $magic)")
+    val inlineMax = if (big) 8 else 4
+    val ifdOff =
+      if (big) head.getLong(8)
+      else head.getInt(4).toLong & 0xffffffffL
     if (ifdOff == 0) throw new IllegalArgumentException("no IFD")
 
     def parseIfd(off: Long): (Map[Int, Entry], Long, Long) = {
-      val nb = readAt(off, 2); nb.order(order)
-      val n = nb.getShort(0).toInt & 0xffff
-      val buf = readAt(off + 2, n * 12 + 4); buf.order(order)
+      val (n, entryBase, entrySize) =
+        if (big) {
+          val nb = readAt(off, 8); nb.order(order)
+          (nb.getLong(0).toInt, off + 8, 20)
+        } else {
+          val nb = readAt(off, 2); nb.order(order)
+          (nb.getShort(0).toInt & 0xffff, off + 2, 12)
+        }
+      val nextSize = if (big) 8 else 4
+      val buf = readAt(entryBase, n * entrySize + nextSize); buf.order(order)
       val entries = (0 until n).map { i =>
-        val base = i * 12
+        val base = i * entrySize
         val tag = buf.getShort(base).toInt & 0xffff
         val typ = buf.getShort(base + 2).toInt & 0xffff
-        val count = buf.getInt(base + 4).toLong & 0xffffffffL
-        val raw = new Array[Byte](4)
-        buf.position(base + 8); buf.get(raw); buf.position(0)
-        val vo = ByteBuffer.wrap(raw).order(order).getInt(0).toLong & 0xffffffffL
+        val count =
+          if (big) buf.getLong(base + 4)
+          else buf.getInt(base + 4).toLong & 0xffffffffL
+        val raw = new Array[Byte](inlineMax)
+        buf.position(base + (if (big) 12 else 8)); buf.get(raw); buf.position(0)
+        val vb = ByteBuffer.wrap(raw).order(order)
+        val vo = if (big) vb.getLong(0) else vb.getInt(0).toLong & 0xffffffffL
         Entry(tag, typ, count, vo, raw)
       }.map(e => e.tag -> e).toMap
-      val next = buf.getInt(n * 12).toLong & 0xffffffffL
-      (entries, next, off + 2 + n * 12 + 4)
+      val next =
+        if (big) buf.getLong(n * entrySize)
+        else buf.getInt(n * entrySize).toLong & 0xffffffffL
+      (entries, next, entryBase + n * entrySize + nextSize)
     }
 
     def values(e: Entry): IndexedSeq[Long] = {
       val total = typeSize(e.typ) * e.count.toInt
       val buf =
-        if (total <= 4) ByteBuffer.wrap(e.raw).order(order)
+        if (total <= inlineMax) ByteBuffer.wrap(e.raw).order(order)
         else { val b = readAt(e.valueOffset, total); b.order(order); b }
       (0 until e.count.toInt).map { i =>
         e.typ match {
           case 3 | 8 => buf.getShort(i * 2).toLong & 0xffffL
           case 4 | 9 => buf.getInt(i * 4).toLong & 0xffffffffL
+          case 16 | 17 => buf.getLong(i * 8) // BigTIFF LONG8/SLONG8
           case 1 | 2 | 6 | 7 => buf.get(i).toLong & 0xffL
           case _ => throw new IllegalArgumentException(s"type ${e.typ} as long")
         }
@@ -147,7 +165,10 @@ object TiffIO {
     }
     def doubles(e: Entry): IndexedSeq[Double] = {
       require(e.typ == 12, "expected DOUBLE tag")
-      val buf = readAt(e.valueOffset, 8 * e.count.toInt); buf.order(order)
+      val buf =
+        if (8 * e.count.toInt <= inlineMax)
+          ByteBuffer.wrap(e.raw).order(order)
+        else { val b = readAt(e.valueOffset, 8 * e.count.toInt); b.order(order); b }
       (0 until e.count.toInt).map(i => buf.getDouble(i * 8))
     }
 
@@ -251,47 +272,55 @@ object TiffIO {
     } finally raf.close()
   }
 
-  /** (offsets, byteCounts, tileWidth, tileHeight) of IFD0. */
-  private def stripOrTileInfo(bb: ByteBuffer): (IndexedSeq[Long], IndexedSeq[Long], Int, Int) = {
-    val ifdOff = bb.getInt(4)
-    val n = bb.getShort(ifdOff).toInt & 0xffff
-    var offs = IndexedSeq.empty[Long]; var counts = IndexedSeq.empty[Long]
-    var tw = 0; var th = 0
-    (0 until n).foreach { i =>
-      val base = ifdOff + 2 + i * 12
+  /** IFD0 as tag -> values, handling classic and BigTIFF layouts. */
+  private def parseIfd0(bb: ByteBuffer): Map[Int, IndexedSeq[Long]] = {
+    val big = bb.getShort(2).toInt == 43
+    val ifdOff = if (big) bb.getLong(8) else bb.getInt(4).toLong & 0xffffffffL
+    val n =
+      if (big) bb.getLong(ifdOff.toInt).toInt
+      else bb.getShort(ifdOff.toInt).toInt & 0xffff
+    val entrySize = if (big) 20 else 12
+    val entryBase = ifdOff.toInt + (if (big) 8 else 2)
+    val inlineMax = if (big) 8 else 4
+    (0 until n).map { i =>
+      val base = entryBase + i * entrySize
       val tag = bb.getShort(base).toInt & 0xffff
       val typ = bb.getShort(base + 2).toInt & 0xffff
-      val count = bb.getInt(base + 4)
-      def vals: IndexedSeq[Long] = {
-        val sz = typeSize(typ) * count
-        val start = if (sz <= 4) base + 8 else bb.getInt(base + 8)
-        (0 until count).map { j =>
-          typ match {
-            case 3 => bb.getShort(start + j * 2).toLong & 0xffffL
-            case 4 => bb.getInt(start + j * 4).toLong & 0xffffffffL
-            case _ => 0L
-          }
+      val count =
+        if (big) bb.getLong(base + 4).toInt else bb.getInt(base + 4)
+      val valOff = base + (if (big) 12 else 8)
+      val sz = typeSize(typ) * count
+      val start =
+        if (sz <= inlineMax) valOff
+        else if (big) bb.getLong(valOff).toInt else bb.getInt(valOff)
+      val vals = (0 until count).map { j =>
+        typ match {
+          case 3 => bb.getShort(start + j * 2).toLong & 0xffffL
+          case 4 => bb.getInt(start + j * 4).toLong & 0xffffffffL
+          case 16 | 17 => bb.getLong(start + j * 8)
+          case _ => 0L
         }
       }
-      tag match {
-        case TStripOffsets | TTileOffsets => offs = vals
-        case TStripByteCounts | TTileByteCounts => counts = vals
-        case TTileWidth => tw = vals.head.toInt
-        case TTileLength => th = vals.head.toInt
-        case _ =>
-      }
-    }
-    (offs, counts, tw, th)
+      tag -> vals
+    }.toMap
   }
 
-  private def predictorOf(bb: ByteBuffer): Int = {
-    val ifdOff = bb.getInt(4)
-    val n = bb.getShort(ifdOff).toInt & 0xffff
-    (0 until n).collectFirst {
-      case i if (bb.getShort(ifdOff + 2 + i * 12).toInt & 0xffff) == TPredictor =>
-        bb.getShort(ifdOff + 2 + i * 12 + 8).toInt & 0xffff
-    }.getOrElse(1)
+  /** (offsets, byteCounts, tileWidth, tileHeight) of IFD0. */
+  private def stripOrTileInfo(bb: ByteBuffer): (IndexedSeq[Long], IndexedSeq[Long], Int, Int) = {
+    val ifd = parseIfd0(bb)
+    def get(t: Int) = ifd.getOrElse(t, IndexedSeq.empty[Long])
+    val offs = if (ifd.contains(TTileOffsets)) get(TTileOffsets)
+      else get(TStripOffsets)
+    val counts = if (ifd.contains(TTileByteCounts)) get(TTileByteCounts)
+      else get(TStripByteCounts)
+    (offs, counts,
+      get(TTileWidth).headOption.map(_.toInt).getOrElse(0),
+      get(TTileLength).headOption.map(_.toInt).getOrElse(0))
   }
+
+  private def predictorOf(bb: ByteBuffer): Int =
+    parseIfd0(bb).get(TPredictor).flatMap(_.headOption.map(_.toInt))
+      .getOrElse(1)
 
   // ---------------------------------------------------------------------
   // Compression codecs

@@ -24,7 +24,6 @@ object TiffWriter {
     def byteLen: Int = count * (typ match {
       case 3 => 2; case 4 => 4; case 12 => 8; case 2 => 1; case _ => 1
     })
-    def inline: Boolean = byteLen <= 4
   }
 
   case class CogOptions(
@@ -32,7 +31,10 @@ object TiffWriter {
       compression: Compression = Deflate,
       predictor: Int = 1,
       resampling: Resampling = Average,
-      withOverviews: Boolean = true)
+      withOverviews: Boolean = true,
+      // BigTIFF (magic 43, 8-byte offsets): required for outputs >4 GB;
+      // the reference's BIGTIFF=YES sweep option maps here
+      bigTiff: Boolean = false)
 
   /** Header-only fixture: declares arbitrary dimensions with a stub pixel
     * payload. The inventory stage reads ONLY headers (`utils.R:169-175`,
@@ -90,7 +92,8 @@ object TiffWriter {
       }
       Level(w, h, bs, bs, tiles)
     }
-    writeTiff(path, levels, geo, opts.compression, opts.predictor, tiled = true)
+    writeTiff(path, levels, geo, opts.compression, opts.predictor,
+      tiled = true, big = opts.bigTiff)
   }
 
   /** NaN-aware 2x downsample. */
@@ -132,9 +135,14 @@ object TiffWriter {
       tiles: Seq[Array[Byte]])
 
   /** Two-pass layout: [header][IFD chain][external values][tile data],
-    * overview tile payloads before full-res payloads (COG ordering). */
+    * overview tile payloads before full-res payloads (COG ordering).
+    * `big` switches to the BigTIFF layout (16-byte header, 20-byte
+    * entries, 8-byte counts/offsets/next pointers, 8-byte inline limit). */
   private def writeTiff(path: String, levels: Seq[Level], geo: GeoInfo,
-      comp: Compression, predictor: Int, tiled: Boolean): Unit = {
+      comp: Compression, predictor: Int, tiled: Boolean,
+      big: Boolean = false): Unit = {
+    val inlineMax = if (big) 8 else 4
+    val entrySize = if (big) 20 else 12
 
     def tagsFor(li: Int, l: Level, dataOffsets: Seq[Long]): Seq[Tag] = {
       val base = Seq(
@@ -166,15 +174,17 @@ object TiffWriter {
     val nTags = levels.zipWithIndex.map { case (l, i) =>
       tagsFor(i, l, l.tiles.map(_ => 0L)).length
     }
-    val headerSize = 8L
-    val ifdSizes = nTags.map(n => 2L + n * 12L + 4L)
+    val headerSize = if (big) 16L else 8L
+    val ifdSizes =
+      if (big) nTags.map(n => 8L + n * 20L + 8L)
+      else nTags.map(n => 2L + n * 12L + 4L)
     val ifdOffsets = ifdSizes.scanLeft(headerSize)(_ + _).init
     val externalStart = headerSize + ifdSizes.sum
     // external bytes per IFD (same order as tags)
     var extCursor = externalStart
     val extOffsets: Seq[Map[Int, Long]] = levels.zipWithIndex.map { case (l, i) =>
       tagsFor(i, l, l.tiles.map(_ => 0L)).flatMap { t =>
-        if (t.inline) None
+        if (t.byteLen <= inlineMax) None
         else {
           val off = extCursor
           extCursor += t.byteLen
@@ -205,32 +215,41 @@ object TiffWriter {
         out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
         out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
       }
+      def writeLong(v: Long): Unit = { writeInt(v & 0xffffffffL); writeInt((v >>> 32) & 0xffffffffL) }
+      def writeOffset(v: Long): Unit = if (big) writeLong(v) else writeInt(v)
       // header
-      out.write('I'); out.write('I'); writeShort(42); writeInt(ifdOffsets.head)
+      if (big) {
+        out.write('I'); out.write('I'); writeShort(43)
+        writeShort(8); writeShort(0); writeLong(ifdOffsets.head)
+      } else {
+        out.write('I'); out.write('I'); writeShort(42); writeInt(ifdOffsets.head)
+      }
       // IFDs
       levels.zipWithIndex.foreach { case (l, i) =>
         val tags = tagsFor(i, l, tileOffsets(i))
-        writeShort(tags.length)
+        if (big) writeLong(tags.length.toLong) else writeShort(tags.length)
         tags.foreach { t =>
-          writeShort(t.id); writeShort(t.typ); writeInt(t.count)
-          if (t.inline) {
-            // inline values, little-endian, padded to 4 bytes
-            val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          writeShort(t.id); writeShort(t.typ)
+          if (big) writeLong(t.count.toLong) else writeInt(t.count.toLong)
+          if (t.byteLen <= inlineMax) {
+            // inline values, little-endian, padded to the value-field width
+            val b = ByteBuffer.allocate(inlineMax).order(ByteOrder.LITTLE_ENDIAN)
             t.typ match {
               case 3 => t.values.foreach(v => b.putShort(v.toShort))
               case 4 => t.values.foreach(v => b.putInt(v.toInt))
+              case 12 => t.dbl.foreach(b.putDouble)
               case _ =>
             }
             out.write(b.array())
-          } else writeInt(extOffsets(i)(t.id))
+          } else writeOffset(extOffsets(i)(t.id))
         }
-        writeInt(if (i + 1 < levels.length) ifdOffsets(i + 1) else 0L)
+        writeOffset(if (i + 1 < levels.length) ifdOffsets(i + 1) else 0L)
       }
       // external values (recompute same order as pass 1)
       var cursor = externalStart
       levels.zipWithIndex.foreach { case (l, i) =>
         tagsFor(i, l, tileOffsets(i)).foreach { t =>
-          if (!t.inline) {
+          if (t.byteLen > inlineMax) {
             val b = ByteBuffer.allocate(t.byteLen).order(ByteOrder.LITTLE_ENDIAN)
             t.typ match {
               case 3 => t.values.foreach(v => b.putShort(v.toShort))

@@ -48,6 +48,27 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"unexpected join in:\n$p")
   }
 
+  private def hashExchanges(name: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan(name)).length
+
+  test("q12: per-user window runs on a single key shuffle") {
+    assert(hashExchanges("q12_window_running_lag") == 1,
+      plan("q12_window_running_lag"))
+  }
+
+  test("q24: sessionize reuses the window partitioning for the groupBy") {
+    // window partitionBy(user_id) then groupBy(user_id): the aggregation
+    // must NOT introduce a second hash exchange
+    assert(hashExchanges("q24_sessionize") == 1, plan("q24_sessionize"))
+  }
+
+  test("q43: as-of join is one key shuffle, not a range join") {
+    val p = plan("q43_asof_join")
+    assert(hashExchanges("q43_asof_join") == 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q23: scalar subquery broadcasts the 1-row aggregate") {
     val p = plan("q23_scalar_subquery")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -72,6 +72,25 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("BigTIFF COG round-trips (magic 43, 8-byte offsets)") {
+    val p = tmp("big.tif")
+    val w = 70; val hh = 50
+    val px = testPixels(w, hh)
+    TiffWriter.writeCog(p, w, hh, px, geo,
+      TiffWriter.CogOptions(blockSize = 32, compression = Deflate,
+        predictor = 2, bigTiff = true))
+    // magic must actually be 43
+    val headBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)).take(4)
+    assert(headBytes(2) == 43 && headBytes(3) == 0)
+    val h = readHeader(p)
+    assert(h.width == w && h.height == hh && h.tiled)
+    assert(h.epsg.contains(5070) && h.overviewCount == 2)
+    assert(h.isCogLayout)
+    val (_, back) = readPixels(p)
+    assert(back.toSeq == px.toSeq)
+  }
+
   test("COG with NaN nodata averages NaN-aware") {
     val p = tmp("nan.tif")
     val px = Array.fill(64 * 64)(Float.NaN)

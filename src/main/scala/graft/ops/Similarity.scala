@@ -123,8 +123,10 @@ object Similarity {
       .as[(Long, Seq[Float])]
       .map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
       .toDF("vec_id", "embedding", "cell")
-    val qVec = emb.filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).as[Seq[Float]].head()
+    val qRows = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).as[Seq[Float]].collect()
+    require(qRows.nonEmpty, s"query vec_id $queryVecId not found")
+    val qVec = qRows.head
     val probeCells = centroids.indices
       .sortBy { c =>
         var d = 0.0; var i = 0

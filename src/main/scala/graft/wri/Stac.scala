@@ -132,9 +132,11 @@ object Stac {
     * collected as tiny scalars). */
   def collectionJson(consistent: DataFrame, itemIds: Seq[String]): String = {
     val mapper = new ObjectMapper()
-    val first = consistent.orderBy(col("filepath")).limit(1)
+    val firstRows = consistent.orderBy(col("filepath")).limit(1)
       .select("extent_xmin", "extent_xmax", "extent_ymin", "extent_ymax")
-      .head()
+      .collect()
+    require(firstRows.nonEmpty, "Metadata is empty") // fail fast (`02b:125`)
+    val first = firstRows.head
     val s = Geo.extentToStacSpatial(
       first.getDouble(0), first.getDouble(1),
       first.getDouble(2), first.getDouble(3))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for web-scale corpora.
   *
@@ -11,10 +12,19 @@ import org.apache.spark.sql.functions._
   *  - MinHash-LSH and SimHash banding turn the O(n^2) all-pairs problem into
   *    an equi-join on band buckets (shuffle on bucket key, skew-resistant
   *    because bands distribute hot shingles across `numBands` keys);
-  *  - exact n-gram Jaccard is reserved for candidate verification or
-  *    bounded partitions (e.g. per-source), never the full corpus.
+  *  - exact n-gram Jaccard runs as a prefix-filtered similarity join
+  *    (AllPairs / PPJoin family): only document pairs sharing a low-frequency
+  *    "prefix" shingle are ever compared, which keeps the candidate join
+  *    linear-ish in corpus size instead of quadratic.
+  *
+  * All signatures use one engine-portable hash family — polynomial folds
+  * mod 1e9+7 with per-seed affine remixes (see [[seedHash]]) — so every
+  * operator here is reproducible bit-for-bit in any engine with 64-bit
+  * integer arithmetic (the DuckDB oracles replay them exactly).
   */
 object Dedup {
+
+  private val P = 1000000007L
 
   /** Exact duplicate groups keyed by md5(text): digest, group size, and the
     * smallest doc_id as the canonical keeper. */
@@ -23,24 +33,61 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
 
-  /** MinHash signature over a shingle array: element i is the minimum of
-    * hash_i over the shingles.
+  private def powMod(g: Long, e: Long): Long = {
+    var r = 1L; var b = g % P; var x = e
+    while (x > 0) {
+      if ((x & 1L) == 1L) r = r * b % P
+      b = b * b % P; x >>= 1
+    }
+    r
+  }
+
+  /** Per-seed multipliers/offsets: powers of 5, a primitive root of 1e9+7,
+    * so consecutive seeds are multiplicatively decorrelated. A LINEAR
+    * family (`a_s = (s+1)*c mod P`) is subtly broken for MinHash: then
+    * `h_s(x) = (s+1)*(c*x mod P) + b_s`, and any gram whose `c*x mod P`
+    * is small (< P/numHashes) minimizes EVERY seed without wraparound —
+    * signature positions collapse to "which doc holds the smallest
+    * c*x gram", yielding est_jaccard ~1 for near-disjoint docs (observed:
+    * a 0.006-jaccard pair scored 0.8+). */
+  def seedCoefA(n: Int): Seq[Long] =
+    Seq.tabulate(n)(s => powMod(5L, s + 7L))
+  def seedCoefB(n: Int): Seq[Long] =
+    Seq.tabulate(n)(s => powMod(5L, s + 203L))
+
+  /** Per-seed affine remix of a pre-hashed value:
+    * `(a_s * x + b_s) mod P` with the power-of-primitive-root coefficient
+    * tables above (passed as array literals; `s` is a 0-based int). Pure
+    * 64-bit integer arithmetic (max intermediate ~1e18), identical in
+    * Spark codegen and DuckDB lambdas. */
+  private def seedHash(aArr: Column, bArr: Column, s: Column, x: Column): Column =
+    (element_at(aArr, s + lit(1)) * x + element_at(bArr, s + lit(1))) % lit(P)
+
+  /** MinHash signature over a (pre-hashed) shingle array: element s is the
+    * minimum of `seedHash(s, shingle)` over the shingles.
     *
     * Shaped as ONE fold over the shingles (not `transform(seeds, seed ->
     * min over grams)`): Catalyst inlines the grams expression into lambda
     * bodies, and a per-seed lambda would re-evaluate the whole shingling
     * numHashes times per row — a measured ~60x slowdown at sf0.1. In the
-    * fold, each shingle is string-hashed once and then remixed per seed
-    * with cheap long hashing. Empty shingle sets yield Long.MaxValue
-    * sentinels (callers filter empty docs). */
+    * fold, each shingle enters once and is remixed per seed with 3 integer
+    * ops. Empty shingle sets yield the P sentinel (callers filter empty
+    * docs). */
   def minHashSignature(grams: Column, numHashes: Int): Column = {
-    val ghash = transform(grams, g => xxhash64(g))
-    val init = transform(sequence(lit(0), lit(numHashes - 1)),
-      _ => lit(Long.MaxValue))
-    aggregate(ghash, init,
+    val aArr = typedLit(seedCoefA(numHashes))
+    val bArr = typedLit(seedCoefB(numHashes))
+    val init = transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(P))
+    aggregate(grams, init,
       (acc, x) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (a, s) => least(a, xxhash64(s, x))))
+        (m, s) => least(m, seedHash(aArr, bArr, s, x))))
   }
+
+  /** Polynomial fold of a signature slice into one band-bucket key
+    * (`(acc*131 + v) mod P`, seed 7 — same family as the shingle hashes). */
+  private def bandBucket(sig: Column, band: Column, rows: Int, seed: Long,
+      mul: Long): Column =
+    aggregate(slice(sig, band * lit(rows) + lit(1), lit(rows)),
+      lit(seed), (a, v) => (a * lit(mul) + v) % lit(P))
 
   /** MinHash-LSH candidate pairs: signatures are cut into `numBands` bands
     * of `numHashes/numBands` rows; docs sharing any band bucket become a
@@ -57,20 +104,22 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 50): DataFrame = {
     val rows = numHashes / numBands
+    // persist: the banding lambda below references `sig`, and without a
+    // materialization barrier CollapseProject would inline the whole
+    // signature fold into the per-band lambda (numBands x recompute)
     val sigs = docs
       .select(col("doc_id"),
         TextAnalysis.hashedNgrams(col(textCol), n).as("grams"))
-      .filter(size(col("grams")) > 0) // MaxValue sentinel sigs never pair
+      .filter(size(col("grams")) > 0) // P sentinel sigs never pair
       .select(col("doc_id"), minHashSignature(col("grams"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)),
+      col("doc_id"),
+      explode(transform(sequence(lit(0L), lit(numBands - 1L)),
         b => struct(b.as("band"),
-          xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))
-            .as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("sig"),
+          bandBucket(col("sig"), b, rows, 7L, 131L).as("bucket")))).as("bb"))
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew guard: oversized buckets come from degenerate/boilerplate
     // shingles; scoring their quadratic pair blow-up is both useless and
     // the classic LSH hot-key failure at scale. Drop them.
@@ -80,98 +129,123 @@ object Dedup {
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
     val a = sized.as("a"); val b = sized.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
-      // dedup (a doc pair can share several bands) BEFORE the O(numHashes)
-      // agreement scoring
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // dedup (a doc pair can share several bands) BEFORE joining the
+      // signatures back and the O(numHashes) agreement scoring; the slim
+      // banded rows also keep the 512-byte signature out of the band
+      // shuffle entirely
       .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
           x => x)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** 64-bit SimHash rendered as a 64-char bit string (MSB first).
-    * Implemented with bin()/string bits to stay in pure codegen'd
-    * expressions (no per-bit shift loops). */
-  def simHashBits(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), w => xxhash64(w))
-    val zeros = transform(sequence(lit(0), lit(63)), _ => lit(0L))
-    val bitOf = (h: Column) =>
-      transform(split(lpad(bin(h), 64, "0"), ""),
-        c => when(c === "1", lit(1L)).otherwise(lit(-1L)))
-    val counts = aggregate(hashes, zeros,
-      (acc, h) => zip_with(acc, bitOf(h), (a, x) => a + x))
-    concat_ws("", transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))))
+  /** SimHash signature as an array of `numBits` 0/1 longs: bit j is set
+    * when the frequency-weighted majority of token hashes have odd
+    * `seedHash(j, token)` parity. One fold over the tokens with a
+    * numBits-wide accumulator (same CollapseProject-safe shape as
+    * [[minHashSignature]]); pure integer ops — no strings, no bin(). */
+  def simHashSig(text: Column, numBits: Int = 64): Column = {
+    val aArr = typedLit(seedCoefA(numBits))
+    val bArr = typedLit(seedCoefB(numBits))
+    val th = TextAnalysis.tokenHashes(text)
+    val zeros = transform(sequence(lit(0), lit(numBits - 1)), _ => lit(0L))
+    val counts = aggregate(th, zeros,
+      (acc, x) => zip_with(acc, sequence(lit(0), lit(numBits - 1)),
+        (a, j) => a + (seedHash(aArr, bArr, j, x) % lit(2L)) * lit(2L) - lit(1L)))
+    transform(counts, c => when(c > 0, lit(1L)).otherwise(lit(0L)))
   }
 
-  /** Hamming distance between two equal-length bit strings. */
-  def hammingBits(a: Column, b: Column): Column =
-    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
-      x => x))
+  /** Hamming distance between two equal-length 0/1 bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x =!= y), x => x))
 
-  /** SimHash near-duplicate candidates: band the 64-bit string into 4
-    * 16-bit prefixes; docs sharing any band join, then exact Hamming
-    * distance filters to <= maxHamming. */
+  /** SimHash near-duplicate candidates: the 64 bits are banded into 4
+    * 16-bit integer buckets; docs sharing any band join, then exact
+    * Hamming distance filters to <= maxHamming. */
   def simHashCandidatePairs(
       docs: DataFrame,
       textCol: String = "text",
       maxHamming: Int = 8): DataFrame = {
-    val sh = docs.select(col("doc_id"), simHashBits(col(textCol)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.select(col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)), b =>
+    val sh = docs.select(col("doc_id"), simHashSig(col(textCol)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // barrier: see minHash note
+    val banded = sh.select(col("doc_id"),
+      explode(transform(sequence(lit(0L), lit(3L)), b =>
         struct(b.as("band"),
-          col("sh").substr(b * lit(16) + lit(1), lit(16)).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("sh"),
+          bandBucket(col("sig"), b, 16, 0L, 2L).as("bucket")))).as("bb"))
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // before the O(64) hamming scoring
+      .join(sh.select(col("doc_id").as("doc_a"), col("sig").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sig").as("shb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        hammingBits(col("sha"), col("shb")).as("hamming"))
+        hamming(col("sha"), col("shb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact word-n-gram Jaccard similarity over pairs sharing
-    * `partitionCol` (bounds the quadratic blow-up; the join shuffles both
-    * sides on that key so pairs form within co-located partitions). */
+  /** Exact n-gram Jaccard near-duplicate pairs over the whole corpus,
+    * computed as a prefix-filtered similarity join (AllPairs, Bayardo et
+    * al.): with shingles canonically ordered by (document frequency,
+    * value), any pair with jaccard >= t must share a shingle inside both
+    * documents' first `|g| - ceil(t*|g|) + 1` shingles, so only those
+    * prefix postings are self-joined. Candidates are then verified with
+    * the exact intersection over the full shingle arrays.
+    *
+    * The df-ascending order is also the skew story: boilerplate shingles
+    * (huge postings lists) sort to the suffix and never enter the
+    * candidate join.
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       n: Int = 3,
-      threshold: Double = 0.05,
-      partitionCol: String = "source"): DataFrame = {
-    // persist: the self-join would otherwise recompute the per-char
-    // hashing for BOTH sides (no common-subplan reuse without it)
-    val grams = docs.select(col("doc_id"), col(partitionCol),
-      TextAnalysis.hashedNgrams(col(textCol), n).as("grams"))
+      threshold: Double = 0.05): DataFrame = {
+    // persist: reused by the df count, the prefix build and the two
+    // verification joins (no common-subplan reuse across join sides)
+    val grams = docs.select(col("doc_id"),
+        TextAnalysis.hashedNgrams(col(textCol), n).as("grams"))
       .withColumn("gsz", size(col("grams")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = grams.as("a"); val b = grams.as("b")
-    a.join(b,
-        col(s"a.$partitionCol") === col(s"b.$partitionCol") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        // size-ratio prune: jaccard(A,B) <= min/max of |A|,|B|, so pairs
-        // outside the ratio can never reach `threshold` — skip their
-        // O(|A|+|B|) intersect without changing results
-        col("a.gsz").cast("double") >= col("b.gsz") * threshold &&
-        col("b.gsz").cast("double") >= col("a.gsz") * threshold)
+      .filter(col("gsz") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val posting = grams.select(col("doc_id"), col("gsz"),
+      explode(col("grams")).as("gram"))
+    val dfreq = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefixes = posting.join(dfreq, "gram")
+      .groupBy(col("doc_id"), col("gsz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sorted"))
+      .select(col("doc_id"),
+        explode(slice(transform(col("sorted"), s => s("gram")), lit(1),
+          (col("gsz") - ceil(col("gsz") * lit(threshold)) + lit(1)).cast("int")))
+          .as("gram"))
+    val a = prefixes.as("a"); val b = prefixes.as("b")
+    val cand = a.join(b,
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("gsz").as("sza")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("gsz").as("szb")), "doc_b")
       // materialize the intersect size ONCE (naive |A∩B|/|A∪B| evaluates
       // the intersect twice per pair)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.grams"), col("b.grams")))
-          .cast("double").as("inter"),
-        (col("a.gsz") + col("b.gsz")).as("tot"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("double").as("inter"),
+        (col("sza") + col("szb")).as("tot"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)

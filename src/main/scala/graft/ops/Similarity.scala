@@ -2,15 +2,21 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Vector-similarity search over an embedding column (Array[Float]).
   *
   * Scale design: brute-force cosine is the exact baseline (one narrow pass,
   * TakeOrderedAndProject top-k — no full sort, no shuffle besides the final
-  * k-row reduction). The LSH path buckets vectors by random-hyperplane
-  * signature so a 100 TB corpus only scores candidates sharing a bucket:
-  * the join shuffles on the signature key instead of broadcasting the
-  * whole corpus.
+  * k-row reduction). The LSH path buckets vectors by hyperplane signature so
+  * a 100 TB corpus only scores candidates sharing a bucket: the join
+  * shuffles on the signature key instead of broadcasting the whole corpus.
+  * The IVF path clusters with distributed k-means and probes only the cells
+  * nearest the query.
+  *
+  * The LSH hyperplanes are an engine-portable integer-derived grid (see
+  * [[planeWeight]]) so the full ANN pipeline is reproducible in the DuckDB
+  * oracle, not just spec-checked.
   */
 object Similarity {
 
@@ -42,54 +48,72 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random unit-free hyperplanes (seeded; pure
-    * function of (plane, dim) so executors and tests agree). */
-  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Engine-portable pseudo-random plane weight in [-1, 1]:
+    * `((k+1)*2654435761 mod 1e9+7 mod 2001 - 1000) / 1000` for flat index
+    * k = plane*dim + i. Pure integer arithmetic, so the DuckDB oracle
+    * derives the identical planes. */
+  def planeWeight(k: Int): Double =
+    (((k + 1L) * 2654435761L % 1000000007L) % 2001L - 1000L) / 1000.0
 
-  /** Random-hyperplane LSH signature: one bit per plane
-    * (sign of dot(v, plane)), rendered as a bit string bucket key. */
-  def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
-    concat_ws("", planes.map { p =>
-      when(dot(v, typedLit(p.map(_.toFloat))) > 0, lit("1")).otherwise(lit("0"))
+  /** Deterministic portable hyperplanes (numPlanes x dim). */
+  def portablePlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes)(p => Seq.tabulate(dim)(i => planeWeight(p * dim + i)))
+
+  /** Hyperplane LSH signature: array of numPlanes 0/1 longs (sign of
+    * dot(v, plane)). The planes are literals, so the whole signature is one
+    * codegen'd projection. */
+  def lshBits(v: Column, planes: Seq[Seq[Double]]): Column =
+    array(planes.map { p =>
+      when(dot(v, typedLit(p)) > 0, lit(1L)).otherwise(lit(0L))
     }: _*)
 
   /** Deterministic distributed k-means (Lloyd) over the embedding column:
-    * init = the k lowest vec_ids; assignment in a typed map (tight loop,
-    * centroids broadcast in the closure); update = posexplode ->
-    * groupBy(cluster, dim) avg -> collect the tiny k x dim table per
-    * iteration. Driver state is only k*dim doubles. */
+    * init = the k lowest vec_ids; each iteration is ONE job — a
+    * mapPartitions pass accumulating per-cell sums/counts (k x dim doubles
+    * per partition), merged on the driver in partition order so the float
+    * summation is reproducible. Driver state is only k*dim doubles. */
   def kMeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
+      .as[(Long, Array[Float])]
     var centroids: Array[Array[Double]] = vecs
       .orderBy(col("vec_id")).limit(k).collect()
-      .map(_._2.map(_.toDouble).toArray)
+      .map(_._2.map(_.toDouble))
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     (0 until iters).foreach { _ =>
       val cs = centroids // closure capture
-      val assigned = vecs.map { case (id, v) =>
-        (nearestCentroid(v, cs), v)
-      }.toDF("cluster", "v")
-      val updated = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      updated.foreach { r =>
-        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) =
-          r.getAs[Double]("m")
+      val partials = vecs.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Long](k)
+        it.foreach { case (_, v) =>
+          val c = nearestCentroid(v, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        Iterator.single((pi, sums, counts))
+      }.collect().sortBy(_._1)
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      partials.foreach { case (_, s, c) =>
+        var j = 0
+        while (j < k) {
+          counts(j) += c(j)
+          var i = 0
+          while (i < dim) { sums(j)(i) += s(j)(i); i += 1 }
+          j += 1
+        }
       }
-      centroids = next
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old
+        else sums(j).map(_ / counts(j))
+      }
     }
     centroids
   }
 
-  private[ops] def nearestCentroid(v: Seq[Float], cs: Array[Array[Double]]): Int = {
+  private[ops] def nearestCentroid(v: Array[Float], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cs.length) {
@@ -117,14 +141,17 @@ object Similarity {
       kmeansIters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = kMeansCentroids(emb, cells, kmeansIters)
+    // one read for training, assignment and the query lookup
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = kMeansCentroids(vecs, cells, kmeansIters)
     val cs = centroids
-    val assigned = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
+    val assigned = vecs
+      .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
       .toDF("vec_id", "embedding", "cell")
-    val qRows = emb.filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).as[Seq[Float]].collect()
+    val qRows = vecs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).as[Array[Float]].collect()
     require(qRows.nonEmpty, s"query vec_id $queryVecId not found")
     val qVec = qRows.head
     val probeCells = centroids.indices
@@ -136,7 +163,7 @@ object Similarity {
         d
       }
       .take(nprobe).toSet
-    val q = assigned.filter(col("vec_id") === queryVecId)
+    val q = vecs.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qe"))
     assigned
       .filter(col("cell").isInCollection(probeCells) &&
@@ -148,11 +175,11 @@ object Similarity {
       .limit(k)
   }
 
-  /** Approximate top-k: the signature is cut into `bands` bands of
-    * `numPlanes/bands` bits; any vector sharing at least one band with the
-    * query becomes a candidate and only candidates are scored exactly.
-    * More bands => higher recall, more candidates — the recall/cost knob
-    * LSH buys at scale. */
+  /** LSH approximate top-k: the bit signature is cut into `bands` bands of
+    * `numPlanes/bands` bits, each folded to an integer bucket; any vector
+    * sharing at least one band-bucket with the query becomes a candidate
+    * and only candidates are scored exactly. More bands => higher recall,
+    * more candidates — the recall/cost knob LSH buys at scale. */
   def annTopK(
       emb: DataFrame,
       queryVecId: Long,
@@ -160,15 +187,15 @@ object Similarity {
       numPlanes: Int = 16,
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+    val planes = portablePlanes(numPlanes, dim)
     val r = numPlanes / bands
     val withBands = emb.select(col("vec_id"), col("embedding"),
-        lshSignature(col("embedding"), planes).as("sig"))
+        lshBits(col("embedding"), planes).as("bits"))
       .select(col("vec_id"), col("embedding"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        explode(transform(sequence(lit(0L), lit(bands - 1L)), b =>
           struct(b.as("band"),
-            col("sig").substr(b * lit(r) + lit(1), lit(r)).as("bucket"))))
-          .as("bb"))
+            aggregate(slice(col("bits"), b * lit(r) + lit(1), lit(r)),
+              lit(0L), (a, v) => a * lit(2L) + v).as("bucket")))).as("bb"))
       .select(col("vec_id"), col("embedding"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val q = withBands.filter(col("vec_id") === queryVecId)

@@ -7,11 +7,33 @@ import org.apache.spark.sql.functions._
 
 /** Training-data text pipeline surface: exact + near dedup, quality
   * scoring, language ID, fingerprinting, multimodal binary plumbing.
-  * SQL-expressible ops carry full DuckDB oracles; hash-based ops
-  * (MinHash/SimHash use xxhash64, which DuckDB lacks) are rows-only and
-  * are instead verified by ScalaTest specs with planted duplicates.
+  * Every operator — including MinHash-LSH and SimHash banding — carries a
+  * full DuckDB oracle: the signatures use the engine-portable polynomial
+  * hash family (folds mod 1e9+7), so the oracle SQL replays the exact
+  * candidate generation and scoring with list lambdas.
   */
 object TextSuite {
+
+  /** Shared oracle-SQL fragment: per-token polynomial hashes `th` and
+    * distinct hashed 3-gram shingles `grams` (mirrors
+    * TextAnalysis.tokenHashes / hashedNgrams). */
+  private val thCte =
+    """th AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(t, ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM documents)""".stripMargin
+
+  private val gramsCte =
+    """g AS (SELECT doc_id,
+      |    list_distinct(list_filter(
+      |      list_transform(th, (x, i) ->
+      |        CASE WHEN i + 2 <= len(th)
+      |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |                  % 1000000007 END),
+      |      z -> z IS NOT NULL)) AS grams
+      |  FROM th)""".stripMargin
 
   lazy val all: Seq[Q] = Seq(
     Q("q30_dedup_exact", q30, Some(q30Sql)),
@@ -20,9 +42,9 @@ object TextSuite {
     Q("q33_langid_predict", q33, Some(q33Sql)),
     Q("q34_fingerprint", q34, Some(q34Sql)),
     Q("q35_ngram_jaccard_pairs", q35, Some(q35Sql)),
-    Q("q36_minhash_candidates", q36, None),
-    Q("q38_simhash_candidates", q38, None),
-    Q("q40_multimodal_features", q40, None),
+    Q("q36_minhash_candidates", q36, Some(q36Sql)),
+    Q("q38_simhash_candidates", q38, Some(q38Sql)),
+    Q("q40_multimodal_features", q40, Some(q40Sql)),
     Q("q41_binary_meta", q41, Some(q41Sql))
   )
 
@@ -108,54 +130,117 @@ object TextSuite {
       |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs within source partitions. */
+  /** Exact n-gram Jaccard near-dup pairs, prefix-filtered similarity join
+    * over the whole corpus (the oracle verifies with the brute-force
+    * quadratic join — same pairs, same jaccard). */
   private def q35(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  // hashed-shingle jaccard: identical polynomial fold on both engines
   private val q35Sql =
-    """WITH g AS (
-      |  SELECT doc_id, source,
-      |    list_distinct(list_filter(
-      |      list_transform(th, (x, i) ->
-      |        CASE WHEN i + 2 <= len(th)
-      |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
-      |                  % 1000000007 END),
-      |      z -> z IS NOT NULL)) AS grams
-      |  FROM (SELECT doc_id, source,
-      |          list_transform(string_split(text, ' '), t ->
-      |            list_reduce(list_prepend(CAST(7 AS BIGINT),
-      |              list_transform(string_split(t, ''),
-      |                c -> CAST(unicode(c) AS BIGINT))),
-      |              (a, b) -> (a * 31 + b) % 1000000007)) AS th
-      |        FROM documents))
-      |SELECT doc_a, doc_b, jaccard FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-      |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
-      |      6) AS jaccard
-      |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $thCte,
+       |$gramsCte
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+       |      6) AS jaccard
+       |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |  WHERE len(a.grams) > 0 AND len(b.grams) > 0)
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash-LSH near-dup candidates (xxhash64-based; rows-only check,
-    * verified against exact Jaccard in DedupSpec). */
+  /** MinHash-LSH near-dup candidates (portable hash family: the oracle
+    * replays signatures, banding, the bucket-size skew guard and the
+    * agreement scoring). */
   private def q36(s: SparkSession, d: String): DataFrame =
     Dedup.minHashCandidatePairs(Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash near-dup candidates (rows-only; verified in DedupSpec). */
+  // the same power-of-primitive-root seed coefficients the Spark
+  // signatures use, inlined as list literals
+  private def coefA = Dedup.seedCoefA(64).mkString("[", ", ", "]")
+  private def coefB = Dedup.seedCoefB(64).mkString("[", ", ", "]")
+
+  private val q36Sql =
+    s"""WITH $thCte,
+       |$gramsCte,
+       |sig AS (SELECT doc_id, list_transform(range(0, 64), s ->
+       |    list_min(list_transform(grams, x ->
+       |      (($coefA)[s+1] * x + ($coefB)[s+1]) % 1000000007))) AS sig
+       |  FROM g WHERE len(grams) > 0),
+       |banded AS (SELECT doc_id, b.range AS band,
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |        sig[b.range*4+1 : b.range*4+4]),
+       |      (a, v) -> (a * 131 + v) % 1000000007) AS bucket
+       |  FROM sig, range(0, 16) b),
+       |sized AS (SELECT doc_id, band, bucket,
+       |    count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM (SELECT * FROM sized WHERE bsz <= 50) a
+       |  JOIN (SELECT * FROM sized WHERE bsz <= 50) b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 64
+       |      AS est_jaccard
+       |  FROM pairs
+       |  JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b)
+       |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup candidates (portable parity-hash bits; full oracle). */
   private def q38(s: SparkSession, d: String): DataFrame =
     Dedup.simHashCandidatePairs(Tables.documents(s, d))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  private val q38Sql =
+    s"""WITH $thCte,
+       |sig AS (SELECT doc_id, list_transform(
+       |    list_transform(range(0, 64), j ->
+       |      list_sum(list_transform(th, x ->
+       |        ((($coefA)[j+1] * x + ($coefB)[j+1]) % 1000000007) % 2
+       |        * 2 - 1))),
+       |    c -> CASE WHEN c > 0 THEN 1 ELSE 0 END) AS sig
+       |  FROM th),
+       |banded AS (SELECT doc_id, b.range AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        sig[b.range*16+1 : b.range*16+16]),
+       |      (a, v) -> a * 2 + v) AS bucket
+       |  FROM sig, range(0, 4) b),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS INT) AS hamming
+       |  FROM pairs
+       |  JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b)
+       |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Multimodal plumbing: binary payload -> per-partition stub decode ->
-    * typed feature rows (rows-only; structure verified in MultimodalSpec). */
+    * typed feature rows. The deterministic stub checksum is the portable
+    * byte fold, so even the mapPartitions path is oracle-checked (the
+    * corpus is ASCII: byte folds == codepoint folds). */
   private def q40(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.withBlob(Tables.documents(s, d)))
       .toDF()
       .select(col("doc_id"), col("modality"), col("n_bytes"), col("checksum"))
       .orderBy(col("doc_id"))
+
+  private val q40Sql =
+    """SELECT doc_id,
+      | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS modality,
+      | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      | list_reduce(
+      |   list_prepend(CAST(7 AS BIGINT),
+      |     list_transform(string_split(text, ''),
+      |       c -> CAST(unicode(c) AS BIGINT))),
+      |   (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Binary-column metadata scan (oracle-checked slice of q40). */
   private def q41(s: SparkSession, d: String): DataFrame =

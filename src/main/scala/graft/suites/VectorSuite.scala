@@ -13,7 +13,7 @@ object VectorSuite {
   lazy val all: Seq[Q] = Seq(
     Q("q22_array_ops", q22, Some(q22Sql)),
     Q("q37_cosine_topk", q37, Some(q37Sql)),
-    Q("q39_ann_lsh", q39, None),
+    Q("q39_ann_lsh", q39, Some(q39Sql)),
     Q("q44_ivf_topk", q44, None)
   )
 
@@ -56,10 +56,43 @@ object VectorSuite {
       |SELECT vec_id, round(dot / (n1 * n2), 6) AS cosine FROM s
       |ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id LIMIT 10""".stripMargin
 
-  /** LSH-bucketed approximate nearest neighbours (recall vs q37 is
-    * asserted in SimilaritySpec; rows-only here). */
+  /** LSH-bucketed approximate nearest neighbours. The hyperplanes are the
+    * engine-portable integer grid (Similarity.planeWeight), so the DuckDB
+    * oracle replays the exact signature, banding, candidate set and
+    * scoring; recall vs q37 is additionally asserted in SimilaritySpec. */
   private def q39(s: SparkSession, d: String): DataFrame =
     Similarity.annTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+
+  // w(p,i) = ((p*64+i)*2654435761 mod 1e9+7 mod 2001 - 1000)/1000 with
+  // DuckDB's 1-based lambda index i == Spark's 0-based i + 1.
+  private val q39Sql =
+    """WITH sig AS (SELECT vec_id, embedding,
+      |    list_transform(range(0, 16), p ->
+      |      CASE WHEN list_sum(list_transform(embedding, (x, i) ->
+      |        CAST(x AS DOUBLE) *
+      |        ((CAST(p*64 + i AS BIGINT) * 2654435761 % 1000000007) % 2001
+      |         - 1000) / 1000.0)) > 0
+      |      THEN 1 ELSE 0 END) AS bits
+      |  FROM embeddings),
+      |banded AS (SELECT vec_id, b.range AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        bits[b.range*4+1 : b.range*4+4]),
+      |      (a, v) -> a * 2 + v) AS bucket
+      |  FROM sig, range(0, 4) b),
+      |qb AS (SELECT band, bucket FROM banded WHERE vec_id = 0),
+      |cand AS (SELECT DISTINCT banded.vec_id
+      |  FROM banded JOIN qb USING (band, bucket) WHERE banded.vec_id <> 0),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(dot / (n1 * n2), 6) AS cosine FROM (
+      |  SELECT e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(e.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n1,
+      |    sqrt(list_sum(list_transform(qe,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n2
+      |  FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, q)
+      |ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id LIMIT 10""".stripMargin
 
   /** IVF (k-means inverted file) approximate top-k: nprobe cells scored
     * instead of the full corpus (recall asserted in SimilaritySpec). */

@@ -37,8 +37,28 @@ class DedupSpec extends SparkSpec {
     assert(exact.exists(_._3 == 1.0), s"exact dup pair missing: $pairs")
     val nearPair = pairs.find(p => p._1 == 0L && p._2 == 2L)
     assert(nearPair.exists(_._3 > 0.5), s"near dup pair weak/missing: $pairs")
-    // cross-source pair (3,4) must NOT appear: partition-bounded scan
-    assert(!pairs.exists(p => p._1 == 3L && p._2 == 4L))
+    // corpus-wide: the cross-source exact-dup pair (3,4) must appear
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 1.0))
+    // unrelated docs never reach the threshold
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 3L))
+  }
+
+  test("prefix-filtered join matches the brute-force quadratic join") {
+    val docsReal = graft.Tables.documents(spark, sfDir)
+    val fast = Dedup.ngramJaccardPairs(docsReal, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: all pairs, exact jaccard over the same hashed shingles
+    val grams = docsReal.select($"doc_id",
+      TextAnalysis.hashedNgrams($"text", 3).as("grams"))
+      .filter(size($"grams") > 0)
+    val brute = grams.as("a").join(grams.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(TextAnalysis.jaccard(col("a.grams"), col("b.grams")), 6).as("j"))
+      .filter($"j" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute, s"prefix filter lost/invented pairs: " +
+      s"missing=${brute -- fast} extra=${fast -- brute}")
   }
 
   test("minHashCandidatePairs surfaces exact and near dups") {
@@ -52,13 +72,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simHash: identical texts distance 0, near dups close, others far") {
-    val sh = docs.select($"doc_id", Dedup.simHashBits($"text").as("sh"))
-      .as[(Long, String)].collect().toMap
-    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    val sh = docs.select($"doc_id", Dedup.simHashSig($"text").as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def ham(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 != p._2)
     assert(sh(0L) == sh(1L))
     assert(ham(sh(0L), sh(2L)) <= 12, s"near-dup hamming ${ham(sh(0L), sh(2L))}")
     assert(ham(sh(0L), sh(3L)) > 12, s"far hamming ${ham(sh(0L), sh(3L))}")
-    assert(sh(0L).length == 64 && sh(0L).forall(c => c == '0' || c == '1'))
+    assert(sh(0L).length == 64 && sh(0L).forall(b => b == 0L || b == 1L))
   }
 
   test("simHashCandidatePairs finds identical pair with hamming 0") {

@@ -71,13 +71,15 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.length == 4 && c1.forall(_.length == 64))
   }
 
-  test("lsh signature is deterministic and bit-string shaped") {
-    val planes = Similarity.hyperplanes(16, 64)
-    val s1 = emb.limit(5).select(Similarity.lshSignature($"embedding", planes).as("s"))
-      .collect().map(_.getString(0))
-    val s2 = emb.limit(5).select(Similarity.lshSignature($"embedding", planes).as("s"))
-      .collect().map(_.getString(0))
-    assert(s1.sameElements(s2))
-    assert(s1.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+  test("lsh bit signature is deterministic and 0/1 shaped") {
+    val planes = Similarity.portablePlanes(16, 64)
+    val s1 = emb.limit(5).select(Similarity.lshBits($"embedding", planes).as("s"))
+      .as[Seq[Long]].collect()
+    val s2 = emb.limit(5).select(Similarity.lshBits($"embedding", planes).as("s"))
+      .as[Seq[Long]].collect()
+    assert(s1.map(_.toList).sameElements(s2.map(_.toList)))
+    assert(s1.forall(s => s.length == 16 && s.forall(b => b == 0L || b == 1L)))
+    // plane weights are the portable integer grid, bounded in [-1, 1]
+    assert(planes.flatten.forall(w => w >= -1.0 && w <= 1.0))
   }
 }

@@ -26,7 +26,10 @@ object Analytic {
     Q("q27_pivot", q27, Some(q27Sql)),
     Q("q28_unpivot", q28, Some(q28Sql)),
     Q("q42_salted_agg", q42, Some(q42Sql)),
-    Q("q43_asof_join", q43, Some(q43Sql))
+    Q("q43_asof_join", q43, Some(q43Sql)),
+    Q("q29_grouping_sets", q29, Some(q29Sql)),
+    Q("q45_percentiles", q45, Some(q45Sql)),
+    Q("q46_range_window", q46, Some(q46Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -301,4 +304,72 @@ object Analytic {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
+
+  /** Explicit GROUPING SETS beyond rollup/cube (SURVEY §2.4): two
+    * single-dimension slices plus the grand total in one pass (Spark
+    * expands grouping sets map-side; one shuffle on the padded keys). */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  private val q29Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  /** Exact interpolated percentiles per group (SURVEY §2.4 extension).
+    * Interpolation weights are quarter/tenth fractions of 2-dp prices, so
+    * true values carry <= 4 decimals — rounding at 4 dp is identity on
+    * the exact value and absorbs both engines' last-bit float noise
+    * (2-dp rounding would sit ON the .xx5 half-boundaries instead). */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q45Sql =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** RANGE-frame window: per-user trailing 1-hour event count and value
+    * sum, ordered by integer microseconds (RANGE frames need a numeric
+    * order key; peers at the same ts share the frame in both engines). */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 4).as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q46Sql =
+    """SELECT event_id, user_id,
+      | count(*) OVER w AS n_1h,
+      | round(sum(value) OVER w, 4) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 }

@@ -45,7 +45,8 @@ object TextSuite {
     Q("q36_minhash_candidates", q36, Some(q36Sql)),
     Q("q38_simhash_candidates", q38, Some(q38Sql)),
     Q("q40_multimodal_features", q40, Some(q40Sql)),
-    Q("q41_binary_meta", q41, Some(q41Sql))
+    Q("q41_binary_meta", q41, Some(q41Sql)),
+    Q("q47_regex_tokens", q47, Some(q47Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -254,4 +255,30 @@ object TextSuite {
     """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS blob_len,
       | source, lang
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** BPE-style pre-tokenization (letter runs / digit runs / single
+    * punctuation — the GPT-2 pre-tokenizer shape) with per-doc token
+    * stats; the regex alternation is left-greedy in both engines. */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).as("n_unique"),
+        round(
+          aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double")
+            / size(col("toks")), 4).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  private val q47Sql =
+    """SELECT doc_id,
+      | CAST(len(toks) AS INT) AS n_bpe_tokens,
+      | CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+      | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |   / len(toks), 4) AS avg_tok_len
+      |FROM (SELECT doc_id,
+      |        regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -14,7 +14,8 @@ object VectorSuite {
     Q("q22_array_ops", q22, Some(q22Sql)),
     Q("q37_cosine_topk", q37, Some(q37Sql)),
     Q("q39_ann_lsh", q39, Some(q39Sql)),
-    Q("q44_ivf_topk", q44, None)
+    Q("q44_ivf_topk", q44, Some(q44Sql)),
+    Q("q48_embedding_neardup", q48, Some(q48Sql))
   )
 
   /** Array scalar functions over the embedding column. */
@@ -95,7 +96,47 @@ object VectorSuite {
       |ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id LIMIT 10""".stripMargin
 
   /** IVF (k-means inverted file) approximate top-k: nprobe cells scored
-    * instead of the full corpus (recall asserted in SimilaritySpec). */
+    * instead of the full corpus. Lloyd iterations aren't SQL-expressible,
+    * so the oracle is a VALUES pin of the (deterministic: fixed init,
+    * partition-ordered float merges) sf0.01 result; exactness vs brute
+    * force with nprobe=cells is asserted in SimilaritySpec. */
   private def q44(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+
+  private val q44Sql =
+    """SELECT * FROM (VALUES
+      |  (CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE)),
+      |  (CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE)),
+      |  (CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE)),
+      |  (CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE)),
+      |  (CAST(73 AS BIGINT), CAST(0.295434 AS DOUBLE)),
+      |  (CAST(7 AS BIGINT), CAST(0.292842 AS DOUBLE)),
+      |  (CAST(320 AS BIGINT), CAST(0.287861 AS DOUBLE)),
+      |  (CAST(190 AS BIGINT), CAST(0.281795 AS DOUBLE)),
+      |  (CAST(388 AS BIGINT), CAST(0.276301 AS DOUBLE)),
+      |  (CAST(483 AS BIGINT), CAST(0.2567 AS DOUBLE))
+      |) t(vec_id, cosine) ORDER BY cosine DESC, vec_id""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (exact baseline): one side of
+    * the self-join is broadcast (the embedding table is the small,
+    * dimension-like input here), so there is NO shuffle — each task scans
+    * its partition against the broadcast side. At corpus scale this exact
+    * op is the verification stage; candidate generation is the q39 LSH /
+    * q44 IVF path. */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val q48Sql =
+    """SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(
+      |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(a.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(b.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 }

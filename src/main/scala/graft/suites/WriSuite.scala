@@ -17,9 +17,9 @@ object WriSuite {
   lazy val all: Seq[Q] = Seq(
     Q("wri_classify", wriClassify, Some(wriClassifySql)),
     Q("wri_settings_grid", wriGrid, Some(wriGridSql)),
-    Q("wri_inventory", wriInventory, None),
-    Q("wri_cog_pipeline", wriCog, None),
-    Q("wri_stac_items", wriStac, None)
+    Q("wri_inventory", wriInventory, Some(wriInventorySql)),
+    Q("wri_cog_pipeline", wriCog, Some(wriCogSql)),
+    Q("wri_stac_items", wriStac, Some(wriStacSql))
   )
 
   /** Pseudo raster paths synthesized from the documents table so the
@@ -116,18 +116,39 @@ object WriSuite {
   private lazy val fixtureRoot: String =
     java.nio.file.Files.createTempDirectory("wri_fixtures").toString
 
-  /** Stage 00 over self-generated fixtures (rows-only smoke; golden
-    * checks in PipelineSpec). */
+  /** Stage 00 over self-generated fixtures. The fixture tree is
+    * deterministic (no temp-path-dependent columns are selected), so the
+    * oracle is a VALUES pin of the golden classification/validation
+    * output — the deep structural checks live in PipelineSpec. */
   private def wriInventory(s: SparkSession, d: String): DataFrame = {
     val dataDir = Fixtures.writeInventoryTree(fixtureRoot)
     Inventory.run(s, dataDir).raw
       .select(col("filename"), col("data_type"), col("wri_domain"),
-        col("wri_dimension"), col("success"), col("passes_assumptions"),
+        col("wri_dimension"), col("success"),
+        // tri-state as string: NULL boolean columns hash differently
+        // across engines' parquet/pandas null encodings
+        col("passes_assumptions").cast("string").as("passes_assumptions"),
         col("assumption_error"))
       .orderBy(col("filename"))
   }
 
-  /** Stage 01 over small real rasters: encode + status summary. */
+  private val wriInventorySql =
+    """SELECT * FROM (VALUES
+      |  ('WRI_score.tif', 'final_score', 'unknown', NULL, true, 'true', NULL),
+      |  ('air_quality_domain_score.tif', 'aggregate', 'air_quality', 'domain_score', true, 'true', NULL),
+      |  ('c_status_epsg.tif', 'indicator', 'carbon', 'status', true, 'false', 'EPSG mismatch (4326)'),
+      |  ('c_status_extent.tif', 'indicator', 'carbon', 'status', true, 'false', 'Extent mismatch'),
+      |  ('c_status_res.tif', 'indicator', 'carbon', 'status', true, 'false', 'Resolution mismatch (30x30)'),
+      |  ('flow_recovery_v1.tif', 'indicator', 'water', 'recovery', true, 'true', NULL),
+      |  ('jobs_resistance_v1.tif', 'indicator', 'livelihoods', 'resistance', true, 'true', NULL),
+      |  ('sp_status_corrupt.tif', 'indicator', 'species', 'status', false, NULL, NULL),
+      |  ('water_resilience.tif', 'aggregate', 'water', 'resilience', true, 'true', NULL)
+      |) t(filename, data_type, wri_domain, wri_dimension, success,
+      |    passes_assumptions, assumption_error)
+      |ORDER BY filename""".stripMargin
+
+  /** Stage 01 over small real rasters: encode + status summary
+    * (deterministic fixture set -> VALUES pin). */
   private def wriCog(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val inputs = Fixtures.writeCogInputs(fixtureRoot)
@@ -136,7 +157,12 @@ object WriSuite {
     Cog.summary(Cog.run(s, meta, out))
   }
 
-  /** Stage 02 over the fixture inventory (hermetic probe = false). */
+  private val wriCogSql =
+    """SELECT 'written' AS status, CAST(4 AS BIGINT) AS n"""
+
+  /** Stage 02 over the fixture inventory (hermetic probe = false). The
+    * pinned json_len doubles as a structural golden: any drift in the
+    * emitted STAC item JSON changes the length. */
   private def wriStac(s: SparkSession, d: String): DataFrame = {
     val dataDir = Fixtures.writeInventoryTree(fixtureRoot)
     val consistent = Inventory.run(s, dataDir).consistent
@@ -144,4 +170,13 @@ object WriSuite {
       .select(col("item_id"), col("is_hosted"), length(col("json")).as("json_len"))
       .orderBy(col("item_id"))
   }
+
+  private val wriStacSql =
+    """SELECT * FROM (VALUES
+      |  ('WRI_score', false, 1263),
+      |  ('air_quality_domain_score', false, 1320),
+      |  ('flow_recovery_v1', false, 1286),
+      |  ('jobs_resistance_v1', false, 1300),
+      |  ('water_resilience', false, 1288)
+      |) t(item_id, is_hosted, json_len) ORDER BY item_id""".stripMargin
 }

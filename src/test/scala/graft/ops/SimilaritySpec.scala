@@ -71,6 +71,20 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.length == 4 && c1.forall(_.length == 64))
   }
 
+  test("cosinePairs (primitive-loop kernel) matches expression-tree scoring") {
+    val fast = Similarity.cosinePairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val slow = a.crossJoin(broadcast(b)).filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        round(Similarity.cosine($"ea", $"eb"), 6).as("cosine"))
+      .filter($"cosine" >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == slow,
+      s"kernel drift: missing=${slow -- fast} extra=${fast -- slow}")
+  }
+
   test("lsh bit signature is deterministic and 0/1 shaped") {
     val planes = Similarity.portablePlanes(16, 64)
     val s1 = emb.limit(5).select(Similarity.lshBits($"embedding", planes).as("s"))

@@ -27,7 +27,7 @@ object Dev {
       case "minhash" =>
         val docs = Tables.documents(spark, sfDir)
         val grams = docs.select(col("doc_id"),
-          ops.TextAnalysis.ngrams(col("text"), 3).as("grams"))
+          ops.TextAnalysis.hashedNgrams(col("text"), 3).as("grams"))
         time("grams only")(grams.count())
         val sigs = grams.select(col("doc_id"),
           ops.Dedup.minHashSignature(col("grams"), 64).as("sig"))

@@ -73,7 +73,13 @@ object Dedup {
     * fold, each shingle enters once and is remixed per seed with 3 integer
     * ops. Empty shingle sets yield the P sentinel (callers filter empty
     * docs). */
-  def minHashSignature(grams: Column, numHashes: Int): Column = {
+  def minHashSignature(grams: Column, numHashes: Int): Column =
+    graft.functions.TextHashFunctions.minHashSig(grams,
+      seedCoefA(numHashes), seedCoefB(numHashes))
+
+  /** HOF reference implementation of [[minHashSignature]] (kept for the
+    * native-vs-expression parity spec). */
+  private[graft] def minHashSignatureHof(grams: Column, numHashes: Int): Column = {
     val aArr = typedLit(seedCoefA(numHashes))
     val bArr = typedLit(seedCoefB(numHashes))
     val init = transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(P))
@@ -153,7 +159,13 @@ object Dedup {
     * `seedHash(j, token)` parity. One fold over the tokens with a
     * numBits-wide accumulator (same CollapseProject-safe shape as
     * [[minHashSignature]]); pure integer ops — no strings, no bin(). */
-  def simHashSig(text: Column, numBits: Int = 64): Column = {
+  def simHashSig(text: Column, numBits: Int = 64): Column =
+    graft.functions.TextHashFunctions.simHashSig(
+      TextAnalysis.tokenHashes(text), seedCoefA(numBits), seedCoefB(numBits))
+
+  /** HOF reference implementation of [[simHashSig]] (kept for the
+    * native-vs-expression parity spec). */
+  private[graft] def simHashSigHof(text: Column, numBits: Int = 64): Column = {
     val aArr = typedLit(seedCoefA(numBits))
     val bArr = typedLit(seedCoefB(numBits))
     val th = TextAnalysis.tokenHashes(text)

@@ -43,19 +43,33 @@ object TextAnalysis {
 
   /** Per-token polynomial hash (fold(acc*31 + codepoint) mod 1e9+7) —
     * the engine-portable hash family also used by `fingerprint`, so
-    * DuckDB oracles can reproduce it exactly. */
+    * DuckDB oracles can reproduce it exactly. Backed by the native
+    * codegen expression (one pass over the string, primitive locals);
+    * [[tokenHashesHof]] is the pure-Column reference formulation. */
   def tokenHashes(text: Column): Column =
+    graft.functions.TextHashFunctions.tokenHashes(text)
+
+  /** HOF reference implementation of [[tokenHashes]] (kept for the
+    * native-vs-expression parity spec). */
+  private[graft] def tokenHashesHof(text: Column): Column =
     transform(tokens(text), t =>
       aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
         lit(7L), (a, c) => (a * lit(31L) + c) % lit(Mod)))
 
-  /** Distinct HASHED n-gram shingles: token hashes combined by shifted-zip
-    * (same CollapseProject-safe shape as `ngrams`). Long shingles make
-    * downstream set-intersections ~an order of magnitude cheaper than
-    * string shingles; collisions (~1e-9/pair) are deterministic and
-    * identical in any engine using the same fold. */
-  def hashedNgrams(text: Column, n: Int): Column = {
-    val th = tokenHashes(text)
+  /** Distinct HASHED n-gram shingles (token hashes combined with *131
+    * folds). Long shingles make downstream set-intersections ~an order
+    * of magnitude cheaper than string shingles; collisions (~1e-9/pair)
+    * are deterministic and identical in any engine using the same fold.
+    * Backed by the native codegen expression; [[hashedNgramsHof]] is the
+    * pure-Column reference. */
+  def hashedNgrams(text: Column, n: Int): Column =
+    graft.functions.TextHashFunctions.hashedNgrams(text, n)
+
+  /** HOF reference implementation of [[hashedNgrams]]: shifted-zip folds
+    * (the CollapseProject-safe shape — `element_at(th, i+j)` inside a
+    * per-position lambda would re-evaluate the tokenization per token). */
+  private[graft] def hashedNgramsHof(text: Column, n: Int): Column = {
+    val th = tokenHashesHof(text)
     val zipped = (1 until n).foldLeft(th) { (acc, j) =>
       zip_with(acc, slice(th, lit(j + 1), greatest(size(th) - j, lit(0))),
         (a, b) => (a * lit(131L) + b) % lit(Mod))

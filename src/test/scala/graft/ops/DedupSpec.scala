@@ -88,6 +88,22 @@ class DedupSpec extends SparkSpec {
     assert(cands.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 0))
   }
 
+  test("native minhash/simhash signature kernels match the HOF reference") {
+    val docsReal = graft.Tables.documents(spark, sfDir).limit(100)
+    val cmp = docsReal.select(
+      Dedup.minHashSignature(
+        TextAnalysis.hashedNgrams($"text", 3), 64).as("nat_mh"),
+      Dedup.minHashSignatureHof(
+        TextAnalysis.hashedNgrams($"text", 3), 64).as("hof_mh"),
+      Dedup.simHashSig($"text").as("nat_sh"),
+      Dedup.simHashSigHof($"text").as("hof_sh"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash sig drift")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "simhash sig drift")
+    }
+  }
+
   test("minhash candidates on real corpus are verified by exact jaccard") {
     val docsReal = graft.Tables.documents(spark, sfDir)
     val cands = Dedup.minHashCandidatePairs(docsReal, minEstJaccard = 0.8)

@@ -45,6 +45,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && f < 1000000007L))
   }
 
+  test("native token/ngram hash kernels match the HOF reference exactly") {
+    // whitespace edge cases: leading/trailing/double spaces (empty tokens
+    // hash via one ascii('')=0 fold step), empty string, short docs
+    val edge = Seq(" a b", "a b ", "a  b", "", "x", "a b c d e").toDF("text")
+    val corpus = graft.Tables.documents(spark, sfDir).select($"text")
+    for (df <- Seq(edge, corpus)) {
+      val cmp = df.select(
+        TextAnalysis.tokenHashes($"text").as("nat_th"),
+        TextAnalysis.tokenHashesHof($"text").as("hof_th"),
+        TextAnalysis.hashedNgrams($"text", 3).as("nat_g"),
+        TextAnalysis.hashedNgramsHof($"text", 3).as("hof_g"))
+        .collect()
+      cmp.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"token hashes: $r")
+        assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"ngram hashes: $r")
+      }
+    }
+  }
+
   test("quality features on a known string") {
     val df = Seq((7L, "ab cd ef")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityFeatures(df).head()

@@ -74,4 +74,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"scalar threshold not broadcast in:\n$p")
   }
+
+  test("q35: prefix-filtered similarity join is an equi-join on shingles") {
+    val p = plan("q35_ngram_jaccard_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic all-pairs join in:\n$p")
+  }
+
+  test("q46: range-frame window runs on a single key shuffle") {
+    assert(hashExchanges("q46_range_window") == 1, plan("q46_range_window"))
+  }
+
+  test("native text-hash expressions stay inside WholeStageCodegen") {
+    // unlike HOF lambdas (CodegenFallback), the native kernels keep the
+    // projection compiled: the plan shows the *(n) codegen-stage marker
+    val p = Tables.documents(spark, sfDir)
+      .select(ops.TextAnalysis.tokenHashes(
+        org.apache.spark.sql.functions.col("text")).as("th"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), s"native expr fell out of codegen:\n$p")
+  }
+
+  test("q48: exact cosine pairs plan has no shuffle exchange") {
+    // broadcast + mapPartitions kernel: the scoring pass is narrow; only
+    // the final sort remains (rows already filtered to the threshold)
+    val p = plan("q48_embedding_neardup")
+    assert(hashExchanges("q48_embedding_neardup") == 0, p)
+  }
 }

@@ -64,6 +64,22 @@ object Streaming {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * static dimension table. The static side is broadcast, so the stream
+    * never shuffles — the slowly-updating-dimension re-scan pattern the
+    * reference's "rerun 02b after uploads" maps onto. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming exact dedup on a key within the watermark horizon
+    * (dropDuplicatesWithinWatermark -> bounded state store; the streaming
+    * analog of q30's hash-groupBy dedup). */
+  def dedupStream(events: DataFrame, key: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(key)
+
   /** Run a streaming DataFrame to completion against bounded input via a
     * memory sink; returns the sink contents. */
   def drainToMemory(spark: SparkSession, streaming: DataFrame,

@@ -35,6 +35,43 @@ class StreamingSpec extends SparkSpec {
       s"streaming emitted rows not in batch: ${gotRows.diff(batchRows).take(3)}")
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val schema = spark.read.parquet(streamDir).schema
+    // static dim: per-user event counts (tiny -> broadcast)
+    val dim = Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("user_total"))
+    val stream = Streaming.fileStream(spark, streamDir, schema)
+    val got = Streaming.drainToMemory(spark,
+      Streaming.enrichWithStatic(stream.select($"event_id", $"user_id"), dim,
+        "user_id"),
+      "enriched", OutputMode.Append())
+    val batch = Tables.events(spark, sfDir).select($"event_id", $"user_id")
+      .join(dim, Seq("user_id"), "left")
+    assert(got.count() == batch.count())
+    val g = got.collect().map(r =>
+      (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    val b = batch.collect().map(r =>
+      (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    assert(g == b)
+  }
+
+  test("streaming dedup within watermark drops planted duplicates") {
+    // plant exact duplicates: write the same events twice into the dir
+    val d = Files.createTempDirectory("events_dup_stream").toString
+    val ev = Tables.events(spark, sfDir).select($"event_id", $"ts")
+    ev.write.mode("append").parquet(d)
+    ev.write.mode("append").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val stream = Streaming.fileStream(spark, d, schema)
+    val got = Streaming.drainToMemory(spark,
+      Streaming.dedupStream(stream, "event_id"), "deduped",
+      OutputMode.Append())
+    val distinct = ev.select($"event_id").distinct().count()
+    assert(spark.read.parquet(d).count() == 2 * distinct)
+    assert(got.count() == distinct,
+      s"dedup kept ${got.count()} of ${2 * distinct}, expected $distinct")
+  }
+
   test("stateful sessionization matches the batch q24 oracle query") {
     val events = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"ts", $"value")

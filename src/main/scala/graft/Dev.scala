@@ -24,6 +24,33 @@ object Dev {
     }
 
     what match {
+      case "jaccard" =>
+        // stage-by-stage cost of the prefix-filtered similarity join
+        val docs = Tables.documents(spark, sfDir)
+        val grams = docs.select(col("doc_id"),
+            ops.TextAnalysis.hashedNgrams(col("text"), 3).as("grams"))
+          .withColumn("gsz", size(col("grams")))
+          .filter(col("gsz") > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("grams cache build")(grams.count())
+        val posting = grams.select(col("doc_id"), col("gsz"),
+          explode(col("grams")).as("gram"))
+        time("posting explode")(posting.count())
+        val dfreq = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        time("df groupBy")(dfreq.count())
+        val prefixes = posting.join(dfreq, "gram")
+          .groupBy(col("doc_id"), col("gsz"))
+          .agg(array_sort(collect_list(struct(col("df"), col("gram"))))
+            .as("sorted"))
+          .select(col("doc_id"),
+            explode(slice(transform(col("sorted"), s => s("gram")), lit(1),
+              (col("gsz") - ceil(col("gsz") * lit(0.5)) + lit(1)).cast("int")))
+              .as("gram"))
+        time("prefix build")(prefixes.count())
+        val full = ops.Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+        println("[dev] pairs = " + time("full pipeline")(full.count()))
+        time("full pipeline again")(
+          ops.Dedup.ngramJaccardPairs(docs, threshold = 0.5).count())
       case "minhash" =>
         val docs = Tables.documents(spark, sfDir)
         val grams = docs.select(col("doc_id"),

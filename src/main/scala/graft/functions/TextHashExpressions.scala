@@ -115,6 +115,20 @@ object TextHash {
     new GenericArrayData(bits)
   }
 
+  /** Intersection size of two ascending-sorted long arrays (single merge
+    * pass, no hash sets, no allocation). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   // codegen entry points (UTF8String in, Catalyst ArrayData out)
   def tokenHashes(s: UTF8String): ArrayData =
     new GenericArrayData(tokenHashArray(s.toString))
@@ -198,6 +212,30 @@ case class SimHashSigExpr(child: Expression, coefA: Seq[Long], coefB: Seq[Long])
     copy(child = newChild)
 }
 
+/** Intersection size of two ascending-sorted array<bigint> columns. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextHashFunctions {
   /** Column wrappers for the native expressions. */
   def tokenHashes(text: Column): Column =
@@ -210,6 +248,9 @@ object TextHashFunctions {
   def simHashSig(values: Column, coefA: Seq[Long], coefB: Seq[Long]): Column =
     GraftColumnBridge.column(
       SimHashSigExpr(GraftColumnBridge.expression(values), coefA, coefB))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Register for SQL / expr() use. */
   def register(spark: SparkSession): Unit = {

@@ -46,7 +46,9 @@ object TextSuite {
     Q("q38_simhash_candidates", q38, Some(q38Sql)),
     Q("q40_multimodal_features", q40, Some(q40Sql)),
     Q("q41_binary_meta", q41, Some(q41Sql)),
-    Q("q47_regex_tokens", q47, Some(q47Sql))
+    Q("q47_regex_tokens", q47, Some(q47Sql)),
+    Q("q49_hash_split", q49, Some(q49Sql)),
+    Q("q50_stratified_sample", q50, Some(q50Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -281,4 +283,51 @@ object TextSuite {
       |        regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  // the q34 fingerprint fold as oracle-SQL (content hash for splits/samples)
+  private val fpSqlExpr =
+    """list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |     list_transform(string_split(text, ''),
+      |       c -> CAST(unicode(c) AS BIGINT))),
+      |   (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  /** Deterministic content-hash train/val/test split (80/10/10): the
+    * assignment is a pure function of the document text, so it is stable
+    * across runs, engines and cluster sizes — the property a training
+    * pipeline needs so re-sharding never moves a document across splits
+    * (and exact dups always co-locate). */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        pmod(TextAnalysis.fingerprint(col("text")), lit(100L)).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  private val q49Sql =
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, $fpSqlExpr % 100 AS bucket FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Stratified deterministic ~10% sample: per-source totals vs rows whose
+    * content-hash bucket is 0 (reproducible sampling without RNG state —
+    * a map-side filter at any scale, no shuffle until the tiny summary). */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        (pmod(TextAnalysis.fingerprint(col("text")), lit(10L)) === 0)
+          .cast("long").as("sampled"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("sampled")).as("n_sampled"))
+      .orderBy(col("source"))
+
+  private val q50Sql =
+    s"""SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN $fpSqlExpr % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sampled
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }

@@ -24,6 +24,24 @@ object Dev {
     }
 
     what match {
+      case "scale" =>
+        // would-it-survive-8x probe: union the corpus 8 times with
+        // offset ids (every doc becomes an 8-strong exact-dup cluster —
+        // the worst case for candidate generation) and time the heavy
+        // dedup ops end-to-end
+        val base = Tables.documents(spark, sfDir)
+        val n = base.count()
+        val big = (0 until 8).map { k =>
+          base.select((col("doc_id") + lit(k * n)).as("doc_id"),
+            col("text"), col("source"), col("lang"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        println(s"[dev] scaled corpus: ${big.count()} docs (8 x $n)")
+        println("[dev] minhash pairs = " + time("minhash 8x")(
+          ops.Dedup.minHashCandidatePairs(big).count()))
+        println("[dev] jaccard pairs = " + time("jaccard 8x")(
+          ops.Dedup.ngramJaccardPairs(big, threshold = 0.5).count()))
+        println("[dev] simhash pairs = " + time("simhash 8x")(
+          ops.Dedup.simHashCandidatePairs(big).count()))
       case "jaccard" =>
         // stage-by-stage cost of the prefix-filtered similarity join
         val docs = Tables.documents(spark, sfDir)

@@ -35,6 +35,35 @@ class AlbersExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("GraftExtensions injects the native functions at session creation") {
+    // force a NEW session over the shared SparkContext so the extensions
+    // hook actually runs (getOrCreate would return the active session)
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master(spark.sparkContext.master)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT albers_lat(-2000000.0D, 3000000.0D) AS lat,
+          |  token_hashes('ab cd') AS th,
+          |  hashed_ngrams('a b c d', 3) AS hg,
+          |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic
+          |""".stripMargin).head()
+      assert(r.getDouble(0) > 40 && r.getDouble(0) < 55)
+      assert(r.getSeq[Long](1).length == 2)
+      assert(r.getSeq[Long](2).length == 2)
+      assert(r.getInt(3) == 2)
+    } finally {
+      active.foreach { s =>
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+        org.apache.spark.sql.SparkSession.setDefaultSession(s)
+      }
+    }
+  }
+
   test("expression participates in WholeStageCodegen") {
     GraftFunctions.register(spark)
     val df = spark.range(3).selectExpr(

@@ -115,6 +115,18 @@ object TextHash {
     new GenericArrayData(bits)
   }
 
+  /** Hamming distance between two equal-length long arrays (count of
+    * differing positions; single pass, no allocation). */
+  def hammingCount(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var i = 0; var c = 0
+    while (i < n) {
+      if (a.getLong(i) != b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Intersection size of two ascending-sorted long arrays (single merge
     * pass, no hash sets, no allocation). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
@@ -212,6 +224,30 @@ case class SimHashSigExpr(child: Expression, coefA: Seq[Long], coefB: Seq[Long])
     copy(child = newChild)
 }
 
+/** Hamming distance between two equal-length array<bigint> columns. */
+case class HammingExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "hamming"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.hammingCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.hammingCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection size of two ascending-sorted array<bigint> columns. */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -250,6 +286,9 @@ object TextHashFunctions {
       SimHashSigExpr(GraftColumnBridge.expression(values), coefA, coefB))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def hamming(a: Column, b: Column): Column =
+    GraftColumnBridge.column(HammingExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Register for SQL / expr() use. */

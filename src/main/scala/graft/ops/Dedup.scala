@@ -183,8 +183,13 @@ object Dedup {
     transform(counts, c => when(c > 0, lit(1L)).otherwise(lit(0L)))
   }
 
-  /** Hamming distance between two equal-length 0/1 bit arrays. */
+  /** Hamming distance between two equal-length 0/1 bit arrays (native
+    * single-pass kernel; [[hammingHof]] is the expression reference). */
   def hamming(a: Column, b: Column): Column =
+    graft.functions.TextHashFunctions.hamming(a, b)
+
+  /** HOF reference implementation of [[hamming]] (parity spec). */
+  private[graft] def hammingHof(a: Column, b: Column): Column =
     size(filter(zip_with(a, b, (x, y) => x =!= y), x => x))
 
   /** SimHash near-duplicate candidates: the 64 bits are banded into 4

@@ -102,6 +102,13 @@ class DedupSpec extends SparkSpec {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash sig drift")
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), "simhash sig drift")
     }
+    // hamming kernel parity on real signature pairs
+    val sigs = docsReal.select(Dedup.simHashSig($"text").as("sig")).limit(50)
+    val pairs = sigs.as("a").crossJoin(sigs.as("b"))
+      .select(Dedup.hamming(col("a.sig"), col("b.sig")).as("nat"),
+        Dedup.hammingHof(col("a.sig"), col("b.sig")).as("hof"))
+      .collect()
+    pairs.foreach(r => assert(r.getInt(0) == r.getInt(1), "hamming drift"))
   }
 
   test("minhash candidates on real corpus are verified by exact jaccard") {

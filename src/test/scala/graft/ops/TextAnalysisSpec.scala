@@ -64,6 +64,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: native kernels match HOF reference on 300 random strings") {
+    // fixed-seed generator over printable ASCII with space pathologies
+    val rnd = new scala.util.Random(1234)
+    val alphabet = ('a' to 'z') ++ ('0' to '9') ++ "  .,;:!?'\"-" // spaces x2
+    val cases = Seq("", " ", "  ", " a ", "a  b") ++ (0 until 300).map { _ =>
+      val len = rnd.nextInt(120)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = cases.toDF("text")
+    val cmp = df.select(
+      TextAnalysis.tokenHashes($"text").as("nat_th"),
+      TextAnalysis.tokenHashesHof($"text").as("hof_th"),
+      TextAnalysis.hashedNgrams($"text", 2).as("nat_g2"),
+      TextAnalysis.hashedNgramsHof($"text", 2).as("hof_g2"),
+      Dedup.minHashSignature(TextAnalysis.hashedNgrams($"text", 2), 16).as("nat_mh"),
+      Dedup.minHashSignatureHof(TextAnalysis.hashedNgramsHof($"text", 2), 16).as("hof_mh"),
+      Dedup.simHashSig($"text", 16).as("nat_sh"),
+      Dedup.simHashSigHof($"text", 16).as("hof_sh"),
+      $"text").collect()
+    cmp.foreach { r =>
+      val t = r.getString(8)
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"tokenHashes on '$t'")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"hashedNgrams on '$t'")
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5), s"minHashSig on '$t'")
+      assert(r.getSeq[Long](6) == r.getSeq[Long](7), s"simHashSig on '$t'")
+    }
+  }
+
   test("quality features on a known string") {
     val df = Seq((7L, "ab cd ef")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityFeatures(df).head()

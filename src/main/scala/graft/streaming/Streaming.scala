@@ -80,6 +80,29 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(key)
 
+  /** Watermarked stream-stream inner join: each click joins purchases by
+    * the same user within the preceding `windowSeconds`. Both sides carry
+    * watermarks plus a time-range join condition, so the state store
+    * evicts rows once the other side's watermark passes — the bounded-
+    * state shape a stream-stream join needs at scale. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "30 minutes",
+      windowSeconds: Long = 3600L): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+      col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+      col("purchase_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("purchase_ts")))
+          .as("gap_us"))
+  }
+
   /** Run a streaming DataFrame to completion against bounded input via a
     * memory sink; returns the sink contents. */
   def drainToMemory(spark: SparkSession, streaming: DataFrame,

@@ -72,6 +72,24 @@ class StreamingSpec extends SparkSpec {
       s"dedup kept ${got.count()} of ${2 * distinct}, expected $distinct")
   }
 
+  test("stream-stream join matches the batch time-range join") {
+    val schema = spark.read.parquet(streamDir).schema
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter($"event_type" === "click"),
+      df.filter($"event_type" === "purchase"))
+    val (sc, sp) = sides(Streaming.fileStream(spark, streamDir, schema))
+    val got = Streaming.drainToMemory(spark,
+      Streaming.clickPurchaseJoin(sc, sp), "ss_join", OutputMode.Append())
+    val (bc, bp) = sides(Tables.events(spark, sfDir))
+    val batch = Streaming.clickPurchaseJoin(bc, bp)
+    val g = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = batch.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(g.nonEmpty, "stream-stream join emitted nothing")
+    assert(g == b, s"missing=${(b -- g).take(3)} extra=${(g -- b).take(3)}")
+  }
+
   test("stateful sessionization matches the batch q24 oracle query") {
     val events = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"ts", $"value")

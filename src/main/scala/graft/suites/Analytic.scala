@@ -29,7 +29,9 @@ object Analytic {
     Q("q43_asof_join", q43, Some(q43Sql)),
     Q("q29_grouping_sets", q29, Some(q29Sql)),
     Q("q45_percentiles", q45, Some(q45Sql)),
-    Q("q46_range_window", q46, Some(q46Sql))
+    Q("q46_range_window", q46, Some(q46Sql)),
+    Q("q51_corr_stats", q51, Some(q51Sql)),
+    Q("q52_string_agg", q52, Some(q52Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -372,4 +374,44 @@ object Analytic {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
+
+  /** Bivariate statistics per group: correlation and sample covariance
+    * (covariance scaled down before rounding — its magnitude exceeds what
+    * 4-dp rounding can stabilize across engines' summation orders). */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")) / 1e3, 4)
+          .as("covar_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q51Sql =
+    """SELECT l_returnflag,
+      | round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+      | round(covar_samp(l_extendedprice, l_quantity) / 1e3, 4) AS covar_k,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Ordered string aggregation: nations per region as one sorted
+    * comma-joined string (collect_set -> array_sort -> array_join keeps
+    * the result deterministic; bare collect_list order is not). */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+        countDistinct(col("n_name")).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  private val q52Sql =
+    """SELECT r_name,
+      | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      | count(DISTINCT n_name) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
 }

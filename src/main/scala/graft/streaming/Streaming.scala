@@ -80,6 +80,51 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(key)
 
+  case class SessionRow(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Per-user closed sessions via flatMapGroupsWithState: unlike
+    * [[sessionize]] (one running summary row per user), this emits ONE
+    * ROW PER COMPLETED SESSION — the open tail session stays in state and
+    * is flushed by the caller-visible `flushOpen` flag in batch mode.
+    * The 0..n output cardinality is exactly what flatMapGroupsWithState
+    * exists for (mapGroupsWithState must emit exactly one row). */
+  def sessions(events: Dataset[Event], gapMicros: Long = 1800L * 1000000L,
+      flushOpen: Boolean = true): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event],
+         state: GroupState[(Long, Long, Long)]) =>
+          def micro(e: Event): Long =
+            math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e => (micro(e), e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionRow]()
+          // state = (session start, last event, count) of the open session
+          var open = state.getOption
+          sorted.foreach { e =>
+            val us = micro(e)
+            open match {
+              case Some((s0, last, n)) if us - last <= gapMicros =>
+                open = Some((s0, us, n + 1))
+              case Some((s0, last, n)) =>
+                closed += SessionRow(userId, s0, last, n)
+                open = Some((us, us, 1L))
+              case None =>
+                open = Some((us, us, 1L))
+            }
+          }
+          open.foreach(state.update)
+          val tail =
+            if (flushOpen) open.map { case (s0, last, n) =>
+              SessionRow(userId, s0, last, n)
+            }.toSeq
+            else Seq.empty
+          (closed ++ tail).iterator
+      }
+  }
+
   /** Watermarked stream-stream inner join: each click joins purchases by
     * the same user within the preceding `windowSeconds`. Both sides carry
     * watermarks plus a time-range join condition, so the state store

@@ -90,6 +90,32 @@ class StreamingSpec extends SparkSpec {
     assert(g == b, s"missing=${(b -- g).take(3)} extra=${(g -- b).take(3)}")
   }
 
+  test("flatMapGroupsWithState sessions agree with the q24 session counts") {
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .as[Streaming.Event]
+    val rows = Streaming.sessions(events).collect()
+    // one row per session: per-user counts must match the oracle query
+    val perUser = rows.groupBy(_.user_id)
+      .map { case (u, ss) => u -> (ss.length.toLong, ss.map(_.n_events).sum) }
+    val batch = graft.SparkEntry.queries("q24_sessionize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perUser == batch)
+    // sessions are internally consistent: ordered, gap-split, non-empty
+    rows.groupBy(_.user_id).values.foreach { ss =>
+      val sorted = ss.sortBy(_.start_us).toList
+      sorted.foreach { s =>
+        assert(s.start_us <= s.end_us && s.n_events > 0)
+      }
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.start_us - a.end_us > 1800L * 1000000L,
+            s"sessions should have been merged: $a | $b")
+        case _ =>
+      }
+    }
+  }
+
   test("stateful sessionization matches the batch q24 oracle query") {
     val events = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"ts", $"value")

@@ -221,6 +221,71 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected edge list, by iterative
+    * min-label propagation: every vertex starts labeled with its own id,
+    * and each round replaces a label with the minimum label among the
+    * vertex and its neighbors. Labels only decrease, so the total label
+    * sum is a monotone convergence witness; the loop stops when a round
+    * changes nothing. Rounds needed = graph diameter — near-dup clusters
+    * are dense and shallow (diameter 2-4), so this converges in a handful
+    * of distributed rounds even at corpus scale. Each round is one
+    * shuffle (join on the neighbor key + groupBy min); `localCheckpoint`
+    * truncates the growing lineage so round N's plan does not replay
+    * rounds 1..N-1 (the classic iterative-DataFrame failure mode).
+    *
+    * Output: (id, cluster_id) with cluster_id = min vertex id reachable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b"): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("ea"), col(dstCol).as("eb"))
+    val e = fwd.union(fwd.select(col("eb"), col("ea")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("ea").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = e.join(labels.select(col("id").as("eb"), col("lbl")), "eb")
+        .groupBy(col("ea").as("id"))
+        .agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val sum2 = next.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      converged = sum2 == prevSum
+      prevSum = sum2
+      labels = next
+    }
+    e.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** End-to-end near-duplicate clustering: MinHash-LSH candidate pairs
+    * (est_jaccard >= `minEstJaccard`) become edges, connected components
+    * group transitively-linked docs into clusters, and the smallest
+    * doc_id per cluster is the canonical keeper. This is the piece that
+    * turns pairwise near-dup evidence into actual drop decisions — at
+    * 100 TB the pair list is far too large to collect, so the clustering
+    * itself must be distributed.
+    *
+    * Output: one row per clustered doc — (doc_id, cluster_id,
+    * cluster_size, keep) with keep=1 on the canonical doc.
+    */
+  def duplicateClusters(docs: DataFrame, textCol: String = "text",
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val cand = minHashCandidatePairs(docs, textCol,
+      minEstJaccard = minEstJaccard)
+    val labels = connectedComponents(cand.select(col("doc_a"), col("doc_b")))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("cluster_id")).cast("int").as("keep"))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs over the whole corpus,
     * computed as a prefix-filtered similarity join (AllPairs, Bayardo et
     * al.): with shingles in a canonical global order (ascending hash

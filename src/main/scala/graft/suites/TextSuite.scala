@@ -48,7 +48,8 @@ object TextSuite {
     Q("q41_binary_meta", q41, Some(q41Sql)),
     Q("q47_regex_tokens", q47, Some(q47Sql)),
     Q("q49_hash_split", q49, Some(q49Sql)),
-    Q("q50_stratified_sample", q50, Some(q50Sql))
+    Q("q50_stratified_sample", q50, Some(q50Sql)),
+    Q("q53_dedup_clusters", q53, Some(q53Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -283,6 +284,67 @@ object TextSuite {
       |        regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Near-dup clustering: MinHash-LSH candidate pairs -> connected
+    * components -> canonical keeper per cluster. The oracle replays the
+    * full q36 candidate chain, then computes components with a recursive
+    * CTE (min reachable doc_id == component label). The heavy CTEs are
+    * MATERIALIZED: DuckDB 1.0 inlines CTEs by default, and the recursive
+    * walk would otherwise re-evaluate the whole MinHash chain per
+    * fixpoint step (measured 3.3x). */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateClusters(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  // the first "AS (" after the CTE name becomes "AS MATERIALIZED ("
+  private def mat(cte: String): String = cte.replaceFirst("AS \\(", "AS MATERIALIZED (")
+
+  private val sigCte =
+    s"""sig AS (SELECT doc_id, list_transform(range(0, 64), s ->
+       |    list_min(list_transform(grams, x ->
+       |      (($coefA)[s+1] * x + ($coefB)[s+1]) % 1000000007))) AS sig
+       |  FROM g WHERE len(grams) > 0)""".stripMargin
+  private val minhashBandCtes =
+    """banded AS (SELECT doc_id, b.range AS band,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        sig[b.range*4+1 : b.range*4+4]),
+      |      (a, v) -> (a * 131 + v) % 1000000007) AS bucket
+      |  FROM sig, range(0, 16) b),
+      |sized AS (SELECT doc_id, band, bucket,
+      |    count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded),
+      |rawpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT * FROM sized WHERE bsz <= 50) a
+      |  JOIN (SELECT * FROM sized WHERE bsz <= 50) b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  private val candCte =
+    """cand AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+      |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 64
+      |      AS est_jaccard
+      |  FROM rawpairs
+      |  JOIN sig sa ON sa.doc_id = doc_a
+      |  JOIN sig sb ON sb.doc_id = doc_b)
+      |  WHERE est_jaccard >= 0.5)""".stripMargin
+
+  private val q53Sql =
+    s"""WITH RECURSIVE ${mat(thCte)},
+       |${mat(gramsCte)},
+       |${mat(sigCte)},
+       |$minhashBandCtes,
+       |$candCte,
+       |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
+       |      UNION ALL SELECT doc_b, doc_a FROM cand),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |walk(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.a, w.lbl FROM e JOIN walk w ON w.id = e.b),
+       |labels AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       |  CAST(CASE WHEN id = cluster_id THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM labels
+       |ORDER BY doc_id""".stripMargin
 
   // the q34 fingerprint fold as oracle-SQL (content hash for splits/samples)
   private val fpSqlExpr =

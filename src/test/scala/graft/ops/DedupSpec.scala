@@ -126,4 +126,35 @@ class DedupSpec extends SparkSpec {
     // high-estimate candidates must be genuinely similar (LSH not lying)
     verified.foreach(j => assert(j > 0.5, s"false positive with jaccard $j"))
   }
+
+  test("connectedComponents labels a known graph correctly") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // triangle 10-11-12, isolated edge 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
+  test("duplicateClusters is consistent with its own candidate pairs") {
+    val docsReal = graft.Tables.documents(spark, sfDir)
+    val clusters = Dedup.duplicateClusters(docsReal).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val lbl = clusters.map(c => c._1 -> c._2).toMap
+    // every candidate pair must land in the same cluster
+    Dedup.minHashCandidatePairs(docsReal).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(lbl(a) == lbl(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster label is the min member; exactly one keeper per cluster
+    clusters.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid)
+      assert(ms.count(_._4 == 1) == 1 && ms.find(_._4 == 1).get._1 == cid)
+      assert(ms.forall(_._3 == ms.length))
+    }
+  }
 }

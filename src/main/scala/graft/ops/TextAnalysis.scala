@@ -139,4 +139,52 @@ object TextAnalysis {
       round(meanTokenLength(t), 4).as("avg_token_len"),
       round(alphaRatio(t), 6).as("alpha_ratio"))
   }
+
+  /** Occurrence count of the most frequent word bigram, computed wholly
+    * per-row: build the bigram array (shifted-zip — the CollapseProject-
+    * safe shape, see [[ngrams]]), sort it, and fold a longest-equal-run
+    * scan over the sorted array. No explode, no shuffle: the repetition
+    * scan of a 100 TB corpus stays embarrassingly parallel map work,
+    * where an unnest+groupBy formulation (the DuckDB oracle) would
+    * shuffle one row per bigram occurrence. */
+  def topBigramCount(text: Column): Column = {
+    val w = tokens(text)
+    val bg = zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    aggregate(array_sort(bg),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Gopher-style repetition filter features: duplicate-token fraction
+    * and the fraction of bigram slots taken by the single most frequent
+    * bigram; docs whose top bigram covers >= `flagThreshold` of all
+    * bigram slots are flagged boilerplate/degenerate. */
+  def repetitionFeatures(docs: DataFrame, textCol: String = "text",
+      flagThreshold: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    val w = tokens(t)
+    docs.select(
+        col("doc_id"),
+        tokenCount(t).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 6)
+          .as("dup_token_frac"),
+        topBigramCount(t).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") /
+          when(col("n_tokens") - 1 > 0, col("n_tokens") - 1), 6)
+          .as("frac_top_bigram"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("top_bigram_n"), col("frac_top_bigram"),
+        when(col("frac_top_bigram") >= flagThreshold, lit(1)).otherwise(lit(0))
+          .cast("int").as("flagged"))
+  }
 }

@@ -49,7 +49,8 @@ object TextSuite {
     Q("q47_regex_tokens", q47, Some(q47Sql)),
     Q("q49_hash_split", q49, Some(q49Sql)),
     Q("q50_stratified_sample", q50, Some(q50Sql)),
-    Q("q53_dedup_clusters", q53, Some(q53Sql))
+    Q("q53_dedup_clusters", q53, Some(q53Sql)),
+    Q("q54_repetition_filter", q54, Some(q54Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -345,6 +346,32 @@ object TextSuite {
        |  CAST(CASE WHEN id = cluster_id THEN 1 ELSE 0 END AS INT) AS keep
        |FROM labels
        |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition filters. The Spark side is a per-row sorted
+    * longest-run fold (zero shuffle); the oracle verifies it with the
+    * straightforward unnest + group-by formulation. */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionFeatures(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  private val q54Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |         i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+      |        CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(len(toks) AS INT) AS n_tokens,
+      |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+      |    AS dup_token_frac,
+      |  coalesce(top_bigram_n, CAST(0 AS BIGINT)) AS top_bigram_n,
+      |  round(CAST(top_bigram_n AS DOUBLE) / nullif(tot, 0), 6)
+      |    AS frac_top_bigram,
+      |  CAST(CASE WHEN CAST(top_bigram_n AS DOUBLE) / nullif(tot, 0) >= 0.2
+      |       THEN 1 ELSE 0 END AS INT) AS flagged
+      |FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   // the q34 fingerprint fold as oracle-SQL (content hash for splits/samples)
   private val fpSqlExpr =

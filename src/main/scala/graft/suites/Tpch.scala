@@ -1,0 +1,122 @@
+package graft.suites
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H join pipelines (Q3 / Q5 / Q9 shapes) over the driver
+  * tables — the multi-join stress queries a warehouse engine is judged
+  * on. Plan shape at scale, asserted in PlanSpec:
+  *  - tiny dims (region, nation, supplier) enter as broadcast hash joins
+  *    — no shuffle of the fact side for them;
+  *  - the fact-fact joins (customer x orders x lineitem) shuffle on their
+  *    keys once each, with AQE free to re-plan sizes at runtime;
+  *  - filters (mktsegment, date windows, p_type) sit below the joins so
+  *    they reach the parquet scans as PushedFilters, and column pruning
+  *    keeps unused fact columns out of the shuffles entirely.
+  *
+  * Revenue aggregates are rounded to 2 dp in both engines (IEEE sum
+  * order varies; rounded sums are stable), and every ORDER BY carries a
+  * deterministic tiebreak.
+  */
+object Tpch {
+
+  lazy val all: Seq[Q] = Seq(
+    Q("q55_tpch_shipping_priority", q55, Some(q55Sql)),
+    Q("q56_tpch_local_supplier_volume", q56, Some(q56Sql)),
+    Q("q57_tpch_profit_by_nation_year", q57, Some(q57Sql))
+  )
+
+  private def revenue: org.apache.spark.sql.Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q3: unshipped-order revenue for one market segment, top 10.
+    * customer (filtered) joins orders on custkey, then lineitem on
+    * orderkey; both date filters push into the scans. */
+  private def q55(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+
+  private val q55Sql =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5: revenue by nation where customer and supplier share the
+    * nation, one region, one order-year. region/nation/supplier are
+    * explicit broadcasts; the n_nationkey = c_nationkey = s_nationkey
+    * chain rides along the fact joins without extra shuffles. */
+  private def q56(s: SparkSession, d: String): DataFrame =
+    broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  private val q56Sql =
+    """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |  JOIN customer ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q9 shape: revenue by supplier nation and order year for one
+    * part type (no partsupp table in the driver set, so revenue stands in
+    * for profit). part is the selective probe side; supplier/nation
+    * broadcast. */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(revenue), 2).as("amount"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  private val q57Sql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  round(sum(l_extendedprice*(1-l_discount)), 2) AS amount
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+}

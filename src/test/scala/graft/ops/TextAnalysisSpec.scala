@@ -99,4 +99,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_token_len") == 2.0)
     assert(r.getAs[Double]("alpha_ratio") == 0.75) // 6 of 8 chars a-z
   }
+
+  test("repetition features flag degenerate docs, pass normal ones") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // top bigram 'spam spam' x3 of 3
+      (2L, "a b c d e f g h"),              // all bigrams unique
+      (3L, "one"),                          // no bigrams at all
+      (4L, "x y x y x y x y z")             // 'x y' 4 of 8 = 0.5
+    ).toDF("doc_id", "text")
+    val rs = TextAnalysis.repetitionFeatures(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rs(1L).getAs[Long]("top_bigram_n") == 3L)
+    assert(rs(1L).getAs[Double]("frac_top_bigram") == 1.0)
+    assert(rs(1L).getAs[Int]("flagged") == 1)
+    assert(rs(2L).getAs[Long]("top_bigram_n") == 1L)
+    assert(rs(2L).getAs[Int]("flagged") == 0)
+    assert(rs(3L).getAs[Long]("top_bigram_n") == 0L)
+    assert(rs(3L).isNullAt(rs(3L).fieldIndex("frac_top_bigram")))
+    assert(rs(3L).getAs[Int]("flagged") == 0)
+    assert(rs(4L).getAs[Double]("frac_top_bigram") == 0.5)
+    assert(rs(4L).getAs[Int]("flagged") == 1)
+    assert(rs(4L).getAs[Double]("dup_token_frac") ==
+      math.rint((1.0 - 3.0 / 9.0) * 1e6) / 1e6)
+  }
+
+  test("per-row top-bigram fold matches the explode+groupBy formulation") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val fold = docs.select($"doc_id",
+        TextAnalysis.topBigramCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = split($"text", " ")
+    val grouped = docs.select($"doc_id",
+        explode(zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+          slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy($"doc_id", $"bg").count()
+      .groupBy($"doc_id").agg(max($"count").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    grouped.foreach { case (id, mx) =>
+      assert(fold(id) == mx, s"doc $id: fold=${fold(id)} grouped=$mx")
+    }
+  }
 }

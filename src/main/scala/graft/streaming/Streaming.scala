@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY §2.8).
@@ -123,6 +124,42 @@ object Streaming {
             else Seq.empty
           (closed ++ tail).iterator
       }
+  }
+
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+      max_value: Double)
+
+  /** Per-user running stats via the transformWithState API (Spark 4's
+    * arbitrary-state successor to mapGroupsWithState): typed ValueState
+    * survives across micro-batches in the state store (RocksDB provider
+    * in streaming mode), and each batch emits the updated summary row.
+    * Composable state variables (value/list/map), TTL and timers are the
+    * reasons to prefer this API for new stateful operators. */
+  class UserStatsProcessor extends StatefulProcessor[Long, Event, UserStats] {
+    @transient private var st: ValueState[UserStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserStats]("stats",
+        Encoders.product[UserStats], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserStats] = {
+      var s =
+        if (st.exists()) st.get()
+        else UserStats(key, 0L, 0.0, Double.NegativeInfinity)
+      rows.foreach { e =>
+        s = UserStats(key, s.n_events + 1, s.total_value + e.value,
+          math.max(s.max_value, e.value))
+      }
+      st.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  /** [[UserStatsProcessor]] applied to a (batch or streaming) event set. */
+  def userStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Watermarked stream-stream inner join: each click joins purchases by

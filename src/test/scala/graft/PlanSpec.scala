@@ -101,4 +101,29 @@ class PlanSpec extends SparkSpec {
     val p = plan("q48_embedding_neardup")
     assert(hashExchanges("q48_embedding_neardup") == 0, p)
   }
+
+  test("q55: segment + date filters reach the scans; top-10 avoids full sort") {
+    val p = plan("q55_tpch_shipping_priority")
+    assert(p.contains("PushedFilters:") && p.contains("c_mktsegment"),
+      s"mktsegment not pushed in:\n$p")
+    assert(p.contains("l_shipdate"), "shipdate filter missing from scan")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")
+  }
+
+  test("q56: six-table join broadcasts every dim, never goes quadratic") {
+    val p = plan("q56_tpch_local_supplier_volume")
+    // region/nation/supplier broadcast; no cartesian anywhere
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"dims not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+  }
+
+  test("q57: selective part filter is pushed; dims broadcast") {
+    val p = plan("q57_tpch_profit_by_nation_year")
+    assert(p.contains("PushedFilters:") && p.contains("p_type"),
+      s"p_type not pushed in:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"supplier/nation not broadcast in:\n$p")
+  }
 }

@@ -90,6 +90,39 @@ class StreamingSpec extends SparkSpec {
     assert(g == b, s"missing=${(b -- g).take(3)} extra=${(g -- b).take(3)}")
   }
 
+  test("transformWithState running stats equal the batch aggregate") {
+    // streaming mode needs the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(streamDir).schema
+      val stream = Streaming.fileStream(spark, streamDir, schema)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .as[Streaming.Event]
+      val got = Streaming.drainToMemory(spark,
+        Streaming.userStats(stream).toDF(), "tws_stats", OutputMode.Update())
+      // update mode re-emits per batch; the final row per user is the total
+      val last = got.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .groupBy(_._1)
+        // n_events grows monotonically: max = final state
+        .map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      val batch = Tables.events(spark, sfDir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("tot"),
+          max($"value").as("mx"))
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(last.keySet == batch.keySet)
+      last.foreach { case (u, (n, tot, mx)) =>
+        val (bn, btot, bmx) = batch(u)
+        assert(n == bn, s"user $u count $n != $bn")
+        assert(math.abs(tot - btot) < 1e-6, s"user $u total $tot != $btot")
+        assert(mx == bmx, s"user $u max $mx != $bmx")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState sessions agree with the q24 session counts") {
     val events = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"ts", $"value")

@@ -1,7 +1,7 @@
 package graft.suites
 
 import graft.{Q, Tables}
-import graft.ops.{Dedup, Multimodal, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,7 +50,8 @@ object TextSuite {
     Q("q49_hash_split", q49, Some(q49Sql)),
     Q("q50_stratified_sample", q50, Some(q50Sql)),
     Q("q53_dedup_clusters", q53, Some(q53Sql)),
-    Q("q54_repetition_filter", q54, Some(q54Sql))
+    Q("q54_repetition_filter", q54, Some(q54Sql)),
+    Q("q58_sequence_packing", q58, Some(q58Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -372,6 +373,32 @@ object TextSuite {
       |       THEN 1 ELSE 0 END AS INT) AS flagged
       |FROM t LEFT JOIN top ON t.doc_id = top.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** Greedy per-source sequence packing (512-token budget). The oracle
+    * replays the sequential fold with a recursive CTE stepping through
+    * each source's row_number order. */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Packing.packBySource(Tables.documents(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  private val q58Sql =
+    """WITH RECURSIVE d AS MATERIALIZED (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |walk(source, rn, doc_id, n_tokens, fill, bin) AS (
+      |  SELECT source, rn, doc_id, n_tokens, CAST(n_tokens AS BIGINT),
+      |    CAST(0 AS BIGINT)
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+      |    CASE WHEN w.fill + d.n_tokens > 512 THEN CAST(d.n_tokens AS BIGINT)
+      |         ELSE w.fill + d.n_tokens END,
+      |    CASE WHEN w.fill + d.n_tokens > 512 THEN w.bin + 1 ELSE w.bin END
+      |  FROM d JOIN walk w ON d.source = w.source AND d.rn = w.rn + 1)
+      |SELECT doc_id, source, n_tokens, bin AS pack_id
+      |FROM walk ORDER BY doc_id""".stripMargin
 
   // the q34 fingerprint fold as oracle-SQL (content hash for splits/samples)
   private val fpSqlExpr =

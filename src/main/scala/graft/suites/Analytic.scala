@@ -31,7 +31,8 @@ object Analytic {
     Q("q45_percentiles", q45, Some(q45Sql)),
     Q("q46_range_window", q46, Some(q46Sql)),
     Q("q51_corr_stats", q51, Some(q51Sql)),
-    Q("q52_string_agg", q52, Some(q52Sql))
+    Q("q52_string_agg", q52, Some(q52Sql)),
+    Q("q59_custom_udaf_geomean", q59, Some(q59Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -414,4 +415,22 @@ object Analytic {
       | count(DISTINCT n_name) AS n_nations
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Custom typed Aggregator (SURVEY §2.9): geometric mean of order
+    * totals per priority via graft.functions.Udafs.GeometricMean —
+    * a two-phase (partial + merge) UDAF, not a collect-and-fold. */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(graft.functions.Udafs.geoMean(col("o_totalprice")), 4)
+          .as("geo_mean"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q59Sql =
+    """SELECT o_orderpriority,
+      | round(exp(avg(ln(o_totalprice))), 4) AS geo_mean,
+      | count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

@@ -237,7 +237,11 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
       dstCol: String = "doc_b"): DataFrame = {
+    // materialize the edge list BEFORE mirroring it: union branches have
+    // no common-subplan reuse, so without the barrier the (potentially
+    // expensive) edge-producing pipeline would run once per direction
     val fwd = edges.select(col(srcCol).as("ea"), col(dstCol).as("eb"))
+      .localCheckpoint(true)
     val e = fwd.union(fwd.select(col("eb"), col("ea")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("ea").as("id")).distinct()

@@ -51,7 +51,8 @@ object TextSuite {
     Q("q50_stratified_sample", q50, Some(q50Sql)),
     Q("q53_dedup_clusters", q53, Some(q53Sql)),
     Q("q54_repetition_filter", q54, Some(q54Sql)),
-    Q("q58_sequence_packing", q58, Some(q58Sql))
+    Q("q58_sequence_packing", q58, Some(q58Sql)),
+    Q("q60_quality_gate", q60, Some(q60Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -399,6 +400,41 @@ object TextSuite {
       |  FROM d JOIN walk w ON d.source = w.source AND d.rn = w.rn + 1)
       |SELECT doc_id, source, n_tokens, bin AS pack_id
       |FROM walk ORDER BY doc_id""".stripMargin
+
+  /** Percentile-band quality gate: per-language p10/p90 token-count
+    * bounds (exact interpolated percentiles — Spark `percentile` ==
+    * DuckDB `quantile_cont`) are computed once, broadcast back against
+    * the corpus, and each language reports how many documents survive.
+    * The aggregate-then-broadcast-back shape is the scale pattern: the
+    * bounds table is O(languages), so the second pass is map-side. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("nt"))
+    val bounds = docs.groupBy(col("lang")).agg(
+      expr("percentile(nt, 0.1)").as("p10"),
+      expr("percentile(nt, 0.9)").as("p90"))
+    docs.join(broadcast(bounds), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum((col("nt") >= col("p10") && col("nt") <= col("p90"))
+          .cast("long")).as("n_kept"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_total"), 4)
+          .as("kept_frac"))
+      .orderBy(col("lang"))
+  }
+
+  private val q60Sql =
+    """WITH d AS (SELECT lang, len(string_split(text, ' ')) AS nt
+      |           FROM documents),
+      |b AS (SELECT lang, quantile_cont(nt, 0.1) AS p10,
+      |        quantile_cont(nt, 0.9) AS p90 FROM d GROUP BY lang)
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN nt >= p10 AND nt <= p90 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  round(CAST(sum(CASE WHEN nt >= p10 AND nt <= p90 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 4) AS kept_frac
+      |FROM d JOIN b USING (lang) GROUP BY lang ORDER BY lang""".stripMargin
 
   // the q34 fingerprint fold as oracle-SQL (content hash for splits/samples)
   private val fpSqlExpr =

@@ -127,6 +127,11 @@ class DedupSpec extends SparkSpec {
     verified.foreach(j => assert(j > 0.5, s"false positive with jaccard $j"))
   }
 
+  test("connectedComponents of an empty edge list is empty, not a hang") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+  }
+
   test("connectedComponents labels a known graph correctly") {
     // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
     // triangle 10-11-12, isolated edge 20-21

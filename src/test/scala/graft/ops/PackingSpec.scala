@@ -39,6 +39,15 @@ class PackingSpec extends SparkSpec {
     assert(a == b, "pack assignment changed with input partitioning")
   }
 
+  test("packing an empty corpus yields an empty result") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+    assert(Packing.packBySource(empty).collect().isEmpty)
+  }
+
   test("planted packing truth table") {
     val docs = Seq(
       (1L, "a " * 299 + "a", "s"),   // 300 tokens -> pack 0 (fill 300)

@@ -24,7 +24,8 @@ object Tpch {
   lazy val all: Seq[Q] = Seq(
     Q("q55_tpch_shipping_priority", q55, Some(q55Sql)),
     Q("q56_tpch_local_supplier_volume", q56, Some(q56Sql)),
-    Q("q57_tpch_profit_by_nation_year", q57, Some(q57Sql))
+    Q("q57_tpch_profit_by_nation_year", q57, Some(q57Sql)),
+    Q("q61_tpch_small_quantity", q61, Some(q61Sql))
   )
 
   private def revenue: org.apache.spark.sql.Column =
@@ -119,4 +120,29 @@ object Tpch {
       |  JOIN orders ON o_orderkey = l_orderkey
       |WHERE p_type = 'PROMO'
       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q17: small-quantity revenue below a correlated per-part
+    * average. Written through the SQL entry path on purpose — Catalyst's
+    * RewriteCorrelatedScalarSubquery must decorrelate the per-part
+    * subquery into one grouped aggregate + equi-join (asserted in
+    * PlanSpec: no nested-loop, no per-row subquery execution), which is
+    * the difference between O(n) and O(n * parts) at scale. */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("q61_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("q61_part")
+    s.sql("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM q61_lineitem JOIN q61_part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#4'
+        AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM q61_lineitem l2
+          WHERE l2.l_partkey = q61_part.p_partkey)""")
+  }
+
+  private val q61Sql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
 }

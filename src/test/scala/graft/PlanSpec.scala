@@ -126,4 +126,14 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"supplier/nation not broadcast in:\n$p")
   }
+
+  test("q61: correlated scalar subquery is decorrelated to an agg+join") {
+    val p = plan("q61_tpch_small_quantity")
+    // the per-part average must become ONE grouped aggregate equi-joined
+    // back, not a per-row subquery or nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no decorrelated aggregate in:\n$p")
+  }
 }

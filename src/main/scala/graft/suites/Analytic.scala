@@ -32,7 +32,8 @@ object Analytic {
     Q("q46_range_window", q46, Some(q46Sql)),
     Q("q51_corr_stats", q51, Some(q51Sql)),
     Q("q52_string_agg", q52, Some(q52Sql)),
-    Q("q59_custom_udaf_geomean", q59, Some(q59Sql))
+    Q("q59_custom_udaf_geomean", q59, Some(q59Sql)),
+    Q("q62_hopping_window", q62, Some(q62Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -433,4 +434,30 @@ object Analytic {
       | round(exp(avg(ln(o_totalprice))), 4) AS geo_mean,
       | count(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Hopping (sliding) window aggregation — `window(ts, 1h, 30m)`: each
+    * event lands in exactly windowLen/hop = 2 overlapping windows. The
+    * same expression incrementalizes under Structured Streaming; the
+    * oracle materializes the 2 covering slots per event with unnest. */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val q62Sql =
+    """WITH slots AS (
+      |  SELECT unnest([
+      |      CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP),
+      |      CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP)
+      |        - INTERVAL 30 MINUTE
+      |    ]) AS win_start,
+      |    event_type, value
+      |  FROM events)
+      |SELECT win_start, event_type, count(*) AS n,
+      |  round(sum(value), 4) AS total_value
+      |FROM slots GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 }

@@ -33,7 +33,8 @@ object Analytic {
     Q("q51_corr_stats", q51, Some(q51Sql)),
     Q("q52_string_agg", q52, Some(q52Sql)),
     Q("q59_custom_udaf_geomean", q59, Some(q59Sql)),
-    Q("q62_hopping_window", q62, Some(q62Sql))
+    Q("q62_hopping_window", q62, Some(q62Sql)),
+    Q("q63_session_window", q63, Some(q63Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -460,4 +461,36 @@ object Analytic {
       |SELECT win_start, event_type, count(*) AS n,
       |  round(sum(value), 4) AS total_value
       |FROM slots GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Native session-window aggregation — `session_window(ts, 30m)` per
+    * user (the declarative twin of q24's mapGroupsWithState). Sessions
+    * merge while the next event is STRICTLY inside last+gap, so the
+    * oracle's gap-island break condition is `diff >= gap`; session end
+    * is last event + gap. */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val q63Sql =
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id,
+      |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+      |  count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 }

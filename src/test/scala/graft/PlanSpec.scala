@@ -127,6 +127,16 @@ class PlanSpec extends SparkSpec {
       s"supplier/nation not broadcast in:\n$p")
   }
 
+  test("q56: column pruning reaches the lineitem scan through 5 joins") {
+    val p = plan("q56_tpch_local_supplier_volume")
+    // the scan must read only the 4 referenced lineitem columns; a fat
+    // scan here would shuffle every column through the join pipeline
+    val read = "ReadSchema: [^\\n]*l_orderkey[^\\n]*".r.findFirstIn(p)
+    assert(read.isDefined, s"no lineitem ReadSchema in:\n$p")
+    assert(!read.get.contains("l_shipdate") && !read.get.contains("l_tax"),
+      s"unpruned lineitem scan: ${read.get}")
+  }
+
   test("q61: correlated scalar subquery is decorrelated to an agg+join") {
     val p = plan("q61_tpch_small_quantity")
     // the per-part average must become ONE grouped aggregate equi-joined

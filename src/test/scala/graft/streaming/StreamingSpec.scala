@@ -90,6 +90,32 @@ class StreamingSpec extends SparkSpec {
     assert(g == b, s"missing=${(b -- g).take(3)} extra=${(g -- b).take(3)}")
   }
 
+  test("foreachBatch parquet sink is idempotent under batch replay") {
+    // the production sink pattern: write each micro-batch to a
+    // batchId-named directory, skipping ids already present — replaying
+    // a batch after a crash cannot duplicate data
+    val schema = spark.read.parquet(streamDir).schema
+    val out = Files.createTempDirectory("fb_sink").toString
+    def writeBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val dir = java.nio.file.Paths.get(out, s"batch=$id")
+      if (!java.nio.file.Files.exists(dir))
+        df.write.parquet(dir.toString)
+    }
+    val stream = Streaming.fileStream(spark, streamDir, schema)
+      .select($"event_id", $"user_id")
+    val q = stream.writeStream.foreachBatch(writeBatch _)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(s"$out/batch=*")
+    val expect = Tables.events(spark, sfDir).count()
+    assert(written.count() == expect)
+    // replaying batch 0 must be a no-op (directory already exists)
+    val b0 = spark.read.parquet(s"$out/batch=0")
+    writeBatch(b0, 0L)
+    assert(spark.read.parquet(s"$out/batch=*").count() == expect,
+      "batch replay duplicated rows")
+  }
+
   test("transformWithState running stats equal the batch aggregate") {
     // streaming mode needs the RocksDB state store provider
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -30,4 +30,27 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(apx - exact) / exact < 0.02,
       s"apx=$apx exact=$exact")
   }
+
+  test("HLL sketches merge without re-scan, inside the error bound") {
+    // the property that matters at scale: sketch once per partition/day,
+    // merge later — no re-scan. Spark 4 ships DataSketches HLL natively.
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val whole = li.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))")).head().getLong(0)
+    val sketches = a.agg(expr("hll_sketch_agg(l_orderkey)").as("s")).unionAll(
+      b.agg(expr("hll_sketch_agg(l_orderkey)").as("s")))
+    val merged = sketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(s))")).head().getLong(0)
+    // the union path re-represents registers, so merged and single-pass
+    // estimates differ slightly; both must sit inside the HLL error bound
+    val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+    assert(math.abs(whole - exact).toDouble / exact < 0.05,
+      s"whole=$whole exact=$exact")
+    assert(math.abs(merged - whole).toDouble / exact < 0.02,
+      s"merged=$merged vs whole=$whole drifted")
+  }
 }

@@ -34,7 +34,8 @@ object Analytic {
     Q("q52_string_agg", q52, Some(q52Sql)),
     Q("q59_custom_udaf_geomean", q59, Some(q59Sql)),
     Q("q62_hopping_window", q62, Some(q62Sql)),
-    Q("q63_session_window", q63, Some(q63Sql))
+    Q("q63_session_window", q63, Some(q63Sql)),
+    Q("q64_argmax_per_group", q64, Some(q64Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -493,4 +494,27 @@ object Analytic {
       |  count(*) AS n, round(sum(value), 4) AS total_value
       |FROM y GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Argmax per group via max_by — top-1-per-group as ONE partial-
+    * aggregating shuffle of (group, argmax-pair) pairs, where the q11
+    * window formulation must shuffle and sort every row. Ties broken by
+    * orderkey inside the comparator (struct max) so the result is
+    * deterministic in both engines. */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+        max(col("o_totalprice")).as("best_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  private val q64Sql =
+    """SELECT o_custkey,
+      |  CAST(struct_extract(max(ROW(o_totalprice, o_orderkey)), 2) AS BIGINT)
+      |    AS best_order,
+      |  max(o_totalprice) AS best_price,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 }

@@ -31,4 +31,36 @@ object Udafs {
 
   /** [[GeometricMean]] as an untyped column aggregate for DataFrame use. */
   def geoMean(c: Column): Column = udaf(GeometricMean).apply(c)
+
+  case class Scored(score: Double, id: Long)
+  case class TopKBuf(items: Seq[Scored])
+
+  /** Bounded top-k aggregator: the buffer never holds more than k
+    * (score, id) pairs, ordered by the (score, id) comparator. Because it
+    * is a real Aggregator, the k-item pruning happens MAP-SIDE in the
+    * partial phase — each partition contributes at most k candidates to
+    * the shuffle, where the window row_number formulation must shuffle
+    * and sort every row of every group. The comparator includes the id,
+    * so ties are deterministic. */
+  class TopK(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    private def lt(a: Scored, b: Scored): Boolean =
+      a.score < b.score || (a.score == b.score && a.id < b.id)
+    private def prune(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortWith((a, b) => lt(b, a)).take(k)
+    def zero: TopKBuf = TopKBuf(Nil)
+    def reduce(b: TopKBuf, x: Scored): TopKBuf =
+      if (b.items.size < k || lt(b.items.last, x))
+        TopKBuf(prune(b.items :+ x))
+      else b
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(prune(a.items ++ b.items))
+    def finish(b: TopKBuf): Seq[Scored] = b.items
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** [[TopK]] over a struct(score, id) column; returns array<struct>. */
+  def topK(k: Int, scoreAndId: Column): Column =
+    udaf(new TopK(k)).apply(scoreAndId)
 }

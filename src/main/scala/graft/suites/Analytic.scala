@@ -35,7 +35,8 @@ object Analytic {
     Q("q59_custom_udaf_geomean", q59, Some(q59Sql)),
     Q("q62_hopping_window", q62, Some(q62Sql)),
     Q("q63_session_window", q63, Some(q63Sql)),
-    Q("q64_argmax_per_group", q64, Some(q64Sql))
+    Q("q64_argmax_per_group", q64, Some(q64Sql)),
+    Q("q65_topk_aggregator", q65, Some(q65Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -517,4 +518,28 @@ object Analytic {
       |  max(o_totalprice) AS best_price,
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Top-3 per group via the bounded [[graft.functions.Udafs.TopK]]
+    * Aggregator: each partition contributes at most k candidates to the
+    * shuffle (map-side pruning in the partial phase), where q11's window
+    * formulation shuffles and sorts every row. The oracle is the window
+    * formulation — same rows, different physical strategy. */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.Udafs.topK(3,
+        struct(col("c_acctbal").as("score"), col("c_custkey").as("id")))
+        .as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("c_custkey"), col("col.score").as("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+
+  private val q65Sql =
+    """SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey DESC) AS INT) AS rank
+      |  FROM customer)
+      |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
 }

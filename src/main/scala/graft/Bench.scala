@@ -18,19 +18,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A failed query must be visible, not a fast timing: it is reported as
+    // null in the queries map, listed under "errors", and fails the run
+    // (non-zero exit) — otherwise breakage improves the benchmark.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+        }
       }
-      val t = math.min(once(), once())
-      name -> t
+      name -> ((once(), once()) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (a, b) => Left(a.left.toOption.orElse(b.left.toOption).get)
+      })
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_))  => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(e)) => "\"" + k + ":" + e + "\"" }
+    val total = results.values.collect { case Right(v) => v }.sum
+    val errField =
+      if (errors.isEmpty) "" else s""","errors":${errors.mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -60,7 +60,11 @@ object Udafs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
 
-  /** [[TopK]] over a struct(score, id) column; returns array<struct>. */
-  def topK(k: Int, scoreAndId: Column): Column =
-    udaf(new TopK(k)).apply(scoreAndId)
+  /** [[TopK]] as a column aggregate; returns array<struct<score,id>>.
+    * `udaf` flattens a case-class input encoder into one parameter per
+    * field, so the aggregate takes the two columns separately — passing
+    * one struct(score, id) column fails analysis with
+    * DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE. */
+  def topK(k: Int, score: Column, id: Column): Column =
+    udaf(new TopK(k), Encoders.product[Scored]).apply(score, id)
 }

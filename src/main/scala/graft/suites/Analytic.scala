@@ -527,8 +527,7 @@ object Analytic {
   private def q65(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .groupBy(col("c_mktsegment"))
-      .agg(graft.functions.Udafs.topK(3,
-        struct(col("c_acctbal").as("score"), col("c_custkey").as("id")))
+      .agg(graft.functions.Udafs.topK(3, col("c_acctbal"), col("c_custkey"))
         .as("top"))
       .select(col("c_mktsegment"), posexplode(col("top")))
       .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rank"),

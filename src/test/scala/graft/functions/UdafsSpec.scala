@@ -19,8 +19,7 @@ class UdafsSpec extends SparkSpec {
     val df = Seq(("a", 1.0, 1L), ("a", 3.0, 2L), ("a", 3.0, 3L),
       ("a", 2.0, 4L), ("b", 9.0, 5L)).toDF("k", "score", "id")
     val got = df.groupBy($"k")
-      .agg(Udafs.topK(2, struct($"score".as("score"), $"id".as("id")))
-        .as("top"))
+      .agg(Udafs.topK(2, $"score", $"id").as("top"))
       .select($"k", $"top").collect()
       .map(r => r.getString(0) ->
         r.getSeq[org.apache.spark.sql.Row](1).map(x =>

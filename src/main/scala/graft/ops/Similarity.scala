@@ -186,13 +186,25 @@ object Similarity {
     * stay in Spark expressions so engine-parity of rounding is untouched.
     * At corpus scale the broadcast side must be bounded: this exact op is
     * the verification stage after LSH/IVF candidate generation
-    * ([[annTopK]] / [[ivfTopK]]), not the full-corpus scan.
+    * ([[annTopK]] / [[lshNearDupPairs]]), not the full-corpus scan. The
+    * bound is ENFORCED: inputs above `maxRows` fail fast with a named
+    * error instead of OOMing the driver — route large corpora through
+    * [[lshNearDupPairs]], which never collects.
     */
-  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairs(
+      emb: DataFrame,
+      threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
+    val n = vecs.limit(math.min(maxRows + 1, Int.MaxValue).toInt).count()
+    require(n <= maxRows,
+      s"cosinePairs: input exceeds maxRows=$maxRows vectors; this exact " +
+        "all-pairs op broadcasts the whole input to every task and is a " +
+        "verification stage only — generate candidates with " +
+        "lshNearDupPairs/annTopK first, or raise maxRows deliberately")
     val all = vecs.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)
     // raw-cosine prefilter slightly below the rounded threshold; the
@@ -221,6 +233,55 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Banded LSH projection: (vec_id, embedding, band, bucket), one row per
+    * band. The signature/banding matches [[annTopK]], so the DuckDB oracle
+    * replays it with the same integer-grid planes. */
+  private def bandedSignatures(
+      emb: DataFrame, numPlanes: Int, bands: Int, dim: Int): DataFrame = {
+    val planes = portablePlanes(numPlanes, dim)
+    val r = numPlanes / bands
+    emb.select(col("vec_id"), col("embedding"),
+        lshBits(col("embedding"), planes).as("bits"))
+      .select(col("vec_id"), col("embedding"),
+        explode(transform(sequence(lit(0L), lit(bands - 1L)), b =>
+          struct(b.as("band"),
+            aggregate(slice(col("bits"), b * lit(r) + lit(1), lit(r)),
+              lit(0L), (a, v) => a * lit(2L) + v).as("bucket")))).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Scale-safe embedding near-duplicate pairs: LSH candidate generation
+    * composed with exact cosine verification, fully distributed — no
+    * driver collect anywhere. Candidates come from a band-bucket
+    * equi-self-join (shuffles on the (band, bucket) key; never cartesian),
+    * are deduped BEFORE scoring so a pair sharing several bands is scored
+    * once, and only candidates pay the exact cosine. This is the 100 TB
+    * path that [[cosinePairs]] verifies at small scale. */
+  def lshNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    // persisted: Spark has no common-subplan reuse across self-join sides,
+    // so without this the signature projection (and the scan under it)
+    // runs once per side
+    val banded = bandedSignatures(emb, numPlanes, bands, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("band"), col("bucket"))
+    val b = banded.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** LSH approximate top-k: the bit signature is cut into `bands` bands of
     * `numPlanes/bands` bits, each folded to an integer bucket; any vector
     * sharing at least one band-bucket with the query becomes a candidate
@@ -233,17 +294,7 @@ object Similarity {
       numPlanes: Int = 16,
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
-    val planes = portablePlanes(numPlanes, dim)
-    val r = numPlanes / bands
-    val withBands = emb.select(col("vec_id"), col("embedding"),
-        lshBits(col("embedding"), planes).as("bits"))
-      .select(col("vec_id"), col("embedding"),
-        explode(transform(sequence(lit(0L), lit(bands - 1L)), b =>
-          struct(b.as("band"),
-            aggregate(slice(col("bits"), b * lit(r) + lit(1), lit(r)),
-              lit(0L), (a, v) => a * lit(2L) + v).as("bucket")))).as("bb"))
-      .select(col("vec_id"), col("embedding"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val withBands = bandedSignatures(emb, numPlanes, bands, dim)
     val q = withBands.filter(col("vec_id") === queryVecId)
       .select(col("band").as("qband"), col("bucket").as("qbucket"),
         col("embedding").as("qe"))

@@ -15,7 +15,8 @@ object VectorSuite {
     Q("q37_cosine_topk", q37, Some(q37Sql)),
     Q("q39_ann_lsh", q39, Some(q39Sql)),
     Q("q44_ivf_topk", q44, Some(q44Sql)),
-    Q("q48_embedding_neardup", q48, Some(q48Sql))
+    Q("q48_embedding_neardup", q48, Some(q48Sql)),
+    Q("q66_lsh_neardup_pairs", q66, Some(q66Sql))
   )
 
   /** Array scalar functions over the embedding column. */
@@ -138,5 +139,45 @@ object VectorSuite {
       |       sqrt(list_sum(list_transform(b.embedding,
       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** The scale-safe near-dup composition: LSH band-bucket candidate
+    * generation + exact cosine verification, fully distributed (no driver
+    * collect — contrast q48's bounded exact baseline). The oracle replays
+    * the whole pipeline: portable planes, banding, the candidate
+    * self-join, and the scoring. */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val q66Sql =
+    """WITH sig AS (SELECT vec_id, embedding,
+      |    list_transform(range(0, 16), p ->
+      |      CASE WHEN list_sum(list_transform(embedding, (x, i) ->
+      |        CAST(x AS DOUBLE) *
+      |        ((CAST(p*64 + i AS BIGINT) * 2654435761 % 1000000007) % 2001
+      |         - 1000) / 1000.0)) > 0
+      |      THEN 1 ELSE 0 END) AS bits
+      |  FROM embeddings),
+      |banded AS (SELECT vec_id, b.range AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        bits[b.range*4+1 : b.range*4+4]),
+      |      (a, v) -> a * 2 + v) AS bucket
+      |  FROM sig, range(0, 4) b),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM banded a JOIN banded b USING (band, bucket)
+      |  WHERE a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT c.vec_a, c.vec_b,
+      |    round(
+      |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(ea.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(eb.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 }

@@ -85,6 +85,29 @@ class SimilaritySpec extends SparkSpec {
       s"kernel drift: missing=${slow -- fast} extra=${fast -- slow}")
   }
 
+  test("cosinePairs fails fast above its broadcast bound") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(emb, threshold = 0.4, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("maxRows"), e.getMessage)
+  }
+
+  test("lshNearDupPairs: candidates via equi-join, results subset of exact") {
+    val lsh = Similarity.lshNearDupPairs(emb, threshold = 0.4)
+    // never cartesian: candidate generation must be an equi-join on the
+    // band-bucket key
+    val physical = lsh.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    val got = lsh.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.cosinePairs(emb, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "LSH found no near-dup pairs at sf spec corpus")
+    assert(got.subsetOf(exact),
+      s"LSH produced pairs the exact scorer rejects: ${got -- exact}")
+  }
+
   test("lsh bit signature is deterministic and 0/1 shaped") {
     val planes = Similarity.portablePlanes(16, 64)
     val s1 = emb.limit(5).select(Similarity.lshBits($"embedding", planes).as("s"))

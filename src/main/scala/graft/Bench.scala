@@ -18,10 +18,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional args restrict the run to the named queries (dev loop);
+    // the driver passes none and benches everything.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     // A failed query must be visible, not a fast timing: it is reported as
     // null in the queries map, listed under "errors", and fails the run
     // (non-zero exit) — otherwise breakage improves the benchmark.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }

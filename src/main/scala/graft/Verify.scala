@@ -18,13 +18,24 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // A failed query leaves an explicit _FAILED marker (plus stderr), so the
     // missing parquet reads as a red row downstream, never a silent gap.
+    // Stale state from a reused outDir is removed first: a leftover _FAILED
+    // marker must not outlive a now-green query, and a prior round's parquet
+    // must not survive a now-red one (it would read as a stale PASS).
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
     val failed = SparkEntry.queries.flatMap { case (name, fn) =>
+      Files.deleteIfExists(Paths.get(s"$outDir/${name}_FAILED"))
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        deleteRecursively(Paths.get(s"$outDir/$name"))
         Files.writeString(Paths.get(s"$outDir/${name}_FAILED"),
           s"${e.getClass.getName}: ${e.getMessage}\n")
         Some(name)
@@ -49,5 +60,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // mirror Bench: a caller checking only the exit code must see failure
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -43,7 +44,8 @@ object Similarity {
     emb.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("qe")), 6).as("cosine"))
+        round(VectorFunctions.cosine(col("embedding"), col("qe")), 6)
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -165,14 +167,21 @@ object Similarity {
       .take(nprobe).toSet
     val q = vecs.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qe"))
-    assigned
+    val out = assigned
       .filter(col("cell").isInCollection(probeCells) &&
         col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("qe")), 6).as("cosine"))
+        round(VectorFunctions.cosine(col("embedding"), col("qe")), 6)
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+      // k rows; materialize eagerly so the cached training/assignment input
+      // can be released — otherwise every call leaks a persisted DataFrame
+      // for the lifetime of the session
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
   }
 
   /** Exact all-pairs cosine similarity above a threshold.
@@ -199,13 +208,14 @@ object Similarity {
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val n = vecs.limit(math.min(maxRows + 1, Int.MaxValue).toInt).count()
-    require(n <= maxRows,
+    // one scan: the limited collect IS the broadcast payload when in bounds
+    val limited = vecs.limit(math.min(maxRows + 1, Int.MaxValue).toInt).collect()
+    require(limited.length <= maxRows,
       s"cosinePairs: input exceeds maxRows=$maxRows vectors; this exact " +
         "all-pairs op broadcasts the whole input to every task and is a " +
         "verification stage only — generate candidates with " +
         "lshNearDupPairs/annTopK first, or raise maxRows deliberately")
-    val all = vecs.collect().sortBy(_._1)
+    val all = limited.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)
     // raw-cosine prefilter slightly below the rounded threshold; the
     // authoritative filter below is on Spark's round(_, 6)
@@ -233,10 +243,22 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Banded LSH projection: (vec_id, embedding, band, bucket), one row per
-    * band. The signature/banding matches [[annTopK]], so the DuckDB oracle
-    * replays it with the same integer-grid planes. */
-  private def bandedSignatures(
+  /** Banded LSH projection, ids only: (vec_id, band, bucket), one row per
+    * band — the embedding does NOT travel with the banded rows, so the
+    * candidate-generation shuffle moves 16 bytes per (vector, band) instead
+    * of the 256-byte embedding payload. The signature is the native
+    * single-pass kernel ([[graft.functions.LshBandBucketsExpr]]); the HOF
+    * twin below ([[bandedSignaturesHof]]) pins its semantics, and the
+    * DuckDB oracle replays the same integer-grid planes. */
+  private[ops] def bandedIds(
+      emb: DataFrame, numPlanes: Int, bands: Int, dim: Int): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(VectorFunctions.lshBandBuckets(
+          col("embedding"), numPlanes, bands, dim)).as(Seq("band", "bucket")))
+
+  /** Reference HOF formulation of the banded signature (slow path, spec
+    * twin for the native kernel — not used in queries). */
+  private[ops] def bandedSignaturesHof(
       emb: DataFrame, numPlanes: Int, bands: Int, dim: Int): DataFrame = {
     val planes = portablePlanes(numPlanes, dim)
     val r = numPlanes / bands
@@ -254,31 +276,31 @@ object Similarity {
   /** Scale-safe embedding near-duplicate pairs: LSH candidate generation
     * composed with exact cosine verification, fully distributed — no
     * driver collect anywhere. Candidates come from a band-bucket
-    * equi-self-join (shuffles on the (band, bucket) key; never cartesian),
-    * are deduped BEFORE scoring so a pair sharing several bands is scored
-    * once, and only candidates pay the exact cosine. This is the 100 TB
-    * path that [[cosinePairs]] verifies at small scale. */
+    * equi-self-join over (vec_id, band, bucket) rows only (shuffles on the
+    * (band, bucket) key; never cartesian; no embedding payload), are
+    * deduped BEFORE scoring so a pair sharing several bands is scored
+    * once, and only then join the embeddings back (two equi-joins on
+    * vec_id, AQE-broadcastable) to pay the exact cosine via the native
+    * kernel. This is the 100 TB path that [[cosinePairs]] verifies at
+    * small scale. */
   def lshNearDupPairs(
       emb: DataFrame,
       threshold: Double,
       numPlanes: Int = 16,
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
-    // persisted: Spark has no common-subplan reuse across self-join sides,
-    // so without this the signature projection (and the scan under it)
-    // runs once per side
-    val banded = bandedSignatures(emb, numPlanes, bands, dim)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("band"), col("bucket"))
-    val b = banded.select(col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    val banded = bandedIds(emb, numPlanes, bands, dim)
+    val cand = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("ea"), col("eb")), 6).as("cosine"))
+        round(VectorFunctions.cosine(col("ea"), col("eb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -294,17 +316,21 @@ object Similarity {
       numPlanes: Int = 16,
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
-    val withBands = bandedSignatures(emb, numPlanes, bands, dim)
-    val q = withBands.filter(col("vec_id") === queryVecId)
-      .select(col("band").as("qband"), col("bucket").as("qbucket"),
-        col("embedding").as("qe"))
-    withBands.filter(col("vec_id") =!= queryVecId)
-      .join(broadcast(q),
+    val banded = bandedIds(emb, numPlanes, bands, dim)
+    val qb = banded.filter(col("vec_id") === queryVecId)
+      .select(col("band").as("qband"), col("bucket").as("qbucket"))
+    val candIds = banded.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(qb),
         col("band") === col("qband") && col("bucket") === col("qbucket"))
-      .select(col("vec_id"), col("embedding"), col("qe"))
+      .select(col("vec_id"))
       .dropDuplicates("vec_id")
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    candIds.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("qe")), 6).as("cosine"))
+        round(VectorFunctions.cosine(col("embedding"), col("qe")), 6)
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

@@ -25,7 +25,8 @@ object Tpch {
     Q("q55_tpch_shipping_priority", q55, Some(q55Sql)),
     Q("q56_tpch_local_supplier_volume", q56, Some(q56Sql)),
     Q("q57_tpch_profit_by_nation_year", q57, Some(q57Sql)),
-    Q("q61_tpch_small_quantity", q61, Some(q61Sql))
+    Q("q61_tpch_small_quantity", q61, Some(q61Sql)),
+    Q("q67_runtime_bloom_join", q67, Some(q67Sql))
   )
 
   private def revenue: org.apache.spark.sql.Column =
@@ -145,4 +146,37 @@ object Tpch {
       |  AND l_quantity < (
       |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
       |    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  /** Runtime bloom-filter join pruning, exercised for real: a selective
+    * orders filter builds a bloom filter that Spark injects on lineitem's
+    * l_orderkey BEFORE the shuffle, so non-matching fact rows die at the
+    * scan instead of riding the exchange — at 100 TB the difference
+    * between shuffling the whole fact table and the matching slice
+    * (reference analog: classify-before-I/O, 00b:68-74). The confs live in
+    * a cloned session so the rewrite fires here (the driver tables are
+    * below the default size gates) without polluting other queries' plans;
+    * PlanSpec asserts might_contain lands in the optimized plan and the
+    * bloom never changes the answer. */
+  private def q67(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // broadcast joins don't need runtime filters; force the shuffle join
+    // shape this rewrite exists for
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q67Sql =
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

@@ -137,6 +137,19 @@ class PlanSpec extends SparkSpec {
       s"unpruned lineitem scan: ${read.get}")
   }
 
+  test("q67: runtime bloom filter is injected on the fact probe side") {
+    val df = SparkEntry.queries("q67_runtime_bloom_join")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") ||
+      optimized.contains("bloom_filter"),
+      s"no runtime bloom filter in:\n$optimized")
+    // the query-scoped confs must not leak into the shared session
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1" &&
+      spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") != "0",
+      "q67 conf leaked into the shared session")
+  }
+
   test("q61: correlated scalar subquery is decorrelated to an agg+join") {
     val p = plan("q61_tpch_small_quantity")
     // the per-part average must become ONE grouped aggregate equi-joined

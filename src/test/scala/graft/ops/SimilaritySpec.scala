@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -106,6 +107,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "LSH found no near-dup pairs at sf spec corpus")
     assert(got.subsetOf(exact),
       s"LSH produced pairs the exact scorer rejects: ${got -- exact}")
+  }
+
+  test("native cosine kernel matches the HOF fold bit-for-bit") {
+    val a = emb.limit(40).select($"vec_id".as("ida"), $"embedding".as("ea"))
+    val b = emb.limit(40).select($"vec_id".as("idb"), $"embedding".as("eb"))
+    val drift = a.crossJoin(broadcast(b)).filter($"ida" < $"idb")
+      .select(VectorFunctions.cosine($"ea", $"eb").as("fast"),
+        Similarity.cosine($"ea", $"eb").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(drift == 0, s"$drift pairs drifted between kernel and HOF cosine")
+  }
+
+  test("native lshBandBuckets kernel matches the HOF banding bit-for-bit") {
+    val native = Similarity.bandedIds(emb, 16, 4, 64)
+      .select($"vec_id", $"band".cast("long").as("band"), $"bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hof = Similarity.bandedSignaturesHof(emb, 16, 4, 64)
+      .select($"vec_id", $"band", $"bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == hof,
+      s"banding drift: missing=${hof -- native} extra=${native -- hof}")
   }
 
   test("lsh bit signature is deterministic and 0/1 shaped") {

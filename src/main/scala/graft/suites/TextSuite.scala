@@ -52,7 +52,8 @@ object TextSuite {
     Q("q53_dedup_clusters", q53, Some(q53Sql)),
     Q("q54_repetition_filter", q54, Some(q54Sql)),
     Q("q58_sequence_packing", q58, Some(q58Sql)),
-    Q("q60_quality_gate", q60, Some(q60Sql))
+    Q("q60_quality_gate", q60, Some(q60Sql)),
+    Q("q68_sharded_packing", q68, Some(q68Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -399,6 +400,40 @@ object TextSuite {
       |    CASE WHEN w.fill + d.n_tokens > 512 THEN w.bin + 1 ELSE w.bin END
       |  FROM d JOIN walk w ON d.source = w.source AND d.rn = w.rn + 1)
       |SELECT doc_id, source, n_tokens, bin AS pack_id
+      |FROM walk ORDER BY doc_id""".stripMargin
+
+  /** Skew-guarded packing: the stream key widens to (source, shard) with
+    * shard = doc_id div 100, so one hot source becomes many bounded
+    * sequential tasks instead of one hot task — the 100 TB shape. Shard
+    * boundaries are a pure function of the data (never of the cluster
+    * layout); pack ids namespace as shard*shardDocs + bin. The oracle
+    * replays the same fold with the recursive CTE partitioned by
+    * (source, shard). */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    Packing.packBySource(Tables.documents(s, d), shardDocs = Some(100L))
+      .toDF().orderBy(col("doc_id"))
+
+  private val q68Sql =
+    """WITH RECURSIVE d AS MATERIALIZED (
+      |  SELECT source, doc_id,
+      |    CAST(floor(doc_id / 100) AS BIGINT) AS shard,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    row_number() OVER (
+      |      PARTITION BY source, CAST(floor(doc_id / 100) AS BIGINT)
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |walk(source, shard, rn, doc_id, n_tokens, fill, bin) AS (
+      |  SELECT source, shard, rn, doc_id, n_tokens, CAST(n_tokens AS BIGINT),
+      |    CAST(0 AS BIGINT)
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.shard, d.rn, d.doc_id, d.n_tokens,
+      |    CASE WHEN w.fill + d.n_tokens > 512 THEN CAST(d.n_tokens AS BIGINT)
+      |         ELSE w.fill + d.n_tokens END,
+      |    CASE WHEN w.fill + d.n_tokens > 512 THEN w.bin + 1 ELSE w.bin END
+      |  FROM d JOIN walk w
+      |    ON d.source = w.source AND d.shard = w.shard AND d.rn = w.rn + 1)
+      |SELECT doc_id, source, n_tokens, shard * 100 + bin AS pack_id
       |FROM walk ORDER BY doc_id""".stripMargin
 
   /** Percentile-band quality gate: per-language p10/p90 token-count

@@ -48,6 +48,39 @@ class PackingSpec extends SparkSpec {
     assert(Packing.packBySource(empty).collect().isEmpty)
   }
 
+  test("sharded packing: streams split at fixed doc_id boundaries only") {
+    val docs = Tables.documents(spark, sfDir)
+    val sharded = Packing.packBySource(docs, budget, shardDocs = Some(100L))
+      .collect()
+    // within a shard, assignment equals the unsharded greedy fold applied
+    // to that shard's documents alone, namespaced by shard*shardDocs
+    sharded.groupBy(d => (d.source, d.doc_id / 100)).foreach {
+      case ((s, sh), ds) =>
+        var fill = 0L; var bin = 0L; var first = true
+        ds.sortBy(_.doc_id).foreach { d =>
+          if (first) { fill = d.n_tokens.toLong; first = false }
+          else if (fill + d.n_tokens > budget) { bin += 1; fill = d.n_tokens.toLong }
+          else fill += d.n_tokens
+          assert(d.pack_id == sh * 100 + bin,
+            s"doc ${d.doc_id} of ($s,$sh): pack ${d.pack_id}, replay ${sh * 100 + bin}")
+        }
+    }
+    // a shard spanning the whole id range degenerates to the unsharded path
+    val wide = Packing.packBySource(docs, budget,
+        shardDocs = Some(Long.MaxValue))
+      .collect().map(d => d.doc_id -> d.pack_id).toMap
+    val unsharded = Packing.packBySource(docs, budget)
+      .collect().map(d => d.doc_id -> d.pack_id).toMap
+    assert(wide == unsharded,
+      "a single covering shard must reproduce unsharded assignment")
+    // and the sharded assignment is itself parallelism-independent
+    val again = Packing.packBySource(docs.repartition(7), budget,
+        shardDocs = Some(100L))
+      .collect().map(d => d.doc_id -> d.pack_id).toMap
+    assert(again == sharded.map(d => d.doc_id -> d.pack_id).toMap,
+      "sharded assignment changed with input partitioning")
+  }
+
   test("planted packing truth table") {
     val docs = Seq(
       (1L, "a " * 299 + "a", "s"),   // 300 tokens -> pack 0 (fill 300)

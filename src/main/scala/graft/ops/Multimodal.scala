@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,12 +11,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns next to typed metadata, and decode/feature-extraction
   * runs per-partition on executors.
   *
-  * The decode step itself is STUBBED (no codec libraries in this
+  * Image decode is REAL: `decodeImage` runs `javax.imageio` (PNG/BMP/…)
+  * per row on the executors, and image features derive from decoded
+  * pixels. Audio/video decode remains STUBBED (no codec libraries in this
   * environment): `fakeDecodeFeatures` derives a deterministic feature
-  * vector from the bytes. Everything around it — schema, binary column
+  * vector from the bytes. Everything around both — schema, binary column
   * handling, partition-parallel batch execution via mapPartitions, typed
-  * encoders — is real and is exactly the structure a JNI/FFmpeg-backed
-  * decoder would drop into.
+  * encoders — is the structure a JNI/FFmpeg-backed decoder drops into.
   */
 object Multimodal {
 
@@ -96,7 +101,10 @@ object Multimodal {
 
   /** Partition-parallel feature extraction: the batch shape a
     * mapInPandas/Arrow UDF would use, expressed as a typed mapPartitions
-    * (one decoder init per partition, streaming over rows). */
+    * (one decoder init per partition, streaming over rows). Image rows
+    * whose payload is a decodable image get REAL pixel-derived features
+    * (`javax.imageio` decode + per-stripe luminance); anything else falls
+    * back to the deterministic byte-fold stub. */
   def extractFeatures(spark: SparkSession, blobs: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("modality"), col("payload")).as[MediaRow]
@@ -105,8 +113,102 @@ object Multimodal {
         rows.map { r =>
           var crc = 7L
           r.payload.foreach(b => crc = (crc * 31 + (b & 0xff)) % 1000000007L)
+          val feature =
+            if (r.modality == "image")
+              decodeImage(r.payload).map(imageStripeFeatures(_, dim))
+                .getOrElse(fakeDecodeFeatures(r.payload, dim))
+            else fakeDecodeFeatures(r.payload, dim)
           MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, crc,
-            fakeDecodeFeatures(r.payload, dim))
+            feature)
+        }
+      }
+  }
+
+  // ---- real image decode (javax.imageio) ----------------------------------
+
+  /** REAL decode: any ImageIO-supported container (PNG, BMP, GIF, JPEG).
+    * Undecodable bytes yield None — error-as-data, never a task failure. */
+  private[ops] def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Mean luminance per vertical stripe of a decoded image — a fixed-width
+    * feature vector derived from actual pixels. */
+  private[ops] def imageStripeFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        val s = (x.toLong * dim / img.getWidth).toInt
+        sums(s) += lum; counts(s) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** Deterministic synthetic PNG fixture: pixel (x, y) of document d has
+    * channels r = (7d+13x+31y) mod 256, g = (11d+17x+5y) mod 256,
+    * b = (3d+23x+29y) mod 256 — pure integer functions of the data, and
+    * PNG is lossless, so decoded pixel statistics are replayable by the
+    * DuckDB oracle without any image library (q69). */
+  def syntheticImageBytes(docId: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7 * docId + 13 * x + 31 * y) % 256).toInt
+        val g = ((11 * docId + 17 * x + 5 * y) % 256).toInt
+        val b = ((3 * docId + 23 * x + 29 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Image-decode statistics over the image-modality slice of a document
+    * table: each executor task GENERATES the synthetic PNG fixture for its
+    * rows, runs the real `javax.imageio` decode, and folds exact integer
+    * channel sums over the decoded pixels. The means are exact rationals
+    * (integer sums / pixel count), so they compare bit-for-bit with the
+    * oracle's analytic replay of the generator pattern. */
+  def imageDecodeStats(spark: SparkSession, docs: DataFrame,
+      w: Int = 16, h: Int = 16): Dataset[ImageStats] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = decodeImage(syntheticImageBytes(id, w, h))
+            .getOrElse(throw new IllegalStateException(
+              s"fixture PNG for doc $id failed to decode"))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight
+          ImageStats(id, img.getWidth, img.getHeight,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
         }
       }
   }

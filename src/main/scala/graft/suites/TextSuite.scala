@@ -53,7 +53,8 @@ object TextSuite {
     Q("q54_repetition_filter", q54, Some(q54Sql)),
     Q("q58_sequence_packing", q58, Some(q58Sql)),
     Q("q60_quality_gate", q60, Some(q60Sql)),
-    Q("q68_sharded_packing", q68, Some(q68Sql))
+    Q("q68_sharded_packing", q68, Some(q68Sql)),
+    Q("q69_image_decode_stats", q69, Some(q69Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -262,6 +263,25 @@ object TextSuite {
     """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS blob_len,
       | source, lang
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** REAL image decode on executors: each task generates the deterministic
+    * PNG fixture for its rows, decodes it with javax.imageio, and folds
+    * exact integer channel sums over the DECODED pixels. PNG is lossless
+    * and the fixture pattern is a pure integer function of (doc_id, x, y),
+    * so the oracle replays the channel means analytically — if the decode
+    * path read even one pixel wrong, the means drift and the hash breaks. */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageDecodeStats(s, Tables.documents(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  private val q69Sql =
+    """SELECT d.doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |  avg(CAST((7*d.doc_id + 13*x.range + 31*y.range) % 256 AS DOUBLE)) AS mean_r,
+      |  avg(CAST((11*d.doc_id + 17*x.range + 5*y.range) % 256 AS DOUBLE)) AS mean_g,
+      |  avg(CAST((3*d.doc_id + 23*x.range + 29*y.range) % 256 AS DOUBLE)) AS mean_b
+      |FROM documents d, range(0, 16) x, range(0, 16) y
+      |WHERE d.doc_id % 3 = 0
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** BPE-style pre-tokenization (letter runs / digit runs / single
     * punctuation — the GPT-2 pre-tokenizer shape) with per-doc token

@@ -44,6 +44,54 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc.keySet.forall(_ % 3 == 2))
   }
 
+  test("real PNG decode round-trips the synthetic fixture exactly") {
+    val png = Multimodal.syntheticImageBytes(6L, 16, 16)
+    // a real PNG container: magic bytes + decodable by javax.imageio
+    assert(png.take(4).sameElements(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    // losslessness: every decoded pixel equals the generator pattern
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == ((7 * 6 + 13 * x + 31 * y) % 256))
+      assert(((rgb >> 8) & 0xff) == ((11 * 6 + 17 * x + 5 * y) % 256))
+      assert((rgb & 0xff) == ((3 * 6 + 23 * x + 29 * y) % 256))
+    }
+    // undecodable bytes are error-as-data, not a crash
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("imageDecodeStats means equal the analytic pattern means") {
+    val got = Multimodal.imageDecodeStats(spark, docs.limit(40)).collect()
+    assert(got.nonEmpty)
+    got.foreach { s =>
+      def mean(f: (Int, Int) => Long): Double =
+        (for (y <- 0 until 16; x <- 0 until 16) yield f(x, y)).sum / 256.0
+      assert(s.mean_r == mean((x, y) => (7 * s.doc_id + 13 * x + 31 * y) % 256))
+      assert(s.mean_g == mean((x, y) => (11 * s.doc_id + 17 * x + 5 * y) % 256))
+      assert(s.mean_b == mean((x, y) => (3 * s.doc_id + 23 * x + 29 * y) % 256))
+    }
+  }
+
+  test("extractFeatures uses decoded pixels for real image payloads") {
+    import spark.implicits._
+    val blobs = Seq((6L, "image", Multimodal.syntheticImageBytes(6L, 16, 16)))
+      .toDF("doc_id", "modality", "payload")
+    val feat = Multimodal.extractFeatures(spark, blobs, dim = 4)
+      .collect().head.feature
+    // expected: per-stripe mean luminance of the decoded fixture
+    val img = Multimodal.decodeImage(
+      Multimodal.syntheticImageBytes(6L, 16, 16)).get
+    val expect = Multimodal.imageStripeFeatures(img, 4)
+    assert(feat.sameElements(expect))
+    // and it differs from the byte-fold stub (proves the real path ran)
+    val stub = Multimodal.extractFeatures(spark,
+        blobs.withColumn("modality", lit("audio")), dim = 4)
+      .collect().head.feature
+    assert(!feat.sameElements(stub))
+  }
+
   test("resize stub produces fixed-width strided output") {
     val in = Array.tabulate(16)(_.toFloat)
     val out = Multimodal.resizeStub(in, 4)

@@ -308,17 +308,31 @@ object Similarity {
     * `numPlanes/bands` bits, each folded to an integer bucket; any vector
     * sharing at least one band-bucket with the query becomes a candidate
     * and only candidates are scored exactly. More bands => higher recall,
-    * more candidates — the recall/cost knob LSH buys at scale. */
+    * more candidates — the recall/cost knob LSH buys at scale.
+    *
+    * `multiProbe = true` additionally visits every band bucket at Hamming
+    * distance 1 from the query's (flip one bit per probe): recall stops
+    * depending on hyperplane luck at the cost of `r` extra bucket lookups
+    * per band — the probe list expands ONLY on the query side (a handful
+    * of broadcast rows), the corpus is never re-bucketed. */
   def annTopK(
       emb: DataFrame,
       queryVecId: Long,
       k: Int,
       numPlanes: Int = 16,
       bands: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      multiProbe: Boolean = false): DataFrame = {
     val banded = bandedIds(emb, numPlanes, bands, dim)
+    val r = numPlanes / bands
+    val probes: Seq[Column] =
+      if (multiProbe) lit(0L) +: Seq.tabulate(r)(j => lit(1L << j))
+      else Seq(lit(0L))
     val qb = banded.filter(col("vec_id") === queryVecId)
-      .select(col("band").as("qband"), col("bucket").as("qbucket"))
+      .select(col("band").as("qband"),
+        explode(array(probes.map(p =>
+          col("bucket").bitwiseXOR(p)): _*)).as("qbucket"))
+      .dropDuplicates("qband", "qbucket")
     val candIds = banded.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(qb),
         col("band") === col("qband") && col("bucket") === col("qbucket"))

@@ -16,7 +16,8 @@ object VectorSuite {
     Q("q39_ann_lsh", q39, Some(q39Sql)),
     Q("q44_ivf_topk", q44, Some(q44Sql)),
     Q("q48_embedding_neardup", q48, Some(q48Sql)),
-    Q("q66_lsh_neardup_pairs", q66, Some(q66Sql))
+    Q("q66_lsh_neardup_pairs", q66, Some(q66Sql)),
+    Q("q70_ann_multiprobe", q70, Some(q70Sql))
   )
 
   /** Array scalar functions over the embedding column. */
@@ -140,6 +141,46 @@ object VectorSuite {
       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Multi-probe ANN: the query also visits every band bucket at Hamming
+    * distance 1 (one flipped bit per probe), so recall no longer depends
+    * on hyperplane luck — the corpus is bucketed once, only the broadcast
+    * query side expands. The oracle replays the probe expansion with an
+    * explicit XOR VALUES list. */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10,
+      multiProbe = true)
+
+  private val q70Sql =
+    """WITH sig AS (SELECT vec_id, embedding,
+      |    list_transform(range(0, 16), p ->
+      |      CASE WHEN list_sum(list_transform(embedding, (x, i) ->
+      |        CAST(x AS DOUBLE) *
+      |        ((CAST(p*64 + i AS BIGINT) * 2654435761 % 1000000007) % 2001
+      |         - 1000) / 1000.0)) > 0
+      |      THEN 1 ELSE 0 END) AS bits
+      |  FROM embeddings),
+      |banded AS (SELECT vec_id, b.range AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        bits[b.range*4+1 : b.range*4+4]),
+      |      (a, v) -> a * 2 + v) AS bucket
+      |  FROM sig, range(0, 4) b),
+      |qb AS (SELECT DISTINCT band, xor(bucket, CAST(p.f AS BIGINT)) AS bucket
+      |  FROM banded, (VALUES (0), (1), (2), (4), (8)) p(f)
+      |  WHERE vec_id = 0),
+      |cand AS (SELECT DISTINCT banded.vec_id
+      |  FROM banded JOIN qb USING (band, bucket) WHERE banded.vec_id <> 0),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(dot / (n1 * n2), 6) AS cosine FROM (
+      |  SELECT e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(e.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n1,
+      |    sqrt(list_sum(list_transform(qe,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n2
+      |  FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, q)
+      |ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id LIMIT 10""".stripMargin
 
   /** The scale-safe near-dup composition: LSH band-bucket candidate
     * generation + exact cosine verification, fully distributed (no driver

@@ -109,6 +109,21 @@ class SimilaritySpec extends SparkSpec {
       s"LSH produced pairs the exact scorer rejects: ${got -- exact}")
   }
 
+  test("multi-probe ANN reaches recall >= 0.9 vs exact top-10") {
+    val brute = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val mp = Similarity.annTopK(emb, 0L, 10, multiProbe = true)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(mp).size / 10.0
+    assert(recall >= 0.9, s"multi-probe recall $recall; " +
+      s"single-probe missed=${brute -- mp}")
+    // every returned cosine is still the exact score (subset property)
+    val bruteAll = Similarity.cosineTopK(emb, 0L, 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    Similarity.annTopK(emb, 0L, 10, multiProbe = true).collect()
+      .foreach(r => assert(bruteAll(r.getLong(0)) == r.getDouble(1)))
+  }
+
   test("native cosine kernel matches the HOF fold bit-for-bit") {
     val a = emb.limit(40).select($"vec_id".as("ida"), $"embedding".as("ea"))
     val b = emb.limit(40).select($"vec_id".as("idb"), $"embedding".as("eb"))

@@ -273,16 +273,21 @@ object TiffIO {
   }
 
   /** IFD0 as tag -> values, handling classic and BigTIFF layouts. */
-  private def parseIfd0(bb: ByteBuffer): Map[Int, IndexedSeq[Long]] = {
+  private def parseIfd0(bb: ByteBuffer): Map[Int, IndexedSeq[Long]] =
+    parseIfdAt(bb,
+      if (bb.getShort(2).toInt == 43) bb.getLong(8)
+      else bb.getInt(4).toLong & 0xffffffffL)._1
+
+  /** One IFD (tag -> long values) plus the next-IFD offset. */
+  private def parseIfdAt(bb: ByteBuffer, ifdOff: Long): (Map[Int, IndexedSeq[Long]], Long) = {
     val big = bb.getShort(2).toInt == 43
-    val ifdOff = if (big) bb.getLong(8) else bb.getInt(4).toLong & 0xffffffffL
     val n =
       if (big) bb.getLong(ifdOff.toInt).toInt
       else bb.getShort(ifdOff.toInt).toInt & 0xffff
     val entrySize = if (big) 20 else 12
     val entryBase = ifdOff.toInt + (if (big) 8 else 2)
     val inlineMax = if (big) 8 else 4
-    (0 until n).map { i =>
+    val entries = (0 until n).map { i =>
       val base = entryBase + i * entrySize
       val tag = bb.getShort(base).toInt & 0xffff
       val typ = bb.getShort(base + 2).toInt & 0xffff
@@ -303,6 +308,72 @@ object TiffIO {
       }
       tag -> vals
     }.toMap
+    val nextAt = entryBase + n * entrySize
+    val next =
+      if (big) bb.getLong(nextAt)
+      else bb.getInt(nextAt).toLong & 0xffffffffL
+    (entries, next)
+  }
+
+  // ---------------------------------------------------------------------
+  // COG range-read contract
+  // ---------------------------------------------------------------------
+
+  /** Tile layout of one pyramid level, as locatable from a header prefix. */
+  case class LevelLayout(
+      width: Int, height: Int, tileWidth: Int, tileHeight: Int,
+      compression: Int, predictor: Int,
+      tileOffsets: IndexedSeq[Long], tileByteCounts: IndexedSeq[Long])
+
+  /** The COG streaming contract: ONE bounded range request (the first
+    * `prefix.length` bytes) must contain the complete IFD chain and every
+    * referenced tag array, so a reader can locate any level's tiles —
+    * notably the smallest overview — and fetch exactly those byte ranges.
+    * Returns one layout per IFD in chain order (head = full image, last =
+    * smallest overview). Throws if the prefix is too short, i.e. the file
+    * violates header-first layout for this prefix size. */
+  def levelLayoutsFromPrefix(prefix: Array[Byte]): Seq[LevelLayout] = {
+    val bb = ByteBuffer.wrap(prefix).order(ByteOrder.LITTLE_ENDIAN)
+    require((bb.get(0) & 0xff) == 0x49 && (bb.get(1) & 0xff) == 0x49,
+      "not a little-endian TIFF")
+    val big = bb.getShort(2).toInt == 43
+    var off = if (big) bb.getLong(8) else bb.getInt(4).toLong & 0xffffffffL
+    val out = Seq.newBuilder[LevelLayout]
+    try {
+      var levels = 0
+      while (off != 0 && levels < 64) {
+        val (ifd, next) = parseIfdAt(bb, off)
+        def gv(t: Int) = ifd.getOrElse(t, IndexedSeq.empty[Long])
+        out += LevelLayout(
+          gv(TImageWidth).head.toInt, gv(TImageLength).head.toInt,
+          gv(TTileWidth).headOption.map(_.toInt).getOrElse(0),
+          gv(TTileLength).headOption.map(_.toInt).getOrElse(0),
+          gv(TCompression).headOption.map(_.toInt).getOrElse(1),
+          gv(TPredictor).headOption.map(_.toInt).getOrElse(1),
+          if (ifd.contains(TTileOffsets)) gv(TTileOffsets)
+          else gv(TStripOffsets),
+          if (ifd.contains(TTileByteCounts)) gv(TTileByteCounts)
+          else gv(TStripByteCounts))
+        off = next
+        levels += 1
+      }
+    } catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          s"prefix of ${prefix.length} bytes does not cover the IFD chain " +
+            "— file is not header-first range-readable at this size", e)
+    }
+    out.result()
+  }
+
+  /** Decode one fetched tile of a level (decompress + undo predictor);
+    * returns tileWidth*tileHeight floats (edge tiles include padding). */
+  def decodeLevelTile(l: LevelLayout, tileBytes: Array[Byte]): Array[Float] = {
+    val raw = decompress(tileBytes, l.compression,
+      l.tileWidth * l.tileHeight * 4)
+    val undone = undoPredictor(raw, l.predictor, l.tileWidth, l.tileHeight)
+    val fb = ByteBuffer.wrap(undone).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(l.tileWidth * l.tileHeight)(i => fb.getFloat(i * 4))
   }
 
   /** (offsets, byteCounts, tileWidth, tileHeight) of IFD0. */

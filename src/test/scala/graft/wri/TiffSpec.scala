@@ -72,6 +72,58 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("COG conformance: one prefix read locates every level; tiles are range-readable") {
+    val p = tmp("stream.tif")
+    val w = 512; val hh = 384
+    val px = testPixels(w, hh)
+    TiffWriter.writeCog(p, w, hh, px, geo,
+      TiffWriter.CogOptions(blockSize = 64, compression = Lzw, predictor = 3))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+
+    // range request #1: the first 16 KB must contain the complete IFD
+    // chain + every tag array (tile offsets/counts for all levels)
+    val prefix = bytes.take(16 * 1024)
+    val layouts = levelLayoutsFromPrefix(prefix)
+    assert(layouts.length == 4, s"levels=${layouts.length}") // 512->256->128->64
+    assert(layouts.head.width == w && layouts.head.height == hh)
+    assert(layouts.last.width == 64 && layouts.last.height == 48)
+    // strictly header-first: every tile byte of every level sits after the
+    // whole header block the prefix parse consumed
+    val h = readHeader(p)
+    assert(h.isCogLayout)
+    assert(layouts.flatMap(_.tileOffsets).min >= h.ifdChainEnd,
+      "tile data interleaved with the IFD chain")
+
+    // range request #2: fetch ONLY the smallest overview's tiles
+    val small = layouts.last
+    val overviewPixels = small.tileOffsets.zip(small.tileByteCounts).map {
+      case (off, n) =>
+        decodeLevelTile(small, bytes.slice(off.toInt, (off + n).toInt))
+    }
+    assert(overviewPixels.length == 1) // 64x48 fits one 64x64 tile
+    val valid = for (y <- 0 until 48; x <- 0 until 64)
+      yield overviewPixels.head(y * 64 + x)
+    assert(valid.forall(v => !v.isNaN && v >= px.min && v <= px.max),
+      "overview pixels out of source range")
+    // economy: the overview fetch reads a small fraction of the file
+    assert(small.tileByteCounts.sum < bytes.length / 4,
+      s"overview fetch ${small.tileByteCounts.sum} of ${bytes.length}")
+
+    // random access: one full-res tile fetched by range decodes to exactly
+    // its source block
+    val full = layouts.head
+    val t0 = decodeLevelTile(full,
+      bytes.slice(full.tileOffsets.head.toInt,
+        (full.tileOffsets.head + full.tileByteCounts.head).toInt))
+    for (y <- 0 until 64; x <- 0 until 64)
+      assert(t0(y * 64 + x) == px(y * w + x), s"full-res tile drift at ($x,$y)")
+
+    // a prefix that cannot hold the chain must fail loudly, not misparse
+    intercept[IllegalArgumentException] {
+      levelLayoutsFromPrefix(bytes.take(64))
+    }
+  }
+
   test("BigTIFF COG round-trips (magic 43, 8-byte offsets)") {
     val p = tmp("big.tif")
     val w = 70; val hh = 50

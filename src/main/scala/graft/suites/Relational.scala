@@ -38,8 +38,39 @@ object Relational {
     Q("q12_window_running_lag", q12, Some(q12Sql)),
     Q("q13_distinct_order", q13, Some(q13Sql)),
     Q("q14_set_union_intersect_except", q14, Some(q14Sql)),
-    Q("q15_orderby_limit_topk", q15, Some(q15Sql))
+    Q("q15_orderby_limit_topk", q15, Some(q15Sql)),
+    Q("q71_binned_interval_join", q71, Some(q71Sql))
   )
+
+  /** Point-in-interval join WITHOUT a nested loop: lineitem ship dates
+    * against the 7-day windows of high-value orders, via ops.RangeJoin's
+    * fixed-width binning — both sides meet on an integer bin key
+    * (equi-join, shuffle partitionable), and the exact [start, end)
+    * predicate runs only on per-bin candidates. The naive theta join
+    * would be a broadcast nested loop over every (lineitem, window)
+    * pair — O(n*m) that dies when neither side is tiny. */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val windows = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey").as("w_orderkey"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+    graft.ops.RangeJoin.pointInInterval(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        "l_shipdate", windows, "w_start", "w_end")
+      .groupBy(col("w_orderkey"))
+      .agg(count(lit(1)).as("n_shipped_in_window"))
+      .orderBy(col("w_orderkey"))
+  }
+
+  private val q71Sql =
+    """SELECT o_orderkey AS w_orderkey, count(*) AS n_shipped_in_window
+      |FROM lineitem JOIN (
+      |  SELECT o_orderkey, o_orderdate AS ws,
+      |    o_orderdate + INTERVAL 7 DAY AS we
+      |  FROM orders WHERE o_totalprice > 450000) w
+      |  ON l_shipdate >= ws AND l_shipdate < we
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** TPC-H Q1-style grouped pricing summary (SURVEY §2.4 A1/A5 analog). */
   private def q01(s: SparkSession, d: String): DataFrame =

@@ -48,18 +48,26 @@ object Relational {
     * (equi-join, shuffle partitionable), and the exact [start, end)
     * predicate runs only on per-bin candidates. The naive theta join
     * would be a broadcast nested loop over every (lineitem, window)
-    * pair — O(n*m) that dies when neither side is tiny. */
+    * pair — O(n*m) that dies when neither side is tiny.
+    *
+    * Since only counts survive, the count is pushed BELOW the expanding
+    * join: lineitem pre-aggregates per ship date (~2.5k rows at sf0.1
+    * instead of 600k), the interval join matches dates to windows, and
+    * the final sum re-expands — 25M matched pairs become ~100k without
+    * changing the answer. The same partial-agg-below-expand-join shape is
+    * what keeps this query alive at 100 TB. */
   private def q71(s: SparkSession, d: String): DataFrame = {
     val windows = Tables.orders(s, d)
       .filter(col("o_totalprice") > 450000)
       .select(col("o_orderkey").as("w_orderkey"),
         col("o_orderdate").as("w_start"),
         (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+    val byDate = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate")).agg(count(lit(1)).as("date_cnt"))
     graft.ops.RangeJoin.pointInInterval(
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
-        "l_shipdate", windows, "w_start", "w_end")
+        byDate, "l_shipdate", windows, "w_start", "w_end")
       .groupBy(col("w_orderkey"))
-      .agg(count(lit(1)).as("n_shipped_in_window"))
+      .agg(sum(col("date_cnt")).as("n_shipped_in_window"))
       .orderBy(col("w_orderkey"))
   }
 

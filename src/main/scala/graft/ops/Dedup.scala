@@ -290,6 +290,34 @@ object Dedup {
         (col("id") === col("cluster_id")).cast("int").as("keep"))
   }
 
+  /** Canonical corpus after near-dedup: the input minus every
+    * non-canonical cluster member (composition of [[duplicateClusters]]
+    * with a left-anti join — the actual "write the deduped dataset"
+    * step of a training pipeline). */
+  def canonicalCorpus(docs: DataFrame, textCol: String = "text",
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val nonKeepers = duplicateClusters(docs, textCol, minEstJaccard)
+      .filter(col("keep") === 0).select(col("doc_id"))
+    docs.join(nonKeepers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Benchmark decontamination: ids of training documents that share at
+    * least one hashed word n-gram with any holdout document. Both sides
+    * explode to (doc_id, gram) postings — the shuffle moves 16-byte
+    * posting rows, never texts — and meet in an equi-semi-join on the
+    * gram hash; holdout grams dedup before the join. Long n (default 8)
+    * makes overlap mean verbatim leakage, not shared phrasing. */
+  def contaminatedIds(docs: DataFrame, isHoldout: Column, n: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col("doc_id"), isHoldout.as("is_holdout"),
+      explode(TextAnalysis.hashedNgrams(col(textCol), n)).as("gram"))
+    val holdoutGrams = grams.filter(col("is_holdout"))
+      .select(col("gram")).distinct()
+    grams.filter(!col("is_holdout"))
+      .join(holdoutGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs over the whole corpus,
     * computed as a prefix-filtered similarity join (AllPairs, Bayardo et
     * al.): with shingles in a canonical global order (ascending hash

@@ -54,7 +54,9 @@ object TextSuite {
     Q("q58_sequence_packing", q58, Some(q58Sql)),
     Q("q60_quality_gate", q60, Some(q60Sql)),
     Q("q68_sharded_packing", q68, Some(q68Sql)),
-    Q("q69_image_decode_stats", q69, Some(q69Sql))
+    Q("q69_image_decode_stats", q69, Some(q69Sql)),
+    Q("q72_canonical_corpus", q72, Some(q72Sql)),
+    Q("q73_decontaminate", q73, Some(q73Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -368,6 +370,70 @@ object TextSuite {
        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        |  CAST(CASE WHEN id = cluster_id THEN 1 ELSE 0 END AS INT) AS keep
        |FROM labels
+       |ORDER BY doc_id""".stripMargin
+
+  /** The "write the deduped dataset" step: corpus minus every
+    * non-canonical near-dup cluster member (q53's clustering composed
+    * with a left-anti join). The oracle replays the whole chain —
+    * signatures, banding, candidates, recursive min-label propagation —
+    * then applies the same anti-join. */
+  private def q72(s: SparkSession, d: String): DataFrame =
+    Dedup.canonicalCorpus(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val q72Sql =
+    s"""WITH RECURSIVE ${mat(thCte)},
+       |${mat(gramsCte)},
+       |${mat(sigCte)},
+       |$minhashBandCtes,
+       |$candCte,
+       |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
+       |      UNION ALL SELECT doc_b, doc_a FROM cand),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |walk(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.a, w.lbl FROM e JOIN walk w ON w.id = e.b),
+       |labels AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+       |SELECT doc_id, source, lang FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: training docs (doc_id % 97 <> 0) that
+    * share NO hashed 4-gram with the holdout slice (doc_id % 97 = 0) —
+    * verbatim-leakage semantics: 4 consecutive tokens in common = drop
+    * (4 is calibrated to this templated corpus; real pipelines use 8-13).
+    * The posting-list semi-join on the gram hash is the scale shape —
+    * texts never ride the shuffle. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dropIds = Dedup.contaminatedIds(docs, col("doc_id") % 97 === 0, n = 4)
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q73Sql =
+    s"""WITH $thCte,
+       |g4 AS (SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      list_transform(th, (x, i) ->
+       |        CASE WHEN i + 3 <= len(th)
+       |             THEN list_reduce(th[i:i+3],
+       |                    (a, v) -> (a * 131 + v) % 1000000007) END),
+       |      z -> z IS NOT NULL)) AS grams
+       |  FROM th),
+       |hold AS (SELECT DISTINCT unnest(grams) AS gram FROM g4
+       |  WHERE doc_id % 97 = 0),
+       |contaminated AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(grams) AS gram FROM g4
+       |    WHERE doc_id % 97 <> 0) t
+       |  JOIN hold USING (gram))
+       |SELECT doc_id, source, lang FROM documents
+       |WHERE doc_id % 97 <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
        |ORDER BY doc_id""".stripMargin
 
   /** Gopher-style repetition filters. The Spark side is a per-row sorted

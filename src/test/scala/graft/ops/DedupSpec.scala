@@ -127,6 +127,30 @@ class DedupSpec extends SparkSpec {
     verified.foreach(j => assert(j > 0.5, s"false positive with jaccard $j"))
   }
 
+  test("canonicalCorpus drops exactly the non-canonical cluster members") {
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val clusters = Dedup.duplicateClusters(corpus).collect()
+    val nonKeepers = clusters.filter(_.getAs[Int]("keep") == 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val kept = Dedup.canonicalCorpus(corpus)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- nonKeepers)
+    assert(nonKeepers.nonEmpty, "spec corpus has no near-dups to drop")
+  }
+
+  test("contaminatedIds: planted verbatim overlap is flagged, fresh text is not") {
+    val data = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta", true),   // holdout
+      (1L, "prefix words then alpha beta gamma delta end", false), // 4-gram hit
+      (2L, "alpha beta gamma nothing shared here at all", false),  // only 3-gram
+      (3L, "totally fresh content with no overlap present", false)
+    ).toDF("doc_id", "text", "hold")
+    val got = Dedup.contaminatedIds(data, $"hold", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"got $got")
+  }
+
   test("connectedComponents of an empty edge list is empty, not a hang") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).collect().isEmpty)

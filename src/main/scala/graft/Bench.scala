@@ -35,10 +35,14 @@ object Bench {
           Left(e.getClass.getSimpleName)
         }
       }
-      name -> ((once(), once()) match {
+      val timed = (once(), once()) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (a, b) => Left(a.left.toOption.orElse(b.left.toOption).get)
-      })
+      }
+      // per-query hygiene: a leaked cache or stale broadcast from one
+      // query must not tax the next one's GC (timings stay independent)
+      spark.catalog.clearCache()
+      name -> timed
     }
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-side data layout for scan efficiency at 100 TB: range clustering
+  * and Z-order (Morton) clustering.
+  *
+  * Parquet readers skip row groups / files whose min-max statistics
+  * exclude the query predicate — but statistics only help if the writer
+  * CLUSTERED the data so each file covers a narrow value range.
+  * `clusteredWrite` gives one-dimensional clustering (disjoint per-file
+  * ranges on the cluster key: a point/range query touches O(1) files);
+  * `zorderKey` interleaves the bits of two dimensions so per-file ranges
+  * are narrow in BOTH dimensions simultaneously — the standard layout for
+  * two-sided selective scans (time × tenant, partkey × suppkey) where a
+  * linear sort would leave every file spanning the full second dimension.
+  *
+  * Reference analog: the COG layout discipline (tiles clustered so an HTTP
+  * range request reads one tile, not the raster) applied to columnar
+  * tables.
+  */
+object Layout {
+
+  /** Range-clustered parquet write: `numFiles` output files with
+    * pairwise-disjoint (modulo range-boundary ties) sorted ranges of
+    * `keys`. repartitionByRange samples the key distribution, so skew
+    * yields balanced files, not equal-width ranges. */
+  def clusteredWrite(df: DataFrame, path: String, numFiles: Int,
+      keys: Column*): Unit =
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** Scale a numeric column into the integer grid [0, 2^bits) given its
+    * (min, max) domain — the quantization step before bit interleaving. */
+  def gridCell(c: Column, min: Double, max: Double, bits: Int): Column = {
+    require(max > min, s"degenerate domain [$min, $max]")
+    val cells = 1L << bits
+    least(lit(cells - 1), greatest(lit(0L),
+      floor((c.cast("double") - lit(min)) / lit(max - min) * lit(cells))
+        .cast("long")))
+  }
+
+  /** Morton (Z-order) key: interleaves the low `bits` bits of two grid
+    * cells (a in even positions, b in odd). Pure bit arithmetic — one
+    * codegen'd expression, no UDF. */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-order-clustered write over two numeric dimensions: grid-quantize
+    * each to `bits` bits, cluster files by the interleaved key. The key
+    * is layout-only — it does not appear in the written schema. */
+  def zorderWrite(df: DataFrame, path: String, numFiles: Int,
+      dimA: Column, domainA: (Double, Double),
+      dimB: Column, domainB: (Double, Double),
+      bits: Int = 16): Unit = {
+    val z = zorderKey(
+      gridCell(dimA, domainA._1, domainA._2, bits),
+      gridCell(dimB, domainB._1, domainB._2, bits), bits)
+    df.withColumn("__zkey", z)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}

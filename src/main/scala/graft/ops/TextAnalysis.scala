@@ -187,4 +187,29 @@ object TextAnalysis {
         when(col("frac_top_bigram") >= flagThreshold, lit(1)).otherwise(lit(0))
           .cast("int").as("flagged"))
   }
+
+  /** PII patterns a pre-training scrub pass must catch. Kept to the
+    * regex subset whose semantics are identical between Java regex
+    * (Spark) and RE2 (DuckDB/Go tooling): character classes,
+    * quantifiers, alternation — no backrefs, no lookaround — so the
+    * scrub is portable and oracle-replayable. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{2,4}",
+    "ipv4"  -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Redact every PII match with a typed placeholder token. Pure
+    * chained regexp_replace — codegen'd, zero shuffle, linear scan:
+    * the shape a 100 TB scrub pass must have (the regex NFA cost is
+    * per-byte; nothing leaves the row). */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<$kind>")
+    }
+
+  /** Per-category PII match counts (for scrub audit reports). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (kind, pat) =>
+      kind -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
 }

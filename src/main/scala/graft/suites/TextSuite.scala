@@ -56,7 +56,9 @@ object TextSuite {
     Q("q68_sharded_packing", q68, Some(q68Sql)),
     Q("q69_image_decode_stats", q69, Some(q69Sql)),
     Q("q72_canonical_corpus", q72, Some(q72Sql)),
-    Q("q73_decontaminate", q73, Some(q73Sql))
+    Q("q73_decontaminate", q73, Some(q73Sql)),
+    Q("q80_pii_scrub", q80, Some(q80Sql)),
+    Q("q81_heavy_hitters", q81, Some(q81Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -603,4 +605,64 @@ object TextSuite {
        |  CAST(sum(CASE WHEN $fpSqlExpr % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_sampled
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** PII scrub audit: deterministic synthetic PII (emails/phone/IPv4
+    * derived from doc_id — the corpus itself is PII-free word soup) is
+    * injected, then redacted by the portable-regex scrub pass
+    * ([[TextAnalysis.scrubPii]]). Per-category match counts plus the
+    * scrubbed length pin the exact match SPANS, not just presence.
+    * Zero shuffle until the final orderBy — at 100 TB this is pure
+    * map-side work. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val withPii = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        repeat(lit(" reach me at bob@example.com"),
+          pmod(col("doc_id"), lit(3)).cast("int")),
+        lit(" call +1 555 010 0100 from 10.0."),
+        pmod(col("doc_id"), lit(256)), lit(".7")).as("text"))
+    val counts = TextAnalysis.piiCounts(col("text"))
+    withPii.select(
+        col("doc_id") +: counts.map { case (k, c) => c.as(s"n_$k") } :+
+          length(TextAnalysis.scrubPii(col("text"))).as("len_scrubbed"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q80Sql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{2,4}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    s"""WITH pii AS (SELECT doc_id,
+       |  text || repeat(' reach me at bob@example.com',
+       |                 CAST(doc_id % 3 AS INT))
+       |       || ' call +1 555 010 0100 from 10.0.'
+       |       || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$ipv4')) AS INT) AS n_ipv4,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<email>', 'g'),
+       |    '$phone', '<phone>', 'g'),
+       |    '$ipv4', '<ipv4>', 'g')) AS INT) AS len_scrubbed
+       |FROM pii ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact corpus-wide heavy-hitter tokens via the Misra-Gries
+    * candidate sketch + exact recount ([[graft.ops.HeavyHitters]]).
+    * minFreq=0.034 sits inside the corpus's near-uniform token band, so
+    * the sketch capacity (30) is BELOW the vocabulary size (31) and the
+    * decrement-all eviction path actually runs. */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    graft.ops.HeavyHitters.heavyHitterTokens(
+      Tables.documents(s, d), minFreq = 0.034)
+
+  private val q81Sql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |t AS (SELECT token FROM toks WHERE token <> '')
+      |SELECT token, count(*) AS cnt FROM t
+      |GROUP BY token
+      |HAVING count(*) > (SELECT count(*) FROM t) * 0.034
+      |ORDER BY cnt DESC, token""".stripMargin
 }

@@ -26,7 +26,13 @@ object Tpch {
     Q("q56_tpch_local_supplier_volume", q56, Some(q56Sql)),
     Q("q57_tpch_profit_by_nation_year", q57, Some(q57Sql)),
     Q("q61_tpch_small_quantity", q61, Some(q61Sql)),
-    Q("q67_runtime_bloom_join", q67, Some(q67Sql))
+    Q("q67_runtime_bloom_join", q67, Some(q67Sql)),
+    Q("q74_tpch_returned_items", q74, Some(q74Sql)),
+    Q("q75_tpch_order_distribution", q75, Some(q75Sql)),
+    Q("q76_tpch_promo_revenue", q76, Some(q76Sql)),
+    Q("q77_tpch_large_orders", q77, Some(q77Sql)),
+    Q("q78_tpch_bracket_join", q78, Some(q78Sql)),
+    Q("q79_tpch_sales_opportunity", q79, Some(q79Sql))
   )
 
   private def revenue: org.apache.spark.sql.Column =
@@ -179,4 +185,178 @@ object Tpch {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_totalprice > 400000
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q10: top customers by lost revenue from returned items in one
+    * order quarter. The returnflag filter sits on the lineitem scan, the
+    * date window on the orders scan; nation broadcasts; the grouped
+    * top-20 ends as TakeOrderedAndProject, never a global sort. */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      // sum exact per-row CENTS (bigint), not doubles: a double sum is
+      // order-dependent across engines and one ulp can flip round(_, 2)
+      // at a half-cent boundary (it does, on this query's data)
+      .agg(round(sum(round(revenue * 100, 0).cast("long")) / 100.0, 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val q74Sql =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  round(sum(CAST(round(l_extendedprice*(1-l_discount)*100, 0)
+      |                 AS BIGINT)) / 100.0, 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q13: customer count by number of orders placed (including
+    * zero-order customers via the left join). Two aggregations, both
+    * map-side-combinable; the first groups on the join key itself so AQE
+    * can fold the shuffle into the join's exchange. */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private val q75Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14: promo revenue share for one ship-month — a conditional
+    * aggregate over a single selective scan range; both the date filter
+    * and the 2-column projection reach the parquet scan. */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0))) /
+          sum(revenue), 4).as("promo_share"))
+
+  private val q76Sql =
+    """SELECT round(100.0 *
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) /
+      |    sum(l_extendedprice*(1-l_discount)), 4) AS promo_share
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin
+
+  /** TPC-H Q18: large-volume orders — a grouped HAVING over the fact
+    * table feeding a semi-join back onto itself plus customer/orders.
+    * The qty aggregate groups on l_orderkey, so the join back to
+    * lineitem reuses the same hash partitioning (no extra fact
+    * shuffle); customers arrive by equi-join after the fact side has
+    * already shrunk to qualifying orders. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 160)
+    bigOrders
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q77Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  total_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 160)
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q19: disjunctive bracket join — OR of (brand, size-range,
+    * quantity-range) conjuncts. The join key stays a pure equi-join on
+    * partkey (the brackets are residual filters), so Catalyst keeps the
+    * hash join; the common quantity/size bounds are pushed to the scans
+    * as the OR-union envelope. */
+  private def q78(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 35)))
+      .agg(round(sum(revenue), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  private val q78Sql =
+    """SELECT round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+      |  count(*) AS cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  /** TPC-H Q22: dormant high-balance customers — scalar subquery for the
+    * positive-balance average (one tiny broadcast row) + anti join
+    * against qualifying orders (none above the value threshold: the
+    * driver data gives every customer SOME order, so the classic
+    * "no orders at all" predicate would be vacuously empty), grouped by
+    * market segment. Catalyst plans the anti join as a hash anti on
+    * custkey; the average is a separate 1-row aggregate, never
+    * correlated. */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q79Sql =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_totalprice > 400000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

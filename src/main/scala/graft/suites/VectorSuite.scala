@@ -17,7 +17,8 @@ object VectorSuite {
     Q("q44_ivf_topk", q44, Some(q44Sql)),
     Q("q48_embedding_neardup", q48, Some(q48Sql)),
     Q("q66_lsh_neardup_pairs", q66, Some(q66Sql)),
-    Q("q70_ann_multiprobe", q70, Some(q70Sql))
+    Q("q70_ann_multiprobe", q70, Some(q70Sql)),
+    Q("q82_int8_quantize", q82, Some(q82Sql))
   )
 
   /** Array scalar functions over the embedding column. */
@@ -221,4 +222,29 @@ object VectorSuite {
       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
       |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Symmetric int8 quantization report ([[graft.ops.Quantize]]):
+    * per-vector scale, exact integer checksum of the quantized codes,
+    * saturation count and max reconstruction error — all DOUBLE-pinned
+    * per-row arithmetic the oracle replays exactly. */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    graft.ops.Quantize.quantizationReport(Tables.embeddings(s, d))
+
+  private val q82Sql =
+    """WITH q AS (SELECT vec_id,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+      |    embedding FROM embeddings),
+      |qq AS (SELECT vec_id, scale, embedding,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE greatest(-127, least(127,
+      |        CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))) END) AS qv
+      |  FROM q)
+      |SELECT vec_id, round(scale, 9) AS scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+      |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS INT) AS n_saturated,
+      |  round(list_max(list_transform(list_zip(embedding, qv),
+      |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))), 9)
+      |    AS max_err
+      |FROM qq ORDER BY vec_id""".stripMargin
 }

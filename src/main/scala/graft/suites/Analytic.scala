@@ -36,7 +36,8 @@ object Analytic {
     Q("q62_hopping_window", q62, Some(q62Sql)),
     Q("q63_session_window", q63, Some(q63Sql)),
     Q("q64_argmax_per_group", q64, Some(q64Sql)),
-    Q("q65_topk_aggregator", q65, Some(q65Sql))
+    Q("q65_topk_aggregator", q65, Some(q65Sql)),
+    Q("q83_rank_functions", q83, Some(q83Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -541,4 +542,38 @@ object Analytic {
       |      ORDER BY c_acctbal DESC, c_custkey DESC) AS INT) AS rank
       |  FROM customer)
       |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
+
+  /** The remaining rank-family window functions in one pass: ntile,
+    * percent_rank, cume_dist, first_value and nth_value share ONE
+    * window ordering (unique tiebreak on o_orderkey), so all five
+    * compute on a single key shuffle + sort — the plan a 100 TB
+    * leaderboard query needs. Ratios are rounded in both engines. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first_value(col("o_orderkey")).over(w).as("top_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .filter(col("rn") <= 50)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private val q83Sql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    row_number() OVER w AS rn,
+      |    ntile(4) OVER w AS quartile,
+      |    round(percent_rank() OVER w, 6) AS pct_rank,
+      |    round(cume_dist() OVER w, 6) AS cume,
+      |    first_value(o_orderkey) OVER w AS top_order,
+      |    nth_value(o_orderkey, 2) OVER w AS second_order
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 50 ORDER BY o_orderpriority, rn""".stripMargin
 }

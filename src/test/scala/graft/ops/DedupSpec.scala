@@ -186,4 +186,29 @@ class DedupSpec extends SparkSpec {
       assert(ms.forall(_._3 == ms.length))
     }
   }
+
+  test("collapsedNgramJaccardPairs is row-identical to the direct join " +
+      "on a duplicated corpus") {
+    // 3 copies of every doc (offset ids) — the duplication pattern that
+    // makes the direct AllPairs join degrade quadratically
+    val tripled = (0 until 3).map(k =>
+        docs.select((col("doc_id") + lit(k * 100L)).as("doc_id"),
+          col("text"), col("source")))
+      .reduce(_ unionByName _)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val direct = norm(Dedup.ngramJaccardPairs(tripled, threshold = 0.05))
+    val collapsed =
+      norm(Dedup.collapsedNgramJaccardPairs(tripled, threshold = 0.05))
+    assert(collapsed == direct,
+      s"collapse/expand drifted: direct=${direct.size} collapsed=${collapsed.size}")
+    assert(direct.nonEmpty)
+  }
+
+  test("exactDupMembership maps every doc to the min doc_id of its text") {
+    val m = Dedup.exactDupMembership(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
 }

@@ -37,7 +37,8 @@ object Analytic {
     Q("q63_session_window", q63, Some(q63Sql)),
     Q("q64_argmax_per_group", q64, Some(q64Sql)),
     Q("q65_topk_aggregator", q65, Some(q65Sql)),
-    Q("q83_rank_functions", q83, Some(q83Sql))
+    Q("q83_rank_functions", q83, Some(q83Sql)),
+    Q("q85_gap_fill", q85, Some(q85Sql))
   )
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
@@ -576,4 +577,52 @@ object Analytic {
       |  WINDOW w AS (PARTITION BY o_orderpriority
       |               ORDER BY o_totalprice DESC, o_orderkey))
       |WHERE rn <= 50 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Time-series gap fill: a dense (user, day) grid left-joins the
+    * daily aggregate, and missing days forward-fill the last observed
+    * value (last IGNORE NULLS over a running frame). The grid is a
+    * broadcast crossJoin of distinct users x one generated day sequence
+    * (two tiny sides — never a fact-table cartesian); daily sums are
+    * exact integer micros so the fill propagates identical values in
+    * both engines. The standard resample/ffill primitive for
+    * training-curve and sensor pipelines. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(sum(round(col("value") * 1000000, 0).cast("long")).as("dv"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(
+        span.select(explode(sequence(col("d0"), col("d1"))).as("day"))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("dv").isNotNull.cast("int").as("has_event"),
+        round(coalesce(last(col("dv"), ignoreNulls = true).over(w),
+          lit(0L)) / 1000000.0, 6).as("value_ffill"))
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        col("has_event"), col("value_ffill"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q85Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+      |  FROM events),
+      |daily AS (SELECT user_id, day,
+      |    CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS dv
+      |  FROM ev GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |grid AS (SELECT u.user_id, CAST(g.day AS DATE) AS day
+      |  FROM (SELECT DISTINCT user_id FROM ev) u, span,
+      |    unnest(generate_series(span.d0, span.d1, INTERVAL 1 DAY))
+      |      AS g(day))
+      |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+      |  CASE WHEN dv IS NOT NULL THEN 1 ELSE 0 END AS has_event,
+      |  round(coalesce(last_value(dv IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING),
+      |    0) / 1000000.0, 6) AS value_ffill
+      |FROM grid LEFT JOIN daily USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
 }

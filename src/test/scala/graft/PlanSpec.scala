@@ -216,6 +216,16 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges("q80_pii_scrub") == 0, plan("q80_pii_scrub"))
   }
 
+  test("q85: gap-fill grid is a broadcast of tiny sides, fill is one key shuffle") {
+    val p = plan("q85_gap_fill")
+    // the users x days cross join must build from BROADCAST exchanges
+    // (both sides are tiny); the fact table itself is never cartesian'd
+    assert(p.contains("BroadcastExchange"), s"grid not broadcast in:\n$p")
+    // daily aggregate is two-phase
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial aggregation in:\n$p")
+  }
+
   test("q81: heavy-hitter recount is a broadcast semi-join on candidates") {
     val p = plan("q81_heavy_hitters")
     // candidates broadcast into a hash semi join; the only nested loop

@@ -32,7 +32,8 @@ object Tpch {
     Q("q76_tpch_promo_revenue", q76, Some(q76Sql)),
     Q("q77_tpch_large_orders", q77, Some(q77Sql)),
     Q("q78_tpch_bracket_join", q78, Some(q78Sql)),
-    Q("q79_tpch_sales_opportunity", q79, Some(q79Sql))
+    Q("q79_tpch_sales_opportunity", q79, Some(q79Sql)),
+    Q("q86_tpch_order_priority", q86, Some(q86Sql))
   )
 
   private def revenue: org.apache.spark.sql.Column =
@@ -359,4 +360,31 @@ object Tpch {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |                  AND o_totalprice > 400000)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q4: order counts by priority where at least one line item is
+    * large (no l_commitdate in the driver schema, so a quantity
+    * predicate stands in for the late-delivery one). Deliberately
+    * through the spark.sql PARSER path: Catalyst must rewrite the
+    * correlated EXISTS into a left semi join on o_orderkey — never a
+    * per-row subquery — which PlanSpec asserts. */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("q86_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("q86_lineitem")
+    s.sql("""SELECT o_orderpriority, count(*) AS order_count
+      FROM q86_orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND EXISTS (SELECT 1 FROM q86_lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  private val q86Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

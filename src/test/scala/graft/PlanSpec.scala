@@ -168,6 +168,13 @@ class PlanSpec extends SparkSpec {
       s"no decorrelated aggregate in:\n$p")
   }
 
+  test("q86: correlated EXISTS decorrelates to a semi join on the order key") {
+    val p = plan("q86_tpch_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"per-row subquery in:\n$p")
+  }
+
   test("q74: returnflag filter pushed; nation broadcast; top-20 avoids full sort") {
     val p = plan("q74_tpch_returned_items")
     assert(p.contains("PushedFilters") && p.contains("l_returnflag"),

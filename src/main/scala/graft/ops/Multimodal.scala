@@ -212,4 +212,94 @@ object Multimodal {
         }
       }
   }
+
+  // ---- real audio decode (javax.sound.sampled) ----------------------------
+
+  /** Deterministic synthetic WAV fixture (RIFF + 16-bit mono PCM):
+    * sample i of document d is `((37d + 73i) mod 4096) - 2048` — a pure
+    * integer function of the data, and PCM is lossless, so decoded
+    * sample statistics are replayable by the DuckDB oracle without any
+    * audio library (q87, the audio twin of [[syntheticImageBytes]]). */
+  def syntheticWavBytes(docId: Long, sampleRate: Int = 8000,
+      n: Int = 256): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((docId * 37 + i.toLong * 73) % 4096) - 2048).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** REAL decode: `javax.sound.sampled.AudioSystem` parses the container
+    * and format, and the PCM frames are materialized as 16-bit samples.
+    * Undecodable bytes yield None — error-as-data, never a task failure. */
+  private[ops] def decodeWav(payload: Array[Byte])
+      : Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val bytes = ais.readAllBytes()
+        val out = new Array[Short](bytes.length / 2)
+        var i = 0
+        if (fmt.isBigEndian)
+          while (i < out.length) {
+            out(i) = (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+            i += 1
+          }
+        else
+          while (i < out.length) {
+            out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case _: Exception => None }
+
+  case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,
+      rms: Double, zero_crossings: Long)
+
+  /** Audio-decode statistics over the audio-modality slice: each executor
+    * task generates the WAV fixture for its rows, runs the REAL
+    * javax.sound decode, and folds exact integer sums over the decoded
+    * samples. RMS is sqrt of an exact integer sum of squares and the
+    * zero-crossing count is pure integer work, so both compare
+    * bit-for-bit with the oracle's analytic replay of the generator. */
+  def audioDecodeStats(spark: SparkSession, docs: DataFrame,
+      sampleRate: Int = 8000, n: Int = 256): Dataset[AudioStats] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (rate, samples) =
+            decodeWav(syntheticWavBytes(id, sampleRate, n))
+              .getOrElse(throw new IllegalStateException(
+                s"fixture WAV for doc $id failed to decode"))
+          var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            sumSq += v * v
+            if (i > 0 && samples(i - 1).toLong * v < 0) zc += 1
+            i += 1
+          }
+          AudioStats(id, rate, samples.length.toLong,
+            math.sqrt(sumSq.toDouble / samples.length), zc)
+        }
+      }
+  }
 }

@@ -59,7 +59,8 @@ object TextSuite {
     Q("q73_decontaminate", q73, Some(q73Sql)),
     Q("q80_pii_scrub", q80, Some(q80Sql)),
     Q("q81_heavy_hitters", q81, Some(q81Sql)),
-    Q("q84_collapsed_neardup", q84, Some(q84Sql))
+    Q("q84_collapsed_neardup", q84, Some(q84Sql)),
+    Q("q87_audio_decode_stats", q87, Some(q87Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -711,4 +712,30 @@ object TextSuite {
       |  FROM g a JOIN g b ON a.doc_id < b.doc_id
       |  WHERE len(a.grams) > 0 AND len(b.grams) > 0)
       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** REAL audio decode (javax.sound WAV/PCM), audio twin of q69: the
+    * executors generate a deterministic 16-bit PCM fixture per doc,
+    * decode it through the actual audio API, and fold exact integer
+    * sample statistics; the oracle replays the generator pattern
+    * analytically — one sample read wrong and the RMS/crossing counts
+    * drift. RMS is deliberately NOT rounded: both engines sqrt the same
+    * exact integer ratio, so the doubles match bit-for-bit, while
+    * round() implementations differ at digit boundaries. */
+  private def q87(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioDecodeStats(s, Tables.documents(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  private val q87Sql =
+    """WITH s AS (SELECT d.doc_id, i.range AS i,
+      |    ((d.doc_id*37 + i.range*73) % 4096) - 2048 AS v
+      |  FROM documents d, range(0, 256) i WHERE d.doc_id % 3 = 1),
+      |x AS (SELECT doc_id, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+      |  CAST(256 AS BIGINT) AS n_samples,
+      |  sqrt(CAST(sum(v*v) AS DOUBLE) / 256.0) AS rms,
+      |  CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings
+      |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -103,4 +103,30 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.withBlob(docs.limit(5)), dim = 8).collect()
     assert(f.forall(_.feature.length == 8))
   }
+
+  test("WAV fixture decodes through javax.sound to the generator samples") {
+    val bytes = Multimodal.syntheticWavBytes(5L, sampleRate = 8000, n = 256)
+    val Some((rate, samples)) = Multimodal.decodeWav(bytes)
+    assert(rate == 8000 && samples.length == 256)
+    val expect = Array.tabulate(256)(i =>
+      (((5L * 37 + i.toLong * 73) % 4096) - 2048).toShort)
+    assert(samples.sameElements(expect))
+  }
+
+  test("undecodable audio bytes yield None, not a task failure") {
+    assert(Multimodal.decodeWav("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audioDecodeStats folds exact stats over decoded samples") {
+    import spark.implicits._
+    val one = Seq(1L).toDF("doc_id") // doc_id % 3 == 1 -> audio slice
+    val r = Multimodal.audioDecodeStats(spark, one).collect().head
+    val samples = Array.tabulate(256)(i => ((37L + i.toLong * 73) % 4096) - 2048)
+    val sumSq = samples.map(v => v * v).sum
+    val zc = samples.sliding(2).count(p => p(0) * p(1) < 0)
+    assert(r.sample_rate == 8000 && r.n_samples == 256L)
+    assert(math.abs(r.rms - math.sqrt(sumSq.toDouble / 256)) < 1e-12)
+    assert(r.zero_crossings == zc.toLong)
+  }
 }

@@ -39,7 +39,8 @@ object Relational {
     Q("q13_distinct_order", q13, Some(q13Sql)),
     Q("q14_set_union_intersect_except", q14, Some(q14Sql)),
     Q("q15_orderby_limit_topk", q15, Some(q15Sql)),
-    Q("q71_binned_interval_join", q71, Some(q71Sql))
+    Q("q71_binned_interval_join", q71, Some(q71Sql)),
+    Q("q88_merge_upsert", q88, Some(q88Sql))
   )
 
   /** Point-in-interval join WITHOUT a nested loop: lineitem ship dates
@@ -366,4 +367,59 @@ object Relational {
   private val q15Sql =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** MERGE INTO emulation (SCD-1 upsert) as one full-outer join +
+    * per-column coalesce: a deterministic update set (every 7th customer
+    * gets a balance bump; every 13th arrives as a brand-new row) merges
+    * into the customer snapshot — matched rows take the update's values,
+    * unmatched keep the target's, inserts pass through. This is the
+    * batch-upsert primitive behind Delta/Iceberg MERGE, expressed so the
+    * whole operation is ONE key shuffle (both sides hash on custkey) and
+    * the output is a complete new snapshot, suitable for
+    * write-partitioned replacement at 100 TB. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("u_custkey"),
+        col("c_name").as("u_name"),
+        round(col("c_acctbal") + 100.0, 2).as("u_acctbal"),
+        col("c_mktsegment").as("u_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 100000L).as("u_custkey"),
+          concat(col("c_name"), lit("_new")).as("u_name"),
+          lit(0.0).as("u_acctbal"),
+          lit("MACHINERY").as("u_mktsegment")))
+    cust.join(updates, col("c_custkey") === col("u_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("u_custkey")).as("c_custkey"),
+        coalesce(col("u_name"), col("c_name")).as("c_name"),
+        round(coalesce(col("u_acctbal"), col("c_acctbal")), 2)
+          .as("c_acctbal"),
+        coalesce(col("u_mktsegment"), col("c_mktsegment"))
+          .as("c_mktsegment"),
+        when(col("c_custkey").isNull, lit("insert"))
+          .when(col("u_custkey").isNull, lit("keep"))
+          .otherwise(lit("update")).as("merge_action"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q88Sql =
+    """WITH updates AS (
+      |  SELECT c_custkey AS u_custkey, c_name AS u_name,
+      |    round(c_acctbal + 100.0, 2) AS u_acctbal,
+      |    c_mktsegment AS u_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 100000, c_name || '_new', 0.0, 'MACHINERY'
+      |  FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT
+      |  coalesce(c_custkey, u_custkey) AS c_custkey,
+      |  coalesce(u_name, c_name) AS c_name,
+      |  round(coalesce(u_acctbal, c_acctbal), 2) AS c_acctbal,
+      |  coalesce(u_mktsegment, c_mktsegment) AS c_mktsegment,
+      |  CASE WHEN c_custkey IS NULL THEN 'insert'
+      |       WHEN u_custkey IS NULL THEN 'keep'
+      |       ELSE 'update' END AS merge_action
+      |FROM customer FULL OUTER JOIN updates ON c_custkey = u_custkey
+      |ORDER BY 1""".stripMargin
 }

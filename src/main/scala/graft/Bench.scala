@@ -26,28 +26,34 @@ object Bench {
     // A failed query must be visible, not a fast timing: it is reported as
     // null in the queries map, listed under "errors", and fails the run
     // (non-zero exit) — otherwise breakage improves the benchmark.
+    // Hygiene between timed runs: a leaked cache, stale broadcast, or
+    // localCheckpoint block from one run must not tax the next one's GC
+    // (timings stay independent). clearCache() only drops catalog caches;
+    // localCheckpoint blocks register as persistent RDDs and otherwise die
+    // only via ContextCleaner GC — unpersist them explicitly so
+    // late-running cheap queries don't pay an eviction tax.
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     val results = selected.map { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Left(e.getClass.getSimpleName)
-        }
+        val r =
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Left(e.getClass.getSimpleName)
+          }
+        release() // outside the timing window
+        r
       }
       val timed = (once(), once()) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (a, b) => Left(a.left.toOption.orElse(b.left.toOption).get)
       }
-      // per-query hygiene: a leaked cache or stale broadcast from one
-      // query must not tax the next one's GC (timings stay independent)
-      spark.catalog.clearCache()
       name -> timed
     }
-    // timings rounded to ms: the harness keeps only a bounded tail of
-    // stdout, and a full-precision 88-query line (~5.6 KB) gets cut
-    // mid-JSON and becomes unparseable — ms precision keeps the whole
-    // line inside the capture window with room to spare
     def ms(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
@@ -58,7 +64,20 @@ object Bench {
     val total = results.values.collect { case Right(v) => v }.sum
     val errField =
       if (errors.isEmpty) "" else s""","errors":${errors.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
+    val fullLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}"""
+    // The harness captures only a bounded (~4 KB) TAIL of stdout: a
+    // 93-query line plus sbt's trailing output overflows it and clips the
+    // head, losing "metric"/"value" every time. So: print the full
+    // per-query line first (and persist it to a file for humans), then
+    // emit a SHORT total-only line LAST — the tail always contains a
+    // complete, parseable JSON object.
+    println(fullLine)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"$errField}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

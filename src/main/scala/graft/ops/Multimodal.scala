@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * `binary` columns next to typed metadata, and decode/feature-extraction
   * runs per-partition on executors.
   *
-  * Image decode is REAL: `decodeImage` runs `javax.imageio` (PNG/BMP/…)
-  * per row on the executors, and image features derive from decoded
-  * pixels. Audio/video decode remains STUBBED (no codec libraries in this
-  * environment): `fakeDecodeFeatures` derives a deterministic feature
-  * vector from the bytes. Everything around both — schema, binary column
-  * handling, partition-parallel batch execution via mapPartitions, typed
-  * encoders — is the structure a JNI/FFmpeg-backed decoder drops into.
+  * All three dedicated decode paths are REAL, no codec libraries needed:
+  * image via `javax.imageio` (PNG/BMP/GIF/JPEG, [[decodeImage]]), audio
+  * via `javax.sound.sampled` (WAV/PCM, [[decodeWav]]), and video via a
+  * RIFF/AVI container parser + per-frame `javax.imageio` JPEG decode for
+  * the MJPEG codec ([[parseAviFrames]]). Only the generic
+  * `extractFeatures` demo keeps `fakeDecodeFeatures` — a deterministic
+  * byte fold standing in for an arbitrary external feature extractor so
+  * the q40 plumbing stays hermetic and oracle-checkable.
   */
 object Multimodal {
 
@@ -299,6 +300,163 @@ object Multimodal {
           }
           AudioStats(id, rate, samples.length.toLong,
             math.sqrt(sumSq.toDouble / samples.length), zc)
+        }
+      }
+  }
+
+  // ---- real video decode (RIFF/AVI container + MJPEG frames) ---------------
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** RIFF chunk: fourcc + LE size + body + pad byte when odd (AVI chunks
+    * are word-aligned; the pad is not counted in the size field). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    fcc(id) ++ le32(body.length) ++ body ++
+      (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fcc(listType) ++ body)
+
+  /** Deterministic synthetic MJPEG-in-AVI fixture: document d carries
+    * `3 + d mod 4` JPEG frames of `(16 + 8·(d mod 5)) × (16 + 8·(d mod 4))`
+    * uniform mid-gray (128,128,128) pixels. Frame geometry and count are
+    * pure integer functions of doc_id, and uniform 128 is the one image
+    * that round-trips BIT-EXACTLY through any compliant JPEG codec (the
+    * level shift zeroes every DCT coefficient, and R=G=B=128 maps to
+    * Y=Cb=Cr=128 exactly because the color-matrix rows sum to 1), so the
+    * decoded statistics are replayable by the DuckDB oracle with no image
+    * library (q89, the video sibling of [[syntheticImageBytes]]).
+    *
+    * The container is a spec-conformant AVI: LIST hdrl (avih + LIST strl
+    * (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)), LIST movi with one
+    * '00dc' chunk per frame, and an idx1 index — the same RIFF discipline
+    * as the WAV writer above.
+    */
+  def syntheticAviBytes(docId: Long): Array[Byte] = {
+    val nFrames = (3 + docId % 4).toInt
+    val w = (16 + 8 * (docId % 5)).toInt
+    val h = (16 + 8 * (docId % 4)).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, 0x808080); x += 1 }
+      y += 1
+    }
+    val jout = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", jout)
+    val jpeg = jout.toByteArray // frames are identical by construction
+    val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ // 10 fps, HASINDEX
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(jpeg.length) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(nFrames) ++ // scale 1, rate 10
+      le32(jpeg.length) ++ le32(10000) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val frameChunk = riffChunk("00dc", jpeg)
+    val movi = riffList("movi",
+      Array.concat(Seq.fill(nFrames)(frameChunk): _*))
+    // idx1 offsets are relative to the 'movi' fourcc (the common AVI 1.0
+    // convention): the first chunk header sits 4 bytes past it.
+    val idx1 = riffChunk("idx1",
+      Array.concat((0 until nFrames).map(i =>
+        fcc("00dc") ++ le32(0x10) ++ le32(4 + i * frameChunk.length) ++
+          le32(jpeg.length)): _*))
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** REAL container parse: walks the RIFF chunk tree, descends into
+    * 'movi' (and 'rec ') LISTs, and returns the compressed payload of
+    * every video frame chunk (`##dc`/`##db`) in stream order. Malformed
+    * bytes yield None — error-as-data, never a task failure. */
+  private[ops] def parseAviFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    try {
+      def fourcc(off: Int) = new String(payload, off, 4, "US-ASCII")
+      def leInt(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        None
+      else {
+        val frames = Vector.newBuilder[Array[Byte]]
+        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = fourcc(off)
+            val sz = leInt(off + 4)
+            if (sz < 0 || off + 8 + sz > end)
+              throw new IllegalArgumentException(s"chunk $id overruns parent")
+            if (id == "LIST") {
+              val listType = fourcc(off + 8)
+              walk(off + 12, off + 8 + sz,
+                inMovi || listType == "movi" || listType == "rec ")
+            } else if (inMovi && sz > 0 &&
+                (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + sz)
+            }
+            off += 8 + sz + (sz & 1)
+          }
+        }
+        walk(12, math.min(payload.length, 8 + leInt(4)), inMovi = false)
+        val fs = frames.result()
+        if (fs.isEmpty) None else Some(fs)
+      }
+    } catch { case _: Exception => None }
+
+  case class VideoStats(doc_id: Long, n_frames: Long, width: Int, height: Int,
+      total_pixels: Long, mean_lum: Double)
+
+  /** Video-decode statistics over the video-modality slice: each executor
+    * task generates the MJPEG-in-AVI fixture for its rows, parses the
+    * REAL RIFF container, decodes every frame through the REAL
+    * `javax.imageio` JPEG path, and folds exact integer channel sums over
+    * the decoded pixels of every frame. Frame count, geometry, and the
+    * uniform-gray mean are all pure integer functions of doc_id, so the
+    * result compares bit-for-bit with the oracle's analytic replay — a
+    * frame dropped, a chunk misparsed, or one pixel read wrong and the
+    * hash breaks. */
+  def videoDecodeStats(spark: SparkSession, docs: DataFrame): Dataset[VideoStats] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val frames = parseAviFrames(syntheticAviBytes(id))
+            .getOrElse(throw new IllegalStateException(
+              s"fixture AVI for doc $id failed to parse"))
+          var w = -1; var h = -1
+          var sumRgb = 0L; var px = 0L
+          frames.foreach { fb =>
+            val img = decodeImage(fb).getOrElse(
+              throw new IllegalStateException(
+                s"MJPEG frame for doc $id failed to decode"))
+            if (w < 0) { w = img.getWidth; h = img.getHeight }
+            else require(img.getWidth == w && img.getHeight == h,
+              s"frame geometry drift in doc $id")
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sumRgb += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                px += 1
+                x += 1
+              }
+              y += 1
+            }
+          }
+          VideoStats(id, frames.length.toLong, w, h, px,
+            sumRgb.toDouble / (3.0 * px))
         }
       }
   }

@@ -60,7 +60,8 @@ object TextSuite {
     Q("q80_pii_scrub", q80, Some(q80Sql)),
     Q("q81_heavy_hitters", q81, Some(q81Sql)),
     Q("q84_collapsed_neardup", q84, Some(q84Sql)),
-    Q("q87_audio_decode_stats", q87, Some(q87Sql))
+    Q("q87_audio_decode_stats", q87, Some(q87Sql)),
+    Q("q89_video_decode_stats", q89, Some(q89Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -738,4 +739,27 @@ object TextSuite {
       |  CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS zero_crossings
       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** REAL video decode, completing the q69/q87 trilogy: the executors
+    * generate a deterministic MJPEG-in-AVI fixture per doc, walk the REAL
+    * RIFF container for the '00dc' frame chunks, decode every JPEG frame
+    * through javax.imageio, and fold exact integer channel sums over all
+    * decoded pixels. Frame count and geometry are integer functions of
+    * doc_id, and the uniform mid-gray frames round-trip bit-exactly
+    * through JPEG (all DCT coefficients quantize to zero), so the oracle
+    * replays everything analytically — a dropped frame, a misparsed
+    * chunk, or one wrong pixel breaks the hash. */
+  private def q89(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoDecodeStats(s, Tables.documents(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  private val q89Sql =
+    """SELECT doc_id,
+      |  CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+      |  CAST(16 + 8 * (doc_id % 5) AS INT) AS width,
+      |  CAST(16 + 8 * (doc_id % 4) AS INT) AS height,
+      |  CAST((3 + doc_id % 4) * (16 + 8 * (doc_id % 5))
+      |       * (16 + 8 * (doc_id % 4)) AS BIGINT) AS total_pixels,
+      |  CAST(128 AS DOUBLE) AS mean_lum
+      |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
 }

@@ -118,6 +118,54 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
   }
 
+  test("AVI fixture is a real RIFF container with per-frame JPEG chunks") {
+    val avi = Multimodal.syntheticAviBytes(8L) // nFrames=3+0=3, w=16+8*3=40, h=16
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val frames = Multimodal.parseAviFrames(avi).get
+    assert(frames.length == 3)
+    // every extracted frame chunk is a standalone JPEG (SOI marker) that
+    // the real javax.imageio path decodes at the formula geometry
+    frames.foreach { f =>
+      assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8)
+      val img = Multimodal.decodeImage(f).get
+      assert(img.getWidth == 40 && img.getHeight == 16)
+    }
+  }
+
+  test("uniform mid-gray frames round-trip JPEG bit-exactly") {
+    val frames = Multimodal.parseAviFrames(Multimodal.syntheticAviBytes(2L)).get
+    val img = Multimodal.decodeImage(frames.head).get
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert((img.getRGB(x, y) & 0xffffff) == 0x808080)
+  }
+
+  test("malformed AVI bytes yield None, not a task failure") {
+    assert(Multimodal.parseAviFrames("not an avi".getBytes).isEmpty)
+    assert(Multimodal.parseAviFrames(Array.empty[Byte]).isEmpty)
+    // truncated mid-chunk: header claims more bytes than present
+    val avi = Multimodal.syntheticAviBytes(2L)
+    assert(Multimodal.parseAviFrames(avi.take(avi.length / 2)).isEmpty)
+    // a RIFF that is not an AVI (the WAV fixture) carries no frames
+    assert(Multimodal.parseAviFrames(Multimodal.syntheticWavBytes(2L)).isEmpty)
+  }
+
+  test("videoDecodeStats folds exact stats over all decoded frames") {
+    import spark.implicits._
+    val ids = Seq(2L, 5L, 11L, 14L).toDF("doc_id") // doc_id % 3 == 2 -> video
+    val rows = Multimodal.videoDecodeStats(spark, ids).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(rows.keySet == Set(2L, 5L, 11L, 14L))
+    rows.values.foreach { r =>
+      val (nf, w, h) =
+        (3 + r.doc_id % 4, (16 + 8 * (r.doc_id % 5)).toInt, (16 + 8 * (r.doc_id % 4)).toInt)
+      assert(r.n_frames == nf)
+      assert(r.width == w && r.height == h)
+      assert(r.total_pixels == nf * w * h)
+      assert(r.mean_lum == 128.0) // exact: uniform 128 survives JPEG
+    }
+  }
+
   test("audioDecodeStats folds exact stats over decoded samples") {
     import spark.implicits._
     val one = Seq(1L).toDF("doc_id") // doc_id % 3 == 1 -> audio slice

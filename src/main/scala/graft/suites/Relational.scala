@@ -384,8 +384,11 @@ object Relational {
         col("c_name").as("u_name"),
         round(col("c_acctbal") + 100.0, 2).as("u_acctbal"),
         col("c_mktsegment").as("u_mktsegment"))
+      // insert keys offset by 10M: customer holds 150k rows per unit SF,
+      // so the synthetic keys stay collision-free up to SF ~66 (a plain
+      // +100k offset would collide with real custkeys from SF 0.7)
       .unionByName(cust.filter(col("c_custkey") % 13 === 0)
-        .select((col("c_custkey") + 100000L).as("u_custkey"),
+        .select((col("c_custkey") + 10000000L).as("u_custkey"),
           concat(col("c_name"), lit("_new")).as("u_name"),
           lit(0.0).as("u_acctbal"),
           lit("MACHINERY").as("u_mktsegment")))
@@ -410,7 +413,7 @@ object Relational {
       |    c_mktsegment AS u_mktsegment
       |  FROM customer WHERE c_custkey % 7 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 100000, c_name || '_new', 0.0, 'MACHINERY'
+      |  SELECT c_custkey + 10000000, c_name || '_new', 0.0, 'MACHINERY'
       |  FROM customer WHERE c_custkey % 13 = 0)
       |SELECT
       |  coalesce(c_custkey, u_custkey) AS c_custkey,

@@ -107,6 +107,17 @@ object Dedup {
     * candidate pair, scored by signature agreement (estimated Jaccard).
     *
     * Output: doc_a < doc_b, est_jaccard in [0,1].
+    *
+    * `eager = true` (default) runs a Spark job AT CALL TIME: the bounded
+    * pair result is materialized via localCheckpoint so the corpus-sized
+    * signature cache can be released immediately (a leaked cache taxes
+    * every later job in the session). The returned DataFrame is backed by
+    * checkpoint blocks that live until it is unpersisted or GC'd —
+    * callers that are done with the result can `.unpersist()` it (the
+    * bench harness and the smoke-spec guardrail release stragglers via
+    * `sparkContext.getPersistentRDDs`). `eager = false` keeps the plan
+    * lazy and inspectable for plan-shape tests. Same contract for
+    * [[simHashCandidatePairs]] and [[ngramJaccardPairs]].
     */
   def minHashCandidatePairs(
       docs: DataFrame,

@@ -62,10 +62,17 @@ object HeavyHitters {
       counters.keysIterator
     }.toDF("token").dropDuplicates("token")
 
-    // pass 2: exact recount restricted to candidates. The candidate set is
-    // bounded by capacity * numPartitions — broadcastable by construction.
+    // pass 2: exact recount restricted to candidates. The candidate set
+    // is bounded by capacity * numPartitions — broadcastable for any sane
+    // minFreq, but a tiny minFreq (1e-6 at 1000 partitions = 10^9 keys)
+    // would blow past the broadcast threshold, so fall back to a shuffle
+    // semi-join when the bound is large. The result is identical either
+    // way; only the join strategy changes.
+    val candidateBound = capacity.toLong * toks.rdd.getNumPartitions
+    val prunedCandidates =
+      if (candidateBound <= 1000000L) broadcast(candidates) else candidates
     val total = toks.groupBy().agg(count(lit(1)).as("n_total"))
-    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+    toks.join(prunedCandidates, Seq("token"), "left_semi")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
       .join(broadcast(total))

@@ -44,13 +44,17 @@ object Layout {
 
   /** Morton (Z-order) key: interleaves the low `bits` bits of two grid
     * cells (a in even positions, b in odd). Pure bit arithmetic — one
-    * codegen'd expression, no UDF. */
+    * codegen'd expression, no UDF. Inputs are cast to long first: the
+    * interleave shifts up to 2*bits-1 (= 61) positions, and Spark's
+    * shiftleft on an integer column wraps the distance mod 32, which
+    * would silently corrupt the key for IntegerType inputs. */
   def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
   }
 

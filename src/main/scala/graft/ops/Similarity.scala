@@ -70,10 +70,16 @@ object Similarity {
     }: _*)
 
   /** Deterministic distributed k-means (Lloyd) over the embedding column:
-    * init = the k lowest vec_ids; each iteration is ONE job — a
-    * mapPartitions pass accumulating per-cell sums/counts (k x dim doubles
-    * per partition), merged on the driver in partition order so the float
-    * summation is reproducible. Driver state is only k*dim doubles. */
+    * init = the k lowest vec_ids; each iteration is ONE pass — a
+    * mapPartitions stage accumulating per-cell sums/counts (k x dim
+    * doubles per partition), then a two-level reduce: partials fold
+    * WITHIN fixed 32-partition buckets on the executors (sorted by
+    * partition id) and the bucket results fold on the driver (sorted by
+    * bucket id). The merge tree is a pure function of the partition
+    * count, so float summation is reproducible run-to-run, and the
+    * driver receives ceil(P/32) partials instead of P — at 10^5 input
+    * partitions the flat collect would be a driver hotspot; this stays
+    * at ~3k tiny rows. Driver state is only k*dim doubles. */
   def kMeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -83,6 +89,18 @@ object Similarity {
       .orderBy(col("vec_id")).limit(k).collect()
       .map(_._2.map(_.toDouble))
     val dim = centroids.headOption.map(_.length).getOrElse(0)
+    // in-place, order-sensitive partial merge (left operand accumulates)
+    def merge(a: (Array[Array[Double]], Array[Long]),
+        b: (Array[Array[Double]], Array[Long])): (Array[Array[Double]], Array[Long]) = {
+      var j = 0
+      while (j < k) {
+        a._2(j) += b._2(j)
+        var i = 0
+        while (i < dim) { a._1(j)(i) += b._1(j)(i); i += 1 }
+        j += 1
+      }
+      a
+    }
     (0 until iters).foreach { _ =>
       val cs = centroids // closure capture
       val partials = vecs.rdd.mapPartitionsWithIndex { (pi, it) =>
@@ -94,19 +112,15 @@ object Similarity {
           var i = 0
           while (i < dim) { sums(c)(i) += v(i); i += 1 }
         }
-        Iterator.single((pi, sums, counts))
-      }.collect().sortBy(_._1)
-      val sums = Array.ofDim[Double](k, dim)
-      val counts = new Array[Long](k)
-      partials.foreach { case (_, s, c) =>
-        var j = 0
-        while (j < k) {
-          counts(j) += c(j)
-          var i = 0
-          while (i < dim) { sums(j)(i) += s(j)(i); i += 1 }
-          j += 1
-        }
+        Iterator.single((pi, (sums, counts)))
       }
+      val bucketTotals = partials
+        .map { case (pi, p) => (pi >>> 5, (pi, p)) }
+        .groupByKey()
+        .mapValues(_.toArray.sortBy(_._1).map(_._2).reduceLeft(merge))
+        .collect().sortBy(_._1)
+      val (sums, counts) = bucketTotals.map(_._2).reduceLeftOption(merge)
+        .getOrElse((Array.ofDim[Double](k, dim), new Array[Long](k)))
       centroids = centroids.zipWithIndex.map { case (old, j) =>
         if (counts(j) == 0) old
         else sums(j).map(_ / counts(j))

@@ -187,8 +187,10 @@ object Tpch {
       |WHERE o_totalprice > 400000
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** TPC-H Q10: top customers by lost revenue from returned items in one
-    * order quarter. The returnflag filter sits on the lineitem scan, the
+  /** TPC-H Q10 shape: top customers by lost revenue from returned items.
+    * Reference Q10 uses a 3-month order window; this uses a half-year
+    * window (1996-01..1996-07) for selectivity at the driver's small SFs.
+    * The returnflag filter sits on the lineitem scan, the
     * date window on the orders scan; nation broadcasts; the grouped
     * top-20 ends as TakeOrderedAndProject, never a global sort. */
   private def q74(s: SparkSession, d: String): DataFrame =

@@ -38,6 +38,17 @@ class LayoutSpec extends SparkSpec {
     assert(z == Seq(0L, 1L, 2L, 3L, 12L, 15L))
   }
 
+  test("zorderKey is safe on IntegerType inputs (no mod-32 shift wrap)") {
+    import spark.implicits._
+    // bit 20 interleaves to position 40 — past an int shift's mod-32 wrap
+    val big = 1 << 20
+    val ints = Seq((big, big)).toDF("a", "b")
+    val longs = Seq((big.toLong, big.toLong)).toDF("a", "b")
+    val zi = ints.select(Layout.zorderKey($"a", $"b", 21)).head().getLong(0)
+    val zl = longs.select(Layout.zorderKey($"a", $"b", 21)).head().getLong(0)
+    assert(zi == zl && zi == 3L << 40)
+  }
+
   test("zorder layout beats linear sort on a 2D box query (file skipping)") {
     val li = Tables.lineitem(spark, sfDir)
     val Array(pMin, pMax, sMin, sMax) = li

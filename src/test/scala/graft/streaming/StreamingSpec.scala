@@ -4,6 +4,7 @@ import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Streaming transforms verified against their batch twins over the same
   * bounded input (memory sink + processAllAvailable). */
@@ -147,6 +148,55 @@ class StreamingSpec extends SparkSpec {
         assert(mx == bmx, s"user $u max $mx != $bmx")
       }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("watermark eviction keeps dedup state bounded over a long stream") {
+    // The scale property specs can't see from one micro-batch: over a
+    // stream spanning many watermark horizons, the dedup state store must
+    // hold only the keys inside the horizon — NOT the whole key universe
+    // — while still emitting every unique key exactly once. 24 single-file
+    // micro-batches, each one hour of event time later, 50 fresh keys per
+    // batch, 20-minute watermark: keys expire two batches after arrival,
+    // so bounded state proves eviction actually runs.
+    val d = Files.createTempDirectory("long_dedup_stream").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val nBatches = 24; val keysPerBatch = 50
+    val t0 = System.currentTimeMillis()
+    (0 until nBatches).foreach { b =>
+      val rows = (0 until keysPerBatch).map { i =>
+        (b.toLong * keysPerBatch + i,
+          new java.sql.Timestamp(base + b * 3600000L + i * 1000L))
+      }
+      val tmp = Files.createTempDirectory(s"batch_$b")
+      rows.toDF("event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.walk(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = java.nio.file.Paths.get(d, f"b$b%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      // deterministic arrival order: the file source triggers batches in
+      // modification-time order
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + b * 1000L))
+    }
+    val schema = spark.read.parquet(d).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val q = Streaming.dedupStream(stream, "event_id", watermark = "20 minutes")
+      .writeStream.format("memory").queryName("long_dedup")
+      .outputMode(OutputMode.Append()).start()
+    val stateRows =
+      try { q.processAllAvailable();
+        q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsTotal)) }
+      finally q.stop()
+    // completeness: every unique key emitted exactly once
+    assert(spark.table("long_dedup").count() == nBatches.toLong * keysPerBatch)
+    // boundedness: state never holds more than ~2 horizons of keys...
+    assert(stateRows.nonEmpty)
+    assert(stateRows.max <= 3L * keysPerBatch,
+      s"state grew to ${stateRows.max} rows — watermark eviction not running")
+    // ...and never approaches the key universe (the unbounded-state smell)
+    assert(stateRows.max < nBatches.toLong * keysPerBatch / 4)
   }
 
   test("flatMapGroupsWithState sessions agree with the q24 session counts") {

@@ -424,6 +424,66 @@ object Dedup {
     }
   }
 
+  /** Incremental near-dup join: which documents of a NEW BATCH are
+    * near-duplicates of an EXISTING CORPUS — the nightly ingest shape.
+    * At 100 TB a full-corpus AllPairs rerun per ingest is unpayable; the
+    * asymmetric join scales with |batch| × posting-list fan-out instead,
+    * and batch-internal / corpus-internal pairs are never generated (the
+    * join sides come from different tables, so the candidate space is
+    * strictly batch × corpus). Same prefix filter + size-ratio prune +
+    * sorted-merge verification as [[ngramJaccardPairs]]; a batch doc can
+    * match several corpus docs (dedup policy — keep best match, drop doc,
+    * route to review — is the caller's).
+    *
+    * Output: (batch_doc, corpus_doc, jaccard >= threshold).
+    * Eager contract as [[minHashCandidatePairs]]. */
+  def incrementalNearDups(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      eager: Boolean = true): DataFrame = {
+    def gramsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        array_sort(TextAnalysis.hashedNgrams(col(textCol), n)).as("grams"))
+      .withColumn("gsz", size(col("grams")))
+      .filter(col("gsz") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def prefixesOf(g: DataFrame): DataFrame = g
+      .select(col("doc_id"), col("gsz"),
+        explode(slice(col("grams"), lit(1),
+          (col("gsz") - ceil(col("gsz") * lit(threshold)) + lit(1)).cast("int")))
+          .as("gram"))
+    val cg = gramsOf(corpus)
+    val bg = gramsOf(batch)
+    val cand = prefixesOf(bg).as("b")
+      .join(prefixesOf(cg).as("c"),
+        col("b.gram") === col("c.gram") &&
+        col("b.gsz").cast("double") >= col("c.gsz") * threshold &&
+        col("c.gsz").cast("double") >= col("b.gsz") * threshold)
+      .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .dropDuplicates("batch_doc", "corpus_doc")
+    val verified = cand
+      .join(bg.select(col("doc_id").as("batch_doc"), col("grams").as("gb"),
+        col("gsz").as("szb")), "batch_doc")
+      .join(cg.select(col("doc_id").as("corpus_doc"), col("grams").as("gc"),
+        col("gsz").as("szc")), "corpus_doc")
+      .select(col("batch_doc"), col("corpus_doc"),
+        graft.functions.TextHashFunctions.sortedIntersectCount(
+          col("gb"), col("gc")).cast("double").as("inter"),
+        (col("szb") + col("szc")).as("tot"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (!eager) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      cg.unpersist(); bg.unpersist()
+      out
+    }
+  }
+
   /** Exact-dup membership: every doc_id mapped to the smallest doc_id
     * sharing its exact text (rep_id). One md5 groupBy + one join back —
     * the cheap pass that must run BEFORE any near-dup analysis. */

@@ -61,7 +61,8 @@ object TextSuite {
     Q("q81_heavy_hitters", q81, Some(q81Sql)),
     Q("q84_collapsed_neardup", q84, Some(q84Sql)),
     Q("q87_audio_decode_stats", q87, Some(q87Sql)),
-    Q("q89_video_decode_stats", q89, Some(q89Sql))
+    Q("q89_video_decode_stats", q89, Some(q89Sql)),
+    Q("q90_incremental_neardup", q90, Some(q90Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -762,4 +763,76 @@ object TextSuite {
       |       * (16 + 8 * (doc_id % 4)) AS BIGINT) AS total_pixels,
       |  CAST(128 AS DOUBLE) AS mean_lum
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
+
+  /** Incremental ingest dedup ([[Dedup.incrementalNearDups]]): a synthetic
+    * nightly batch — verbatim re-crawls (every 10th doc), tail-trimmed
+    * revisions (doc_id % 10 = 5, last fifth of the tokens dropped), and
+    * genuinely fresh content (doc_id % 10 = 7, case-flipped so every
+    * shingle hash changes) — joins against the corpus asymmetrically.
+    * The oracle brute-forces batch x corpus directly, so the prefix
+    * filter and size prune must lose nothing: re-crawls must surface at
+    * jaccard 1, revisions above threshold, fresh docs not at all. Token
+    * trimming uses integer `div` so both engines slice identically. */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val recrawl = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+    val trimmed = base.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 30000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          expr("size(split(text, ' ')) - size(split(text, ' ')) div 5")),
+          " ").as("text"))
+    val fresh = base.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 40000L).as("doc_id"), upper(col("text")).as("text"))
+    val batch = recrawl.unionByName(trimmed).unionByName(fresh)
+    Dedup.incrementalNearDups(base, batch, threshold = 0.5)
+      .orderBy(col("batch_doc"), col("corpus_doc"))
+  }
+
+  private val q90Sql =
+    """WITH batch AS (
+      |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 30000,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      len(string_split(text, ' ')) - len(string_split(text, ' ')) // 5), ' ')
+      |  FROM documents WHERE doc_id % 10 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 40000, upper(text) FROM documents WHERE doc_id % 10 = 7),
+      |corpus AS (SELECT doc_id, text FROM documents),
+      |bth AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(t, ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM batch),
+      |cth AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(t, ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM corpus),
+      |bg AS (SELECT doc_id,
+      |    list_distinct(list_filter(
+      |      list_transform(th, (x, i) ->
+      |        CASE WHEN i + 2 <= len(th)
+      |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |                  % 1000000007 END),
+      |      z -> z IS NOT NULL)) AS grams
+      |  FROM bth),
+      |cg AS (SELECT doc_id,
+      |    list_distinct(list_filter(
+      |      list_transform(th, (x, i) ->
+      |        CASE WHEN i + 2 <= len(th)
+      |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |                  % 1000000007 END),
+      |      z -> z IS NOT NULL)) AS grams
+      |  FROM cth)
+      |SELECT batch_doc, corpus_doc, jaccard FROM (
+      |  SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+      |    round(CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE) /
+      |      (len(b.grams) + len(c.grams) - len(list_intersect(b.grams, c.grams))),
+      |      6) AS jaccard
+      |  FROM bg b JOIN cg c ON len(b.grams) > 0 AND len(c.grams) > 0)
+      |WHERE jaccard >= 0.5 ORDER BY batch_doc, corpus_doc""".stripMargin
 }

@@ -211,4 +211,28 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("incrementalNearDups equals the cross slice of the full AllPairs join") {
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(120)
+    // batch: every 4th doc re-crawled verbatim under a fresh id range
+    val batch = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val got = Dedup.incrementalNearDups(corpus, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: AllPairs over the union, keeping only cross pairs
+    // (batch ids are all > 5000, so they always land on doc_b)
+    val expect = Dedup.ngramJaccardPairs(
+        corpus.unionByName(batch), threshold = 0.5)
+      .filter(col("doc_a") < 5000 && col("doc_b") >= 5000)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(got == expect, s"asym drifted: missing=${(expect -- got).take(3)} " +
+      s"extra=${(got -- expect).take(3)}")
+    assert(got.nonEmpty)
+    // asymmetry: no batch x batch or corpus x corpus pair can appear
+    assert(got.forall { case (b, c, _) => b >= 5000 && c < 5000 })
+    // every verbatim re-crawl surfaces its source at jaccard 1.0
+    val verbatim = got.filter { case (b, c, j) => b - 5000 == c && j == 1.0 }
+    assert(verbatim.size == batch.count())
+  }
 }

@@ -89,6 +89,20 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
   }
 
+  test("q90: incremental batch-vs-corpus join is equi-join only") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batch = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val p = graft.ops.Dedup.incrementalNearDups(
+        corpus, batch, threshold = 0.5, eager = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic batch x corpus join in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in:\n$p")
+  }
+
   test("q46: range-frame window runs on a single key shuffle") {
     assert(hashExchanges("q46_range_window") == 1, plan("q46_range_window"))
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -186,6 +187,136 @@ object TextAnalysis {
         col("top_bigram_n"), col("frac_top_bigram"),
         when(col("frac_top_bigram") >= flagThreshold, lit(1)).otherwise(lit(0))
           .cast("int").as("flagged"))
+  }
+
+  /** POSITIONAL hashed n-grams, aligned with the token array: element i
+    * is the hash of the n-gram STARTING at token i, null for the last
+    * n-1 positions (zip_with's null padding). Unlike [[hashedNgrams]]
+    * this keeps duplicates and positions — the shape span-level scrub
+    * passes need. Same shifted-zip formulation (a per-position
+    * element_at lambda would re-evaluate the tokenization per token,
+    * see [[ngrams]]). */
+  private[graft] def positionalHashedNgrams(text: Column, n: Int): Column = {
+    val th = tokenHashes(text)
+    (1 until n).foldLeft(th) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), greatest(size(th) - j, lit(0))),
+        (a, b) => (a * lit(131L) + b) % lit(Mod))
+    }
+  }
+
+  /** C4/RefinedWeb-style boilerplate scrub at n-gram-span granularity:
+    * any n-gram occurring in more than `maxDocFrac` of all documents is
+    * boilerplate, and every token covered by an occurrence of a flagged
+    * n-gram is removed from the document (the corpus has no line
+    * structure, so the span — not the line — is the removal unit).
+    *
+    * Scale shape (the 100 TB pass): one shuffle aggregates 8-byte hashed
+    * n-grams into doc frequencies (map-side partial combine); the
+    * flagged set is bounded by construction — at most
+    * avg_grams_per_doc / maxDocFrac entries (sum of df over all grams =
+    * corpus gram count, and each flagged gram's df exceeds
+    * maxDocFrac*N) — so it collapses to a single broadcast array, and
+    * the scrub itself is pure per-row map work. Texts never shuffle.
+    *
+    * Output: doc_id, n_flagged (occurrences of flagged grams),
+    * n_tokens_kept, text_scrubbed.
+    */
+  def boilerplateScrub(docs: DataFrame, n: Int = 3,
+      maxDocFrac: Double = 0.1, textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    require(maxDocFrac > 0 && maxDocFrac < 1,
+      s"maxDocFrac must be in (0,1): $maxDocFrac")
+    val t = col(textCol)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // df per DISTINCT-in-doc gram == document frequency (one shuffle,
+    // partially aggregated; the value shuffled is an 8-byte hash).
+    val flagged = docs
+      .select(explode(hashedNgrams(t, n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * maxDocFrac)
+      .agg(sort_array(collect_list(col("gram"))).as("bad"))
+    docs.crossJoin(broadcast(flagged))
+      .select(col("doc_id"), tokens(t).as("w"),
+        transform(positionalHashedNgrams(t, n),
+          g => g.isNotNull && array_contains(col("bad"), g)).as("flags"))
+      .select(col("doc_id"), col("w"), col("flags"),
+        // covered(i) = OR of flags[i-n+1..i]: OR-fold of right-shifted
+        // copies of flags (shift j = j prepended falses), truncated back
+        // to the token count. Shifted-zip again — the arguments are
+        // evaluated once per row, a per-token slice lambda would not be.
+        (1 until n).foldLeft(col("flags")) { (acc, j) =>
+          zip_with(acc,
+            slice(concat(array_repeat(lit(false), j), col("flags")),
+              lit(1), size(col("flags"))),
+            (a, b) => a || coalesce(b, lit(false)))
+        }.as("covered"))
+      .select(col("doc_id"),
+        size(filter(col("flags"), b => b)).as("n_flagged"),
+        filter(zip_with(col("w"), col("covered"),
+          (tok, c) => when(c, lit(null)).otherwise(tok)),
+          x => x.isNotNull).as("kept"))
+      .select(col("doc_id"), col("n_flagged"),
+        size(col("kept")).as("n_tokens_kept"),
+        array_join(col("kept"), " ").as("text_scrubbed"))
+  }
+
+  /** Fixed-token-budget document chunking with overlap — the context-
+    * window splitter of a training/RAG pipeline. Chunk c starts at
+    * token 1 + c*(budget-overlap); starts run while start <=
+    * max(len - overlap, 1), which guarantees full coverage (the last
+    * chunk always reaches the final token) and that every chunk except
+    * the first repeats exactly `overlap` tokens of its predecessor
+    * (the last one possibly fewer tokens total). Pure per-row
+    * explode — zero shuffle at any scale. */
+  def chunkByTokens(docs: DataFrame, budget: Int, overlap: Int,
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0 && overlap >= 0 && overlap < budget,
+      s"need 0 <= overlap < budget: budget=$budget overlap=$overlap")
+    val stride = budget - overlap
+    docs
+      .select(col("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - overlap, lit(1)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / lit(stride)).cast("long").as("chunk_id"),
+        col("start"), slice(col("w"), col("start"), lit(budget)).as("c"))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        size(col("c")).as("n_tokens"),
+        array_join(col("c"), " ").as("chunk_text"))
+  }
+
+  /** Top-k most distinctive terms per document by TF-IDF with a LINEAR
+    * inverse document frequency (score = tf * N / df). The linear idf
+    * keeps the score an IEEE-exact integer ratio — identical bit
+    * patterns in any engine — where log-idf differs in the last ulp
+    * between libm implementations and poisons hash-compare oracles;
+    * the ranking family is the same (monotone in tf, anti-monotone in
+    * df).
+    *
+    * Scale shape: tf is one (doc_id, token) shuffle with map-side
+    * combine; df reduces tf to the vocabulary (tiny after partial agg)
+    * and joins back as a BROADCAST; the per-doc top-k window
+    * re-shuffles on doc_id only. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
   }
 
   /** PII patterns a pre-training scrub pass must catch. Kept to the

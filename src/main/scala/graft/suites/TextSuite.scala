@@ -62,7 +62,11 @@ object TextSuite {
     Q("q84_collapsed_neardup", q84, Some(q84Sql)),
     Q("q87_audio_decode_stats", q87, Some(q87Sql)),
     Q("q89_video_decode_stats", q89, Some(q89Sql)),
-    Q("q90_incremental_neardup", q90, Some(q90Sql))
+    Q("q90_incremental_neardup", q90, Some(q90Sql)),
+    Q("q91_boilerplate_scrub", q91, Some(q91Sql)),
+    Q("q92_chunk_by_tokens", q92, Some(q92Sql)),
+    Q("q93_tfidf_top_terms", q93, Some(q93Sql)),
+    Q("q94_mixture_resample", q94, Some(q94Sql))
   )
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
@@ -674,24 +678,29 @@ object TextSuite {
       |ORDER BY cnt DESC, token""".stripMargin
 
   /** Near-dup pairs with exact duplicates collapsed FIRST
-    * ([[Dedup.collapsedNgramJaccardPairs]]): the corpus is doubled with
-    * offset ids (every doc gains an exact twin — the duplication shape
-    * that degrades a direct AllPairs join quadratically), AllPairs runs
-    * on unique representatives only, and member pairs are reconstituted
-    * through the membership table. The oracle brute-forces the SAME
-    * doubled corpus directly, so the collapse/expand must be
-    * row-identical to first principles, not to our own code. */
+    * ([[Dedup.collapsedNgramJaccardPairs]]): every fourth doc gains an
+    * exact twin with an offset id (a realistic web-crawl dup factor —
+    * the duplication shape that degrades a direct AllPairs join
+    * quadratically), AllPairs runs on unique representatives only, and
+    * member pairs are reconstituted through the membership table. The
+    * oracle brute-forces the SAME duplicated corpus directly, so the
+    * collapse/expand must be row-identical to first principles, not to
+    * our own code. (The worst-case 2x-duplication probe lives in
+    * DedupSpec / `Dev scale` — benching it here would make the suite
+    * timing reflect a deliberate stress shape, not production cost.) */
   private def q84(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val doubled = base.unionByName(
-      base.select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
-    Dedup.collapsedNgramJaccardPairs(doubled, threshold = 0.5)
+    val duplicated = base.unionByName(
+      base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+    Dedup.collapsedNgramJaccardPairs(duplicated, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val q84Sql =
     """WITH dd AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents
+      |  WHERE doc_id % 4 = 0),
       |th AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
       |    list_reduce(list_prepend(CAST(7 AS BIGINT),
       |      list_transform(string_split(t, ''),
@@ -835,4 +844,124 @@ object TextSuite {
       |      6) AS jaccard
       |  FROM bg b JOIN cg c ON len(b.grams) > 0 AND len(c.grams) > 0)
       |WHERE jaccard >= 0.5 ORDER BY batch_doc, corpus_doc""".stripMargin
+
+  /** Span-level boilerplate scrub ([[TextAnalysis.boilerplateScrub]]):
+    * a deterministic footer is injected into every third document (the
+    * corpus itself is boilerplate-free word soup, same injection
+    * discipline as q80's PII), its 3-grams exceed the 10% document-
+    * frequency cap, and every token covered by a flagged gram is
+    * removed. The oracle recomputes the hashed-n-gram document
+    * frequencies and the positional covered-span logic from first
+    * principles. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val withFooter = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" subscribe to our newsletter today"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.boilerplateScrub(withFooter, n = 3, maxDocFrac = 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q91Sql =
+    """WITH d2 AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' subscribe to our newsletter today'
+      |         ELSE '' END AS text
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    list_transform(string_split(text, ' '), t ->
+      |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(string_split(t, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM d2),
+      |pg AS (SELECT doc_id, w, list_transform(th, (x, i) ->
+      |    CASE WHEN i + 2 <= len(th)
+      |         THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |              % 1000000007 END) AS pg
+      |  FROM t2),
+      |dfg AS (SELECT gram, count(DISTINCT doc_id) AS df FROM (
+      |    SELECT doc_id, unnest(list_filter(pg, g -> g IS NOT NULL)) AS gram
+      |    FROM pg)
+      |  GROUP BY gram),
+      |bad AS (SELECT coalesce(list(gram), []) AS bad FROM dfg
+      |  WHERE df > (SELECT count(*) FROM documents) * 0.1),
+      |fl AS (SELECT doc_id, w,
+      |    list_transform(pg, g -> g IS NOT NULL AND list_contains(bad, g))
+      |      AS flags
+      |  FROM pg CROSS JOIN bad)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(flags, f -> f)) AS INT) AS n_flagged,
+      |  CAST(len(kept) AS INT) AS n_tokens_kept,
+      |  array_to_string(kept, ' ') AS text_scrubbed
+      |FROM (SELECT doc_id, flags,
+      |    list_filter(list_transform(w, (t, i) ->
+      |      CASE WHEN len(list_filter(list_slice(flags,
+      |             CASE WHEN i - 2 > 1 THEN i - 2 ELSE 1 END, i),
+      |             f -> f)) > 0
+      |           THEN NULL ELSE t END), x -> x IS NOT NULL) AS kept
+      |  FROM fl)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Fixed-budget chunking with overlap ([[TextAnalysis.chunkByTokens]]):
+    * 48-token chunks, 8-token overlap (stride 40). The oracle replays
+    * the start-sequence rule with generate_series and list_slice. */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkByTokens(Tables.documents(s, d), budget = 48, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q92Sql =
+    """SELECT doc_id, (s - 1) // 40 AS chunk_id, CAST(s AS INT) AS start,
+      |  CAST(len(list_slice(w, s, s + 47)) AS INT) AS n_tokens,
+      |  array_to_string(list_slice(w, s, s + 47), ' ') AS chunk_text
+      |FROM (SELECT doc_id, w, unnest(generate_series(1,
+      |        CASE WHEN len(w) - 8 > 1 THEN len(w) - 8 ELSE 1 END, 40)) AS s
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Top-3 distinctive terms per document by linear-idf TF-IDF
+    * ([[TextAnalysis.tfidfTopTerms]]; score = tf*N/df is an IEEE-exact
+    * integer ratio, so the doubles — and therefore the ranking — are
+    * bit-identical in both engines). */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q93Sql =
+    """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, token, tf, df,
+      |    CAST(tf * n_docs AS DOUBLE) / df AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, tf, df, score, rank FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+      |  FROM s)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Language-mixture resampling ([[graft.ops.Sampling.mixtureResample]]):
+    * rebalance the corpus toward a 40/15/15/15/15 en/de/es/fr/zh mixture
+    * with integer-exact rates and content-hash keep decisions. */
+  private def q94(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.mixtureResample(Tables.documents(s, d), "lang",
+      Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15))
+      .orderBy(col("lang"))
+
+  private val q94Sql =
+    s"""WITH n AS (SELECT count(*) AS n_total FROM documents),
+       |c AS (SELECT lang, count(*) AS n_bucket FROM documents GROUP BY lang),
+       |t(lang, pct) AS (VALUES ('en', 40), ('de', 15), ('es', 15),
+       |  ('fr', 15), ('zh', 15)),
+       |r AS (SELECT c.lang, n_bucket, (pct * n_total) // 100 AS desired_n,
+       |    least(1000000, ((pct * n_total) // 100) * 1000000 // n_bucket)
+       |      AS thresh
+       |  FROM c JOIN t USING (lang) CROSS JOIN n)
+       |SELECT d.lang, r.n_bucket, r.desired_n,
+       |  CAST(sum(CASE WHEN ($fpSqlExpr) % 1000000 < r.thresh
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 }

@@ -256,4 +256,36 @@ class PlanSpec extends SparkSpec {
       s"no broadcast semi join in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
+
+  test("q91: boilerplate df is the ONLY key shuffle; flagged set broadcasts back") {
+    val p = plan("q91_boilerplate_scrub")
+    // texts never shuffle: the single hashpartitioning exchange is the
+    // 8-byte-gram document-frequency aggregate (plus the orderBy's range
+    // exchange); the bounded flagged array returns as a broadcast
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastExchange"), s"flagged set not broadcast in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"gram df not partially aggregated in:\n$p")
+  }
+
+  test("q92: chunking is pure per-row explode — zero key shuffles") {
+    val p = plan("q92_chunk_by_tokens")
+    assert(!p.contains("Exchange hashpartitioning"), s"shuffle in:\n$p")
+    assert(p.contains("Generate"), s"no explode in:\n$p")
+  }
+
+  test("q93: vocabulary df joins back as a broadcast, tf agg is partial") {
+    val p = plan("q93_tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"vocabulary join shuffled/quadratic in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"tf not partially aggregated in:\n$p")
+  }
+
+  test("q94: sampling rates broadcast; the corpus never shuffles for the join") {
+    val p = plan("q94_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for rate join:\n$p")
+  }
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (1 to 60).map { i =>
+    val lang = if (i <= 40) "en" else if (i <= 55) "de" else "xx"
+    (i.toLong, s"doc number $i with some text body", lang)
+  }.toDF("doc_id", "text", "lang")
+
+  test("mixtureResample keeps under-represented keys whole, drops unlisted") {
+    val out = Sampling.mixtureResample(corpus, "lang",
+        Seq("en" -> 30, "de" -> 30))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // n_total=60: desired en = 18 < 40 -> downsampled below bucket size;
+    // desired de = 18 >= 15 -> rate capped at 1, every doc kept
+    assert(out.keySet == Set("en", "de"), "unlisted key must be dropped")
+    assert(out("de").getAs[Long]("desired_n") == 18L)
+    assert(out("de").getAs[Long]("n_sampled") == 15L)
+    assert(out("en").getAs[Long]("desired_n") == 18L)
+    assert(out("en").getAs[Long]("n_sampled") <= 40L)
+  }
+
+  test("mixtureResample is deterministic and stable under re-sharding") {
+    val a = Sampling.mixtureResample(corpus, "lang", Seq("en" -> 25))
+      .collect().toSeq
+    val b = Sampling.mixtureResample(corpus.repartition(7), "lang",
+        Seq("en" -> 25)).collect().toSeq
+    assert(a.map(_.toSeq).sortBy(_.toString) == b.map(_.toSeq).sortBy(_.toString))
+  }
+
+  test("mixtureResample rejects targets summing past 100 or out of range") {
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(corpus, "lang", Seq("en" -> 60, "de" -> 50))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(corpus, "lang", Seq("en" -> -1))
+    }
+  }
+}

@@ -140,4 +140,76 @@ class TextAnalysisSpec extends SparkSpec {
       assert(fold(id) == mx, s"doc $id: fold=${fold(id)} grouped=$mx")
     }
   }
+
+  test("boilerplateScrub removes every token covered by a frequent n-gram") {
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "d e f x y z"),
+      (3L, "g h i x y z"),
+      (4L, "j k l m n o")
+    ).toDF("doc_id", "text")
+    // 'x y z' is in 3/4 docs > 0.5; every other 3-gram is unique.
+    val rs = TextAnalysis.boilerplateScrub(docs, n = 3, maxDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L -> "a b c", 2L -> "d e f", 3L -> "g h i").foreach { case (id, kept) =>
+      assert(rs(id).getAs[Int]("n_flagged") == 1)
+      assert(rs(id).getAs[Int]("n_tokens_kept") == 3)
+      assert(rs(id).getAs[String]("text_scrubbed") == kept)
+    }
+    assert(rs(4L).getAs[Int]("n_flagged") == 0)
+    assert(rs(4L).getAs[String]("text_scrubbed") == "j k l m n o")
+  }
+
+  test("boilerplateScrub merges overlapping flagged spans") {
+    // 'p q' is in all 3 docs; in doc 1 its two occurrences overlap at q
+    // (p q p q) so the covered region is tokens 1..4, keeping 'r s'.
+    val docs = Seq(
+      (1L, "p q p q r s"),
+      (2L, "p q a b c d"),
+      (3L, "p q e f g h")
+    ).toDF("doc_id", "text")
+    val rs = TextAnalysis.boilerplateScrub(docs, n = 2, maxDocFrac = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rs(1L).getAs[Int]("n_flagged") == 2)
+    assert(rs(1L).getAs[String]("text_scrubbed") == "r s")
+    assert(rs(2L).getAs[String]("text_scrubbed") == "a b c d")
+  }
+
+  test("chunkByTokens covers every token with the promised overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+                   (2L, "a b c")).toDF("doc_id", "text")
+    val rs = TextAnalysis.chunkByTokens(docs, budget = 4, overlap = 1)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    val d1 = rs.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Int]("start")).toSeq == Seq(1, 4, 7))
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    val d2 = rs.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getAs[String]("chunk_text") == "a b c")
+    // generic coverage property on real data: concatenating each chunk's
+    // non-overlapped suffix reconstructs the document exactly
+    val real = graft.Tables.documents(spark, sfDir).limit(50)
+    val chunks = TextAnalysis.chunkByTokens(real, budget = 48, overlap = 8)
+      .orderBy($"doc_id", $"chunk_id")
+      .groupBy($"doc_id").agg(
+        concat_ws(" ", collect_list(when($"chunk_id" === 0, $"chunk_text")
+          .otherwise(array_join(slice(split($"chunk_text", " "), 9, 48), " "))))
+          .as("rebuilt"))
+    val joined = real.join(chunks, "doc_id")
+      .filter($"text" =!= $"rebuilt").count()
+    assert(joined == 0, "chunk reassembly must reproduce every document")
+  }
+
+  test("tfidfTopTerms ranks by linear idf with token tiebreak") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val rs = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .orderBy($"doc_id", $"rank").collect()
+    // d1: apple tf2*2/df1=4, banana tf1*2/df2=1; d2: cherry 2, banana 1
+    assert(rs.map(r => (r.getLong(0), r.getString(1), r.getDouble(4))).toSeq ==
+      Seq((1L, "apple", 4.0), (1L, "banana", 1.0),
+          (2L, "cherry", 2.0), (2L, "banana", 1.0)))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) joins without a cross join.
+  *
+  * The SymSpell observation: two strings within Levenshtein distance 1
+  * always share a member of their deletion neighborhoods — the string
+  * itself plus every single-character deletion. (Equal strings share
+  * the string; a substitution means the two same-position deletions are
+  * equal; an insertion/deletion means one side's deletion IS the other
+  * string.) So distance-1 candidates come from an EQUI-join on
+  * neighborhood members, and only candidates pay the exact
+  * `levenshtein` verify — the same candidates-then-verify discipline as
+  * the LSH families in [[Dedup]]/[[Similarity]]. The neighborhood is
+  * hashed to 8-byte keys before exploding, so the candidate shuffle
+  * carries (hash, id) — never the strings themselves twice per variant;
+  * hash collisions are false candidates the verify removes anyway.
+  *
+  * Sharing a member bounds the true distance by 2, not 1 ("ab" and
+  * "ba" share "a"), so the verify filter is load-bearing, not hygiene.
+  *
+  * Reference analog: the typo-tolerant lookup discipline of a
+  * catalog-matching ETL stage; at 100 TB scale the shuffle is
+  * O(total string length), never O(left x right).
+  */
+object Fuzzy {
+
+  /** The string itself plus every single-character deletion, each hashed
+    * to 8 bytes. `array_union` also dedups (repeated characters produce
+    * identical deletions). */
+  private[graft] def deletionNeighborhoodHashes(s: Column): Column =
+    array_union(
+      array(xxhash64(s)),
+      transform(sequence(lit(1), greatest(length(s), lit(1))),
+        i => xxhash64(concat(s.substr(lit(1), i - 1),
+          s.substr(i + 1, greatest(length(s) - i, lit(0)))))))
+
+  /** All (left, right) pairs with `levenshtein(leftStr, rightStr) <= 1`.
+    * Output: leftId, rightId, both strings, and `dist`. Columns must be
+    * disjoint between the inputs. One equi-join on hashed neighborhood
+    * members + one dedup shuffle on the candidate id pairs. */
+  def editDistance1Join(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String): DataFrame = {
+    val l = left.select(col(leftId), col(leftStr),
+      explode(deletionNeighborhoodHashes(col(leftStr))).as("__h"))
+    val r = right.select(col(rightId), col(rightStr),
+      explode(deletionNeighborhoodHashes(col(rightStr))).as("__h"))
+    l.join(r, "__h")
+      .drop("__h")
+      // a pair shares many members (always >= 2 when equal); dedup the
+      // bounded candidate set before the O(len^2) verify
+      .dropDuplicates(leftId, rightId)
+      .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
+      .filter(col("dist") <= 1)
+  }
+}

@@ -41,4 +41,35 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval x interval OVERLAP join: all (left, right) pairs whose
+    * half-open windows [start, end) intersect, optionally restricted to
+    * matching `keys` (e.g. the same user). Same binning trick as
+    * [[pointInInterval]], plus a dedup-free trick: a candidate pair
+    * shares every bin their overlap region covers, so emitting it ONLY
+    * from the overlap's first bin — `greatest(bin(lStart), bin(rStart))`,
+    * which both sides necessarily cover when they overlap — yields each
+    * pair exactly once with no dropDuplicates shuffle. The join shuffles
+    * on (bin, keys) alone; the exact predicate runs per-bin.
+    *
+    * Column names must be disjoint between the two inputs (aside from
+    * `keys`); both interval ends must be timestamps. */
+  def intervalOverlap(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      keys: Seq[String] = Nil,
+      binSeconds: Long = 7L * 86400): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bin", explode(sequence(
+        expr(s"unix_timestamp($s) div $binSeconds"),
+        expr(s"unix_timestamp($e) div $binSeconds"))))
+    binned(left, leftStart, leftEnd)
+      .join(binned(right, rightStart, rightEnd), "__bin" +: keys)
+      .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .filter(col("__bin") === greatest(
+        expr(s"unix_timestamp($leftStart) div $binSeconds"),
+        expr(s"unix_timestamp($rightStart) div $binSeconds")))
+      .drop("__bin")
+  }
 }

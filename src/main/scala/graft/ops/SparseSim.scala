@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse (bag-of-n-grams) cosine similarity via posting-list joins —
+  * the weighted complement of [[Dedup.ngramJaccardPairs]]'s set
+  * semantics and of [[Similarity]]'s dense-embedding cosine.
+  *
+  * The document becomes a sparse integer vector over hashed n-grams
+  * (term frequency, duplicates KEPT — that is what distinguishes cosine
+  * from Jaccard here). Pair dot products come from the classic inverted
+  * index: self-join the (doc, gram, tf) postings on the gram, sum
+  * tf_a*tf_b per pair. The candidate blowup is sum(df^2) over grams, so
+  * the document-frequency cap is THE scale lever: a gram appearing in
+  * more than `maxDf` documents is dropped from the vector space (a
+  * corpus-wide stop-gram — it carries no near-dup signal but
+  * contributes df^2 join rows). Everything stays integer-exact until
+  * the single final division, so the scores are bit-identical across
+  * engines (no rounding in the oracle compare).
+  */
+object SparseSim {
+
+  /** All document pairs with n-gram-cosine >= `threshold`. Output:
+    * doc_a < doc_b, the integer dot product, and the cosine. One gram
+    * shuffle for tf, one for the df-cap semi-join, one posting-list
+    * equi-join, one pair aggregation — never an all-pairs product. */
+  def ngramCosinePairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDf: Long = 1000, textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(maxDf > 1, s"maxDf must exceed 1 or no pair survives: $maxDf")
+    val tf = docs
+      .select(col("doc_id"), explode(filter(
+        TextAnalysis.positionalHashedNgrams(col(textCol), n),
+        g => g.isNotNull)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, gram), so counting rows per gram IS the
+    // document frequency. The surviving-gram set is vocabulary-sized —
+    // semi-join, never broadcast.
+    val keptGrams = tf.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("gram"))
+    val pruned = tf.join(keptGrams, Seq("gram"), "left_semi")
+    val norms = pruned.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("ss"))
+    val dots = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("ss").as("ssa")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("ss").as("ssb")), "doc_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cosine"))
+  }
+}

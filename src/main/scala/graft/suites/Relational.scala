@@ -40,8 +40,81 @@ object Relational {
     Q("q14_set_union_intersect_except", q14, Some(q14Sql)),
     Q("q15_orderby_limit_topk", q15, Some(q15Sql)),
     Q("q71_binned_interval_join", q71, Some(q71Sql)),
-    Q("q88_merge_upsert", q88, Some(q88Sql))
+    Q("q88_merge_upsert", q88, Some(q88Sql)),
+    Q("q95_interval_overlap_join", q95, Some(q95Sql)),
+    Q("q96_fuzzy_edit1_join", q96, Some(q96Sql))
   )
+
+  /** Interval x interval OVERLAP join ([[graft.ops.RangeJoin
+    * .intervalOverlap]]): 10-minute activity windows opened by clicks
+    * against 10-minute windows opened by purchases of the SAME user.
+    * Both sides bin onto a 600 s grid and meet on an equi-key
+    * (bin, user); each overlapping pair is emitted from exactly one bin
+    * (the overlap's first), so there is no dedup shuffle at all. The
+    * oracle replays the overlap semantics as a direct theta join. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    def windows(t: String, pre: String) = Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${pre}_event"), col("user_id"),
+        col("ts").as(s"${pre}_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as(s"${pre}_end"))
+    graft.ops.RangeJoin.intervalOverlap(
+        windows("click", "a"), "a_start", "a_end",
+        windows("purchase", "b"), "b_start", "b_end",
+        keys = Seq("user_id"), binSeconds = 600)
+      .select(col("user_id"), col("a_event"), col("b_event"),
+        (unix_micros(least(col("a_end"), col("b_end"))) -
+          unix_micros(greatest(col("a_start"), col("b_start"))))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("a_event"), col("b_event"))
+  }
+
+  private val q95Sql =
+    """WITH a AS (SELECT event_id AS a_event, user_id,
+      |    ts AS a_start, ts + INTERVAL 10 MINUTE AS a_end
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS b_event, user_id,
+      |    ts AS b_start, ts + INTERVAL 10 MINUTE AS b_end
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT a.user_id, a_event, b_event,
+      |  epoch_us(least(a_end, b_end)) -
+      |    epoch_us(greatest(a_start, b_start)) AS overlap_us
+      |FROM a JOIN b ON a.user_id = b.user_id
+      |  AND a_start < b_end AND b_start < a_end
+      |ORDER BY a.user_id, a_event, b_event""".stripMargin
+
+  /** Typo-tolerant catalog matching ([[graft.ops.Fuzzy
+    * .editDistance1Join]]): every tenth part name gains a deterministic
+    * one-character deletion (position keyed by the part key) and is
+    * matched back against the full catalog at Levenshtein distance <= 1
+    * through the hashed deletion-neighborhood equi-join — never a cross
+    * join. The oracle brute-forces levenshtein over probes x catalog. */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+    val pos = pmod(col("p_partkey"), length(col("p_name"))) + 1
+    val probes = parts.filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("probe_key"),
+        concat(col("p_name").substr(lit(1), pos - 1),
+          col("p_name").substr(pos + 1,
+            greatest(length(col("p_name")) - pos, lit(0))))
+          .as("probe_name"))
+    graft.ops.Fuzzy.editDistance1Join(
+        probes, "probe_key", "probe_name", parts, "p_partkey", "p_name")
+      .orderBy(col("probe_key"), col("p_partkey"))
+  }
+
+  private val q96Sql =
+    """WITH probes AS (
+      |  SELECT p_partkey AS probe_key,
+      |    substr(p_name, 1, pos - 1) ||
+      |      substr(p_name, pos + 1, length(p_name) - pos) AS probe_name
+      |  FROM (SELECT p_partkey, p_name,
+      |          (p_partkey % length(p_name)) + 1 AS pos FROM part)
+      |  WHERE p_partkey % 10 = 0)
+      |SELECT probe_key, probe_name, p_partkey, p_name,
+      |  CAST(levenshtein(probe_name, p_name) AS INT) AS dist
+      |FROM probes JOIN part ON levenshtein(probe_name, p_name) <= 1
+      |ORDER BY probe_key, p_partkey""".stripMargin
 
   /** Point-in-interval join WITHOUT a nested loop: lineitem ship dates
     * against the 7-day windows of high-value orders, via ops.RangeJoin's

@@ -66,8 +66,55 @@ object TextSuite {
     Q("q91_boilerplate_scrub", q91, Some(q91Sql)),
     Q("q92_chunk_by_tokens", q92, Some(q92Sql)),
     Q("q93_tfidf_top_terms", q93, Some(q93Sql)),
-    Q("q94_mixture_resample", q94, Some(q94Sql))
+    Q("q94_mixture_resample", q94, Some(q94Sql)),
+    Q("q97_sparse_cosine_pairs", q97, Some(q97Sql))
   )
+
+  /** Weighted n-gram cosine near-dups ([[graft.ops.SparseSim
+    * .ngramCosinePairs]]): bag-of-trigrams vectors meet through the
+    * inverted posting-list join (candidates bounded by sum(df^2), with
+    * the df cap as the stop-gram guard), and every score stays an exact
+    * integer ratio until the single final division — the oracle
+    * hash-compares the doubles unrounded. */
+  private def q97(s: SparkSession, d: String): DataFrame =
+    graft.ops.SparseSim.ngramCosinePairs(
+        Tables.documents(s, d), n = 3, threshold = 0.5, maxDf = 100)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q97Sql =
+    """WITH t2 AS (SELECT doc_id,
+      |    list_transform(string_split(text, ' '), t ->
+      |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(string_split(t, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM documents),
+      |pg AS (SELECT doc_id, list_filter(list_transform(th, (x, i) ->
+      |    CASE WHEN i + 2 <= len(th)
+      |         THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |              % 1000000007 END), g -> g IS NOT NULL) AS pg
+      |  FROM t2),
+      |tf AS (SELECT doc_id, gram, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(pg) AS gram FROM pg)
+      |  GROUP BY doc_id, gram),
+      |p AS (SELECT * FROM tf WHERE gram IN (
+      |    SELECT gram FROM (SELECT gram, count(*) AS df FROM tf GROUP BY gram)
+      |    WHERE df <= 100)),
+      |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ss
+      |  FROM p GROUP BY doc_id),
+      |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, dot,
+      |  CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cosine
+      |FROM dots
+      |JOIN norms na ON doc_a = na.doc_id
+      |JOIN norms nb ON doc_b = nb.doc_id
+      |WHERE CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact dedup groups by content digest (hash-groupBy; one shuffle). */
   private def q30(s: SparkSession, d: String): DataFrame =

@@ -283,6 +283,28 @@ class PlanSpec extends SparkSpec {
       s"tf not partially aggregated in:\n$p")
   }
 
+  test("q95: interval overlap meets on the bin equi-key with no dedup agg") {
+    val p = plan("q95_interval_overlap_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+    // first-shared-bin emission: no distinct/dropDuplicates aggregate
+    assert("HashAggregate".r.findAllIn(p).isEmpty, s"dedup shuffle in:\n$p")
+  }
+
+  test("q96: fuzzy candidates meet on hashed variants, never a cross join") {
+    val p = plan("q96_fuzzy_edit1_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+  }
+
+  test("q97: sparse cosine is posting-list equi-joins with partial aggs") {
+    val p = plan("q97_sparse_cosine_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"tf/dot not partially aggregated in:\n$p")
+  }
+
   test("q94: sampling rates broadcast; the corpus never shuffles for the join") {
     val p = plan("q94_mixture_resample")
     assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast in:\n$p")

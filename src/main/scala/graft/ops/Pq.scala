@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the compression end of the ANN ladder
+  * (brute cosine → LSH → IVF → PQ): split the d-dim embedding into `m`
+  * subvectors, learn a small per-subspace codebook with the
+  * deterministic k-means of [[Similarity.kMeansCentroids]], and encode
+  * every vector as `m` small integer codes (here: m bytes at
+  * codebookSize <= 256). Queries score via ADC (asymmetric distance
+  * computation): ONE m x codebookSize table of exact partial squared
+  * distances from the query to every centroid is precomputed on the
+  * driver and broadcast as a literal; a vector's approximate distance
+  * is then `m` table lookups — no float dot products in the scan at
+  * all. At 100 TB this is the operator that makes exhaustive scans
+  * affordable: 256-dim float vectors (1 KB) become m=8 bytes, and the
+  * scan is table lookups over those bytes.
+  *
+  * Everything is deterministic: k-means init and merge order are fixed
+  * (see kMeansCentroids), argmin ties break to the lowest code, and the
+  * ADC table is a pure function of query + codebooks.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: codebooks(j) is a codebookSize x (d/m)
+    * matrix learned on subvector slice j of every embedding. */
+  def trainCodebooks(emb: DataFrame, m: Int, codebookSize: Int,
+      kmeansIters: Int = 3): Array[Array[Array[Double]]] = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      Similarity.kMeansCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        codebookSize, kmeansIters)
+    }
+  }
+
+  /** Code column: array of m integer codes (0-based), code j = argmin
+    * over the subspace-j codebook of the exact squared distance. Ties
+    * take the lowest code (array_position finds the FIRST minimum). */
+  private[graft] def encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    array(Array.tabulate(m) { j =>
+      val s = slice(v, j * sub + 1, sub)
+      val dists = array(codebooks(j).map { cent =>
+        aggregate(zip_with(s, typedLit(cent.toSeq),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (a, x) => a + x)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Approximate top-k nearest (squared L2) to `queryVecId` via ADC over
+    * PQ codes. Output: vec_id, approx_d2 (ascending). The query row is
+    * excluded. One scan to encode, one TakeOrderedAndProject — the
+    * codebook training is the only iterative part. */
+  def pqTopK(emb: DataFrame, queryVecId: Long, k: Int, m: Int = 8,
+      codebookSize: Int = 16, kmeansIters: Int = 3): DataFrame = {
+    val codebooks = trainCodebooks(emb, m, codebookSize, kmeansIters)
+    val sub = codebooks.head.head.length
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    require(q.length == m * sub, s"query dim ${q.length} != ${m * sub}")
+    // ADC table: adc(j)(c) = exact ||q_j - centroid_{j,c}||^2
+    val adc: Seq[Seq[Double]] = Seq.tabulate(m) { j =>
+      Seq.tabulate(codebookSize) { c =>
+        var d = 0.0; var i = 0
+        val cent = codebooks(j)(c)
+        while (i < sub) {
+          val diff = q(j * sub + i) - cent(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    }
+    emb.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(encode(col("embedding"), codebooks), typedLit(adc),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ: the production composition of [[Similarity.ivfTopK]]'s
+    * inverted file and PQ residual codes — coarse k-means cells prune
+    * the corpus to `nprobe` cells, and within them vectors are scored
+    * from PQ codes of their RESIDUAL (v - cell centroid) via a per-cell
+    * ADC table computed against the query's own residual. This is the
+    * layout a 100 TB vector store actually keeps on disk: cell id + m
+    * bytes per vector; a query touches nprobe cells and does table
+    * lookups only. One shared residual codebook across cells (classic
+    * IVFADC).
+    *
+    * Output: vec_id, approx_d2 ascending over the probed cells. All
+    * stages deterministic (fixed k-means init/merge order, stable
+    * cell-sort tiebreak, first-min code ties). */
+  def ivfPqTopK(emb: DataFrame, queryVecId: Long, k: Int, cells: Int = 8,
+      nprobe: Int = 2, m: Int = 8, codebookSize: Int = 16,
+      kmeansIters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = Similarity.kMeansCentroids(vecs, cells, kmeansIters)
+    val cs = coarse
+    val assigned = vecs.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val c = Similarity.nearestCentroid(v, cs)
+        val res = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { res(i) = (v(i) - cs(c)(i)).toFloat; i += 1 }
+        (id, c, res)
+      }
+      .toDF("vec_id", "cell", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks = trainCodebooks(assigned, m, codebookSize, kmeansIters)
+    val sub = codebooks.head.head.length
+    val q = vecs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).as[Array[Float]].collect()
+    require(q.nonEmpty, s"query vec_id $queryVecId not found")
+    val qv = q.head
+    // stable sort: equal distances tie-break to the lower cell id
+    val probed = coarse.indices.sortBy { c =>
+      var d = 0.0; var i = 0
+      while (i < qv.length) { val x = qv(i) - coarse(c)(i); d += x * x; i += 1 }
+      d
+    }.take(nprobe)
+    // per-cell ADC tables against the query residual; unprobed cells get
+    // a zero table (filtered out before scoring, never read)
+    val adc: Seq[Seq[Seq[Double]]] = Seq.tabulate(cells) { c =>
+      if (!probed.contains(c)) Seq.fill(m)(Seq.fill(codebookSize)(0.0))
+      else Seq.tabulate(m) { j =>
+        Seq.tabulate(codebookSize) { code =>
+          var d = 0.0; var i = 0
+          val cent = codebooks(j)(code)
+          while (i < sub) {
+            val qr = (qv(j * sub + i) - coarse(c)(j * sub + i)).toFloat
+            val diff = qr - cent(i); d += diff * diff; i += 1
+          }
+          d
+        }
+      }
+    }
+    val out = assigned
+      .filter(col("cell").isInCollection(probed) &&
+        col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(encode(col("embedding"), codebooks),
+            element_at(typedLit(adc), col("cell") + 1),
+            (code, row) => element_at(row, code + 1)),
+          lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+      .limit(k)
+      // k rows; materialize so the cached training inputs can be released
+      .localCheckpoint(true)
+    assigned.unpersist()
+    vecs.unpersist()
+    out
+  }
+}

@@ -38,8 +38,51 @@ object Analytic {
     Q("q64_argmax_per_group", q64, Some(q64Sql)),
     Q("q65_topk_aggregator", q65, Some(q65Sql)),
     Q("q83_rank_functions", q83, Some(q83Sql)),
-    Q("q85_gap_fill", q85, Some(q85Sql))
+    Q("q85_gap_fill", q85, Some(q85Sql)),
+    Q("q99_incremental_agg", q99, Some(q99Sql))
   )
+
+  /** Incremental materialized-aggregate maintenance: the per-user
+    * aggregate state (count, sum, max) is a commutative monoid, so
+    * merging a BASE state (events before the cutover) with a DELTA
+    * state (the new partition) must equal the full recompute — which is
+    * exactly what the oracle computes directly. This is the
+    * table-granular version of the reference's incremental rerun
+    * discipline (01b skip-if-exists): at 100 TB only the delta
+    * shuffles on refresh; the base state is a materialized table the
+    * merge reads back. avg is NOT merged as a state — it reconstructs
+    * from sum/count after the merge (the classic decomposable-agg
+    * rewrite). */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      // exact integer micro-units: the state sums stay order-independent
+      // (a float sum would differ from the recompute in the last ulp
+      // depending on merge order — the q85 discipline)
+      .withColumn("v_us", round(col("value") * 1e6, 0).cast("long"))
+    val cut = lit("2024-01-24").cast("timestamp")
+    def state(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v_us")).as("sv_us"),
+        max(col("ts")).as("mts"))
+    state(ev.filter(col("ts") < cut))
+      .unionByName(state(ev.filter(col("ts") >= cut)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        (sum(col("sv_us")).cast("double") / 1e6).as("total_value"),
+        (sum(col("sv_us")).cast("double") /
+          (sum(col("n")) * lit(1000000L)).cast("double")).as("avg_value"),
+        max(col("mts")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q99Sql =
+    """SELECT user_id, count(*) AS n_events,
+      | CAST(sum(v_us) AS DOUBLE) / 1e6 AS total_value,
+      | CAST(sum(v_us) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE)
+      |   AS avg_value,
+      | CAST(max(ts) AS TIMESTAMP) AS last_ts
+      |FROM (SELECT user_id, ts,
+      |        CAST(round(value * 1e6, 0) AS BIGINT) AS v_us FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Statistical aggregate battery per group (SURVEY §2.4). var_samp is
     * scaled by 1e6 before rounding: its magnitude (~2e10) exceeds what

@@ -18,8 +18,55 @@ object VectorSuite {
     Q("q48_embedding_neardup", q48, Some(q48Sql)),
     Q("q66_lsh_neardup_pairs", q66, Some(q66Sql)),
     Q("q70_ann_multiprobe", q70, Some(q70Sql)),
-    Q("q82_int8_quantize", q82, Some(q82Sql))
+    Q("q82_int8_quantize", q82, Some(q82Sql)),
+    Q("q98_pq_topk", q98, Some(q98Sql)),
+    Q("q100_ivfpq_topk", q100, Some(q100Sql))
   )
+
+  /** Product-quantization ADC top-k ([[graft.ops.Pq.pqTopK]]): vectors
+    * compress to m=8 byte codes against deterministic per-subspace
+    * codebooks; the query scores via one broadcast m x 16 lookup table.
+    * Like q44's IVF, the k-means training isn't SQL-expressible, so the
+    * oracle is a VALUES pin of the deterministic sf0.01 result; the
+    * encode/ADC algebra is verified first-principles in PqSpec. */
+  private def q98(s: SparkSession, d: String): DataFrame =
+    graft.ops.Pq.pqTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+
+  /** IVF-PQ ([[graft.ops.Pq.ivfPqTopK]]): coarse cells prune the corpus
+    * to nprobe cells, then PQ codes of the residuals score via per-cell
+    * ADC tables — the cell-id + m-bytes layout of a production vector
+    * store. VALUES pin like q44/q98; the full composition is replayed
+    * first-principles in PqSpec. */
+  private def q100(s: SparkSession, d: String): DataFrame =
+    graft.ops.Pq.ivfPqTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+
+  private val q100Sql =
+    """SELECT * FROM (VALUES
+      |  (CAST(73 AS BIGINT), CAST(0.829124 AS DOUBLE)),
+      |  (CAST(32 AS BIGINT), CAST(0.829353 AS DOUBLE)),
+      |  (CAST(365 AS BIGINT), CAST(0.941501 AS DOUBLE)),
+      |  (CAST(334 AS BIGINT), CAST(0.958386 AS DOUBLE)),
+      |  (CAST(190 AS BIGINT), CAST(0.961839 AS DOUBLE)),
+      |  (CAST(84 AS BIGINT), CAST(0.966886 AS DOUBLE)),
+      |  (CAST(163 AS BIGINT), CAST(0.977359 AS DOUBLE)),
+      |  (CAST(415 AS BIGINT), CAST(0.985329 AS DOUBLE)),
+      |  (CAST(391 AS BIGINT), CAST(0.987628 AS DOUBLE)),
+      |  (CAST(85 AS BIGINT), CAST(0.994253 AS DOUBLE))
+      |) t(vec_id, approx_d2) ORDER BY approx_d2, vec_id""".stripMargin
+
+  private val q98Sql =
+    """SELECT * FROM (VALUES
+      |  (CAST(85 AS BIGINT), CAST(0.956689 AS DOUBLE)),
+      |  (CAST(310 AS BIGINT), CAST(1.001649 AS DOUBLE)),
+      |  (CAST(70 AS BIGINT), CAST(1.00561 AS DOUBLE)),
+      |  (CAST(214 AS BIGINT), CAST(1.007944 AS DOUBLE)),
+      |  (CAST(99 AS BIGINT), CAST(1.009386 AS DOUBLE)),
+      |  (CAST(302 AS BIGINT), CAST(1.010034 AS DOUBLE)),
+      |  (CAST(307 AS BIGINT), CAST(1.012736 AS DOUBLE)),
+      |  (CAST(334 AS BIGINT), CAST(1.01485 AS DOUBLE)),
+      |  (CAST(108 AS BIGINT), CAST(1.022455 AS DOUBLE)),
+      |  (CAST(388 AS BIGINT), CAST(1.024632 AS DOUBLE))
+      |) t(vec_id, approx_d2) ORDER BY approx_d2, vec_id""".stripMargin
 
   /** Array scalar functions over the embedding column. */
   private def q22(s: SparkSession, d: String): DataFrame =

@@ -305,6 +305,20 @@ class PlanSpec extends SparkSpec {
       s"tf/dot not partially aggregated in:\n$p")
   }
 
+  test("q98: PQ scan is one pass + top-k, no join and no wide shuffle") {
+    val p = plan("q98_pq_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+      s"PQ ADC scan must be join-free map work:\n$p")
+  }
+
+  test("q99: state merge aggregates partially on both sides of the union") {
+    val p = plan("q99_incremental_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"states not partially aggregated in:\n$p")
+    assert(p.contains("Union"), s"no base/delta union in:\n$p")
+  }
+
   test("q94: sampling rates broadcast; the corpus never shuffles for the join") {
     val p = plan("q94_mixture_resample")
     assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast in:\n$p")

@@ -24,18 +24,32 @@ object SparseSim {
   /** All document pairs with n-gram-cosine >= `threshold`. Output:
     * doc_a < doc_b, the integer dot product, and the cosine. One gram
     * shuffle for tf, one for the df-cap semi-join, one posting-list
-    * equi-join, one pair aggregation — never an all-pairs product. */
+    * equi-join, one pair aggregation — never an all-pairs product.
+    *
+    * The tf posting list feeds FOUR subtrees (df cap, both self-join
+    * sides, norms), and Spark reuses none of them — so with
+    * `eager = true` (default) tf is cached, a job runs AT CALL TIME to
+    * materialize the bounded pair result via `localCheckpoint(true)`,
+    * and the corpus-sized cache is released before returning (the
+    * [[Dedup]] discipline: the corpus tokenizes ONCE instead of four
+    * times, and nothing persists past the call). `eager = false` keeps
+    * the plan inspectable. At warehouse scale the capped posting list
+    * is the thing to materialize as a table. */
   def ngramCosinePairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      maxDf: Long = 1000, textCol: String = "text"): DataFrame = {
+      maxDf: Long = 1000, textCol: String = "text",
+      eager: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     require(maxDf > 1, s"maxDf must exceed 1 or no pair survives: $maxDf")
-    val tf = docs
+    val tf0 = docs
       .select(col("doc_id"), explode(filter(
         TextAnalysis.positionalHashedNgrams(col(textCol), n),
         g => g.isNotNull)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("tf"))
+    val tf = if (eager)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     // tf has one row per (doc, gram), so counting rows per gram IS the
     // document frequency. The surviving-gram set is vocabulary-sized —
     // semi-join, never broadcast.
@@ -51,12 +65,18 @@ object SparseSim {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-    dots
+    val out = dots
       .join(norms.select(col("doc_id").as("doc_a"), col("ss").as("ssa")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("ss").as("ssb")), "doc_b")
       .withColumn("cosine", col("dot").cast("double") /
         (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cosine"))
+    if (!eager) out
+    else {
+      val o = out.localCheckpoint(eager = true)
+      tf.unpersist()
+      o
+    }
   }
 }

@@ -298,7 +298,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q97: sparse cosine is posting-list equi-joins with partial aggs") {
-    val p = plan("q97_sparse_cosine_pairs")
+    // eager=false to inspect the logical shape (the registered query
+    // checkpoints its bounded result, like q36's LSH candidates)
+    val p = graft.ops.SparseSim.ngramCosinePairs(
+        Tables.documents(spark, sfDir), n = 3, threshold = 0.5,
+        maxDf = 100, eager = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2,

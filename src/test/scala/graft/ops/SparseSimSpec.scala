@@ -67,9 +67,22 @@ class SparseSimSpec extends SparkSpec {
   test("pair generation is an equi-join on the gram, never all-pairs") {
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val p = SparseSim.ngramCosinePairs(docs, n = 2, threshold = 0.1,
-        maxDf = 10)
+        maxDf = 10, eager = false)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("eager run releases the tf cache and returns checkpoint-backed rows") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "f g h i"))
+      .toDF("doc_id", "text")
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SparseSim.ngramCosinePairs(docs, n = 2, threshold = 0.3,
+      maxDf = 10)
+    assert(out.count() >= 1)
+    val fresh = spark.sparkContext.getPersistentRDDs -- pre
+    assert(fresh.values.forall(
+      org.apache.spark.rdd.GraftRddTestBridge.isLocallyCheckpointed),
+      "tf persist escaped the call")
   }
 }

@@ -33,7 +33,12 @@ object Tpch {
     Q("q77_tpch_large_orders", q77, Some(q77Sql)),
     Q("q78_tpch_bracket_join", q78, Some(q78Sql)),
     Q("q79_tpch_sales_opportunity", q79, Some(q79Sql)),
-    Q("q86_tpch_order_priority", q86, Some(q86Sql))
+    Q("q86_tpch_order_priority", q86, Some(q86Sql)),
+    Q("q104_tpch_volume_shipping", q104, Some(q104Sql)),
+    Q("q105_tpch_market_share", q105, Some(q105Sql)),
+    Q("q106_tpch_waiting_supplier", q106, Some(q106Sql)),
+    Q("q107_tpch_disjunctive_revenue", q107, Some(q107Sql)),
+    Q("q108_tpch_top_supplier", q108, Some(q108Sql))
   )
 
   private def revenue: org.apache.spark.sql.Column =
@@ -389,4 +394,209 @@ object Tpch {
       |  AND EXISTS (SELECT 1 FROM lineitem
       |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 volume shipping: bilateral trade between two nations by
+    * ship year. Both nation filters broadcast into supplier/customer, so
+    * the only big work is lineitem x orders x customer on their keys; the
+    * 2-year shipdate window pushes into the lineitem scan. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_10", "NATION_12"))
+    val supp = Tables.supplier(s, d)
+      .join(nations.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(nations.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation")), col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q104Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(sum(volume), 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name IN ('NATION_10', 'NATION_12')
+      |    AND n2.n_name IN ('NATION_10', 'NATION_12')
+      |    AND n1.n_name <> n2.n_name
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 market share: NATION_3 suppliers' share of AMERICA-region
+    * PROMO-part revenue by order year. Eight-table star: part is the
+    * selective probe, every dimension (supplier, customer, both nation
+    * copies, region) broadcasts; the ratio is computed from the same
+    * rounded-sum discipline as the other revenue queries. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val custRegion = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("nation"))
+    Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("nation") === "NATION_3", revenue).otherwise(lit(0.0))) /
+          sum(revenue), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q105Sql =
+    """SELECT o_year,
+      |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+      |        / sum(volume), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who shipped LAST on a multi-supplier
+    * finished order (no l_receiptdate/l_commitdate in the driver schema,
+    * so "latest l_shipdate on the order" stands in for "missed the
+    * commit"). The interesting part is the double correlated quantifier —
+    * EXISTS another supplier on the order, NOT EXISTS one that shipped
+    * later — which Catalyst must decorrelate into a left-semi and a
+    * left-anti join on l_orderkey (per-row subqueries would be O(n^2) at
+    * scale); the SQL entry path exercises exactly that rewrite. */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("q106_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("q106_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("q106_orders")
+    s.sql("""SELECT s_name, count(*) AS numwait
+      FROM q106_supplier
+      JOIN q106_lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN q106_orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM q106_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM q106_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name ORDER BY numwait DESC, s_name""")
+  }
+
+  private val q106Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** TPC-H Q19 shape: revenue under an OR-of-ANDs predicate (three
+    * brand/size/quantity brackets; no p_container in the driver schema).
+    * The disjunction spans both sides of the join, but its
+    * per-table residuals (p_brand IN (...), l_quantity <= 30) are still
+    * extractable — Catalyst must push those below the join so the scans
+    * prune before the equi-join on partkey. */
+  private def q107(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(revenue), 2).as("revenue"))
+
+  private val q107Sql =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
+    * max. Revenue is rounded BEFORE the max-equality so the comparison is
+    * stable across engines; the 1-row max broadcasts back over the tiny
+    * aggregated side (never the fact table). */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(revenue), 2).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mr"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top))
+      .filter(col("total_revenue") === col("mr"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q108Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
 }

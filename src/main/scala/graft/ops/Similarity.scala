@@ -362,4 +362,112 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Johnson–Lindenstrauss-style random projection to `outDim` dimensions:
+    * component p of the output is dot(v, plane_p) against the same
+    * engine-portable [[planeWeight]] grid the LSH path uses — [[lshBits]]
+    * is exactly this projection with a sign quantizer on top. At corpus
+    * scale this is the ANN *pre-reduction* step: a 64-float embedding
+    * becomes 16 doubles, so every downstream shuffle/broadcast carries 4x
+    * fewer vector bytes while inner products remain approximately
+    * preserved (JL lemma). Pure codegen'd projection, zero shuffle. */
+  def randomProject(emb: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = portablePlanes(outDim, dim)
+    emb.select(col("vec_id"),
+      array(planes.map(p => dot(col("embedding"), typedLit(p))): _*).as("pv"))
+  }
+
+  /** Exact cosine top-k computed IN THE PROJECTED SPACE of
+    * [[randomProject]]: the corpus is reduced once, the query vector is a
+    * 1-row broadcast, and the final answer is a TakeOrderedAndProject over
+    * (vec_id, projected cosine). The approximation error vs full-dim
+    * cosine is the JL distortion — bounded and dimension-tunable. */
+  def projectedCosineTopK(
+      emb: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      outDim: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val projected = randomProject(emb, outDim, dim)
+    val q = projected.filter(col("vec_id") === queryVecId)
+      .select(col("pv").as("qv"))
+    projected.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("pv"), col("qv")) /
+          (l2Norm(col("pv")) * l2Norm(col("qv"))), 6).as("proj_cosine"))
+      .orderBy(col("proj_cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Batch ANN kNN join — the production retrieval shape: EVERY query
+    * vector gets its top-k corpus neighbors in one distributed job (the
+    * single-query [[annTopK]] run as a set-to-set join). Both sides are
+    * banded by the portable hyperplane LSH ([[bandedIds]], ids only — the
+    * candidate shuffle carries 16 B/(vector, band), never embeddings);
+    * candidates meet through a (band, bucket) equi-join, dedup BEFORE
+    * scoring, then the embeddings join back on their id keys and the
+    * per-query top-k is one `row_number` window over `query_id`.
+    *
+    * Scale: no broadcast of the corpus, no cartesian anywhere; the only
+    * per-query state is the window's k-row frontier. A hot bucket (many
+    * corpus vectors with one signature) widens the candidate set for the
+    * queries in it — the same skew the bucket caps in [[lshNearDupPairs]]
+    * bound; callers with adversarial corpora should pre-cap buckets.
+    * Ties break on (cosine desc, vec_id) with cosine rounded to 6 dp so
+    * the ranking replays bit-identically in the oracle. */
+  def annKnnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val qb = bandedIds(queries, numPlanes, bands, dim)
+      .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+    val cb = bandedIds(corpus, numPlanes, bands, dim)
+    val cand = cb.join(qb, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val qe = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ce = corpus.select(col("vec_id"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(qe, Seq("query_id")).join(ce, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("qe"), col("ce")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Semantic deduplication (SemDeDup-style, Abbas et al. 2023): prune the
+    * corpus of vectors that are near-duplicates IN EMBEDDING SPACE of an
+    * earlier (lower-id) vector. Candidates come from the same LSH band
+    * buckets as [[lshNearDupPairs]] — never all-pairs — and a vector is
+    * dropped when any lower-id bucket-mate scores `cosine >= threshold`.
+    * The keep/drop rule is a single pass ("drop if a lower-id near-dup
+    * exists"), not the order-dependent greedy chain, so it is deterministic,
+    * SQL-replayable, and embarrassingly parallel.
+    *
+    * Output: every vec_id with its `kept` decision (the kept rows are the
+    * deduplicated corpus). Scale: one banding pass over the corpus, the
+    * candidate shuffle carries ids only, and the final decision is one
+    * equi-join on vec_id — no stage widens beyond the LSH candidate set.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      threshold: Double,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val removed = lshNearDupPairs(emb, threshold, numPlanes, bands, dim)
+      .select(col("vec_b").as("vec_id"))
+      .dropDuplicates("vec_id")
+      .withColumn("rm", lit(true))
+    emb.select(col("vec_id"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), (!coalesce(col("rm"), lit(false))).as("kept"))
+  }
 }

@@ -20,8 +20,126 @@ object VectorSuite {
     Q("q70_ann_multiprobe", q70, Some(q70Sql)),
     Q("q82_int8_quantize", q82, Some(q82Sql)),
     Q("q98_pq_topk", q98, Some(q98Sql)),
-    Q("q100_ivfpq_topk", q100, Some(q100Sql))
+    Q("q100_ivfpq_topk", q100, Some(q100Sql)),
+    Q("q101_semantic_dedup", q101, Some(q101Sql)),
+    Q("q103_projected_topk", q103, Some(q103Sql)),
+    Q("q109_ann_knn_join", q109, Some(q109Sql))
   )
+
+  /** Batch ANN kNN join ([[Similarity.annKnnJoin]]): every 25th vector is
+    * a query and gets its top-5 neighbors from the whole corpus in ONE
+    * distributed job — banded ids meet in a (band, bucket) equi-join,
+    * pairs dedup before scoring, and the per-query top-5 is a row_number
+    * window. The oracle replays the entire pipeline: portable planes,
+    * banding, candidate join, exact cosine, and the ranked cut. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.annKnnJoin(emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").as("knn_rank"))
+      .orderBy(col("query_id"), col("knn_rank"))
+  }
+
+  private val q109Sql =
+    """WITH sig AS (SELECT vec_id, embedding,
+      |    list_transform(range(0, 16), p ->
+      |      CASE WHEN list_sum(list_transform(embedding, (x, i) ->
+      |        CAST(x AS DOUBLE) *
+      |        ((CAST(p*64 + i AS BIGINT) * 2654435761 % 1000000007) % 2001
+      |         - 1000) / 1000.0)) > 0
+      |      THEN 1 ELSE 0 END) AS bits
+      |  FROM embeddings),
+      |banded AS (SELECT vec_id, b.range AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        bits[b.range*4+1 : b.range*4+4]),
+      |      (a, v) -> a * 2 + v) AS bucket
+      |  FROM sig, range(0, 4) b),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      |  FROM banded q JOIN banded c USING (band, bucket)
+      |  WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+      |scored AS (SELECT query_id, cand.vec_id,
+      |    round(
+      |      list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(eq.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(ec.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+      |  FROM cand
+      |  JOIN embeddings eq ON eq.vec_id = cand.query_id
+      |  JOIN embeddings ec ON ec.vec_id = cand.vec_id)
+      |SELECT query_id, vec_id, cosine, knn_rank FROM (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, vec_id) AS knn_rank
+      |  FROM scored)
+      |WHERE knn_rank <= 5 ORDER BY query_id, knn_rank""".stripMargin
+
+  /** Random-projection (JL) top-k ([[Similarity.projectedCosineTopK]]):
+    * the corpus is reduced 64 -> 16 dims against the portable plane grid,
+    * then exact cosine top-k runs in the projected space. The oracle
+    * replays the projection and the projected-space scoring end to end. */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    Similarity.projectedCosineTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
+
+  private val q103Sql =
+    """WITH proj AS (SELECT vec_id,
+      |    list_transform(range(0, 16), p ->
+      |      list_sum(list_transform(embedding, (x, i) ->
+      |        CAST(x AS DOUBLE) *
+      |        ((CAST(p*64 + i AS BIGINT) * 2654435761 % 1000000007) % 2001
+      |         - 1000) / 1000.0))) AS pv
+      |  FROM embeddings),
+      |q AS (SELECT pv AS qv FROM proj WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |    list_sum(list_transform(list_zip(pv, qv), z -> z[1] * z[2])) /
+      |    (sqrt(list_sum(list_transform(pv, x -> x * x))) *
+      |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS proj_cosine
+      |FROM proj, q WHERE vec_id <> 0
+      |ORDER BY proj_cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Semantic dedup ([[Similarity.semanticDedup]]): drop every vector with
+    * a lower-id LSH-bucket-mate at cosine >= 0.4; the kept rows are the
+    * semantically deduplicated corpus. The oracle replays the whole
+    * pipeline — portable hyperplane signatures, banding, candidate pairs,
+    * exact cosine verify, and the one-pass drop rule. */
+  private def q101(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), threshold = 0.4)
+      .orderBy(col("vec_id"))
+
+  private val q101Sql =
+    """WITH sig AS (SELECT vec_id, embedding,
+      |    list_transform(range(0, 16), p ->
+      |      CASE WHEN list_sum(list_transform(embedding, (x, i) ->
+      |        CAST(x AS DOUBLE) *
+      |        ((CAST(p*64 + i AS BIGINT) * 2654435761 % 1000000007) % 2001
+      |         - 1000) / 1000.0)) > 0
+      |      THEN 1 ELSE 0 END) AS bits
+      |  FROM embeddings),
+      |banded AS (SELECT vec_id, b.range AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        bits[b.range*4+1 : b.range*4+4]),
+      |      (a, v) -> a * 2 + v) AS bucket
+      |  FROM sig, range(0, 4) b),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM banded a JOIN banded b USING (band, bucket)
+      |  WHERE a.vec_id < b.vec_id),
+      |removed AS (SELECT DISTINCT vec_b AS vec_id FROM (
+      |  SELECT c.vec_a, c.vec_b,
+      |    round(
+      |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(ea.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(eb.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+      |WHERE cosine >= 0.4)
+      |SELECT e.vec_id, r.vec_id IS NULL AS kept
+      |FROM embeddings e LEFT JOIN removed r ON e.vec_id = r.vec_id
+      |ORDER BY e.vec_id""".stripMargin
 
   /** Product-quantization ADC top-k ([[graft.ops.Pq.pqTopK]]): vectors
     * compress to m=8 byte codes against deterministic per-subspace

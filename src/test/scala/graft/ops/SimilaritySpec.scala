@@ -157,4 +157,93 @@ class SimilaritySpec extends SparkSpec {
     // plane weights are the portable integer grid, bounded in [-1, 1]
     assert(planes.flatten.forall(w => w >= -1.0 && w <= 1.0))
   }
+
+  test("semanticDedup: every vec decided once; drops have a lower-id witness") {
+    val decisions = Similarity.semanticDedup(emb, threshold = 0.4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val n = emb.count()
+    assert(decisions.size == n, "one decision row per vector")
+    val dropped = decisions.collect { case (id, false) => id }.toSet
+    // each dropped vec must have a lower-id LSH-bucket-mate above threshold
+    val witnesses = Similarity.lshNearDupPairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    dropped.foreach { id =>
+      assert(witnesses.exists { case (a, b) => b == id && a < id },
+        s"dropped vec $id has no lower-id near-dup witness")
+    }
+    // and no kept vec appears as a vec_b of any witness pair
+    witnesses.foreach { case (_, b) => assert(!decisions(b)) }
+  }
+
+  test("semanticDedup drops an exact duplicate of an existing vector") {
+    val dup = emb.filter($"vec_id" === 0L)
+      .select(lit(100000L).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.semanticDedup(emb.unionByName(dup), threshold = 0.9)
+      .filter($"vec_id" === 100000L).collect()
+    assert(out.length == 1 && !out.head.getBoolean(1),
+      "an exact copy (cosine 1.0, identical LSH buckets) must be dropped")
+  }
+
+  test("projectedCosineTopK: identical vector scores 1.0 in projected space") {
+    val dup = emb.filter($"vec_id" === 0L)
+      .select(lit(100000L).as("vec_id"), $"embedding", $"label")
+    val top = Similarity.projectedCosineTopK(emb.unionByName(dup), 0L, 1)
+      .collect()
+    assert(top.head.getLong(0) == 100000L && top.head.getDouble(1) == 1.0,
+      s"exact copy must be the projected top-1 at cosine 1.0: ${top.toList}")
+  }
+
+  test("projected cosines correlate positively with full-dim cosines (JL)") {
+    // The driver corpus is random (near-orthogonal: all query cosines sit
+    // in a narrow band), so top-k RANK recall after 64 -> 16 projection is
+    // legitimately weak; the property JL actually promises is that inner
+    // products are preserved up to distortion. Assert the corpus-wide
+    // correlation between full and projected cosine is clearly positive
+    // (measured ~0.38 here; real embedding corpora with separated
+    // neighborhoods project far better).
+    val full = Similarity.cosineTopK(emb, 0L, 1000000)
+      .select($"vec_id", $"cosine")
+    val proj = Similarity.projectedCosineTopK(emb, 0L, 1000000)
+      .select($"vec_id", $"proj_cosine")
+    val r = full.join(proj, "vec_id")
+      .agg(corr($"cosine", $"proj_cosine")).head().getDouble(0)
+    assert(r > 0.2, s"projected/full cosine correlation too weak: $r")
+  }
+
+  test("annKnnJoin: per-query results agree with single-query annTopK") {
+    val queries = emb.filter($"vec_id".isin(0L, 7L, 42L))
+    val joined = Similarity.annKnnJoin(queries, emb, k = 5).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3)).map(r =>
+        (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    Seq(0L, 7L, 42L).foreach { qid =>
+      val single = Similarity.annTopK(emb, qid, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(qid) == single,
+        s"batch kNN for query $qid must equal the single-query path")
+    }
+  }
+
+  test("annKnnJoin ranks are 1..k dense per query, ordered by cosine") {
+    val out = Similarity.annKnnJoin(emb.filter($"vec_id" < 50), emb, k = 3)
+      .collect()
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1L to byRank.length).toSeq,
+        s"ranks must be dense for query $qid")
+      val cosines = byRank.map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse,
+        s"rank order must follow cosine desc for query $qid")
+      assert(!rows.exists(_.getLong(1) == qid), "self-match excluded")
+    }
+  }
+
+  test("randomProject output is outDim doubles and deterministic") {
+    val p1 = Similarity.randomProject(emb).orderBy($"vec_id").limit(3)
+      .select($"pv").as[Seq[Double]].collect()
+    val p2 = Similarity.randomProject(emb).orderBy($"vec_id").limit(3)
+      .select($"pv").as[Seq[Double]].collect()
+    assert(p1.map(_.toList).sameElements(p2.map(_.toList)))
+    assert(p1.forall(_.length == 16))
+  }
 }

@@ -57,4 +57,27 @@ object Sampling {
       .groupBy(col(keyCol), col("n_bucket"), col("desired_n"))
       .agg(sum(col("kept")).as("n_sampled"))
   }
+
+  /** Per-key document cap (the Common-Crawl-style per-domain quota): keep
+    * at most `cap` docs per key, chosen deterministically as the lowest
+    * `idCol` values — a reproducible quota, not a random sample, so reruns
+    * and engines agree row-for-row.
+    *
+    * Scale shape: one shuffle on the key plus a per-key incremental
+    * row_number — Spark sorts within each key partition but keeps only the
+    * running counter, no global sort. A pathological mega-key serializes
+    * its own partition's scan; when such keys are known, pre-filtering
+    * them by a count pass (broadcast of over-cap keys) bounds the window
+    * input to `cap`-ish rows per key. That pre-pass is exactly
+    * [[mixtureResample]]'s rate table with a fixed target, so the
+    * composition is available where skew demands it. */
+  def perKeyCap(docs: DataFrame, keyCol: String, cap: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
 }

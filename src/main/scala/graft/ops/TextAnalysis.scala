@@ -31,13 +31,19 @@ object TextAnalysis {
     * which is evaluated once per row. zip_with pads the shorter (shifted)
     * arrays with null and concat propagates null, so positions past
     * #tokens-n drop out in the filter. */
-  def ngrams(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column =
+    array_distinct(ngramOccurrences(text, n))
+
+  /** All n-gram occurrences in order (duplicates kept) — the counting
+    * variant of [[ngrams]]; same zip-of-shifted-copies shape for the same
+    * CollapseProject reason. */
+  def ngramOccurrences(text: Column, n: Int): Column = {
     val w = tokens(text)
     val zipped = (1 until n).foldLeft(w) { (acc, j) =>
       zip_with(acc, slice(w, lit(j + 1), greatest(size(w) - j, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(filter(zipped, g => g.isNotNull))
+    filter(zipped, g => g.isNotNull)
   }
 
   private val Mod = 1000000007L
@@ -317,6 +323,41 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Corpus-LM coverage scoring (the CCNet-style "does this doc look like
+    * the corpus" quality signal, kept integer-exact so it oracles): the
+    * language model is the corpus's own bigram table. Per doc —
+    * `n_bigrams` adjacent-pair occurrences, `covered_occ` of them whose
+    * bigram appears in >= `minDf` distinct docs, `coverage` their ratio,
+    * and `mean_df` the occurrence-weighted mean document frequency. Low
+    * coverage flags out-of-distribution / noise docs; log-prob scoring is
+    * deliberately avoided (ln() is not bit-portable across engines).
+    *
+    * Scale shape: three keyed shuffles, none broadcast — (doc_id, bigram)
+    * count with map-side combine, bigram -> df reduce (tiny after partial
+    * agg), df joined back on the bigram key (the bigram vocabulary of a
+    * 100 TB corpus is itself large, so this is a shuffle equi-join, NOT a
+    * broadcast), then one doc_id rollup. Docs with no bigram (single
+    * token) drop out, mirroring the oracle's unnest. */
+  def bigramCoverage(docs: DataFrame, minDf: Long = 2,
+      textCol: String = "text"): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    val perDoc = docs
+      .select(col("doc_id"), explode(ngramOccurrences(col(textCol), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("occ"))
+    val dfv = perDoc.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+    perDoc.join(dfv, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("df") >= minDf, col("occ")).otherwise(0L)).as("covered_occ"),
+        round(sum(when(col("df") >= minDf, col("occ")).otherwise(0L)) /
+          sum(col("occ")).cast("double"), 6).as("coverage"),
+        round(sum(col("occ") * col("df")) /
+          sum(col("occ")).cast("double"), 6).as("mean_df"))
   }
 
   /** PII patterns a pre-training scrub pass must catch. Kept to the

@@ -1,7 +1,7 @@
 package graft.suites
 
 import graft.{Q, Tables}
-import graft.ops.{Dedup, Multimodal, Packing, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,8 +67,56 @@ object TextSuite {
     Q("q92_chunk_by_tokens", q92, Some(q92Sql)),
     Q("q93_tfidf_top_terms", q93, Some(q93Sql)),
     Q("q94_mixture_resample", q94, Some(q94Sql)),
-    Q("q97_sparse_cosine_pairs", q97, Some(q97Sql))
+    Q("q97_sparse_cosine_pairs", q97, Some(q97Sql)),
+    Q("q102_bigram_coverage", q102, Some(q102Sql)),
+    Q("q111_source_cap", q111, Some(q111Sql))
   )
+
+  /** Per-source document quota ([[Sampling.perKeyCap]]): keep at most 10
+    * docs per source, deterministically the lowest doc_ids — the
+    * Common-Crawl-style per-domain cap that stops one hot domain from
+    * dominating a pre-training mix. One keyed shuffle; the window keeps a
+    * running counter, never a global sort. */
+  private def q111(s: SparkSession, d: String): DataFrame =
+    Sampling.perKeyCap(Tables.documents(s, d), "source", cap = 10)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q111Sql =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+
+  /** Corpus-bigram-LM coverage ([[TextAnalysis.bigramCoverage]]): each
+    * doc scored by how much of it the corpus's own bigram table has seen
+    * in >= 2 documents — the CCNet-style in-distribution signal kept
+    * integer-exact (counts + two final divisions) so the oracle replays
+    * it bit-for-bit. */
+  private def q102(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramCoverage(Tables.documents(s, d), minDf = 2)
+      .orderBy(col("doc_id"))
+
+  private val q102Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id,
+      |    w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS bigram
+      |  FROM (SELECT doc_id, w,
+      |          unnest(generate_series(1, len(w) - 1)) AS i FROM toks)),
+      |perdoc AS (SELECT doc_id, bigram, count(*) AS occ
+      |  FROM bg GROUP BY doc_id, bigram),
+      |dfv AS (SELECT bigram, count(*) AS df FROM perdoc GROUP BY bigram)
+      |SELECT doc_id,
+      |  CAST(sum(occ) AS BIGINT) AS n_bigrams,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS BIGINT)
+      |    AS covered_occ,
+      |  round(sum(CASE WHEN df >= 2 THEN occ ELSE 0 END)
+      |    / CAST(sum(occ) AS DOUBLE), 6) AS coverage,
+      |  round(sum(occ * df) / CAST(sum(occ) AS DOUBLE), 6) AS mean_df
+      |FROM perdoc JOIN dfv USING (bigram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Weighted n-gram cosine near-dups ([[graft.ops.SparseSim
     * .ngramCosinePairs]]): bag-of-trigrams vectors meet through the

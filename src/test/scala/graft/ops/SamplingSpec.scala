@@ -40,4 +40,24 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureResample(corpus, "lang", Seq("en" -> -1))
     }
   }
+
+  test("perKeyCap keeps the lowest ids per key, at most cap each") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "a"), (1L, "a"), (3L, "a"), (2L, "b"), (9L, "b"), (7L, "c"))
+      .toDF("doc_id", "key")
+    val out = Sampling.perKeyCap(docs, "key", cap = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (3L, "a"), (2L, "b"), (9L, "b"), (7L, "c")),
+      s"lowest doc_ids win deterministically: $out")
+  }
+
+  test("perKeyCap passes under-cap keys through untouched") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, "only")).toDF("doc_id", "key")
+    assert(Sampling.perKeyCap(docs, "key", cap = 10).count() == 5)
+    intercept[IllegalArgumentException] {
+      Sampling.perKeyCap(docs, "key", cap = 0)
+    }
+  }
 }

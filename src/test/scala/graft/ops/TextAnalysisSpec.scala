@@ -212,4 +212,42 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "apple", 4.0), (1L, "banana", 1.0),
           (2L, "cherry", 2.0), (2L, "banana", 1.0)))
   }
+
+  test("ngramOccurrences keeps duplicates in order; ngrams is its distinct") {
+    val df = Seq("a b a b a").toDF("text")
+    val occ = df.select(TextAnalysis.ngramOccurrences($"text", 2).as("g"))
+      .head().getSeq[String](0)
+    assert(occ == Seq("a b", "b a", "a b", "b a"))
+    val dis = df.select(TextAnalysis.ngrams($"text", 2)).head().getSeq[String](0)
+    assert(dis.toSet == occ.toSet && dis.length == 2)
+  }
+
+  test("bigramCoverage truth table on a handcrafted corpus") {
+    val docs = Seq(
+      (1L, "the cat sat"),       // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),       // bigrams: "the cat", "cat ran"
+      (3L, "zq zq zq"),          // bigrams: "zq zq" x2 (df 1 — uncovered)
+      (4L, "solo")               // no bigram -> absent from output
+    ).toDF("doc_id", "text")
+    val rs = TextAnalysis.bigramCoverage(docs, minDf = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // doc1: occurrences 2, distinct 2; "the cat" df=2 covered, "cat sat"
+    // df=1 not -> coverage 0.5; mean_df = (2+1)/2 = 1.5
+    // doc3: "zq zq" occ 2, df 1 -> coverage 0, mean_df 1
+    assert(rs.toSeq == Seq(
+      (1L, 2L, 2L, 1L, 0.5, 1.5),
+      (2L, 2L, 2L, 1L, 0.5, 1.5),
+      (3L, 2L, 1L, 0L, 0.0, 1.0)))
+  }
+
+  test("bigramCoverage of a corpus of identical docs is fully covered") {
+    val docs = (1L to 5L).map(i => (i, "all docs look alike here"))
+      .toDF("doc_id", "text")
+    val rs = TextAnalysis.bigramCoverage(docs, minDf = 2).collect()
+    assert(rs.length == 5)
+    assert(rs.forall(_.getDouble(4) == 1.0), "every bigram has df=5 >= 2")
+    assert(rs.forall(_.getDouble(5) == 5.0), "mean_df must be the doc count")
+  }
 }

@@ -13,7 +13,8 @@ object SparkEntry {
   /** Registry of all verifiable queries, grouped by module. */
   def registry: Seq[Q] =
     suites.Relational.all ++ suites.Analytic.all ++ suites.Tpch.all ++
-      suites.TextSuite.all ++ suites.VectorSuite.all ++ suites.WriSuite.all
+      suites.TextSuite.all ++ suites.VectorSuite.all ++
+      suites.GraphSuite.all ++ suites.WriSuite.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

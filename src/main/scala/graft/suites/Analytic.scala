@@ -39,8 +39,95 @@ object Analytic {
     Q("q65_topk_aggregator", q65, Some(q65Sql)),
     Q("q83_rank_functions", q83, Some(q83Sql)),
     Q("q85_gap_fill", q85, Some(q85Sql)),
-    Q("q99_incremental_agg", q99, Some(q99Sql))
+    Q("q99_incremental_agg", q99, Some(q99Sql)),
+    Q("q112_hll_distinct", q112, Some(q112Sql)),
+    Q("q114_funnel", q114, Some(q114Sql)),
+    Q("q115_binned_quantiles", q115, Some(q115Sql))
   )
+
+  /** Ordered funnel ([[graft.ops.Funnel.funnelCounts]]): users completing
+    * signup -> click -> view -> purchase with each step strictly after
+    * their first qualifying previous step. Each stage filters the event
+    * table by type BEFORE any shuffle and joins the one-row-per-user
+    * frontier; the oracle chains the same min-after joins. */
+  private def q114(s: SparkSession, d: String): DataFrame =
+    graft.ops.Funnel.funnelCounts(Tables.events(s, d),
+      Seq("signup", "click", "view", "purchase"))
+      .orderBy(col("step"))
+
+  private val q114Sql =
+    """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+      |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+      |t4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN t3 ON e.user_id = t3.user_id AND e.ts > t3.t
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+      |  (SELECT count(*) FROM t1) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+      |UNION ALL SELECT 3, 'view', (SELECT count(*) FROM t3)
+      |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)
+      |ORDER BY step""".stripMargin
+
+  /** Mergeable fixed-bin quantile sketch
+    * ([[graft.ops.Sketches.binnedQuantiles]]) over l_extendedprice: the
+    * shuffle carries at most 1100 bin rows per partition instead of the
+    * global sort an exact percentile needs; every arithmetic step is the
+    * identical IEEE expression in both engines. */
+  private def q115(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sketches.binnedQuantiles(Tables.lineitem(s, d),
+      "l_extendedprice", lo = 0.0, hi = 110000.0, bins = 1100,
+      qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy(col("q"))
+
+  private val q115Sql =
+    """WITH h AS (SELECT least(1099, greatest(0,
+      |    CAST(floor((l_extendedprice - CAST(0.0 AS DOUBLE))
+      |      / CAST(100.0 AS DOUBLE)) AS BIGINT))) AS bin FROM lineitem),
+      |g AS (SELECT bin, count(*) AS cnt FROM h GROUP BY bin),
+      |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+      |    sum(cnt) OVER () AS n FROM g),
+      |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+      |SELECT q, min(bin) AS bin,
+      |  CAST(0.0 AS DOUBLE) + (min(bin) + 1) * CAST(100.0 AS DOUBLE) AS est
+      |FROM qs JOIN c ON cum >= q * n
+      |GROUP BY q ORDER BY q""".stripMargin
+
+  /** Engine-portable HyperLogLog cardinality sketch
+    * ([[graft.ops.Sketches.hllDistinct]]): estimated vs exact distinct
+    * l_partkey count. All sketch arithmetic is integer (portable hash,
+    * trailing-zero rho via bit_count, integer-scaled harmonic sum); the
+    * single final division is the only floating-point step, so the DuckDB
+    * oracle replays the whole sketch bit-for-bit — the 64-row
+    * groupBy(bucket).max IS the mergeable-sketch shuffle a 100 TB
+    * profiling pass would run. */
+  private def q112(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sketches.hllDistinct(Tables.lineitem(s, d), "l_partkey")
+
+  private val q112Sql =
+    """WITH h0 AS (SELECT ((l_partkey % 1000000007) * 2654435761)
+      |    % 1000000007 AS h FROM lineitem),
+      |h1 AS (SELECT ((h + h // 8192) * 972663749) % 1000000007 AS h FROM h0),
+      |h AS (SELECT ((h + h // 8192) * 468703703) % 1000000007 AS h FROM h1),
+      |b AS (SELECT h % 64 AS bucket, h // 64 AS w FROM h),
+      |r AS (SELECT bucket,
+      |    CASE WHEN w = 0 THEN 25
+      |         ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM b),
+      |s AS (SELECT bucket, max(rho) AS mj FROM r GROUP BY bucket),
+      |t AS (SELECT sum(1::BIGINT << CAST(30 - mj AS INT))
+      |    + (64 - count(*)) * (1::BIGINT << 30) AS s_scaled FROM s),
+      |e AS (SELECT round(CAST(0.709436 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |    * CAST(1073741824 AS DOUBLE) / s_scaled, 2) AS est_distinct FROM t),
+      |x AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+      |SELECT est_distinct, exact_distinct,
+      |  round(abs(est_distinct - exact_distinct) / exact_distinct, 4)
+      |    AS rel_err
+      |FROM e CROSS JOIN x""".stripMargin
 
   /** Incremental materialized-aggregate maintenance: the per-user
     * aggregate state (count, sum, max) is a commutative monoid, so

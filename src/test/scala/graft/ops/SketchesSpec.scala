@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllDistinct estimates within the m=64 error envelope") {
+    // HLL with m=64 has std error 1.04/sqrt(64) = 13%; assert a generous
+    // 3-sigma band on a 10k-key universe
+    val keys = (1L to 10000L).toDF("k")
+    val row = Sketches.hllDistinct(keys, "k").head
+    val (est, exact) = (row.getDouble(0), row.getLong(1))
+    assert(exact == 10000L)
+    assert(math.abs(est - exact) / exact < 0.4,
+      s"estimate $est too far from $exact")
+  }
+
+  test("hllDistinct is insensitive to duplication and partitioning") {
+    val keys = (1L to 2000L).toDF("k")
+    val dup = keys.union(keys).union(keys).repartition(13)
+    val a = Sketches.hllDistinct(keys, "k").head
+    val b = Sketches.hllDistinct(dup, "k").head
+    assert(a.getDouble(0) == b.getDouble(0),
+      "sketch is a pure function of the key SET")
+    assert(b.getLong(1) == 2000L)
+  }
+
+  test("hllDistinct scales its answer with true cardinality") {
+    val small = Sketches.hllDistinct((1L to 100L).toDF("k"), "k").head.getDouble(0)
+    val large = Sketches.hllDistinct((1L to 20000L).toDF("k"), "k").head.getDouble(0)
+    assert(large > 10 * small, s"est must grow with cardinality: $small vs $large")
+  }
+
+  test("binnedQuantiles brackets the exact quantile within one bin width") {
+    val xs = (1 to 10000).map(_.toDouble).toDF("x")
+    val out = Sketches.binnedQuantiles(xs, "x", lo = 0.0, hi = 10000.0,
+        bins = 100, qs = Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    // exact p50 = 5000; bin width 100 -> est is the covering upper edge
+    assert(math.abs(out(0.5) - 5000.0) <= 100.0, s"p50 est ${out(0.5)}")
+    assert(math.abs(out(0.9) - 9000.0) <= 100.0, s"p90 est ${out(0.9)}")
+  }
+
+  test("binnedQuantiles clamps out-of-range values into edge bins") {
+    val xs = Seq(-50.0, 1.0, 2.0, 3.0, 1e9).toDF("x")
+    val out = Sketches.binnedQuantiles(xs, "x", 0.0, 10.0, 10, Seq(1.0))
+      .head
+    // q=1.0 must land in the LAST bin (the 1e9 outlier clamps there)
+    assert(out.getLong(1) == 9L, s"outlier must clamp to the top bin: $out")
+  }
+
+  test("binnedQuantiles is partitioning-invariant (mergeable sketch)") {
+    val xs = (1 to 5000).map(_.toDouble).toDF("x")
+    val a = Sketches.binnedQuantiles(xs, "x", 0.0, 5000.0, 50, Seq(0.25, 0.75))
+      .orderBy($"q").collect().toSeq
+    val b = Sketches.binnedQuantiles(xs.repartition(17), "x", 0.0, 5000.0, 50,
+      Seq(0.25, 0.75)).orderBy($"q").collect().toSeq
+    assert(a == b)
+  }
+
+  test("portableHash stays within [0, P) and scatters consecutive keys") {
+    val hs = (1L to 1000L).toDF("k")
+      .select(Sketches.portableHash($"k").as("h"))
+      .agg(min($"h"), max($"h"), countDistinct($"h")).head
+    assert(hs.getLong(0) >= 0L && hs.getLong(1) < 1000000007L)
+    assert(hs.getLong(2) >= 995L, "avalanche rounds keep collisions rare")
+  }
+}

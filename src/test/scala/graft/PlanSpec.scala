@@ -329,4 +329,94 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast in:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for rate join:\n$p")
   }
+
+  test("q104: shipdate window pushed into the lineitem scan; dims broadcast") {
+    val p = plan("q104_tpch_volume_shipping")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate window not pushed in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation dims not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+  }
+
+  test("q106: both correlated quantifiers decorrelate (semi + anti), no loops") {
+    val p = plan("q106_tpch_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated in:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"per-row subquery in:\n$p")
+  }
+
+  test("q107: per-table residuals of the OR predicate reach both scans") {
+    val p = plan("q107_tpch_disjunctive_revenue")
+    // the brand disjuncts union into an In/Or residual on the part scan,
+    // and the quantity bounds (1..30) form a residual on lineitem
+    assert(p.contains("PushedFilters") && p.contains("p_brand"),
+      s"brand residual not pushed to the part scan in:\n$p")
+    assert(p.contains("l_quantity"),
+      s"quantity residual absent from the lineitem side in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+  }
+
+  test("q108: the max-revenue comparison broadcasts over the aggregated side") {
+    val p = plan("q108_tpch_top_supplier")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"1-row max not broadcast in:\n$p")
+    // the fact table aggregates BEFORE any join: partial + final pair
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"revenue not pre-aggregated in:\n$p")
+  }
+
+  test("q101: semantic-dedup candidates stay equi-join; decision is one key join") {
+    val p = plan("q101_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs blowup in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"unexpected join shape:\n$p")
+  }
+
+  test("q109: batch kNN candidates stay equi-joins; per-query top-k is a window") {
+    val p = plan("q109_ann_knn_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs blowup in:\n$p")
+    assert(p.contains("Window") && p.contains("row_number"),
+      s"per-query top-k must be a window, not a collect: \n$p")
+  }
+
+  test("q111: per-source cap is one keyed exchange into a running window") {
+    val p = plan("q111_source_cap")
+    assert(p.contains("Window"), s"cap must use a window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"cap needs exactly one keyed shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") ||
+      p.contains("Sort"), s"no global sort before the final order:\n$p")
+  }
+
+  test("q112: the HLL sketch aggregates partially (mergeable-sketch shuffle)") {
+    val p = plan("q112_hll_distinct")
+    // bucket max: partial + final HashAggregate pair — the shuffle carries
+    // at most m rows per partition regardless of input size
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"sketch must partial-aggregate per partition:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row est x exact join must be broadcast:\n$p")
+  }
+
+  test("q113: degree summary joins two partial aggs, nothing wider") {
+    val p = plan("q113_graph_degrees")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic join in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"both degree counts must partial-aggregate:\n$p")
+  }
+
+  test("q103: random projection adds no exchange before the top-k") {
+    val p = plan("q103_projected_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")
+    // projection itself is a map-only stage: the only exchanges allowed
+    // are the 1-row query-vector broadcast and the final top-k reduction
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projection introduced a shuffle:\n$p")
+  }
 }

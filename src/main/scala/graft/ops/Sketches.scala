@@ -79,6 +79,31 @@ object Sketches {
           col("exact_distinct"), 4).as("rel_err"))
   }
 
+  /** Per-group HLL distinct estimate: one sketch per `groupCol` value.
+    * The groupBy(group, bucket).max partial-aggregates map-side, so the
+    * shuffle carries at most m=64 rows per (partition, group) no matter
+    * how many keys flow in — the per-group cardinality profile (distinct
+    * users per event type, distinct urls per domain) a 100 TB pass can
+    * afford. Output: (groupCol, est_distinct). */
+  def hllDistinctByKey(df: DataFrame, keyCol: String,
+      groupCol: String): DataFrame = {
+    val hashed = df
+      .select(col(groupCol), portableHash(col(keyCol)).as("h"))
+      .select(col(groupCol), pmod(col("h"), lit(M)).as("bucket"),
+        expr(s"h div $M").as("w"))
+      .select(col(groupCol), col("bucket"),
+        when(col("w") === 0L, lit(25L))
+          .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1L) + 1L)
+          .as("rho"))
+    hashed.groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("mj"))
+      .groupBy(col(groupCol))
+      .agg((sum(expr("shiftleft(1L, cast(30 - mj as int))")) +
+        (lit(M) - count(lit(1))) * lit(1L << 30)).as("s_scaled"))
+      .select(col(groupCol), round(
+        lit(Alpha64) * lit(M * M).cast("double") * lit(1L << 30).cast("double") /
+          col("s_scaled"), 2).as("est_distinct"))
+  }
+
   /** Fixed-bin quantile sketch: approximate quantiles from a histogram of
     * `bins` equal-width bins over [lo, hi] — the mergeable alternative to
     * an exact percentile's global sort. The per-bin counts partial-

@@ -42,8 +42,43 @@ object Analytic {
     Q("q99_incremental_agg", q99, Some(q99Sql)),
     Q("q112_hll_distinct", q112, Some(q112Sql)),
     Q("q114_funnel", q114, Some(q114Sql)),
-    Q("q115_binned_quantiles", q115, Some(q115Sql))
+    Q("q115_binned_quantiles", q115, Some(q115Sql)),
+    Q("q117_hll_by_key", q117, Some(q117Sql))
   )
+
+  /** Per-group HLL cardinality profile
+    * ([[graft.ops.Sketches.hllDistinctByKey]]): estimated distinct users
+    * per event type. The shuffle carries at most 64 sketch rows per
+    * (partition, group) — the per-key profiling shape that replaces a
+    * count(distinct) per group at corpus scale. Oracle replays the full
+    * per-group sketch. */
+  private def q117(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sketches.hllDistinctByKey(Tables.events(s, d),
+      "user_id", "event_type")
+      .orderBy(col("event_type"))
+
+  private val q117Sql =
+    """WITH h0 AS (SELECT event_type,
+      |    ((user_id % 1000000007) * 2654435761) % 1000000007 AS h
+      |  FROM events),
+      |h1 AS (SELECT event_type,
+      |    ((h + h // 8192) * 972663749) % 1000000007 AS h FROM h0),
+      |h AS (SELECT event_type,
+      |    ((h + h // 8192) * 468703703) % 1000000007 AS h FROM h1),
+      |b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h),
+      |r AS (SELECT event_type, bucket,
+      |    CASE WHEN w = 0 THEN 25
+      |         ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM b),
+      |s AS (SELECT event_type, bucket, max(rho) AS mj FROM r
+      |  GROUP BY event_type, bucket),
+      |t AS (SELECT event_type,
+      |    sum(1::BIGINT << CAST(30 - mj AS INT))
+      |      + (64 - count(*)) * (1::BIGINT << 30) AS s_scaled
+      |  FROM s GROUP BY event_type)
+      |SELECT event_type,
+      |  round(CAST(0.709436 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |    * CAST(1073741824 AS DOUBLE) / s_scaled, 2) AS est_distinct
+      |FROM t ORDER BY event_type""".stripMargin
 
   /** Ordered funnel ([[graft.ops.Funnel.funnelCounts]]): users completing
     * signup -> click -> view -> purchase with each step strictly after

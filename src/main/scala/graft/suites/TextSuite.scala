@@ -69,8 +69,33 @@ object TextSuite {
     Q("q94_mixture_resample", q94, Some(q94Sql)),
     Q("q97_sparse_cosine_pairs", q97, Some(q97Sql)),
     Q("q102_bigram_coverage", q102, Some(q102Sql)),
-    Q("q111_source_cap", q111, Some(q111Sql))
+    Q("q111_source_cap", q111, Some(q111Sql)),
+    Q("q116_curation_pipeline", q116, Some(q116Sql))
   )
+
+  /** End-to-end curation composition ([[graft.ops.Pipeline.curate]]):
+    * exact-dedup collapse -> zero-shuffle quality gate -> per-source
+    * quota, in the order that keeps every keyed stage running on
+    * monotonically shrinking data. The oracle replays all three stages
+    * and their ordering from first principles. */
+  private def q116(s: SparkSession, d: String): DataFrame =
+    graft.ops.Pipeline.curate(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  private val q116Sql =
+    """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(text)),
+      |gated AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents JOIN keep USING (doc_id)
+      |  WHERE len(string_split(text, ' ')) >= 30
+      |    AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |        / length(text) >= 0.78)
+      |SELECT doc_id, source, n_tokens FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM gated)
+      |WHERE rn <= 15 ORDER BY doc_id""".stripMargin
 
   /** Per-source document quota ([[Sampling.perKeyCap]]): keep at most 10
     * docs per source, deterministically the lowest doc_ids — the

@@ -411,6 +411,20 @@ class PlanSpec extends SparkSpec {
       s"both degree counts must partial-aggregate:\n$p")
   }
 
+  test("q116: curation is semi-join + map gate + one cap window, no cartesian") {
+    val p = plan("q116_curation_pipeline")
+    assert(p.contains("LeftSemi"), s"dedup keepers must semi-join:\n$p")
+    assert(p.contains("Window"), s"quota must be a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"quadratic stage in:\n$p")
+  }
+
+  test("q117: grouped HLL partial-aggregates both sketch levels") {
+    val p = plan("q117_hll_by_key")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"both sketch aggregations must be two-phase:\n$p")
+  }
+
   test("q103: random projection adds no exchange before the top-k") {
     val p = plan("q103_projected_topk")
     assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")

@@ -540,4 +540,60 @@ object Dedup {
         lit(1.0).as("jaccard"))
     cross.unionByName(within)
   }
+
+  /** Substring-level duplication: the longest EXACT shared token span per
+    * document pair (the signal behind span-granular dedup — documents can
+    * share a verbatim paragraph while their whole-doc Jaccard stays low,
+    * and whole-doc methods miss it).
+    *
+    * Mechanics: positional hashed 3-grams (the native kernel) meet in an
+    * equi-join on the gram hash; a matching pair of positions lies on the
+    * diagonal `pa - pb`, so maximal runs of consecutive positions within
+    * one (pair, diagonal) ARE the shared spans — grouped with the classic
+    * `pos - row_number` run-id trick, a span of r consecutive grams
+    * covering r + 2 tokens. Corpus-frequent grams (df > `dfCap` docs)
+    * are excluded before the join — the stop-gram guard that bounds the
+    * candidate blowup exactly like [[graft.ops.SparseSim]]'s df cap; at
+    * 100 TB every stage is a keyed shuffle on gram / pair keys, nothing
+    * quadratic in the corpus.
+    *
+    * Output: (doc_a, doc_b, max_span_tokens, n_spans) for pairs sharing
+    * a span of at least `minSpanTokens` tokens. */
+  def sharedSpanPairs(
+      docs: DataFrame,
+      minSpanTokens: Int = 5,
+      dfCap: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    require(minSpanTokens >= 3, s"3-gram spans need minSpanTokens >= 3")
+    // positional occurrence-keeping grams: posexplode BEFORE the null
+    // filter so positions stay corpus positions (the distinct kernel
+    // would renumber the moment a doc repeats a gram)
+    val grams = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.hashedNgramOccurrences(col(textCol), 3))
+          .as(Seq("pos", "g")))
+      .filter(col("g").isNotNull)
+    val rareG = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("g"))
+    val rare = grams.join(rareG, Seq("g"), "left_semi")
+    val matches = rare
+      .select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("g"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + lit(2L)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("max_span_tokens"),
+        count(lit(1)).as("n_spans"))
+  }
 }

@@ -48,6 +48,22 @@ object TextAnalysis {
 
   private val Mod = 1000000007L
 
+  /** POSITIONAL hashed n-grams: entry i is the hash of the n tokens
+    * starting at 0-based position i, with the trailing n-1 entries null —
+    * array index IS corpus position, duplicates kept (the native
+    * [[hashedNgrams]] kernel dedups for shingle-set ops, which silently
+    * misaligns positions the moment a document repeats an n-gram — fatal
+    * for span/diagonal logic). Same shifted-zip fold shape as
+    * [[ngramOccurrences]]; zip_with's null padding provides the trailing
+    * nulls and null propagates through the fold. */
+  def hashedNgramOccurrences(text: Column, n: Int): Column = {
+    val th = tokenHashes(text)
+    (1 until n).foldLeft(th) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), greatest(size(th) - j, lit(0))),
+        (a, b) => pmod(a * lit(131L) + b, lit(Mod)))
+    }
+  }
+
   /** Per-token polynomial hash (fold(acc*31 + codepoint) mod 1e9+7) —
     * the engine-portable hash family also used by `fingerprint`, so
     * DuckDB oracles can reproduce it exactly. Backed by the native

@@ -42,8 +42,30 @@ object Relational {
     Q("q71_binned_interval_join", q71, Some(q71Sql)),
     Q("q88_merge_upsert", q88, Some(q88Sql)),
     Q("q95_interval_overlap_join", q95, Some(q95Sql)),
-    Q("q96_fuzzy_edit1_join", q96, Some(q96Sql))
+    Q("q96_fuzzy_edit1_join", q96, Some(q96Sql)),
+    Q("q118_global_ids", q118, Some(q118Sql))
   )
+
+  /** Scalable global ID assignment ([[graft.ops.Ids.assignIds]]):
+    * contiguous 0-based ids in (l_extendedprice, l_orderkey, l_linenumber)
+    * order WITHOUT the single-partition window a bare
+    * `row_number() over (order by ...)` plans — range repartition + the
+    * count-and-offset pass keep every stage distributed. The oracle is
+    * the semantic definition: the global row_number minus one. */
+  private def q118(s: SparkSession, d: String): DataFrame =
+    graft.ops.Ids.assignIds(
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+      .orderBy(col("id"))
+
+  private val q118Sql =
+    """SELECT row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+      |    l_linenumber) - 1 AS id,
+      |  l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem WHERE l_quantity >= 45
+      |ORDER BY id""".stripMargin
 
   /** Interval x interval OVERLAP join ([[graft.ops.RangeJoin
     * .intervalOverlap]]): 10-minute activity windows opened by clicks

@@ -70,8 +70,57 @@ object TextSuite {
     Q("q97_sparse_cosine_pairs", q97, Some(q97Sql)),
     Q("q102_bigram_coverage", q102, Some(q102Sql)),
     Q("q111_source_cap", q111, Some(q111Sql)),
-    Q("q116_curation_pipeline", q116, Some(q116Sql))
+    Q("q116_curation_pipeline", q116, Some(q116Sql)),
+    Q("q119_shared_spans", q119, Some(q119Sql))
   )
+
+  /** Substring-level duplication ([[Dedup.sharedSpanPairs]]): longest
+    * exact shared token span per doc pair from positional 3-gram matches
+    * on the diagonal, maximal runs via the pos - row_number trick,
+    * corpus-frequent grams excluded before the join (the stop-gram
+    * guard). Catches verbatim shared paragraphs whole-doc Jaccard
+    * misses. The oracle replays hashing, positions, the df cap, run
+    * grouping and both rollups. */
+  private def q119(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedSpanPairs(Tables.documents(s, d), minSpanTokens = 5,
+        dfCap = 10)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q119Sql =
+    """WITH t2 AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+      |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(string_split(t, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM documents),
+      |pg AS (SELECT doc_id, list_transform(th, (x, i) ->
+      |    CASE WHEN i + 2 <= len(th)
+      |         THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |              % 1000000007 END) AS pg
+      |  FROM t2),
+      |m AS (SELECT doc_id, u['pos'] AS pos, u['g'] AS g FROM (
+      |  SELECT doc_id, unnest(list_filter(list_transform(pg, (g, i) ->
+      |      {'pos': i - 1, 'g': g}), s -> s['g'] IS NOT NULL)) AS u
+      |  FROM pg)),
+      |rare AS (SELECT g FROM (
+      |    SELECT g, count(DISTINCT doc_id) AS df FROM m GROUP BY g)
+      |  WHERE df <= 10),
+      |mt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+      |    a.pos - b.pos AS diag
+      |  FROM (SELECT m.doc_id, m.pos, m.g FROM m JOIN rare USING (g)) a
+      |  JOIN (SELECT m.doc_id, m.pos, m.g FROM m JOIN rare USING (g)) b
+      |    USING (g)
+      |  WHERE a.doc_id < b.doc_id),
+      |spans AS (SELECT doc_a, doc_b, count(*) + 2 AS span_tokens
+      |  FROM (SELECT doc_a, doc_b, diag, pa - row_number()
+      |      OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+      |    FROM mt)
+      |  GROUP BY doc_a, doc_b, diag, grp
+      |  HAVING count(*) + 2 >= 5)
+      |SELECT doc_a, doc_b, CAST(max(span_tokens) AS BIGINT)
+      |    AS max_span_tokens,
+      |  count(*) AS n_spans
+      |FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
 
   /** End-to-end curation composition ([[graft.ops.Pipeline.curate]]):
     * exact-dedup collapse -> zero-shuffle quality gate -> per-source

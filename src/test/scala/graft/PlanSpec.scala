@@ -425,6 +425,13 @@ class PlanSpec extends SparkSpec {
       s"both sketch aggregations must be two-phase:\n$p")
   }
 
+  test("q119: span detection is keyed joins + one diagonal window, no cartesian") {
+    val p = plan("q119_shared_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs blowup in:\n$p")
+    assert(p.contains("Window"), s"runs must group via the window trick:\n$p")
+  }
+
   test("q103: random projection adds no exchange before the top-k") {
     val p = plan("q103_projected_topk")
     assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")

@@ -558,7 +558,15 @@ object Dedup {
     * quadratic in the corpus.
     *
     * Output: (doc_a, doc_b, max_span_tokens, n_spans) for pairs sharing
-    * a span of at least `minSpanTokens` tokens. */
+    * a span of at least `minSpanTokens` tokens.
+    *
+    * Duplication caveat (measured, `Dev scale5`): on a corpus with heavy
+    * exact duplication every shared gram's df multiplies by the dup
+    * factor and the stop-gram cap suppresses everything (8x-duplicated
+    * probe: 247 pairs -> 0). Compose with [[exactDupMembership]] first —
+    * span-detect on representatives, reconstitute member pairs through
+    * the membership table — the same collapse-first ordering as
+    * [[collapsedNgramJaccardPairs]]. */
   def sharedSpanPairs(
       docs: DataFrame,
       minSpanTokens: Int = 5,

@@ -43,8 +43,26 @@ object Relational {
     Q("q88_merge_upsert", q88, Some(q88Sql)),
     Q("q95_interval_overlap_join", q95, Some(q95Sql)),
     Q("q96_fuzzy_edit1_join", q96, Some(q96Sql)),
-    Q("q118_global_ids", q118, Some(q118Sql))
+    Q("q118_global_ids", q118, Some(q118Sql)),
+    Q("q120_table_checksum", q120, Some(q120Sql))
   )
+
+  /** Order-independent table checksum ([[graft.ops.Checksum
+    * .tableChecksum]]): sum of per-row portable avalanche hashes — the
+    * run-on-both-engines-and-compare-one-row migration validation this
+    * library's own oracle gate performs per query. Commutative integer
+    * addition makes it partitioning/order/merge-shape independent. */
+  private def q120(s: SparkSession, d: String): DataFrame =
+    graft.ops.Checksum.tableChecksum(Tables.lineitem(s, d),
+      col("l_orderkey") * 131L + col("l_linenumber"))
+
+  private val q120Sql =
+    """WITH h0 AS (SELECT ((l_orderkey * 131 + l_linenumber) % 1000000007)
+      |    * 2654435761 % 1000000007 AS h FROM lineitem),
+      |h1 AS (SELECT ((h + h // 8192) * 972663749) % 1000000007 AS h FROM h0),
+      |h AS (SELECT ((h + h // 8192) * 468703703) % 1000000007 AS h FROM h1)
+      |SELECT count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS checksum
+      |FROM h""".stripMargin
 
   /** Scalable global ID assignment ([[graft.ops.Ids.assignIds]]):
     * contiguous 0-based ids in (l_extendedprice, l_orderkey, l_linenumber)

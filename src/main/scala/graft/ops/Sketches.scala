@@ -47,6 +47,36 @@ object Sketches {
     fold(fold(h1, 972663749L), 468703703L)
   }
 
+  /** Scalar twin of [[portableHash]] (bit-identical; spec-pinned) — for
+    * per-row state updates in streaming processors where the hash runs
+    * outside Catalyst. */
+  def portableHashLong(key: Long): Long = {
+    var h = java.lang.Math.floorMod(key, P) * 2654435761L % P
+    h = (h + (h >> 13)) * 972663749L % P
+    h = (h + (h >> 13)) * 468703703L % P
+    h
+  }
+
+  /** Scalar HLL pieces shared with the streaming processor: bucket index,
+    * rho, and the estimate from a 64-entry max-rho table — each the exact
+    * scalar twin of the Column/SQL formulation. */
+  private[graft] def bucketOf(h: Long): Int = (h % M).toInt
+  private[graft] def rhoOf(h: Long): Long = {
+    val w = h / M
+    if (w == 0L) 25L
+    else java.lang.Long.bitCount((w & -w) - 1L) + 1L
+  }
+  private[graft] def estimateOf(maxRho: Array[Long]): Double = {
+    var s = 0L
+    var i = 0
+    while (i < maxRho.length) {
+      s += (1L << (30L - maxRho(i)).toInt)
+      i += 1
+    }
+    val raw = Alpha64 * (M * M).toDouble * (1L << 30).toDouble / s.toDouble
+    BigDecimal(raw).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** HyperLogLog-style distinct-count estimate of `keyCol`, plus the exact
     * count for reference (callers at true scale drop the exact column —
     * it is the expensive thing the sketch replaces).

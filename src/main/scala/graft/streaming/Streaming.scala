@@ -162,6 +162,46 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class KeyedId(key: String, id: Long)
+  case class DistinctEstimate(key: String, est_distinct: Double)
+
+  /** Streaming HLL: a running distinct-count estimate per key whose state
+    * is the CONSTANT-size 64-bucket max-rho table (the mergeable-sketch
+    * property doing streaming's work: state never grows with distinct
+    * ids, only the sketch updates). Bit-identical to the batch
+    * [[graft.ops.Sketches.hllDistinctByKey]] on the same key set — the
+    * estimate is a pure function of which ids were ever seen, so batch
+    * and streaming agree exactly (spec-pinned), and a re-delivered id is
+    * absorbed idempotently (max is idempotent) — replayed micro-batches
+    * cannot skew the estimate. */
+  class DistinctSketchProcessor
+      extends StatefulProcessor[String, KeyedId, DistinctEstimate] {
+    @transient private var st: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Long]]("sketch",
+        Encoders.kryo[Array[Long]], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedId],
+        tv: TimerValues): Iterator[DistinctEstimate] = {
+      val m = if (st.exists()) st.get() else new Array[Long](64)
+      rows.foreach { r =>
+        val h = graft.ops.Sketches.portableHashLong(r.id)
+        val b = graft.ops.Sketches.bucketOf(h)
+        val rho = graft.ops.Sketches.rhoOf(h)
+        if (rho > m(b)) m(b) = rho
+      }
+      st.update(m)
+      Iterator.single(DistinctEstimate(key, graft.ops.Sketches.estimateOf(m)))
+    }
+  }
+
+  /** [[DistinctSketchProcessor]] over (key, id) rows — batch or stream. */
+  def distinctSketch(pairs: Dataset[KeyedId]): Dataset[DistinctEstimate] = {
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_.key)
+      .transformWithState(new DistinctSketchProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Watermarked stream-stream inner join: each click joins purchases by
     * the same user within the preceding `windowSeconds`. Both sides carry
     * watermarks plus a time-range join condition, so the state store

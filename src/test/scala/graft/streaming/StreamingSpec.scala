@@ -150,6 +150,37 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming HLL sketch equals the batch per-key estimate exactly") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(streamDir).schema
+      val stream = Streaming.fileStream(spark, streamDir, schema)
+        .select($"event_type".as("key"), $"user_id".as("id"))
+        .as[Streaming.KeyedId]
+      val got = Streaming.drainToMemory(spark,
+        Streaming.distinctSketch(stream).toDF(), "tws_hll", OutputMode.Update())
+      // update mode re-emits per batch; keep each key's LAST estimate.
+      // The estimate is not monotone (a new max-rho can lower the
+      // harmonic mean), so "last emitted" is the converged sketch — at
+      // one input file there is exactly one batch per key anyway.
+      val last = got.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = graft.ops.Sketches.hllDistinctByKey(
+          Tables.events(spark, sfDir), "user_id", "event_type")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(last == batch,
+        s"streaming sketch must equal batch exactly: $last vs $batch")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("scalar portable hash is the bit-exact twin of the Column version") {
+    val ks = Seq(0L, 1L, 42L, 999999L, 1000000007L, Long.MaxValue, -17L)
+    val viaCol = ks.toDF("k")
+      .select(graft.ops.Sketches.portableHash($"k").as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCol == ks.map(graft.ops.Sketches.portableHashLong))
+  }
+
   test("watermark eviction keeps dedup state bounded over a long stream") {
     // The scale property specs can't see from one micro-batch: over a
     // stream spanning many watermark horizons, the dedup state store must

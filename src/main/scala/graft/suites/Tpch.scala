@@ -38,8 +38,32 @@ object Tpch {
     Q("q105_tpch_market_share", q105, Some(q105Sql)),
     Q("q106_tpch_waiting_supplier", q106, Some(q106Sql)),
     Q("q107_tpch_disjunctive_revenue", q107, Some(q107Sql)),
-    Q("q108_tpch_top_supplier", q108, Some(q108Sql))
+    Q("q108_tpch_top_supplier", q108, Some(q108Sql)),
+    Q("q121_tpch_forecast_revenue", q121, Some(q121Sql))
   )
+
+  /** TPC-H Q6 forecast revenue change: pure scan-side arithmetic — every
+    * predicate (date year, discount band, quantity cut) pushes into the
+    * parquet scan, then one partial+final aggregate pair; zero joins,
+    * zero wide shuffles. With Q6 the suite covers every classic TPC-H
+    * shape the driver schema supports (Q2/Q11/Q12/Q16/Q20 need
+    * partsupp/shipmode columns the testdata lacks). */
+  private def q121(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  private val q121Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
 
   private def revenue: org.apache.spark.sql.Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))

@@ -425,6 +425,16 @@ class PlanSpec extends SparkSpec {
       s"both sketch aggregations must be two-phase:\n$p")
   }
 
+  test("q121: every Q6 predicate reaches the scan; agg is partial+final") {
+    val p = plan("q121_tpch_forecast_revenue")
+    assert(p.contains("PushedFilters") && p.contains("l_discount") &&
+      p.contains("l_quantity") && p.contains("l_shipdate"),
+      s"Q6 predicates must push into the parquet scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial aggregation in:\n$p")
+    assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+  }
+
   test("q119: span detection is keyed joins + one diagonal window, no cartesian") {
     val p = plan("q119_shared_spans")
     assert(!p.contains("CartesianProduct") &&

@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in approximate query processing (no-op unless the session sets
+    // spark.graft.approxDistinct=true); also injectable into a running
+    // session via spark.experimental.extraOptimizations
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
     ext.injectFunction((FunctionIdentifier("albers_lon"),
       info("albers_lon", "albers_lon(x, y) - WGS84 longitude of an EPSG:5070 point"),
       (exprs: Seq[Expression]) => AlbersLon(exprs(0), exprs(1))))

@@ -43,8 +43,44 @@ object Analytic {
     Q("q112_hll_distinct", q112, Some(q112Sql)),
     Q("q114_funnel", q114, Some(q114Sql)),
     Q("q115_binned_quantiles", q115, Some(q115Sql)),
-    Q("q117_hll_by_key", q117, Some(q117Sql))
+    Q("q117_hll_by_key", q117, Some(q117Sql)),
+    Q("q122_cohort_retention", q122, Some(q122Sql))
   )
+
+  /** Cohort retention: users grouped by first-active day, retention
+    * counted as distinct users active again k days later. Two keyed
+    * aggregations (first-seen per user; distinct user-days) meeting in
+    * one equi-join on the user key, then a count rollup per (cohort,
+    * offset) — the fact table never joins itself, and every stage
+    * partial-aggregates. day_offset 0 is the cohort size row, so the
+    * output is self-normalizing. */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val userDays = ev.dropDuplicates("user_id", "day")
+    userDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      // DATE surfaces as object vs datetime64 across engines — ship as
+      // timestamp (the oracle casts identically)
+      .select(col("cohort").cast("timestamp").as("cohort"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  private val q122Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (SELECT user_id, min(day) AS cohort FROM ev
+      |  GROUP BY user_id),
+      |ud AS (SELECT DISTINCT user_id, day FROM ev)
+      |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+      |  CAST(day - cohort AS BIGINT) AS day_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM ud JOIN cohorts USING (user_id)
+      |GROUP BY cohort, day_offset
+      |ORDER BY cohort, day_offset""".stripMargin
 
   /** Per-group HLL cardinality profile
     * ([[graft.ops.Sketches.hllDistinctByKey]]): estimated distinct users

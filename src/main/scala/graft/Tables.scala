@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables
   * (see /root/repo/TESTDATA.md). Plain parquet reads so Catalyst can push
@@ -19,18 +19,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a long (nanos since epoch) and convert to a µs
-    * TimestampType column; the driver data is µs-aligned so no precision is
-    * lost. Integer `div` is used because ~1.7e18 ns exceeds double's exact
-    * integer range.
+  /** events.ts normalization. Driver generations have shipped the column
+    * as parquet TIMESTAMP(NANOS) (Spark 4 refuses it by default — read as
+    * long nanos and convert; integer `div` because ~1.7e18 ns exceeds
+    * double's exact integer range) and as TIMESTAMP(MICROS) without the
+    * UTC-adjusted flag (Spark reads that as TIMESTAMP_NTZ, which
+    * `unix_micros`/watermarks reject). Both are normalized to a µs
+    * TimestampType column; the session timezone is UTC everywhere, so the
+    * NTZ cast preserves the stored micros exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -39,21 +39,33 @@ object Fuzzy {
 
   /** All (left, right) pairs with `levenshtein(leftStr, rightStr) <= 1`.
     * Output: leftId, rightId, both strings, and `dist`. Columns must be
-    * disjoint between the inputs. One equi-join on hashed neighborhood
-    * members + one dedup shuffle on the candidate id pairs. */
+    * disjoint between the inputs; ids must be unique per side (they key
+    * the string join-back).
+    *
+    * Ids-only banding: the exploded neighborhood join carries (hash, id)
+    * rows — 16 bytes — never the strings (a string would otherwise ride
+    * the shuffle once per neighborhood member, ~|s| copies). Strings
+    * join back onto the DEDUPED candidate pairs, which are
+    * near-output-sized, before the exact levenshtein verify. Same
+    * candidates-then-verify economics as the ids-only LSH banding in
+    * [[Similarity.lshNearDupPairs]]. */
   def editDistance1Join(
       left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String): DataFrame = {
-    val l = left.select(col(leftId), col(leftStr),
+    val l = left.select(col(leftId),
       explode(deletionNeighborhoodHashes(col(leftStr))).as("__h"))
-    val r = right.select(col(rightId), col(rightStr),
+    val r = right.select(col(rightId),
       explode(deletionNeighborhoodHashes(col(rightStr))).as("__h"))
     l.join(r, "__h")
       .drop("__h")
       // a pair shares many members (always >= 2 when equal); dedup the
-      // bounded candidate set before the O(len^2) verify
+      // bounded candidate set before the join-back + O(len^2) verify
       .dropDuplicates(leftId, rightId)
+      .join(left.select(col(leftId), col(leftStr)), leftId)
+      .join(right.select(col(rightId), col(rightStr)), rightId)
       .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
       .filter(col("dist") <= 1)
+      .select(col(leftId), col(leftStr), col(rightId), col(rightStr),
+        col("dist"))
   }
 }

@@ -24,18 +24,91 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Per-subspace codebooks: codebooks(j) is a codebookSize x (d/m)
-    * matrix learned on subvector slice j of every embedding. */
+    * matrix learned on subvector slice j of every embedding.
+    *
+    * All m subspaces train SIMULTANEOUSLY: one Spark job per Lloyd
+    * iteration accumulates the m disjoint (sums, counts) blocks, instead
+    * of m independent k-means runs (m x iters sequential jobs — at m=8
+    * that was the dominant cost of pqTopK). The arithmetic is
+    * bit-identical to training each subspace alone: per-row accumulation
+    * order, the partition-id-bucketed two-level merge, and the final
+    * divisions all match [[Similarity.kMeansCentroids]] exactly, so
+    * pinned oracles survive the fusion. */
   def trainCodebooks(emb: DataFrame, m: Int, codebookSize: Int,
       kmeansIters: Int = 3): Array[Array[Array[Double]]] = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val k = codebookSize
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      // scanned once per Lloyd iteration + once for init — cache the
+      // projection for the call, release before returning (the suite's
+      // cache-leak guardrail asserts nothing persists past a query)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = vecs.orderBy(col("vec_id")).limit(k).collect()
+    val dim = first.headOption.map(_._2.length).getOrElse(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    Array.tabulate(m) { j =>
-      Similarity.kMeansCentroids(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        codebookSize, kmeansIters)
+    // init: subspace j's codebook = slice j of the first k rows by vec_id
+    // (identical to kMeansCentroids' init on the pre-sliced column)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      first.map(r => Array.tabulate(sub)(i => r._2(j * sub + i).toDouble))
     }
+    // in-place, order-sensitive partial merge (left operand accumulates)
+    def merge(a: (Array[Array[Array[Double]]], Array[Array[Long]]),
+        b: (Array[Array[Array[Double]]], Array[Array[Long]])): (Array[Array[Array[Double]]], Array[Array[Long]]) = {
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < k) {
+          a._2(j)(c) += b._2(j)(c)
+          var i = 0
+          while (i < sub) { a._1(j)(c)(i) += b._1(j)(c)(i); i += 1 }
+          c += 1
+        }
+        j += 1
+      }
+      a
+    }
+    (0 until kmeansIters).foreach { _ =>
+      val bs = books // closure capture
+      val partials = vecs.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val sums = Array.tabulate(m)(_ => Array.ofDim[Double](k, sub))
+        val counts = Array.ofDim[Long](m, k)
+        val slice = new Array[Float](sub)
+        it.foreach { case (_, v) =>
+          var j = 0
+          while (j < m) {
+            var i = 0
+            while (i < sub) { slice(i) = v(j * sub + i); i += 1 }
+            val c = Similarity.nearestCentroid(slice, bs(j))
+            counts(j)(c) += 1
+            i = 0
+            while (i < sub) { sums(j)(c)(i) += slice(i); i += 1 }
+            j += 1
+          }
+        }
+        Iterator.single((pi, (sums, counts)))
+      }
+      val bucketTotals = partials
+        .map { case (pi, p) => (pi >>> 5, (pi, p)) }
+        .groupByKey()
+        .mapValues(_.toArray.sortBy(_._1).map(_._2).reduceLeft(merge))
+        .collect().sortBy(_._1)
+      val totals = bucketTotals.map(_._2).reduceLeftOption(merge)
+      books = totals match {
+        case None => books
+        case Some((sums, counts)) =>
+          Array.tabulate(m) { j =>
+            books(j).zipWithIndex.map { case (old, c) =>
+              if (counts(j)(c) == 0) old
+              else sums(j)(c).map(_ / counts(j)(c))
+            }
+          }
+      }
+    }
+    vecs.unpersist()
+    books
   }
 
   /** Code column: array of m integer codes (0-based), code j = argmin

@@ -23,8 +23,9 @@ object SparseSim {
 
   /** All document pairs with n-gram-cosine >= `threshold`. Output:
     * doc_a < doc_b, the integer dot product, and the cosine. One gram
-    * shuffle for tf, one for the df-cap semi-join, one posting-list
-    * equi-join, one pair aggregation — never an all-pairs product.
+    * shuffle for tf, one for the df-cap semi-join, one shuffle to
+    * assemble posting lists (pairs explode in-memory under the df cap),
+    * one pair aggregation — never an all-pairs product.
     *
     * The tf posting list feeds FOUR subtrees (df cap, both self-join
     * sides, norms), and Spark reuses none of them — so with
@@ -60,11 +61,21 @@ object SparseSim {
     val pruned = tf.join(keptGrams, Seq("gram"), "left_semi")
     val norms = pruned.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("ss"))
-    val dots = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    // Pair generation per posting list, not a posting self-join: the df
+    // cap bounds every list at maxDf entries, so the <= df(df-1)/2
+    // ordered pairs are generated in-memory with HOFs after ONE shuffle
+    // to the gram — where the self-join shape sorts the posting list
+    // twice for the merge join and shuffles it twice. Integer products
+    // commute, so the per-pair dot is bit-identical either way.
+    val dots = pruned
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y("doc_id") > x("doc_id")), y =>
+          struct(x("doc_id").as("doc_a"), y("doc_id").as("doc_b"),
+            (x("tf") * y("tf")).as("p")))))).as("pr"))
+      .groupBy(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .agg(sum(col("pr.p")).as("dot"))
     val out = dots
       .join(norms.select(col("doc_id").as("doc_a"), col("ss").as("ssa")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("ss").as("ssb")), "doc_b")

@@ -585,13 +585,20 @@ object Dedup {
       .filter(col("df") <= dfCap)
       .select(col("g"))
     val rare = grams.join(rareG, Seq("g"), "left_semi")
+    // pair generation per posting list, not a posting self-join: the df
+    // cap bounds the DISTINCT docs per gram, so cross-doc occurrence
+    // pairs explode in-memory with HOFs after ONE shuffle to the gram
+    // (the self-join shape sorts and shuffles the occurrence list
+    // twice). Same multiset of (doc_a, doc_b, pa, diag) matches.
     val matches = rare
-      .select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("g"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
-        col("g")), Seq("g"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"),
-        (col("pa") - col("pb")).as("diag"))
+      .groupBy(col("g"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y("doc_id") > x("doc_id")), y =>
+          struct(x("doc_id").as("doc_a"), y("doc_id").as("doc_b"),
+            x("pos").as("pa"),
+            (x("pos") - y("pos")).as("diag")))))).as("m"))
+      .select(col("m.doc_a"), col("m.doc_b"), col("m.pa"), col("m.diag"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))

@@ -187,4 +187,55 @@ object Sketches {
       .select(col("q"), col("bin"),
         (lit(lo) + (col("bin") + lit(1L)) * lit(width)).as("est"))
   }
+
+  /** Per-row (j, pos) counter coordinates for a CMS key: row j probes
+    * position `portableHash(key + j*salt) mod width`. The row index is
+    * folded into the key BEFORE the avalanche rounds, so the d row
+    * hashes decorrelate the same way the sketch literature's independent
+    * hash functions do — and the whole derivation stays replayable as
+    * integer SQL. */
+  private val CmsRowSalt = 782000003L
+  private def cmsCoords(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        pmod(portableHash(key + lit(j * CmsRowSalt)), lit(width.toLong))
+          .as("pos"))
+    }: _*)
+
+  /** Count-min sketch table over long keys: `depth` x `width` counters
+    * as rows (j, pos, cnt). The table is the classic mergeable frequency
+    * sketch: counters are plain sums, so per-partition partial
+    * aggregation IS the sketch merge, the shuffle carries at most
+    * depth*width rows per partition no matter how many keys flow in, and
+    * two tables over disjoint corpora union+sum into the table of the
+    * whole — the properties that make it THE frequency profile a 100 TB
+    * pass can afford. Point estimates (min over rows of the probed
+    * counter, [[cmsEstimates]]) overestimate true counts by at most
+    * eN/width with probability 1 - (1/2)^depth. */
+  def cmsTable(keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2")
+    keys
+      .select(explode(cmsCoords(col(keyCol).cast("long"), depth, width))
+        .as("e"))
+      .groupBy(col("e.j").as("j"), col("e.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probe` keys against a [[cmsTable]]: est_cnt =
+    * min over the depth rows of the probed counter (0 when a counter was
+    * never touched). The table is depth*width rows by construction —
+    * broadcast — so probing never shuffles the probe side. */
+  def cmsEstimates(probe: DataFrame, keyCol: String, table: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probeCols = probe.columns.map(col)
+    probe
+      .select(probeCols :+
+        explode(cmsCoords(col(keyCol).cast("long"), depth, width))
+          .as("e"): _*)
+      .select(probeCols :+ col("e.j").as("j") :+ col("e.pos").as("pos"): _*)
+      .join(broadcast(table), Seq("j", "pos"), "left")
+      .groupBy(probeCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
 }

@@ -71,7 +71,8 @@ object TextSuite {
     Q("q102_bigram_coverage", q102, Some(q102Sql)),
     Q("q111_source_cap", q111, Some(q111Sql)),
     Q("q116_curation_pipeline", q116, Some(q116Sql)),
-    Q("q119_shared_spans", q119, Some(q119Sql))
+    Q("q119_shared_spans", q119, Some(q119Sql)),
+    Q("q123_cms_counts", q123, Some(q123Sql))
   )
 
   /** Substring-level duplication ([[Dedup.sharedSpanPairs]]): longest
@@ -121,6 +122,76 @@ object TextSuite {
       |    AS max_span_tokens,
       |  count(*) AS n_spans
       |FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Count-min-sketch frequency profile
+    * ([[graft.ops.Sketches.cmsTable]] / cmsEstimates): the 4 x 1024
+    * counter table builds in ONE partial-agg pass over the token stream
+    * (the partial aggregate IS the sketch merge — the shuffle carries at
+    * most depth*width rows per partition however many tokens flow in),
+    * probe tokens read back their min counter through a broadcast of the
+    * 4096-row table, and an exact recount (corpus semi-joined to the
+    * broadcast probe set — the q81 discipline) sits alongside to exhibit
+    * the one-sided guarantee est_cnt >= exact_cnt. Integer arithmetic
+    * end to end, so the oracle replays hashes, table, and estimates
+    * exactly. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(
+      explode(TextAnalysis.tokenHashes(col("text"))).as("k"))
+    val table = graft.ops.Sketches.cmsTable(toks, "k",
+      depth = 4, width = 1024)
+    val probe = docs.filter(col("doc_id") < 5)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+      .withColumn("k", TextAnalysis.fingerprint(col("token")))
+    val est = graft.ops.Sketches.cmsEstimates(probe, "k", table,
+      depth = 4, width = 1024)
+    val exact = toks
+      .join(broadcast(probe.select(col("k"))), Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("k"), "left")
+      .select(col("token"), col("est_cnt"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+      .orderBy(col("token"))
+  }
+
+  private val q123Sql =
+    """WITH tokh AS (SELECT list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(token, ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS k
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+      |        FROM documents)),
+      |c1 AS (SELECT k, j,
+      |    ((k + j * 782000003) % 1000000007) * 2654435761 % 1000000007 AS h
+      |  FROM tokh CROSS JOIN range(4) r(j)),
+      |c2 AS (SELECT k, j, ((h + h // 8192) * 972663749) % 1000000007 AS h
+      |  FROM c1),
+      |c3 AS (SELECT k, j,
+      |    (((h + h // 8192) * 468703703) % 1000000007) % 1024 AS pos
+      |  FROM c2),
+      |tbl AS (SELECT j, pos, count(*) AS cnt FROM c3 GROUP BY j, pos),
+      |probe AS (SELECT DISTINCT token FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |    WHERE doc_id < 5)),
+      |pk AS (SELECT token, list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(token, ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS k FROM probe),
+      |p1 AS (SELECT token, k, j,
+      |    ((k + j * 782000003) % 1000000007) * 2654435761 % 1000000007 AS h
+      |  FROM pk CROSS JOIN range(4) r(j)),
+      |p2 AS (SELECT token, k, j,
+      |    ((h + h // 8192) * 972663749) % 1000000007 AS h FROM p1),
+      |p3 AS (SELECT token, k, j,
+      |    (((h + h // 8192) * 468703703) % 1000000007) % 1024 AS pos
+      |  FROM p2),
+      |est AS (SELECT token, k, min(COALESCE(cnt, 0)) AS est_cnt
+      |  FROM p3 LEFT JOIN tbl USING (j, pos) GROUP BY token, k),
+      |exact AS (SELECT k, count(*) AS exact_cnt FROM tokh GROUP BY k)
+      |SELECT est.token, est.est_cnt,
+      |  COALESCE(exact.exact_cnt, 0) AS exact_cnt
+      |FROM est LEFT JOIN exact USING (k) ORDER BY est.token""".stripMargin
 
   /** End-to-end curation composition ([[graft.ops.Pipeline.curate]]):
     * exact-dedup collapse -> zero-shuffle quality gate -> per-source

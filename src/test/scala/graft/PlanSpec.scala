@@ -442,6 +442,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"runs must group via the window trick:\n$p")
   }
 
+  test("q123: CMS counter table broadcasts to the probe; no cartesian") {
+    val p = plan("q123_cms_counts")
+    assert(!p.contains("CartesianProduct"), s"all-pairs blowup in:\n$p")
+    // the 4x1024-row table must reach the probe as a broadcast, and the
+    // counter build must partial-aggregate (the sketch-merge shuffle
+    // carries at most depth*width rows per partition)
+    assert(p.contains("BroadcastHashJoin"), s"table not broadcast in:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"counter build must partial-aggregate:\n$p")
+  }
+
   test("q103: random projection adds no exchange before the top-k") {
     val p = plan("q103_projected_topk")
     assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")

@@ -67,4 +67,43 @@ class SketchesSpec extends SparkSpec {
     assert(hs.getLong(0) >= 0L && hs.getLong(1) < 1000000007L)
     assert(hs.getLong(2) >= 995L, "avalanche rounds keep collisions rare")
   }
+
+  // key stream with a known skewed frequency profile: key i appears i times
+  private def cmsKeys = (1L to 50L).flatMap(i => Seq.fill(i.toInt)(i))
+    .toDF("k")
+
+  test("CMS estimates never undercount and bound the overcount") {
+    val table = Sketches.cmsTable(cmsKeys, "k", depth = 4, width = 256)
+    val probe = (1L to 50L).toDF("k")
+    val est = Sketches.cmsEstimates(probe, "k", table, depth = 4, width = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = (1L to 50L).sum // total stream length
+    (1L to 50L).foreach { i =>
+      assert(est(i) >= i, s"CMS undercounted key $i: ${est(i)} < $i")
+      // e/width bound with huge slack: at width=256 and N=1275 the
+      // expected per-counter noise is ~5; 4 rows of min make >50 absurd
+      assert(est(i) - i <= n / 20, s"overcount blowup on $i: ${est(i)}")
+    }
+  }
+
+  test("CMS tables over corpus halves union+sum into the whole's table") {
+    val (a, b) = (cmsKeys.filter($"k" <= 25L), cmsKeys.filter($"k" > 25L))
+    val merged = Sketches.cmsTable(a, "k", 4, 64)
+      .unionByName(Sketches.cmsTable(b, "k", 4, 64))
+      .groupBy($"j", $"pos").agg(sum($"cnt").as("cnt"))
+      .orderBy($"j", $"pos").collect().toSeq
+    val whole = Sketches.cmsTable(cmsKeys, "k", 4, 64)
+      .orderBy($"j", $"pos").collect().toSeq
+    assert(merged == whole, "counter sums must merge exactly")
+  }
+
+  test("CMS probe of a never-seen key reads 0 through empty counters") {
+    // width >> distinct keys so some counters stay untouched; a key
+    // hashing into an untouched counter on ANY row estimates 0
+    val table = Sketches.cmsTable(Seq(1L).toDF("k"), "k", 4, 4096)
+    val est = Sketches.cmsEstimates(
+      (100L to 120L).toDF("k"), "k", table, 4, 4096)
+    assert(est.filter($"est_cnt" === 0L).count() >= 15L,
+      "fresh keys against a 1-key table must mostly read empty counters")
+  }
 }

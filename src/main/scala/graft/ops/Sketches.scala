@@ -196,11 +196,22 @@ object Sketches {
     * integer SQL. */
   private val CmsRowSalt = 782000003L
   private def cmsCoords(key: Column, depth: Int, width: Int): Column =
+    // pre-mod the key so key + 3*salt can never overflow a long even for
+    // keys near Long.MaxValue (ANSI mode would turn wraparound into a
+    // runtime error); identity for keys already in [0, P)
     array((0 until depth).map { j =>
       struct(lit(j).as("j"),
-        pmod(portableHash(key + lit(j * CmsRowSalt)), lit(width.toLong))
-          .as("pos"))
+        pmod(portableHash(pmod(key, lit(P)) + lit(j * CmsRowSalt)),
+          lit(width.toLong)).as("pos"))
     }: _*)
+
+  /** Scalar twin of the CMS coordinate derivation (bit-identical to the
+    * Column path for every long key; spec-pinned) — for per-row state
+    * updates in streaming processors where the hash runs outside
+    * Catalyst. */
+  def cmsPosOf(key: Long, j: Int, width: Int): Int =
+    (portableHashLong(
+      java.lang.Math.floorMod(key, P) + j * CmsRowSalt) % width).toInt
 
   /** Count-min sketch table over long keys: `depth` x `width` counters
     * as rows (j, pos, cnt). The table is the classic mergeable frequency

@@ -202,6 +202,51 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class CmsCounter(j: Int, pos: Int, cnt: Long)
+
+  /** Streaming count-min sketch: the running d x width counter table of
+    * [[graft.ops.Sketches.cmsTable]], maintained incrementally. The
+    * stream keys on the sketch ROW j — the d rows are independent
+    * counter arrays, so the state store holds d entries of constant
+    * `width` longs each (state never grows with the key universe; the
+    * mergeable-counter property does streaming's work) and the d rows
+    * update in parallel. Each batch re-emits the counters it touched;
+    * a counter's LAST emission is its running value, and after the
+    * stream drains the emitted table equals the batch [[cmsTable]] over
+    * the same rows exactly (spec-pinned). Unlike the HLL max, counter
+    * increments are not idempotent — exactness across retries is the
+    * transformWithState checkpoint contract's job, not the sketch's. */
+  class CmsSketchProcessor(width: Int)
+      extends StatefulProcessor[Int, CmsCounter, CmsCounter] {
+    @transient private var st: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Long]]("counters",
+        Encoders.kryo[Array[Long]], TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[CmsCounter],
+        tv: TimerValues): Iterator[CmsCounter] = {
+      val c = if (st.exists()) st.get() else new Array[Long](width)
+      val touched = scala.collection.mutable.SortedSet.empty[Int]
+      rows.foreach { r => c(r.pos) += 1L; touched += r.pos }
+      st.update(c)
+      touched.iterator.map(p => CmsCounter(key, p, c(p)))
+    }
+  }
+
+  /** [[CmsSketchProcessor]] over raw long keys — batch or stream. Rows
+    * fan out to their d (row, position) coordinates via the scalar twin
+    * of the batch derivation, so the streaming table is bit-identical to
+    * [[graft.ops.Sketches.cmsTable]]. */
+  def cmsSketch(keys: Dataset[Long], depth: Int = 4,
+      width: Int = 1024): Dataset[CmsCounter] = {
+    import keys.sparkSession.implicits._
+    keys
+      .flatMap(k => (0 until depth).map(j =>
+        CmsCounter(j, graft.ops.Sketches.cmsPosOf(k, j, width), 0L)))
+      .groupByKey(_.j)
+      .transformWithState(new CmsSketchProcessor(width),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Watermarked stream-stream inner join: each click joins purchases by
     * the same user within the preceding `windowSeconds`. Both sides carry
     * watermarks plus a time-range join condition, so the state store

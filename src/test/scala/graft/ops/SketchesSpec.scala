@@ -97,6 +97,18 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole, "counter sums must merge exactly")
   }
 
+  test("cmsPosOf is the bit-exact scalar twin of the Column coordinates") {
+    val keys = Seq(0L, 1L, 42L, 999999L, 1000000006L, 1000000007L,
+      Long.MaxValue, -17L)
+    val table = Sketches.cmsTable(keys.toDF("k"), "k", 4, 128).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = keys
+      .flatMap(k => (0 until 4).map(j =>
+        (j, Sketches.cmsPosOf(k, j, 128).toLong)))
+      .groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    assert(table == expected)
+  }
+
   test("CMS probe of a never-seen key reads 0 through empty counters") {
     // width >> distinct keys so some counters stay untouched; a key
     // hashing into an untouched counter on ANY row estimates 0

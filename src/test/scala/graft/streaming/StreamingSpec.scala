@@ -173,6 +173,30 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming CMS counters equal the batch table exactly") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(streamDir).schema
+      val stream = Streaming.fileStream(spark, streamDir, schema)
+        .select($"user_id").as[Long]
+      val got = Streaming.drainToMemory(spark,
+        Streaming.cmsSketch(stream, depth = 4, width = 256).toDF(),
+        "tws_cms", OutputMode.Update())
+      // update mode re-emits touched counters per batch; a counter's
+      // LAST emission is its running value (counters only grow)
+      val last = got.collect()
+        .map(r => (r.getInt(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+      val batch = graft.ops.Sketches.cmsTable(
+          Tables.events(spark, sfDir).select($"user_id".as("k")), "k",
+          depth = 4, width = 256)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(last == batch,
+        s"streaming CMS must equal the batch table: ${last.size} vs ${batch.size} counters")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("scalar portable hash is the bit-exact twin of the Column version") {
     val ks = Seq(0L, 1L, 42L, 999999L, 1000000007L, Long.MaxValue, -17L)
     val viaCol = ks.toDF("k")

@@ -44,8 +44,42 @@ object Analytic {
     Q("q114_funnel", q114, Some(q114Sql)),
     Q("q115_binned_quantiles", q115, Some(q115Sql)),
     Q("q117_hll_by_key", q117, Some(q117Sql)),
-    Q("q122_cohort_retention", q122, Some(q122Sql))
+    Q("q122_cohort_retention", q122, Some(q122Sql)),
+    Q("q124_winsorize", q124, Some(q124Sql))
   )
+
+  /** Per-group winsorization ([[graft.ops.Robust.winsorizeSummary]]):
+    * prices clamp into their per-returnflag exact [p01, p99] percentile
+    * band. The bounds are a 3-row broadcast back over the fact table
+    * (fact rows never shuffle for the clamp), clip counts are exact
+    * integers, and the winsorized mean goes through an integer-scaled
+    * sum so the aggregate is order- and engine-independent — the final
+    * division is the only floating-point step. */
+  private def q124(s: SparkSession, d: String): DataFrame =
+    graft.ops.Robust.winsorizeSummary(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", lo = 0.01, hi = 0.99)
+      .orderBy(col("l_returnflag"))
+
+  private val q124Sql =
+    """WITH b AS (SELECT l_returnflag AS k,
+      |    quantile_cont(l_extendedprice, 0.01) AS plo,
+      |    quantile_cont(l_extendedprice, 0.99) AS phi
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT l.l_returnflag AS k, l.l_extendedprice AS v,
+      |    b.plo, b.phi,
+      |    least(greatest(l.l_extendedprice, b.plo), b.phi) AS w
+      |  FROM lineitem l JOIN b ON l.l_returnflag = b.k)
+      |SELECT k AS l_returnflag,
+      |  round(min(plo), 4) AS p_lo,
+      |  round(min(phi), 4) AS p_hi,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN v < plo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(sum(CASE WHEN v > phi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi,
+      |  round(CAST(sum(CAST(round(w * 10000) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 / count(*), 4) AS win_mean
+      |FROM j GROUP BY k ORDER BY l_returnflag""".stripMargin
 
   /** Cohort retention: users grouped by first-active day, retention
     * counted as distinct users active again k days later. Two keyed

@@ -453,6 +453,14 @@ class PlanSpec extends SparkSpec {
       s"counter build must partial-aggregate:\n$p")
   }
 
+  test("q124: winsorize bounds broadcast back; the clamp is map work") {
+    val p = plan("q124_winsorize")
+    assert(!p.contains("CartesianProduct"), s"all-pairs blowup in:\n$p")
+    // the group-count-sized bound table must reach the fact rows as a
+    // broadcast — the fact table shuffles only for the final summary agg
+    assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast in:\n$p")
+  }
+
   test("q103: random projection adds no exchange before the top-k") {
     val p = plan("q103_projected_topk")
     assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")

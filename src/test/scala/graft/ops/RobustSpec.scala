@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  // group "a": 1..100 with two planted outliers; group "b": constant
+  private def frame = (
+    (1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("a", -1000.0), ("a", 5000.0)) ++
+      (1 to 10).map(_ => ("b", 7.0))
+  ).toDF("k", "v")
+
+  test("winsorize clamps every value into the per-group percentile band") {
+    val w = Robust.winsorize(frame, "k", "v", 0.05, 0.95)
+    val bad = w.filter($"v" < $"__plo" || $"v" > $"__phi").count()
+    assert(bad == 0L)
+    // the planted outliers must no longer be present
+    val mm = w.filter($"k" === "a").agg(min($"v"), max($"v")).head
+    assert(mm.getDouble(0) > -1000.0 && mm.getDouble(1) < 5000.0)
+  }
+
+  test("winsorizeSummary counts exactly the rows outside the band") {
+    val out = Robust.winsorizeSummary(frame, "k", "v", 0.05, 0.95)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    // percentile(., .05) of 102 values sits above the -1000 outlier and
+    // percentile(., .95) below 5000: at least one clip on each side
+    assert(a.getAs[Long]("n") == 102L)
+    assert(a.getAs[Long]("n_clip_lo") >= 1L && a.getAs[Long]("n_clip_hi") >= 1L)
+    // a constant group clips nothing and keeps its mean exactly
+    val b = out("b")
+    assert(b.getAs[Long]("n_clip_lo") == 0L && b.getAs[Long]("n_clip_hi") == 0L)
+    assert(b.getAs[Double]("win_mean") == 7.0)
+  }
+
+  test("winsorized mean is partitioning-invariant (integer-scaled sum)") {
+    val one = Robust.winsorizeSummary(frame, "k", "v", 0.05, 0.95)
+      .orderBy($"k").collect().toSeq
+    val many = Robust.winsorizeSummary(frame.repartition(13), "k", "v", 0.05, 0.95)
+      .orderBy($"k").collect().toSeq
+    assert(one == many)
+  }
+
+  test("winsorized mean shifts toward the body when outliers clip") {
+    val raw = frame.filter($"k" === "a").agg(avg($"v")).head.getDouble(0)
+    val win = Robust.winsorizeSummary(frame, "k", "v", 0.05, 0.95)
+      .filter($"k" === "a").head.getAs[Double]("win_mean")
+    // raw mean is dragged by the +5000/-1000 pair; winsorized sits near
+    // the 1..100 body's center
+    assert(math.abs(win - 50.5) < math.abs(raw - 50.5))
+  }
+}

@@ -61,8 +61,14 @@ object Fuzzy {
       // a pair shares many members (always >= 2 when equal); dedup the
       // bounded candidate set before the join-back + O(len^2) verify
       .dropDuplicates(leftId, rightId)
-      .join(left.select(col(leftId), col(leftStr)), leftId)
-      .join(right.select(col(rightId), col(rightStr)), rightId)
+      // the join-back projections dedupe by id: a no-op under the
+      // documented unique-id precondition, and a guard against silently
+      // multiplying candidate pairs when a caller violates it (a
+      // repeated id then contributes ONE string, instead of fanning out)
+      .join(left.select(col(leftId), col(leftStr)).dropDuplicates(leftId),
+        leftId)
+      .join(right.select(col(rightId), col(rightStr)).dropDuplicates(rightId),
+        rightId)
       .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
       .filter(col("dist") <= 1)
       .select(col(leftId), col(leftStr), col(rightId), col(rightStr),

@@ -337,20 +337,33 @@ object Multimodal {
     * '00dc' chunk per frame, and an idx1 index — the same RIFF discipline
     * as the WAV writer above.
     */
+  /** Executor-local memo of the uniform-gray frame JPEG per geometry:
+    * only 5 x 4 distinct (w, h) combinations exist across all doc ids, so
+    * each JVM pays the (deterministic) ImageIO encode once per geometry
+    * instead of once per row — the DECODE under test still runs per
+    * frame per row. Bounded at 20 entries by construction. */
+  private val fixtureJpegByGeometry =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
+  private def uniformGrayJpeg(w: Int, h: Int): Array[Byte] =
+    fixtureJpegByGeometry.computeIfAbsent((w.toLong << 32) | h, _ => {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, 0x808080); x += 1 }
+        y += 1
+      }
+      val jout = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", jout)
+      jout.toByteArray
+    })
+
   def syntheticAviBytes(docId: Long): Array[Byte] = {
     val nFrames = (3 + docId % 4).toInt
     val w = (16 + 8 * (docId % 5)).toInt
     val h = (16 + 8 * (docId % 4)).toInt
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, 0x808080); x += 1 }
-      y += 1
-    }
-    val jout = new ByteArrayOutputStream()
-    ImageIO.write(img, "jpg", jout)
-    val jpeg = jout.toByteArray // frames are identical by construction
+    val jpeg = uniformGrayJpeg(w, h) // frames are identical by construction
     val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ // 10 fps, HASINDEX
       le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(jpeg.length) ++
       le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)

@@ -1,29 +1,81 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust-statistics curation: clamp heavy-tailed numeric features
   * before they skew a training mix (the standard winsorization pass a
   * data pipeline runs over quality scores, prices, durations).
   *
-  * Scale shape: the per-group clip bounds are a group-count-sized
-  * aggregate (exact percentiles, partial-aggregated) broadcast back
-  * over the fact table — fact rows never shuffle for the clamp; the
-  * clip itself is pure map work, exactly like the q85 gap-fill grid and
-  * the q94 sampling-rate join.
+  * The per-group clip bounds come from a fixed-bin histogram (the
+  * [[Sketches.binnedQuantiles]] discipline, applied per group), NOT from
+  * an exact percentile: Spark's `percentile` aggregate buffers every
+  * distinct value of a group in its agg buffer, so one large group at
+  * 100x scale is an unbounded driver of executor memory — the histogram
+  * keeps the aggregation state at O(groups x bins) no matter how many
+  * rows flow in, and the per-bin counts partial-aggregate map-side (the
+  * mergeable-sketch property). The price is stated, not hidden: bounds
+  * land on bin edges, so each clip threshold is within one bin width of
+  * the exact percentile. Every arithmetic step (bin index, edges, the
+  * q*N threshold) is the same IEEE double expression in any engine, so
+  * the result is engine-exact and the DuckDB oracle replays the whole
+  * derivation (q124), exactly like q115's quantile sketch.
+  *
+  * Scale shape: histogram groupBy(key, bin) partial-aggregates; the CDF
+  * is a window over the (groups x bins)-row histogram, never the facts;
+  * the bounds broadcast back over the fact table — fact rows never
+  * shuffle for the clamp, which is pure map work (the q85 gap-fill /
+  * q94 sampling-rate-join pattern).
   */
 object Robust {
 
-  /** `df` with `valueCol` clamped into its per-`keyCol` exact
-    * [lo, hi] percentile bounds; the bounds ride along as
-    * `__plo`/`__phi` for downstream summaries. */
+  /** `df` with `valueCol` clamped into its per-`keyCol` binned
+    * [lo, hi]-quantile band; the bounds ride along as `__plo`/`__phi`
+    * for downstream summaries.
+    *
+    * The band is the smallest bin-aligned interval covering the central
+    * mass: `__plo` is the LOWER edge of the first bin whose cumulative
+    * count reaches `lo*N` (values inside the lo-quantile's own bin
+    * survive), `__phi` the UPPER edge of the first bin reaching `hi*N`
+    * (ditto on the high side) — so a group concentrated in one bin (a
+    * constant column) clips nothing. Histogram bins are `bins`
+    * equal-width slices of [binLo, binHi]; out-of-range values clamp to
+    * the edge bins, so no row is ever dropped from the CDF.
+    *
+    * The bounds table is one row per distinct `keyCol` value and is
+    * broadcast back over the facts — callers with a high-cardinality
+    * group column (bounds beyond the broadcast threshold) should
+    * pre-aggregate or shard, as with any broadcast dimension. */
   def winsorize(df: DataFrame, keyCol: String, valueCol: String,
-      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+      lo: Double, hi: Double,
+      binLo: Double, binHi: Double, bins: Int = 4096): DataFrame = {
     require(lo > 0 && lo < hi && hi < 1, s"need 0 < lo < hi < 1: $lo, $hi")
-    val bounds = df.groupBy(col(keyCol)).agg(
-      expr(s"percentile($valueCol, $lo)").as("__plo"),
-      expr(s"percentile($valueCol, $hi)").as("__phi"))
+    require(bins >= 1 && binHi > binLo,
+      s"need binHi > binLo and bins >= 1: [$binLo, $binHi] x $bins")
+    val width = (binHi - binLo) / bins
+    val hist = df.select(col(keyCol),
+        least(lit(bins - 1L), greatest(lit(0L),
+          floor((col(valueCol).cast("double") - lit(binLo)) / lit(width))
+            .cast("long"))).as("__bin"))
+      .groupBy(col(keyCol), col("__bin")).agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // per-group N from a full-frame window over the same histogram —
+    // one corpus scan, not a second aggregate over the input
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bounds = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .groupBy(col(keyCol))
+      .agg(
+        (lit(binLo) +
+          min(when(col("__cum") >= lit(lo) * col("__n"), col("__bin"))) *
+            lit(width)).as("__plo"),
+        (lit(binLo) +
+          (min(when(col("__cum") >= lit(hi) * col("__n"), col("__bin"))) +
+            lit(1L)) * lit(width)).as("__phi"))
     df.join(broadcast(bounds), Seq(keyCol))
       .withColumn(valueCol,
         least(greatest(col(valueCol), col("__plo")), col("__phi")))
@@ -36,11 +88,13 @@ object Robust {
     * the single final division is the only floating-point step (the
     * [[Sketches]] discipline). */
   def winsorizeSummary(df: DataFrame, keyCol: String, valueCol: String,
-      lo: Double = 0.01, hi: Double = 0.99,
+      lo: Double, hi: Double,
+      binLo: Double, binHi: Double, bins: Int = 4096,
       scale: Long = 10000L): DataFrame = {
     val raw = col("__raw")
     winsorize(
-        df.withColumn("__raw", col(valueCol)), keyCol, valueCol, lo, hi)
+        df.withColumn("__raw", col(valueCol)), keyCol, valueCol,
+        lo, hi, binLo, binHi, bins)
       .groupBy(col(keyCol))
       .agg(
         round(min(col("__plo")), 4).as("p_lo"),

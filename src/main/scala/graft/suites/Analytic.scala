@@ -49,22 +49,39 @@ object Analytic {
   )
 
   /** Per-group winsorization ([[graft.ops.Robust.winsorizeSummary]]):
-    * prices clamp into their per-returnflag exact [p01, p99] percentile
-    * band. The bounds are a 3-row broadcast back over the fact table
-    * (fact rows never shuffle for the clamp), clip counts are exact
-    * integers, and the winsorized mean goes through an integer-scaled
-    * sum so the aggregate is order- and engine-independent — the final
-    * division is the only floating-point step. */
+    * prices clamp into their per-returnflag binned [p01, p99] quantile
+    * band — bounds from a 4096-bin histogram over the price domain
+    * (O(groups x bins) aggregation state, never the exact percentile's
+    * O(group-data) buffer), broadcast back over the fact table so fact
+    * rows never shuffle for the clamp. Clip counts are exact integers,
+    * and the winsorized mean goes through an integer-scaled sum so the
+    * aggregate is order- and engine-independent — the final division is
+    * the only floating-point step. The oracle replays the ENTIRE bound
+    * derivation (histogram, per-group CDF, edge arithmetic) in identical
+    * IEEE doubles, the q115 discipline. */
   private def q124(s: SparkSession, d: String): DataFrame =
     graft.ops.Robust.winsorizeSummary(Tables.lineitem(s, d),
-        "l_returnflag", "l_extendedprice", lo = 0.01, hi = 0.99)
+        "l_returnflag", "l_extendedprice", lo = 0.01, hi = 0.99,
+        binLo = 900.0, binHi = 105000.0, bins = 4096)
       .orderBy(col("l_returnflag"))
 
   private val q124Sql =
-    """WITH b AS (SELECT l_returnflag AS k,
-      |    quantile_cont(l_extendedprice, 0.01) AS plo,
-      |    quantile_cont(l_extendedprice, 0.99) AS phi
-      |  FROM lineitem GROUP BY 1),
+    """WITH h AS (SELECT l_returnflag AS k,
+      |    least(4095, greatest(0, CAST(floor(
+      |      (l_extendedprice - 900.0) / ((105000.0 - 900.0) / 4096))
+      |      AS BIGINT))) AS bin,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT k, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
+      |    sum(cnt) OVER (PARTITION BY k) AS n
+      |  FROM h),
+      |b AS (SELECT k,
+      |    900.0 + min(CASE WHEN cum >= 0.01 * n THEN bin END)
+      |      * ((105000.0 - 900.0) / 4096) AS plo,
+      |    900.0 + (min(CASE WHEN cum >= 0.99 * n THEN bin END) + 1)
+      |      * ((105000.0 - 900.0) / 4096) AS phi
+      |  FROM c GROUP BY k),
       |j AS (SELECT l.l_returnflag AS k, l.l_extendedprice AS v,
       |    b.plo, b.phi,
       |    least(greatest(l.l_extendedprice, b.plo), b.phi) AS w

@@ -449,7 +449,8 @@ class PlanSpec extends SparkSpec {
     // counter build must partial-aggregate (the sketch-merge shuffle
     // carries at most depth*width rows per partition)
     assert(p.contains("BroadcastHashJoin"), s"table not broadcast in:\n$p")
-    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+    // the specific marker, not a HashAggregate fallback any plan has
+    assert(p.contains("partial_count"),
       s"counter build must partial-aggregate:\n$p")
   }
 
@@ -459,6 +460,10 @@ class PlanSpec extends SparkSpec {
     // the group-count-sized bound table must reach the fact rows as a
     // broadcast — the fact table shuffles only for the final summary agg
     assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast in:\n$p")
+    // bounds must come from the binned histogram: an exact percentile
+    // aggregate buffers O(group data) and is the 100x-scale OOM risk
+    assert(!p.toLowerCase.contains("percentile"),
+      s"exact percentile crept back into the bounds:\n$p")
   }
 
   test("q103: random projection adds no exchange before the top-k") {

@@ -46,6 +46,22 @@ class FuzzySpec extends SparkSpec {
     assert(dup == 2)
   }
 
+  test("a repeated id never multiplies output pairs") {
+    // ids are documented unique per side; an accidental duplicate (same
+    // id carried twice with its string, the realistic violation) must
+    // not fan out the join-back into duplicated (lid, rid) pairs
+    val dupLeft = left.union(left.filter($"lid" === 1L))
+    val got = Fuzzy.editDistance1Join(dupLeft, "lid", "ls", right, "rid", "rs")
+      .select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length,
+      s"duplicate id multiplied pairs: ${got.toSeq}")
+    val clean = Fuzzy.editDistance1Join(left, "lid", "ls", right, "rid", "rs")
+      .select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == clean)
+  }
+
   test("candidates come from an equi-join, never a cross join") {
     val p = Fuzzy.editDistance1Join(left, "lid", "ls", right, "rid", "rs")
       .queryExecution.executedPlan.toString

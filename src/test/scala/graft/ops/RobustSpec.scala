@@ -13,8 +13,16 @@ class RobustSpec extends SparkSpec {
       (1 to 10).map(_ => ("b", 7.0))
   ).toDF("k", "v")
 
-  test("winsorize clamps every value into the per-group percentile band") {
-    val w = Robust.winsorize(frame, "k", "v", 0.05, 0.95)
+  // width-1.0 bins over the data domain: bound arithmetic is exact
+  private def win(df: org.apache.spark.sql.DataFrame) =
+    Robust.winsorize(df, "k", "v", 0.05, 0.95,
+      binLo = -1000.0, binHi = 5000.0, bins = 6000)
+  private def winSummary(df: org.apache.spark.sql.DataFrame) =
+    Robust.winsorizeSummary(df, "k", "v", 0.05, 0.95,
+      binLo = -1000.0, binHi = 5000.0, bins = 6000)
+
+  test("winsorize clamps every value into the per-group quantile band") {
+    val w = win(frame)
     val bad = w.filter($"v" < $"__plo" || $"v" > $"__phi").count()
     assert(bad == 0L)
     // the planted outliers must no longer be present
@@ -23,33 +31,39 @@ class RobustSpec extends SparkSpec {
   }
 
   test("winsorizeSummary counts exactly the rows outside the band") {
-    val out = Robust.winsorizeSummary(frame, "k", "v", 0.05, 0.95)
-      .collect().map(r => r.getString(0) -> r).toMap
+    val out = winSummary(frame).collect().map(r => r.getString(0) -> r).toMap
     val a = out("a")
-    // percentile(., .05) of 102 values sits above the -1000 outlier and
-    // percentile(., .95) below 5000: at least one clip on each side
+    // the 5% band edge of 102 values sits above the -1000 outlier and
+    // the 95% edge below 5000: at least one clip on each side
     assert(a.getAs[Long]("n") == 102L)
     assert(a.getAs[Long]("n_clip_lo") >= 1L && a.getAs[Long]("n_clip_hi") >= 1L)
-    // a constant group clips nothing and keeps its mean exactly
+    // a group concentrated in ONE bin (a constant column) clips nothing:
+    // plo is that bin's lower edge, phi its upper edge
     val b = out("b")
     assert(b.getAs[Long]("n_clip_lo") == 0L && b.getAs[Long]("n_clip_hi") == 0L)
     assert(b.getAs[Double]("win_mean") == 7.0)
   }
 
   test("winsorized mean is partitioning-invariant (integer-scaled sum)") {
-    val one = Robust.winsorizeSummary(frame, "k", "v", 0.05, 0.95)
-      .orderBy($"k").collect().toSeq
-    val many = Robust.winsorizeSummary(frame.repartition(13), "k", "v", 0.05, 0.95)
-      .orderBy($"k").collect().toSeq
+    val one = winSummary(frame).orderBy($"k").collect().toSeq
+    val many = winSummary(frame.repartition(13)).orderBy($"k").collect().toSeq
     assert(one == many)
   }
 
   test("winsorized mean shifts toward the body when outliers clip") {
     val raw = frame.filter($"k" === "a").agg(avg($"v")).head.getDouble(0)
-    val win = Robust.winsorizeSummary(frame, "k", "v", 0.05, 0.95)
+    val win = winSummary(frame)
       .filter($"k" === "a").head.getAs[Double]("win_mean")
     // raw mean is dragged by the +5000/-1000 pair; winsorized sits near
     // the 1..100 body's center
     assert(math.abs(win - 50.5) < math.abs(raw - 50.5))
+  }
+
+  test("bounds come from the histogram — no O(group-data) percentile buffer") {
+    // the 100x-scale guarantee: aggregation state is O(groups x bins),
+    // so the plan must contain no Percentile aggregate anywhere
+    val p = winSummary(frame).queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"),
+      s"exact percentile crept back into the plan:\n$p")
   }
 }

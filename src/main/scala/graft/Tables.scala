@@ -41,6 +41,40 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Synthesized partsupp: the driver testdata has no partsupp parquet,
+    * so the table is DERIVED in-plan as a deterministic integer function
+    * of `part` x the supplier count — 4 suppliers per part
+    * (`(p_partkey*4 + i) % s_total + 1`, i in 0..3, distinct for any
+    * s_total >= 4 because the increments are consecutive), with availqty
+    * and supplycost as modular mixes of the two keys. Supplycost is
+    * carried as exact integer CENTS (`ps_supplycost_cents`) so value
+    * aggregates stay integer-exact in any engine and summation order;
+    * `ps_supplycost = cents / 100.0` is the only floating-point step.
+    * The DuckDB oracle replays the identical arithmetic as a CTE over
+    * the same parquet (see [[graft.suites.Tpch.partsuppCte]]), which
+    * makes every partsupp query SF-portable — no pinned values.
+    * Scale shape: one 1-row count broadcast + a 4-way explode of the
+    * part scan; nothing shuffles. */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    val sCount = supplier(s, d).agg(count(lit(1)).as("__s_total"))
+    part(s, d).select(col("p_partkey"))
+      .crossJoin(broadcast(sCount))
+      .select(col("p_partkey"), col("__s_total"),
+        explode(array((0L to 3L).map(lit(_)): _*)).as("__i"))
+      .withColumn("ps_suppkey",
+        pmod(col("p_partkey") * lit(4L) + col("__i"), col("__s_total")) +
+          lit(1L))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        (pmod(col("p_partkey") * lit(7L) + col("ps_suppkey") * lit(11L),
+          lit(9999L)) + lit(1L)).as("ps_availqty"),
+        (pmod(col("p_partkey") * lit(31L) + col("ps_suppkey") * lit(17L),
+          lit(10000L)) + lit(100L)).as("ps_supplycost_cents"))
+      .withColumn("ps_supplycost",
+        col("ps_supplycost_cents") / lit(100.0))
+  }
 }
 
 /** One verifiable query: a Spark plan plus (when SQL-expressible) the DuckDB

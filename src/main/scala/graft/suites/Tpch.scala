@@ -39,15 +39,220 @@ object Tpch {
     Q("q106_tpch_waiting_supplier", q106, Some(q106Sql)),
     Q("q107_tpch_disjunctive_revenue", q107, Some(q107Sql)),
     Q("q108_tpch_top_supplier", q108, Some(q108Sql)),
-    Q("q121_tpch_forecast_revenue", q121, Some(q121Sql))
+    Q("q121_tpch_forecast_revenue", q121, Some(q121Sql)),
+    Q("q125_tpch_min_cost_supplier", q125, Some(q125Sql)),
+    Q("q126_tpch_important_stock", q126, Some(q126Sql)),
+    Q("q127_tpch_parts_supplier_counts", q127, Some(q127Sql)),
+    Q("q128_tpch_potential_promotion", q128, Some(q128Sql))
   )
+
+  /** Oracle twin of [[graft.Tables.partsupp]]: the same deterministic
+    * integer derivation as a DuckDB CTE over the same parquet, so every
+    * partsupp query below is SF-portable — both engines COMPUTE the
+    * table, nothing is pinned. */
+  private[graft] val partsuppCte: String =
+    """st AS (SELECT count(*) AS s_total FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey * 4 + i) % s_total + 1 AS ps_suppkey,
+      |    (p_partkey * 7 + ((p_partkey * 4 + i) % s_total + 1) * 11)
+      |      % 9999 + 1 AS ps_availqty,
+      |    (p_partkey * 31 + ((p_partkey * 4 + i) % s_total + 1) * 17)
+      |      % 10000 + 100 AS ps_supplycost_cents
+      |  FROM part, st, (VALUES (0), (1), (2), (3)) t(i))""".stripMargin
+
+  /** TPC-H Q2 (min-cost supplier): for small parts in a size band, the
+    * supplier(s) in EUROPE offering the per-part minimum supplycost.
+    * The correlated min decorrelates into a per-part min aggregate over
+    * the region-filtered partsupp joined back on (part, min-cents) —
+    * supplier/nation/region and the filtered part list are broadcasts,
+    * and the min compares exact integer cents, so there is no
+    * float-equality trap. Top-100 under a fully deterministic order. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val regionSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val psEu = Tables.partsupp(s, d)
+      .join(broadcast(regionSupp), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = psEu.groupBy(col("ps_partkey"))
+      .agg(min(col("ps_supplycost_cents")).as("__min_cents"))
+    psEu
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "SMALL" && col("p_size").between(10, 20))
+          .select(col("p_partkey"), col("p_brand"))),
+        col("ps_partkey") === col("p_partkey"))
+      .join(minCost, Seq("ps_partkey"))
+      .filter(col("ps_supplycost_cents") === col("__min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        (col("ps_supplycost_cents") / lit(100.0)).as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  private val q125Sql =
+    "WITH " + partsuppCte + """,
+      |eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      |  FROM supplier s, nation n, region r
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |    AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+      |pse AS (SELECT ps.*, eu.s_name, eu.s_acctbal, eu.n_name
+      |  FROM partsupp ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey),
+      |mc AS (SELECT ps_partkey, min(ps_supplycost_cents) AS min_cents
+      |  FROM pse GROUP BY ps_partkey)
+      |SELECT pse.s_acctbal, pse.s_name, pse.n_name, p.p_partkey,
+      |  p.p_brand, pse.ps_supplycost_cents / 100.0 AS ps_supplycost
+      |FROM pse
+      |JOIN part p ON pse.ps_partkey = p.p_partkey
+      |JOIN mc ON pse.ps_partkey = mc.ps_partkey
+      |WHERE p.p_type = 'SMALL' AND p.p_size BETWEEN 10 AND 20
+      |  AND pse.ps_supplycost_cents = mc.min_cents
+      |ORDER BY pse.s_acctbal DESC, pse.n_name, pse.s_name, p.p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 (important stock): per-part stock value over ASIA
+    * suppliers, kept when above a fixed fraction of the region total.
+    * Value sums are exact integer cents*qty longs on both engines (the
+    * integer-scaled-sum discipline) — the single /100.0 display division
+    * and the fraction comparison are the only floating-point steps. The
+    * region supplier list broadcasts; the corpus shuffles once on
+    * ps_partkey; the grand total is a 1-row broadcast back. */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val asiaSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val psAsia = Tables.partsupp(s, d)
+      .join(broadcast(asiaSupp), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("__v", col("ps_supplycost_cents") * col("ps_availqty"))
+    val total = psAsia.agg(sum(col("__v")).cast("double").as("__total"))
+    psAsia.groupBy(col("ps_partkey")).agg(sum(col("__v")).as("__sv"))
+      .crossJoin(broadcast(total))
+      .filter(col("__sv").cast("double") > lit(0.001) * col("__total"))
+      .select(col("ps_partkey"),
+        (col("__sv").cast("double") / lit(100.0)).as("stock_value"))
+      .orderBy(col("stock_value").desc, col("ps_partkey"))
+  }
+
+  private val q126Sql =
+    "WITH " + partsuppCte + """,
+      |asia AS (SELECT s.s_suppkey FROM supplier s, nation n, region r
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |    AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'),
+      |psa AS (SELECT ps.ps_partkey,
+      |    ps.ps_supplycost_cents * ps.ps_availqty AS v
+      |  FROM partsupp ps JOIN asia ON ps.ps_suppkey = asia.s_suppkey)
+      |SELECT ps_partkey, CAST(sum(v) AS DOUBLE) / 100.0 AS stock_value
+      |FROM psa GROUP BY ps_partkey
+      |HAVING CAST(sum(v) AS DOUBLE) > 0.001 * (
+      |  SELECT CAST(sum(v) AS DOUBLE) FROM psa)
+      |ORDER BY stock_value DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct supplier counts
+    * per (brand, type, size) bucket for a size list, excluding one brand,
+    * one type, and suppliers in deficit. The exclusion list (negative
+    * acctbal) is a broadcast anti-join — the NOT IN of the spec without
+    * its null trap; the filtered part dimension broadcasts; the only
+    * wide exchange is the distinct-count aggregation itself. */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    Tables.partsupp(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#17" && col("p_type") =!= "SMALL" &&
+            col("p_size").isin(2, 5, 11, 28, 29, 37, 42, 50))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+        col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q127Sql =
+    "WITH " + partsuppCte + """
+      |SELECT p.p_brand, p.p_type, p.p_size,
+      |  count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+      |FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+      |WHERE p.p_brand <> 'Brand#17' AND p.p_type <> 'SMALL'
+      |  AND p.p_size IN (2, 5, 11, 28, 29, 37, 42, 50)
+      |  AND ps.ps_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+      .stripMargin
+
+  /** TPC-H Q20 (potential part promotion): AMERICA suppliers holding
+    * more than half a year's shipped quantity of some red part. The
+    * correlated quantity subquery decorrelates into a (partkey, suppkey)
+    * aggregate left-joined under the availqty comparison; l_quantity is
+    * integer-valued so its double sum is order-exact. Red parts and the
+    * region dimension broadcast; the semi join keeps each supplier
+    * once. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val redParts = Tables.part(s, d).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val liAgg = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("__qty"))
+    val cand = Tables.partsupp(s, d)
+      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"))
+      .join(liAgg,
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"), "left")
+      .filter(col("ps_availqty").cast("double") >
+        lit(0.5) * coalesce(col("__qty"), lit(0.0)))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q128Sql =
+    "WITH " + partsuppCte + """
+      |SELECT s.s_name, s.s_acctbal
+      |FROM supplier s, nation n, region r
+      |WHERE s.s_nationkey = n.n_nationkey
+      |  AND n.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+      |  AND s.s_suppkey IN (
+      |    SELECT ps.ps_suppkey FROM partsupp ps
+      |    WHERE ps.ps_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND CAST(ps.ps_availqty AS DOUBLE) > 0.5 * (
+      |      SELECT coalesce(sum(l.l_quantity), 0.0) FROM lineitem l
+      |      WHERE l.l_partkey = ps.ps_partkey
+      |        AND l.l_suppkey = ps.ps_suppkey
+      |        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |        AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+      |ORDER BY s.s_name""".stripMargin
 
   /** TPC-H Q6 forecast revenue change: pure scan-side arithmetic — every
     * predicate (date year, discount band, quantity cut) pushes into the
     * parquet scan, then one partial+final aggregate pair; zero joins,
-    * zero wide shuffles. With Q6 the suite covers every classic TPC-H
-    * shape the driver schema supports (Q2/Q11/Q12/Q16/Q20 need
-    * partsupp/shipmode columns the testdata lacks). */
+    * zero wide shuffles. With Q6 plus the synthesized-partsupp family
+    * (q125-q128 = Q2/Q11/Q16/Q20 over [[graft.Tables.partsupp]]) the
+    * suite covers every classic TPC-H shape except Q12, whose shipmode
+    * columns the testdata genuinely lacks. */
   private def q121(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&

@@ -466,6 +466,34 @@ class PlanSpec extends SparkSpec {
       s"exact percentile crept back into the bounds:\n$p")
   }
 
+  test("q125: min-cost supplier broadcasts dims; top-100 avoids a full sort") {
+    val p = plan("q125_tpch_min_cost_supplier")
+    assert(!p.contains("CartesianProduct"), s"all-pairs blowup in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")
+  }
+
+  test("q126: stock-value agg is partial; the grand total is a 1-row broadcast") {
+    val p = plan("q126_tpch_important_stock")
+    // the HAVING total must enter as a broadcast, never re-shuffle facts
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"total not broadcast in:\n$p")
+    assert(p.contains("partial_sum"), s"value sum must partial-aggregate:\n$p")
+  }
+
+  test("q127: supplier exclusion is a broadcast anti-join") {
+    val p = plan("q127_tpch_parts_supplier_counts")
+    assert(p.contains("LeftAnti"), s"NOT IN did not anti-join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast in:\n$p")
+  }
+
+  test("q128: promotion semi-join keeps suppliers once, dims broadcast") {
+    val p = plan("q128_tpch_potential_promotion")
+    assert(p.contains("LeftSemi"), s"IN did not semi-join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs blowup in:\n$p")
+  }
+
   test("q103: random projection adds no exchange before the top-k") {
     val p = plan("q103_projected_topk")
     assert(p.contains("TakeOrderedAndProject"), s"full sort in:\n$p")

@@ -25,7 +25,19 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables at `sfDir`. Static SQL for most queries;
+    * the IVF/PQ oracles are GENERATED from a deterministic-trainer
+    * replay on the data at this SF (Q.oracleGen), so they hold at any
+    * scale factor. Omitted for non-SQL-expressible ops. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    registry.flatMap { q =>
+      q.oracleGen.map(g => q.name -> g(spark, sfDir))
+        .orElse(q.oracle.map(q.name -> _))
+    }.toMap
+
+  /** Driver-contract form: resolves the session and SF dir from the
+    * environment (SPARK_GRAFT_SF_DIR, default = the t2 correctness SF). */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+    oracleSqlFor(SparkSession.active,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
 }

@@ -80,8 +80,16 @@ object Tables {
 /** One verifiable query: a Spark plan plus (when SQL-expressible) the DuckDB
   * oracle SQL the driver hash-compares against. Column names/types must match
   * between the two (driver sorts columns by name before hashing).
+  *
+  * `oracleGen` is for oracles that must be DERIVED from the data at the
+  * verified scale factor (e.g. the IVF/PQ replays, whose k-means training
+  * is not SQL-expressible): Verify calls it with the session + SF dir and
+  * dumps the produced SQL, so the oracle is SF-portable instead of a
+  * pinned-values snapshot of one SF. At most one of oracle/oracleGen is
+  * set.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleGen: Option[(SparkSession, String) => String] = None)

@@ -129,7 +129,7 @@ object Similarity {
     centroids
   }
 
-  private[ops] def nearestCentroid(v: Array[Float], cs: Array[Array[Double]]): Int = {
+  private[graft] def nearestCentroid(v: Array[Float], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cs.length) {

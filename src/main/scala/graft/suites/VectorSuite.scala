@@ -14,13 +14,13 @@ object VectorSuite {
     Q("q22_array_ops", q22, Some(q22Sql)),
     Q("q37_cosine_topk", q37, Some(q37Sql)),
     Q("q39_ann_lsh", q39, Some(q39Sql)),
-    Q("q44_ivf_topk", q44, Some(q44Sql)),
+    Q("q44_ivf_topk", q44, None, Some(q44Oracle)),
     Q("q48_embedding_neardup", q48, Some(q48Sql)),
     Q("q66_lsh_neardup_pairs", q66, Some(q66Sql)),
     Q("q70_ann_multiprobe", q70, Some(q70Sql)),
     Q("q82_int8_quantize", q82, Some(q82Sql)),
-    Q("q98_pq_topk", q98, Some(q98Sql)),
-    Q("q100_ivfpq_topk", q100, Some(q100Sql)),
+    Q("q98_pq_topk", q98, None, Some(q98Oracle)),
+    Q("q100_ivfpq_topk", q100, None, Some(q100Oracle)),
     Q("q101_semantic_dedup", q101, Some(q101Sql)),
     Q("q103_projected_topk", q103, Some(q103Sql)),
     Q("q109_ann_knn_join", q109, Some(q109Sql))
@@ -145,46 +145,179 @@ object VectorSuite {
     * compress to m=8 byte codes against deterministic per-subspace
     * codebooks; the query scores via one broadcast m x 16 lookup table.
     * Like q44's IVF, the k-means training isn't SQL-expressible, so the
-    * oracle is a VALUES pin of the deterministic sf0.01 result; the
-    * encode/ADC algebra is verified first-principles in PqSpec. */
+    * oracle is GENERATED at verify time ([[q98Oracle]]): the same
+    * deterministic trainer plus a pure-Scala encode/ADC replay (the
+    * PqSpec discipline) derives the expected rows from the data at the
+    * verified SF — no pinned snapshot. */
   private def q98(s: SparkSession, d: String): DataFrame =
     graft.ops.Pq.pqTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
 
   /** IVF-PQ ([[graft.ops.Pq.ivfPqTopK]]): coarse cells prune the corpus
     * to nprobe cells, then PQ codes of the residuals score via per-cell
     * ADC tables — the cell-id + m-bytes layout of a production vector
-    * store. VALUES pin like q44/q98; the full composition is replayed
-    * first-principles in PqSpec. */
+    * store. Oracle generated at verify time like q44/q98
+    * ([[q100Oracle]]). */
   private def q100(s: SparkSession, d: String): DataFrame =
     graft.ops.Pq.ivfPqTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
 
-  private val q100Sql =
-    """SELECT * FROM (VALUES
-      |  (CAST(73 AS BIGINT), CAST(0.829124 AS DOUBLE)),
-      |  (CAST(32 AS BIGINT), CAST(0.829353 AS DOUBLE)),
-      |  (CAST(365 AS BIGINT), CAST(0.941501 AS DOUBLE)),
-      |  (CAST(334 AS BIGINT), CAST(0.958386 AS DOUBLE)),
-      |  (CAST(190 AS BIGINT), CAST(0.961839 AS DOUBLE)),
-      |  (CAST(84 AS BIGINT), CAST(0.966886 AS DOUBLE)),
-      |  (CAST(163 AS BIGINT), CAST(0.977359 AS DOUBLE)),
-      |  (CAST(415 AS BIGINT), CAST(0.985329 AS DOUBLE)),
-      |  (CAST(391 AS BIGINT), CAST(0.987628 AS DOUBLE)),
-      |  (CAST(85 AS BIGINT), CAST(0.994253 AS DOUBLE))
-      |) t(vec_id, approx_d2) ORDER BY approx_d2, vec_id""".stripMargin
+  // ---- generated IVF/PQ oracles ------------------------------------------
+  // The k-means training is not SQL-expressible, so these oracles are
+  // derived at verify time: the SAME deterministic trainers produce the
+  // centroids/codebooks (fixed init, partition-id-bucketed merge — their
+  // exactness and determinism are pinned by PqSpec/SimilaritySpec), and
+  // a PURE-SCALA scalar replay of assignment, probing, encoding and
+  // scoring — independent of the distributed scoring path under test —
+  // produces the expected rows for the data at the verified SF. The
+  // emitted SQL is a VALUES list COMPUTED per SF, so the oracle holds at
+  // sf0.001/0.01/0.1 alike. The collect is oracle-generation only and is
+  // bounded by the embeddings table (the corpus's small side).
 
-  private val q98Sql =
-    """SELECT * FROM (VALUES
-      |  (CAST(85 AS BIGINT), CAST(0.956689 AS DOUBLE)),
-      |  (CAST(310 AS BIGINT), CAST(1.001649 AS DOUBLE)),
-      |  (CAST(70 AS BIGINT), CAST(1.00561 AS DOUBLE)),
-      |  (CAST(214 AS BIGINT), CAST(1.007944 AS DOUBLE)),
-      |  (CAST(99 AS BIGINT), CAST(1.009386 AS DOUBLE)),
-      |  (CAST(302 AS BIGINT), CAST(1.010034 AS DOUBLE)),
-      |  (CAST(307 AS BIGINT), CAST(1.012736 AS DOUBLE)),
-      |  (CAST(334 AS BIGINT), CAST(1.01485 AS DOUBLE)),
-      |  (CAST(108 AS BIGINT), CAST(1.022455 AS DOUBLE)),
-      |  (CAST(388 AS BIGINT), CAST(1.024632 AS DOUBLE))
-      |) t(vec_id, approx_d2) ORDER BY approx_d2, vec_id""".stripMargin
+  /** Scalar twin of the CosineSimExpr kernel: same fused loop, same
+    * summation order, so the raw double is bit-identical. */
+  private def scalarCosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** HALF_UP at 6 dp — the BigDecimal twin of Spark's round(). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Squared distance of a codebook centroid to a float slice, in the
+    * exact summation order of the encode/ADC fold. */
+  private def sliceD2(cent: Array[Double], v: Array[Float], off: Int): Double = {
+    var d = 0.0; var i = 0
+    while (i < cent.length) {
+      val x = v(off + i) - cent(i); d += x * x; i += 1
+    }
+    d
+  }
+
+  /** First-min argmin over a codebook (ties take the lowest code, the
+    * array_position semantics of Pq.encode). */
+  private def argminCode(books: Array[Array[Double]], v: Array[Float],
+      off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < books.length) {
+      val d = sliceD2(books(c), v, off)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def collectVecs(s: SparkSession, d: String): Array[(Long, Array[Float])] = {
+    import s.implicits._
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+  }
+
+  private def valuesPin(rows: Seq[(Long, Double)], valueCol: String,
+      orderSql: String): String =
+    rows.map { case (id, v) =>
+      s"  (CAST($id AS BIGINT), CAST($v AS DOUBLE))"
+    }.mkString("SELECT * FROM (VALUES\n", ",\n",
+      s"\n) t(vec_id, $valueCol) $orderSql")
+
+  /** q44 expected rows: trained coarse centroids + scalar replay of cell
+    * probing and exact-cosine scoring (ivfTopK's cells=16/nprobe=4). */
+  private def q44Oracle(s: SparkSession, d: String): String = {
+    val embSel = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.kMeansCentroids(embSel, k = 16, iters = 3)
+    val vecs = collectVecs(s, d)
+    val qv = vecs.find(_._1 == 0L).get._2
+    val probed = centroids.indices.sortBy { c =>
+      sliceD2(centroids(c), qv, 0)
+    }.take(4).toSet
+    val top = vecs.iterator
+      .filter { case (id, v) =>
+        id != 0L && probed.contains(Similarity.nearestCentroid(v, centroids))
+      }
+      .map { case (id, v) => (id, round6(scalarCosine(v, qv))) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(10)
+    valuesPin(top, "cosine", "ORDER BY cosine DESC, vec_id")
+  }
+
+  /** q98 expected rows: trained PQ codebooks + scalar encode/ADC replay
+    * (pqTopK's m=8, codebookSize=16). */
+  private def q98Oracle(s: SparkSession, d: String): String = {
+    val embSel = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val books = graft.ops.Pq.trainCodebooks(embSel, m = 8, codebookSize = 16,
+      kmeansIters = 3)
+    val sub = books.head.head.length
+    val vecs = collectVecs(s, d)
+    val q = vecs.find(_._1 == 0L).get._2
+    val top = vecs.iterator.filter(_._1 != 0L).map { case (id, v) =>
+      var approx = 0.0
+      var j = 0
+      while (j < books.length) {
+        val code = argminCode(books(j), v, j * sub)
+        approx += sliceD2(books(j)(code), q, j * sub)
+        j += 1
+      }
+      (id, round6(approx))
+    }.toSeq.sortBy { case (id, dd) => (dd, id) }.take(10)
+    valuesPin(top, "approx_d2", "ORDER BY approx_d2, vec_id")
+  }
+
+  /** q100 expected rows: coarse cells + residual codebooks from the same
+    * trainers, then scalar probing/encode/per-cell-ADC replay (ivfPqTopK's
+    * cells=8/nprobe=2/m=8/codebookSize=16). The residual training input
+    * shares the embedding read's partitioning, which the bucketed merge
+    * order depends on. */
+  private def q100Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val embSel = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val coarse = Similarity.kMeansCentroids(embSel, k = 8, iters = 3)
+    val cs = coarse
+    val resDf = embSel.as[(Long, Array[Float])].map { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, cs)
+      (id, Array.tabulate(v.length)(i => (v(i) - cs(c)(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = graft.ops.Pq.trainCodebooks(resDf, m = 8, codebookSize = 16,
+      kmeansIters = 3)
+    val sub = books.head.head.length
+    val vecs = collectVecs(s, d)
+    val qv = vecs.find(_._1 == 0L).get._2
+    val probed = coarse.indices.sortBy { c =>
+      sliceD2(coarse(c), qv, 0)
+    }.take(2)
+    // per-(cell, subspace) ADC rows against the query residual, exactly
+    // as ivfPqTopK builds them (query residual re-quantized to float)
+    def adc(c: Int, j: Int, code: Int): Double = {
+      var dd = 0.0; var i = 0
+      val cent = books(j)(code)
+      while (i < sub) {
+        val qr = (qv(j * sub + i) - coarse(c)(j * sub + i)).toFloat
+        val diff = qr - cent(i); dd += diff * diff; i += 1
+      }
+      dd
+    }
+    val top = vecs.iterator.filter(_._1 != 0L).flatMap { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, coarse)
+      if (!probed.contains(c)) None
+      else {
+        val res = Array.tabulate(v.length)(i => (v(i) - coarse(c)(i)).toFloat)
+        var approx = 0.0
+        var j = 0
+        while (j < books.length) {
+          val code = argminCode(books(j), res, j * sub)
+          approx += adc(c, j, code)
+          j += 1
+        }
+        Some((id, round6(approx)))
+      }
+    }.toSeq.sortBy { case (id, dd) => (dd, id) }.take(10)
+    valuesPin(top, "approx_d2", "ORDER BY approx_d2, vec_id")
+  }
 
   /** Array scalar functions over the embedding column. */
   private def q22(s: SparkSession, d: String): DataFrame =
@@ -265,25 +398,12 @@ object VectorSuite {
 
   /** IVF (k-means inverted file) approximate top-k: nprobe cells scored
     * instead of the full corpus. Lloyd iterations aren't SQL-expressible,
-    * so the oracle is a VALUES pin of the (deterministic: fixed init,
-    * partition-ordered float merges) sf0.01 result; exactness vs brute
-    * force with nprobe=cells is asserted in SimilaritySpec. */
+    * so the oracle is generated at verify time ([[q44Oracle]]) from the
+    * deterministic trainer (fixed init, partition-ordered float merges)
+    * plus a scalar probing/scoring replay; exactness vs brute force with
+    * nprobe=cells is asserted in SimilaritySpec. */
   private def q44(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)
-
-  private val q44Sql =
-    """SELECT * FROM (VALUES
-      |  (CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE)),
-      |  (CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE)),
-      |  (CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE)),
-      |  (CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE)),
-      |  (CAST(73 AS BIGINT), CAST(0.295434 AS DOUBLE)),
-      |  (CAST(7 AS BIGINT), CAST(0.292842 AS DOUBLE)),
-      |  (CAST(320 AS BIGINT), CAST(0.287861 AS DOUBLE)),
-      |  (CAST(190 AS BIGINT), CAST(0.281795 AS DOUBLE)),
-      |  (CAST(388 AS BIGINT), CAST(0.276301 AS DOUBLE)),
-      |  (CAST(483 AS BIGINT), CAST(0.2567 AS DOUBLE))
-      |) t(vec_id, cosine) ORDER BY cosine DESC, vec_id""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs (exact baseline): one side of
     * the self-join is broadcast (the embedding table is the small,

@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY §2.8).
@@ -245,6 +246,54 @@ object Streaming {
       .groupByKey(_.j)
       .transformWithState(new CmsSketchProcessor(width),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  case class SeenKey(key: Long, first_us: Long)
+
+  /** Streaming dedup with EXPLICIT state expiry via event-time timers —
+    * the transformWithState analog of [[dedupStream]]. The first sighting
+    * of a key emits one row and registers a timer at (event time +
+    * horizon); when the watermark passes that instant the timer fires and
+    * [[ExpiringDedupProcessor.handleExpiredTimer]] clears the key's
+    * state. The state store therefore holds ONLY the keys inside the
+    * watermark horizon — never the key universe — which is the property
+    * that lets the operator run forever at 100 TB/day: state size is
+    * O(arrival rate x horizon), independent of stream length. The
+    * bounded-state probe in StreamingSpec drives a multi-horizon stream
+    * on RocksDB and goes red if this eviction stops working. */
+  class ExpiringDedupProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, Event, SeenKey] {
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SeenKey] = {
+      def micro(e: Event): Long =
+        math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+      val firstUs = rows.map(micro).min // drains the iterator either way
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(firstUs)
+        getHandle.registerTimer(firstUs / 1000L + horizonMs)
+        Iterator.single(SeenKey(key, firstUs))
+      }
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SeenKey] = {
+      seen.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[ExpiringDedupProcessor]] keyed on event_id over a watermarked
+    * event stream (event-time mode — timers fire off the watermark). */
+  def expiringDedup(events: Dataset[Event],
+      horizonMs: Long = 1200000L): Dataset[SeenKey] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_id)
+      .transformWithState(new ExpiringDedupProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Watermarked stream-stream inner join: each click joins purchases by

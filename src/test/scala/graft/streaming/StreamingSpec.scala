@@ -254,6 +254,65 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows.max < nBatches.toLong * keysPerBatch / 4)
   }
 
+  test("transformWithState timer eviction keeps state bounded on RocksDB") {
+    // The round-open scale property: a transformWithState operator over a
+    // stream spanning many watermark horizons must hold only the keys
+    // inside the horizon in its RocksDB state store — clearing state is
+    // the PROCESSOR's job (event-time timers), not dropDuplicates
+    // machinery, so this spec goes red if handleExpiredTimer stops
+    // clearing. 24 single-file micro-batches, each one hour of event time
+    // later, 50 fresh keys per batch, 5-minute watermark, 20-minute timer
+    // horizon: a key's timer fires at most two batches after arrival.
+    val d = Files.createTempDirectory("tws_evict_stream").toString
+    val base = java.sql.Timestamp.valueOf("2026-02-01 00:00:00").getTime
+    val nBatches = 24; val keysPerBatch = 50
+    val t0 = System.currentTimeMillis()
+    (0 until nBatches).foreach { b =>
+      val rows = (0 until keysPerBatch).map { i =>
+        (0L, b.toLong * keysPerBatch + i,
+          new java.sql.Timestamp(base + b * 3600000L + i * 1000L), 0.0)
+      }
+      val tmp = Files.createTempDirectory(s"tws_batch_$b")
+      rows.toDF("user_id", "event_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.walk(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = java.nio.file.Paths.get(d, f"b$b%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + b * 1000L))
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(d).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d)
+        .withWatermark("ts", "5 minutes")
+        .as[Streaming.Event]
+      val q = Streaming.expiringDedup(stream, horizonMs = 1200000L)
+        .writeStream.format("memory").queryName("tws_evict")
+        .outputMode(OutputMode.Append()).start()
+      val stateRows =
+        try { q.processAllAvailable();
+          q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsTotal)) }
+        finally q.stop()
+      // completeness: every unique key emitted exactly once
+      assert(spark.table("tws_evict").count() ==
+        nBatches.toLong * keysPerBatch)
+      // the metric must be LIVE (a 0-reporting operator would pass any
+      // bound vacuously): at some point state holds at least one batch
+      assert(stateRows.nonEmpty && stateRows.max >= keysPerBatch,
+        s"numRowsTotal never reached $keysPerBatch: ${stateRows.toSeq}")
+      // boundedness: state plateaus at ~the horizon's key count...
+      assert(stateRows.max <= 3L * keysPerBatch,
+        s"state grew to ${stateRows.max} rows — timer eviction not running")
+      // ...and never approaches the key universe
+      assert(stateRows.max < nBatches.toLong * keysPerBatch / 4)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState sessions agree with the q24 session counts") {
     val events = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"ts", $"value")

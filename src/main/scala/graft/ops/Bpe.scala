@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE-style merge training over token sequences — the
+  * tokenizer-training shape of an LLM data pipeline (Sennrich et al.
+  * 2016, at the word level: merged units are phrases).
+  *
+  * Each round finds the corpus-wide most frequent adjacent symbol pair
+  * and rewrites every sequence with that pair merged greedily
+  * left-to-right (the BPE application rule), then repeats on the
+  * rewritten corpus. Symbols are portable polynomial token hashes
+  * (mod 1e9+7, the [[TextAnalysis.tokenHashes]] family); merged symbols
+  * get ids above the hash modulus (`1e9+7 + round`) so they can never
+  * collide with a token hash.
+  *
+  * Everything is deterministic and integer-exact: the arg-max breaks
+  * ties by (count desc, sym_a asc, sym_b asc) — a total order — so the
+  * distributed result is bit-identical to a single-threaded replay
+  * ([[bpeMergesReplay]]), which is what the generated verify-time
+  * oracle pins.
+  *
+  * Scale shape (the 100 TB tokenizer-training loop): per round, ONE
+  * map-side pair explode + partially-aggregated groupBy(pair) for the
+  * counts, a 1-row top-1 (TakeOrderedAndProject) that re-enters the
+  * plan as a broadcast — never a driver round-trip — and a pure map
+  * rewrite of the sequences via a codegen'd `aggregate` fold. Texts
+  * shuffle ZERO times; only (pair, count) rows ever move. Sequence
+  * lineage is localCheckpoint-truncated per round and superseded
+  * checkpoints are released precisely, the [[Graph.pageRank]]
+  * discipline.
+  */
+object Bpe {
+
+  /** Symbol id space: token hashes live in [0, MOD); merge symbols at
+    * MOD + round can never collide with them. */
+  val Mod = 1000000007L
+
+  /** Greedy left-to-right non-overlapping merge of the pair (a, b) into
+    * `merged`, as a codegen-friendly `aggregate` fold. State:
+    * (out, pending) where pending means the previous symbol was an
+    * unconsumed `a` waiting to see whether the next symbol is `b`. */
+  private def mergeFold(seq: Column, a: Column, b: Column,
+      merged: Column): Column = {
+    val init = struct(
+      array().cast("array<bigint>").as("out"), lit(false).as("pending"))
+    aggregate(
+      seq,
+      init,
+      (st, t) => {
+        val out = st.getField("out")
+        val pend = st.getField("pending")
+        when(pend && t === b,
+          struct(concat(out, array(merged)).as("out"),
+            lit(false).as("pending")))
+          .when(pend && t === a,
+            struct(concat(out, array(a)).as("out"), lit(true).as("pending")))
+          .when(pend,
+            struct(concat(out, array(a), array(t)).as("out"),
+              lit(false).as("pending")))
+          .when(t === a, struct(out.as("out"), lit(true).as("pending")))
+          .otherwise(
+            struct(concat(out, array(t)).as("out"), lit(false).as("pending")))
+      },
+      st => concat(st.getField("out"),
+        when(st.getField("pending"), array(a))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** Adjacent symbol pairs of a sequence (positions i, i+1). */
+  private def adjacentPairs(seq: Column): Column =
+    zip_with(
+      slice(seq, lit(1), size(seq) - 1),
+      slice(seq, lit(2), size(seq) - 1),
+      (x, y) => struct(x.as("sym_a"), y.as("sym_b")))
+
+  /** Train `rounds` merges over the corpus. Output: one row per round,
+    * (merge_round, sym_a, sym_b, pair_count, merged_sym), where
+    * pair_count is the corpus-wide frequency of the winning pair at the
+    * time it was chosen. */
+  def bpeMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds in [1,64]: $rounds")
+    val sc = docs.sparkSession.sparkContext
+    def checkpointWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- pre).toSet)
+    }
+    var (seqs, seqIds) = checkpointWithIds(
+      docs.select(TextAnalysis.tokenHashes(col(textCol)).as("seq"))
+        .filter(size(col("seq")) >= 2))
+    var merges = Vector.empty[DataFrame]
+    (0 until rounds).foreach { r =>
+      val best = seqs
+        .select(explode(adjacentPairs(col("seq"))).as("p"))
+        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        .limit(1)
+        .withColumn("merge_round", lit(r))
+        .withColumn("merged_sym", lit(Mod + r))
+        .localCheckpoint(true) // 1 row; feeds both the output and the rewrite
+      merges = merges :+ best
+      if (r < rounds - 1) {
+        val (next, nextIds) = checkpointWithIds(
+          seqs.crossJoin(broadcast(
+              best.select(col("sym_a").as("__ba"), col("sym_b").as("__bb"),
+                col("merged_sym").as("__bm"))))
+            .select(mergeFold(col("seq"), col("__ba"), col("__bb"),
+              col("__bm")).as("seq"))
+            .filter(size(col("seq")) >= 2))
+        seqIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        seqs = next
+        seqIds = nextIds
+      } else {
+        seqIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      }
+    }
+    merges.reduce(_ unionByName _)
+      .select(col("merge_round"), col("sym_a"), col("sym_b"),
+        col("pair_count"), col("merged_sym"))
+      .orderBy(col("merge_round"))
+  }
+
+  /** Pure-Scala scalar twin of [[TextAnalysis.tokenHashes]]: per token,
+    * fold (acc * 31 + char) mod 1e9+7 over the code points, acc0 = 7. */
+  private[ops] def scalarTokenHashes(text: String): Array[Long] =
+    text.split(" ", -1).map { t =>
+      var acc = 7L
+      var i = 0
+      while (i < t.length) { acc = (acc * 31 + t.charAt(i)) % Mod; i += 1 }
+      acc
+    }
+
+  /** Single-threaded replay of [[bpeMerges]] for oracle generation and
+    * first-principles specs: same pair counting, same (count desc,
+    * a asc, b asc) arg-max, same greedy left-to-right merge. */
+  private[graft] def bpeMergesReplay(texts: Seq[String],
+      rounds: Int): Seq[(Int, Long, Long, Long, Long)] = {
+    var seqs: Seq[Array[Long]] =
+      texts.map(scalarTokenHashes).filter(_.length >= 2)
+    (0 until rounds).map { r =>
+      val counts = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+      seqs.foreach { s =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          i += 1
+        }
+      }
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      val m = Mod + r
+      if (r < rounds - 1) {
+        seqs = seqs.map { s =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              out += m; i += 2
+            } else { out += s(i); i += 1 }
+          }
+          out.toArray
+        }.filter(_.length >= 2)
+      }
+      (r, a, b, c, m)
+    }
+  }
+}

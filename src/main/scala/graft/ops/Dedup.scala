@@ -358,6 +358,50 @@ object Dedup {
       .select(col("doc_id")).distinct()
   }
 
+  /** Bloom-broadcast decontamination — exact same result as
+    * [[contaminatedIds]], different 100 TB shape. That semi-join
+    * shuffles EVERY corpus posting to meet the holdout grams; here a
+    * Bloom filter over the holdout's distinct grams (the eval set is
+    * small by construction — benchmarks, not corpora) is built once and
+    * broadcast, and corpus postings are pruned MAP-SIDE against it, so
+    * only Bloom hits (true overlaps + fpp false positives) ever reach a
+    * shuffle. Survivors are then verified with the exact semi-join over
+    * that pruned sliver: Bloom filters have no false negatives, so
+    * prune-then-verify returns exactly the semi-join's answer while the
+    * corpus-sized side of the join disappears. The Bloom build uses
+    * Spark's treeAggregate sketch (driver holds ONE filter of
+    * ~1.2·n·ln(1/fpp) bits, not the gram set).
+    *
+    * Eager like [[SparseSim.ngramCosinePairs]]: the bounded ids-only
+    * result is materialized via localCheckpoint and the holdout-gram
+    * cache is released before returning. */
+  def contaminatedIdsBloom(docs: DataFrame, isHoldout: Column, n: Int = 8,
+      textCol: String = "text", fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(col("doc_id"), isHoldout.as("is_holdout"),
+      explode(TextAnalysis.hashedNgrams(col(textCol), n)).as("gram"))
+    val holdoutGrams = grams.filter(col("is_holdout"))
+      .select(col("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHoldout = math.max(holdoutGrams.count(), 1L)
+    val bloom = holdoutGrams.stat.bloomFilter("gram", nHoldout, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val hits = grams.filter(!col("is_holdout"))
+      .select(col("doc_id"), col("gram")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val bf = bloomBc.value
+        it.filter { case (_, g) => bf.mightContainLong(g) }
+      }
+      .toDF("doc_id", "gram")
+    val out = hits.join(holdoutGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .localCheckpoint(eager = true)
+    holdoutGrams.unpersist()
+    bloomBc.destroy()
+    out
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs over the whole corpus,
     * computed as a prefix-filtered similarity join (AllPairs, Bayardo et
     * al.): with shingles in a canonical global order (ascending hash

@@ -427,6 +427,116 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Index-only AVI read: walks the TOP-LEVEL chunk list (each sibling —
+    * including the entire `movi` payload — is skipped in one O(1) hop
+    * from its size field), locates `idx1`, and resolves every video
+    * frame chunk (`##dc`/`##db`) to the absolute byte range of its
+    * compressed payload. Handles both idx1 offset conventions: relative
+    * to the `movi` fourcc (AVI 1.0) and absolute file offsets — each
+    * entry is validated against the chunk fourcc it claims to point at.
+    * Malformed input yields None (error-as-data), same as
+    * [[parseAviFrames]].
+    *
+    * This is the video analog of the COG range-read contract (reference
+    * README.md:329-335: serve byte ranges, never whole assets): a
+    * k-frame sample touches O(header + index + k·frame) bytes of a
+    * video, not O(total video) — on object storage those are k range
+    * GETs instead of a full-object read. */
+  private[ops] def parseAviIndex(payload: Array[Byte]): Option[Vector[(Int, Int)]] =
+    try {
+      def fourcc(off: Int) = new String(payload, off, 4, "US-ASCII")
+      def leInt(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        None
+      else {
+        val end = math.min(payload.length, 8 + leInt(4))
+        var moviPos = -1 // offset of the 'movi' fourcc itself
+        var idxOff = -1; var idxEnd = -1
+        var off = 12
+        while (off + 8 <= end) {
+          val id = fourcc(off)
+          val sz = leInt(off + 4)
+          if (sz < 0 || off + 8 + sz > end)
+            throw new IllegalArgumentException(s"chunk $id overruns file")
+          if (id == "LIST" && sz >= 4 && fourcc(off + 8) == "movi")
+            moviPos = off + 8
+          else if (id == "idx1") { idxOff = off + 8; idxEnd = off + 8 + sz }
+          off += 8 + sz + (sz & 1)
+        }
+        if (moviPos < 0 || idxOff < 0) None
+        else {
+          val ranges = Vector.newBuilder[(Int, Int)]
+          var e = idxOff
+          while (e + 16 <= idxEnd) {
+            val id = fourcc(e)
+            if (id.endsWith("dc") || id.endsWith("db")) {
+              val ofs = leInt(e + 8)
+              val sz = leInt(e + 12)
+              val rel = moviPos + ofs // AVI 1.0: relative to 'movi' fourcc
+              val hdr =
+                if (rel + 8 <= end && fourcc(rel) == id) rel
+                else if (ofs + 8 <= end && fourcc(ofs) == id) ofs // absolute
+                else throw new IllegalArgumentException(
+                  s"idx1 entry for $id resolves to no matching chunk")
+              if (sz < 0 || hdr + 8 + sz > end)
+                throw new IllegalArgumentException(s"idx1 range for $id overruns")
+              ranges += ((hdr + 8, sz))
+            }
+            e += 16
+          }
+          val rs = ranges.result()
+          if (rs.isEmpty) None else Some(rs)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode exactly one indexed frame from its byte range. */
+  private[ops] def decodeFrameAt(payload: Array[Byte],
+      range: (Int, Int)): Option[BufferedImage] =
+    decodeImage(java.util.Arrays.copyOfRange(payload, range._1,
+      range._1 + range._2))
+
+  case class FrameSample(doc_id: Long, frame_idx: Int, n_frames: Long,
+      width: Int, height: Int, mean_lum: Double)
+
+  /** Frame sampling over the video slice via the idx1 index: each doc
+    * decodes only its first, middle, and last frame — the index gives
+    * their byte ranges without walking `movi`, so cost per doc is
+    * O(3 frames) regardless of video length. Contrast [[videoDecodeStats]],
+    * which decodes every frame. The three indices are distinct for every
+    * fixture (n >= 3), and the decoded stats replay analytically in the
+    * oracle exactly as q89's do. */
+  def videoFrameSample(spark: SparkSession, docs: DataFrame): Dataset[FrameSample] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val bytes = syntheticAviBytes(id)
+        val index = parseAviIndex(bytes).getOrElse(
+          throw new IllegalStateException(s"fixture AVI for doc $id has no idx1"))
+        val n = index.length
+        Vector(0, n / 2, n - 1).distinct.map { i =>
+          val img = decodeFrameAt(bytes, index(i)).getOrElse(
+            throw new IllegalStateException(s"frame $i of doc $id failed to decode"))
+          var sumRgb = 0L; var px = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sumRgb += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              px += 1
+              x += 1
+            }
+            y += 1
+          }
+          FrameSample(id, i, n.toLong, img.getWidth, img.getHeight,
+            sumRgb.toDouble / (3.0 * px))
+        }
+      }
+  }
+
   case class VideoStats(doc_id: Long, n_frames: Long, width: Int, height: Int,
       total_pixels: Long, mean_lum: Double)
 

@@ -80,4 +80,49 @@ object Sampling {
       .filter(col("rn") <= cap)
       .drop("rn")
   }
+
+  /** Token-budget curation: per key, keep documents in priority order
+    * (priority desc, id asc as the tiebreak) while the running token
+    * total stays within `budget` — "fill the training mix from the best
+    * documents first", the selection step between quality scoring and
+    * tokenization.
+    *
+    * Scale shape: the naive formulation is a running sum over a per-key
+    * TOTAL order — one reducer per key, dead at 100 TB. Because the
+    * priority is integer-valued, the order decomposes exactly (the
+    * [[Robust.winsorize]] histogram discipline): (1) a per
+    * (key, priority) histogram of token mass — one partially-aggregated
+    * shuffle emitting BIN rows, not document rows; (2) per key, running
+    * bin totals in priority-descending order give each bin its starting
+    * offset — a window over the bin table, bin-cardinality-sized;
+    * (3) bins whose offset already exceeds the budget are eliminated
+    * BEFORE any document shuffles (the inner join doubles as the
+    * semi-join); surviving rows pay only a per-(key, priority) window —
+    * parallelism per bin rather than per key, so a hot key no longer
+    * serializes. `cum_tok = bin offset + intra-bin running sum` equals
+    * the naive global running sum row-for-row, which is exactly what
+    * the oracle replays with the single-window formulation. */
+  def tokenBudgetSelect(docs: DataFrame, keyCol: String, priorityCol: String,
+      tokCol: String, budget: Long, idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val W = org.apache.spark.sql.expressions.Window
+    val rows = docs.select(col(keyCol),
+      col(priorityCol).cast("long").as("__pri"), col(idCol),
+      col(tokCol).cast("long").as("__tok"))
+    val bins = rows.groupBy(col(keyCol), col("__pri"))
+      .agg(sum(col("__tok")).as("__bin_tok"))
+    val wBins = W.partitionBy(col(keyCol)).orderBy(col("__pri").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = bins
+      .withColumn("__off", coalesce(sum(col("__bin_tok")).over(wBins), lit(0L)))
+      .filter(col("__off") < budget)
+      .select(col(keyCol), col("__pri"), col("__off"))
+    val wIn = W.partitionBy(col(keyCol), col("__pri")).orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    rows.join(offsets, Seq(keyCol, "__pri"))
+      .withColumn("cum_tok", col("__off") + sum(col("__tok")).over(wIn))
+      .filter(col("cum_tok") <= budget)
+      .select(col(keyCol), col(idCol), col("__pri").as("priority"),
+        col("__tok").as("tok"), col("cum_tok"))
+  }
 }

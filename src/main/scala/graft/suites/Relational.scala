@@ -44,8 +44,43 @@ object Relational {
     Q("q95_interval_overlap_join", q95, Some(q95Sql)),
     Q("q96_fuzzy_edit1_join", q96, Some(q96Sql)),
     Q("q118_global_ids", q118, Some(q118Sql)),
-    Q("q120_table_checksum", q120, Some(q120Sql))
+    Q("q120_table_checksum", q120, Some(q120Sql)),
+    Q("q131_orc_roundtrip", q131, Some(q131Sql))
   )
+
+  /** ORC sink + source round-trip (SURVEY §2.1 interchange formats
+    * beyond parquet/CSV/JSON): a lineitem slice is written to ORC, read
+    * back through the ORC scan — where the quantity predicate pushes
+    * down, asserted by FormatsSpec — and aggregated integer-exactly
+    * (quantities are integral doubles; prices aggregate as rounded
+    * cents), so the oracle over the PARQUET source of truth hashes
+    * identically iff the ORC round-trip was lossless. DuckDB cannot
+    * read ORC, which is exactly why the query is shaped so the parquet
+    * oracle still fully checks it. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag")
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("l_quantity") > 25.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100.0).cast("long"))
+          .as("sum_price_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q131Sql =
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents
+      |FROM lineitem WHERE l_quantity > 25.0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Order-independent table checksum ([[graft.ops.Checksum
     * .tableChecksum]]): sum of per-row portable avalanche hashes — the

@@ -1,7 +1,7 @@
 package graft.suites
 
 import graft.{Q, Tables}
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,8 +72,68 @@ object TextSuite {
     Q("q111_source_cap", q111, Some(q111Sql)),
     Q("q116_curation_pipeline", q116, Some(q116Sql)),
     Q("q119_shared_spans", q119, Some(q119Sql)),
-    Q("q123_cms_counts", q123, Some(q123Sql))
+    Q("q123_cms_counts", q123, Some(q123Sql)),
+    Q("q129_video_frame_sample", q129, Some(q129Sql)),
+    Q("q130_bloom_decontaminate", q130, Some(q130Sql)),
+    Q("q132_bpe_merges", q132, None, Some(q132Oracle)),
+    Q("q133_token_budget_select", q133, Some(q133Sql))
   )
+
+  /** Token-budget curation ([[Sampling.tokenBudgetSelect]]): per
+    * source, keep documents in (n_chars desc, doc_id) priority order
+    * until an 8000-token budget fills. The Spark side decomposes the
+    * per-key total order into a (key, priority) histogram + bin offsets
+    * + per-bin windows — no per-key single-reducer sort — and the
+    * oracle replays the NAIVE single-window formulation, so the
+    * decomposition must be row-for-row exact, running totals included. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+    // 800 binds against every source's ~1300-token mass at all test SFs,
+    // so the boundary path (mid-bin budget cut) is exercised per source
+    Sampling.tokenBudgetSelect(docs, "source", "n_chars", "tok",
+        budget = 800L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q133Sql =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(n_chars AS BIGINT) AS priority,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, priority, tok,
+      |    CAST(sum(tok) OVER (PARTITION BY source
+      |      ORDER BY priority DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM t)
+      |SELECT source, doc_id, priority, tok, cum_tok FROM c
+      |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin
+
+  /** BPE-style tokenizer-merge training ([[Bpe.bpeMerges]]): six rounds
+    * of corpus-wide most-frequent-adjacent-pair selection with greedy
+    * left-to-right merge rewrites between rounds. Per round the corpus
+    * never shuffles — only (pair, count) rows do — and the winning pair
+    * re-enters the plan as a 1-row broadcast. Not SQL-expressible (the
+    * rewrite loop), so the oracle is GENERATED at verify time from the
+    * single-threaded replay ([[Bpe.bpeMergesReplay]]): the total-order
+    * arg-max (count desc, sym asc) makes the distributed result
+    * bit-identical to the replay at any SF. */
+  private def q132(s: SparkSession, d: String): DataFrame =
+    Bpe.bpeMerges(Tables.documents(s, d), rounds = 6)
+
+  private def q132Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    // oracle-generation-only collect, bounded by the corpus at the
+    // verified SF (the collectVecs/IVF-oracle precedent)
+    val texts = Tables.documents(s, d).select(col("text")).as[String]
+      .collect()
+    Bpe.bpeMergesReplay(texts.toIndexedSeq, 6).map {
+      case (r, a, b, c, m) =>
+        s"  (CAST($r AS INT), CAST($a AS BIGINT), CAST($b AS BIGINT)," +
+          s" CAST($c AS BIGINT), CAST($m AS BIGINT))"
+    }.mkString("SELECT * FROM (VALUES\n", ",\n",
+      "\n) t(merge_round, sym_a, sym_b, pair_count, merged_sym)" +
+        " ORDER BY merge_round")
+  }
 
   /** Substring-level duplication ([[Dedup.sharedSpanPairs]]): longest
     * exact shared token span per doc pair from positional 3-gram matches
@@ -689,6 +749,46 @@ object TextSuite {
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
        |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-broadcast decontamination ([[Dedup.contaminatedIdsBloom]]):
+    * same verbatim-leakage semantics as q73 on a different holdout
+    * slice, but the corpus postings are pruned MAP-SIDE against a
+    * broadcast Bloom filter of the holdout grams before any shuffle —
+    * prune-then-exact-verify, so Bloom false positives die in the
+    * verify join and the result is exactly the semi-join answer. The
+    * oracle is the exact formulation: if the Bloom path dropped a true
+    * overlap (a false negative, impossible by construction) or skipped
+    * verification, the hash breaks. */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dropIds = Dedup.contaminatedIdsBloom(docs, col("doc_id") % 89 === 0,
+      n = 4)
+    docs.filter(col("doc_id") % 89 =!= 0)
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q130Sql =
+    s"""WITH $thCte,
+       |g4 AS (SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      list_transform(th, (x, i) ->
+       |        CASE WHEN i + 3 <= len(th)
+       |             THEN list_reduce(th[i:i+3],
+       |                    (a, v) -> (a * 131 + v) % 1000000007) END),
+       |      z -> z IS NOT NULL)) AS grams
+       |  FROM th),
+       |hold AS (SELECT DISTINCT unnest(grams) AS gram FROM g4
+       |  WHERE doc_id % 89 = 0),
+       |contaminated AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(grams) AS gram FROM g4
+       |    WHERE doc_id % 89 <> 0) t
+       |  JOIN hold USING (gram))
+       |SELECT doc_id, source, lang FROM documents
+       |WHERE doc_id % 89 <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition filters. The Spark side is a per-row sorted
     * longest-run fold (zero shuffle); the oracle verifies it with the
     * straightforward unnest + group-by formulation. */
@@ -1012,6 +1112,31 @@ object TextSuite {
       |       * (16 + 8 * (doc_id % 4)) AS BIGINT) AS total_pixels,
       |  CAST(128 AS DOUBLE) AS mean_lum
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
+
+  /** Selective frame sampling via the AVI idx1 index
+    * ([[Multimodal.videoFrameSample]]): each video doc decodes ONLY its
+    * first, middle, and last frame — the index resolves their byte
+    * ranges while the top-level walk hops over the entire `movi`
+    * payload in O(1), so per-doc cost is O(3 frames) regardless of
+    * video length. The video analog of the COG range-read discipline.
+    * Frame indices, geometry, and the uniform-gray mean all replay
+    * analytically (same fixture algebra as q89); the three indices are
+    * always distinct because every fixture has n >= 3 frames. */
+  private def q129(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoFrameSample(s, Tables.documents(s, d)).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val q129Sql =
+    """WITH v AS (SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT doc_id,
+      |  CAST(f AS INT) AS frame_idx,
+      |  n AS n_frames,
+      |  CAST(16 + 8 * (doc_id % 5) AS INT) AS width,
+      |  CAST(16 + 8 * (doc_id % 4) AS INT) AS height,
+      |  CAST(128 AS DOUBLE) AS mean_lum
+      |FROM v, unnest([0, n // 2, n - 1]) AS t(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Incremental ingest dedup ([[Dedup.incrementalNearDups]]): a synthetic
     * nightly batch — verbatim re-crawls (every 10th doc), tail-trimmed

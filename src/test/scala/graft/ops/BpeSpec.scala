@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-verified merges: pair counts, greedy rewrite, merged symbols") {
+    // "x y x y x y": adjacent pairs (x,y)x3, (y,x)x2 -> round 0 merges
+    // (x,y) with count 3; rewritten [M,M,M] has (M,M)x2 -> round 1 count 2
+    val docs = Seq("x y x y x y").toDF("text")
+    val out = Bpe.bpeMerges(docs, rounds = 2).collect()
+    val hx = Bpe.scalarTokenHashes("x").head
+    val hy = Bpe.scalarTokenHashes("y").head
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("sym_a") == hx)
+    assert(out(0).getAs[Long]("sym_b") == hy)
+    assert(out(0).getAs[Long]("pair_count") == 3L)
+    assert(out(0).getAs[Long]("merged_sym") == Bpe.Mod)
+    assert(out(1).getAs[Long]("sym_a") == Bpe.Mod)
+    assert(out(1).getAs[Long]("sym_b") == Bpe.Mod)
+    assert(out(1).getAs[Long]("pair_count") == 2L)
+  }
+
+  test("greedy left-to-right non-overlap: 'a a a' merges once per scan") {
+    // (a,a) appears twice in "a a a" but greedy non-overlapping rewrite
+    // yields [M, a]; the next round must see (M,a), not (M,M)
+    val docs = Seq("a a a", "a a a").toDF("text")
+    val out = Bpe.bpeMerges(docs, rounds = 2).collect()
+    val ha = Bpe.scalarTokenHashes("a").head
+    assert(out(0).getAs[Long]("sym_a") == ha &&
+      out(0).getAs[Long]("sym_b") == ha)
+    assert(out(0).getAs[Long]("pair_count") == 4L) // 2 per doc, 2 docs
+    assert(out(1).getAs[Long]("sym_a") == Bpe.Mod)
+    assert(out(1).getAs[Long]("sym_b") == ha)
+    assert(out(1).getAs[Long]("pair_count") == 2L)
+  }
+
+  test("distributed merges are bit-identical to the single-threaded replay") {
+    val docs = Tables.documents(spark, sfDir)
+    val dist = Bpe.bpeMerges(docs, rounds = 4).collect()
+      .map(r => (r.getAs[Int]("merge_round"), r.getAs[Long]("sym_a"),
+        r.getAs[Long]("sym_b"), r.getAs[Long]("pair_count"),
+        r.getAs[Long]("merged_sym"))).toSeq
+    val texts = docs.select(col("text")).as[String].collect().toIndexedSeq
+    assert(dist == Bpe.bpeMergesReplay(texts, 4))
+  }
+
+  test("result is stable under re-sharding (arg-max total order)") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val a = Bpe.bpeMerges(docs, rounds = 3).collect().map(_.toSeq).toSeq
+    val b = Bpe.bpeMerges(docs.repartition(7), rounds = 3).collect()
+      .map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("no persisted blocks survive the call (checkpoint release)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Bpe.bpeMerges(Tables.documents(spark, sfDir).limit(50),
+      rounds = 2)
+    out.count()
+    // per-round sequence checkpoints must be released; only the 1-row
+    // merge results may remain (they ARE the output)
+    val leaked = (spark.sparkContext.getPersistentRDDs.keySet -- before)
+      .flatMap(spark.sparkContext.getPersistentRDDs.get)
+      .filter(_.partitions.length > 1)
+    assert(leaked.isEmpty, s"corpus-sized blocks leaked: $leaked")
+  }
+}

@@ -151,6 +151,28 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(1L), s"got $got")
   }
 
+  test("contaminatedIdsBloom: Bloom prune + verify equals the exact semi-join") {
+    val data = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta", true),
+      (1L, "prefix words then alpha beta gamma delta end", false),
+      (2L, "alpha beta gamma nothing shared here at all", false),
+      (3L, "totally fresh content with no overlap present", false)
+    ).toDF("doc_id", "text", "hold")
+    val got = Dedup.contaminatedIdsBloom(data, $"hold", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"got $got")
+  }
+
+  test("contaminatedIdsBloom equals contaminatedIds on the corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val exact = Dedup.contaminatedIds(docs, $"doc_id" % 31 === 0, n = 4)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.contaminatedIdsBloom(docs, $"doc_id" % 31 === 0, n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "spec slice produced no contamination to check")
+    assert(bloom == exact)
+  }
+
   test("connectedComponents of an empty edge list is empty, not a hang") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).collect().isEmpty)

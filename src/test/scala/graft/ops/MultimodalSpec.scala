@@ -166,6 +166,76 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseAviIndex resolves the byte range of every frame without movi") {
+    for (id <- Seq(2L, 5L, 8L, 11L)) {
+      val avi = Multimodal.syntheticAviBytes(id)
+      val index = Multimodal.parseAviIndex(avi).get
+      val walked = Multimodal.parseAviFrames(avi).get
+      assert(index.length == walked.length)
+      // each indexed range must slice out exactly the frame the full
+      // container walk extracts — same bytes, same order
+      index.zip(walked).foreach { case ((off, len), frame) =>
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(avi, off, off + len), frame))
+      }
+    }
+  }
+
+  test("parseAviIndex accepts absolute idx1 offsets too") {
+    val avi = Multimodal.syntheticAviBytes(2L)
+    val rel = Multimodal.parseAviIndex(avi).get
+    // rewrite every idx1 entry offset from movi-relative to absolute
+    // (both conventions exist in the wild); the resolver must detect it
+    val abs = avi.clone()
+    def leInt(off: Int): Int =
+      (abs(off) & 0xff) | ((abs(off + 1) & 0xff) << 8) |
+        ((abs(off + 2) & 0xff) << 16) | ((abs(off + 3) & 0xff) << 24)
+    def putLe(off: Int, v: Int): Unit = {
+      abs(off) = v.toByte; abs(off + 1) = (v >> 8).toByte
+      abs(off + 2) = (v >> 16).toByte; abs(off + 3) = (v >> 24).toByte
+    }
+    // locate idx1 at top level and shift each entry by the movi fourcc pos
+    var moviPos = -1; var idxOff = -1; var idxEnd = -1
+    var off = 12
+    while (off + 8 <= abs.length) {
+      val id = new String(abs, off, 4, "US-ASCII")
+      val sz = leInt(off + 4)
+      if (id == "LIST" && new String(abs, off + 8, 4, "US-ASCII") == "movi")
+        moviPos = off + 8
+      if (id == "idx1") { idxOff = off + 8; idxEnd = off + 8 + sz }
+      off += 8 + sz + (sz & 1)
+    }
+    var e = idxOff
+    while (e + 16 <= idxEnd) { putLe(e + 8, leInt(e + 8) + moviPos); e += 16 }
+    assert(Multimodal.parseAviIndex(abs).get == rel)
+  }
+
+  test("parseAviIndex rejects malformed input as None") {
+    assert(Multimodal.parseAviIndex("not an avi".getBytes).isEmpty)
+    assert(Multimodal.parseAviIndex(Array.empty[Byte]).isEmpty)
+    val avi = Multimodal.syntheticAviBytes(2L)
+    assert(Multimodal.parseAviIndex(avi.take(avi.length / 2)).isEmpty)
+    assert(Multimodal.parseAviIndex(Multimodal.syntheticWavBytes(2L)).isEmpty)
+  }
+
+  test("videoFrameSample decodes only first/middle/last via the index") {
+    import spark.implicits._
+    val ids = Seq(2L, 5L, 11L, 14L).toDF("doc_id")
+    val rows = Multimodal.videoFrameSample(spark, ids).collect()
+      .groupBy(_.doc_id)
+    assert(rows.keySet == Set(2L, 5L, 11L, 14L))
+    rows.foreach { case (id, rs) =>
+      val n = 3 + id % 4
+      assert(rs.map(_.frame_idx).sorted.toSeq ==
+        Seq(0, (n / 2).toInt, (n - 1).toInt))
+      rs.foreach { r =>
+        assert(r.n_frames == n)
+        assert(r.width == 16 + 8 * (id % 5) && r.height == 16 + 8 * (id % 4))
+        assert(r.mean_lum == 128.0)
+      }
+    }
+  }
+
   test("audioDecodeStats folds exact stats over decoded samples") {
     import spark.implicits._
     val one = Seq(1L).toDF("doc_id") // doc_id % 3 == 1 -> audio slice

@@ -52,6 +52,44 @@ class SamplingSpec extends SparkSpec {
       s"lowest doc_ids win deterministically: $out")
   }
 
+  test("tokenBudgetSelect equals the naive per-key window formulation") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+    val budget = 3000L
+    val got = Sampling.tokenBudgetSelect(docs, "source", "n_chars", "tok",
+        budget)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("priority"), r.getAs[Long]("tok"),
+        r.getAs[Long]("cum_tok"))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = docs
+      .withColumn("cum_tok", sum(col("tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Any]("n_chars").toString.toLong, r.getAs[Long]("tok"),
+        r.getAs[Long]("cum_tok"))).toSet
+    assert(got == naive, "histogram decomposition must be row-for-row exact")
+    assert(got.nonEmpty)
+  }
+
+  test("tokenBudgetSelect handles priority ties across the budget boundary") {
+    import spark.implicits._
+    // one key, all same priority: order within the bin is id asc, and the
+    // budget (7) cuts mid-bin after ids 1 (3 tok) and 2 (3 tok)
+    val docs = Seq((1L, "k", 10, 3L), (2L, "k", 10, 3L), (3L, "k", 10, 3L),
+        (4L, "k", 10, 3L))
+      .toDF("doc_id", "key", "pri", "tok")
+    val kept = Sampling.tokenBudgetSelect(docs, "key", "pri", "tok", 7L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tok"))
+      .toMap
+    assert(kept == Map(1L -> 3L, 2L -> 6L))
+  }
+
   test("perKeyCap passes under-cap keys through untouched") {
     import spark.implicits._
     val docs = (1L to 5L).map(i => (i, "only")).toDF("doc_id", "key")

@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * map-side pair explode + partially-aggregated groupBy(pair) for the
   * counts, a 1-row top-1 (TakeOrderedAndProject) that re-enters the
   * plan as a broadcast — never a driver round-trip — and a pure map
-  * rewrite of the sequences via a codegen'd `aggregate` fold. Texts
+  * rewrite of the sequences (position-wise transform for distinct
+  * pairs, where greedy matches provably cannot overlap; an explicit
+  * left-to-right fold for self-pairs — see [[mergeExpr]]). Texts
   * shuffle ZERO times; only (pair, count) rows ever move. Sequence
   * lineage is localCheckpoint-truncated per round and superseded
   * checkpoints are released precisely, the [[Graph.pageRank]]
@@ -37,8 +39,32 @@ object Bpe {
     * MOD + round can never collide with them. */
   val Mod = 1000000007L
 
+  /** Greedy left-to-right merge of pair (a, b) into `merged`.
+    *
+    * Two shapes behind one door, picked per row by the (row-constant)
+    * `a === b` test: when a != b, consecutive matches CANNOT overlap
+    * (positions i and i+1 both matching forces a == b), so greedy
+    * equals ALL match positions and the rewrite is a position-wise
+    * `transform` + null `filter` — O(k) with `get()` neighbor lookups
+    * on the array attribute, no per-element array copying. The
+    * self-pair case (runs of `a` merge every other occurrence) keeps
+    * the explicit left-to-right fold ([[mergeFold]]). The fold is the
+    * semantics; the position-wise path is the fast equivalent, and
+    * BpeSpec pins their equality against the scalar replay. */
+  private def mergeExpr(seq: Column, a: Column, b: Column,
+      merged: Column): Column =
+    when(a === b, mergeFold(seq, a, b, merged))
+      .otherwise(filter(
+        transform(seq, (x, i) =>
+          when(x === a && get(seq, i + lit(1)) === b, merged)
+            .when(x === b && get(seq, i - lit(1)) === a,
+              lit(null).cast("bigint"))
+            .otherwise(x)),
+        y => y.isNotNull))
+
   /** Greedy left-to-right non-overlapping merge of the pair (a, b) into
-    * `merged`, as a codegen-friendly `aggregate` fold. State:
+    * `merged`, as an `aggregate` fold — the reference semantics, and
+    * the execution path for the self-pair (a == b) case. State:
     * (out, pending) where pending means the previous symbol was an
     * unconsumed `a` waiting to see whether the next symbol is `b`. */
   private def mergeFold(seq: Column, a: Column, b: Column,
@@ -108,7 +134,7 @@ object Bpe {
           seqs.crossJoin(broadcast(
               best.select(col("sym_a").as("__ba"), col("sym_b").as("__bb"),
                 col("merged_sym").as("__bm"))))
-            .select(mergeFold(col("seq"), col("__ba"), col("__bb"),
+            .select(mergeExpr(col("seq"), col("__ba"), col("__bb"),
               col("__bm")).as("seq"))
             .filter(size(col("seq")) >= 2))
         seqIds.foreach(id =>

@@ -37,6 +37,19 @@ class BpeSpec extends SparkSpec {
     assert(out(1).getAs[Long]("pair_count") == 2L)
   }
 
+  test("position-wise rewrite handles boundary and chained matches") {
+    // distinct-pair path: "x y x y" merges BOTH occurrences in round 0
+    // (non-overlap is structural), "y x y" keeps the leading y, and a
+    // whole-sequence merge shrinks below 2 symbols and leaves the corpus
+    val docs = Seq("x y x y", "y x y", "x y").toDF("text")
+    val out = Bpe.bpeMerges(docs, rounds = 2).collect()
+    val replay = Bpe.bpeMergesReplay(Seq("x y x y", "y x y", "x y"), 2)
+    assert(out.map(r => (r.getAs[Int]("merge_round"), r.getAs[Long]("sym_a"),
+      r.getAs[Long]("sym_b"), r.getAs[Long]("pair_count"),
+      r.getAs[Long]("merged_sym"))).toSeq == replay)
+    assert(out(0).getAs[Long]("pair_count") == 4L) // (x,y) x2 + x1 + x1
+  }
+
   test("distributed merges are bit-identical to the single-threaded replay") {
     val docs = Tables.documents(spark, sfDir)
     val dist = Bpe.bpeMerges(docs, rounds = 4).collect()

@@ -502,4 +502,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"projection introduced a shuffle:\n$p")
   }
+
+  test("q131: the quantity predicate pushes into the ORC scan") {
+    val p = plan("q131_orc_roundtrip")
+    assert(p.contains("orc") || p.contains("Orc"), s"not an ORC scan:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"no ORC pushdown in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("q130: Bloom prune verifies through a semi-join, corpus never " +
+      "cartesians") {
+    val p = plan("q130_bloom_decontaminate")
+    assert(p.contains("LeftSemi") || p.contains("LeftAnti"),
+      s"no semi/anti verify join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs blowup in:\n$p")
+  }
+
+  test("q133: the fact-side window is per (key, priority) bin, not per key") {
+    val p = plan("q133_token_budget_select")
+    // two windows: bin offsets over the histogram, running sums per bin.
+    // The fact-side one must partition by BOTH source and the priority
+    // bin — a per-key-only fact window would serialize each source
+    val factWindows = "windowspecdefinition\\(source#\\d+, __pri#\\d+L"
+      .r.findAllIn(p).length
+    assert(factWindows >= 1, s"fact window not bin-partitioned in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
 }

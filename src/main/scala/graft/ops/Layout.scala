@@ -74,4 +74,30 @@ object Layout {
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Statistics-driven compaction write: sizes the output file count
+    * from Catalyst's own size estimate (`optimizedPlan.stats`), so a
+    * selective pipeline that shrank 100 TB to 50 GB writes ~50 GB /
+    * `targetBytes` files instead of one-tiny-file-per-shuffle-partition
+    * — the small-files problem is a write-side layout decision, like
+    * clustering. `sizeRatio` corrects in-memory stats to on-disk bytes
+    * (columnar encoding + compression; parquet commonly lands at
+    * 20-50% of the in-memory estimate — calibrate per table).
+    * Round-robin repartition balances file sizes regardless of key
+    * skew; pass `keys` to get range clustering AND right-sized files at
+    * once. Returns the chosen file count. */
+  def compactWrite(df: DataFrame, path: String, targetBytes: Long,
+      sizeRatio: Double = 0.35, keys: Seq[Column] = Nil): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(sizeRatio > 0 && sizeRatio <= 1, s"sizeRatio in (0,1]: $sizeRatio")
+    val estBytes =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble * sizeRatio
+    val numFiles = math.max(1, math.ceil(estBytes / targetBytes).toInt)
+    val shaped =
+      if (keys.isEmpty) df.repartition(numFiles)
+      else df.repartitionByRange(numFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+    shaped.write.mode("overwrite").parquet(path)
+    numFiles
+  }
 }

@@ -178,6 +178,63 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL nearest-neighbor resize over a decoded image: output pixel
+    * (x, y) samples source pixel (floor(x*W/w2), floor(y*H/h2)) — the
+    * standard NN resampling rule, applied to actual decoded pixels. */
+  private[ops] def nearestResize(img: BufferedImage, w2: Int,
+      h2: Int): BufferedImage = {
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h2) {
+      val sy = (y.toLong * img.getHeight / h2).toInt
+      var x = 0
+      while (x < w2) {
+        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / w2).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  case class ResizeStats(doc_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decode + REAL resize + stats over the image slice: the PNG fixture
+    * decodes losslessly, nearest-neighbor downsampling picks exact
+    * source pixels, and the channel means over the resized grid are
+    * exact rationals of the generator pattern at the sampled
+    * coordinates — so the whole decode-resize-aggregate chain replays
+    * analytically in the oracle. One wrong sampled coordinate or one
+    * mis-decoded pixel and the hash breaks. */
+  def imageResizeStats(spark: SparkSession, docs: DataFrame,
+      w: Int = 16, h: Int = 16, outW: Int = 8, outH: Int = 8): Dataset[ResizeStats] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = decodeImage(syntheticImageBytes(id, w, h))
+            .getOrElse(throw new IllegalStateException(
+              s"fixture PNG for doc $id failed to decode"))
+          val small = nearestResize(img, outW, outH)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < small.getHeight) {
+            var x = 0
+            while (x < small.getWidth) {
+              val rgb = small.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = outW.toLong * outH
+          ResizeStats(id, w, h, outW, outH,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+  }
+
   case class ImageStats(doc_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 

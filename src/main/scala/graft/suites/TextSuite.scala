@@ -76,8 +76,34 @@ object TextSuite {
     Q("q129_video_frame_sample", q129, Some(q129Sql)),
     Q("q130_bloom_decontaminate", q130, Some(q130Sql)),
     Q("q132_bpe_merges", q132, None, Some(q132Oracle)),
-    Q("q133_token_budget_select", q133, Some(q133Sql))
+    Q("q133_token_budget_select", q133, Some(q133Sql)),
+    Q("q134_image_resize_stats", q134, Some(q134Sql))
   )
+
+  /** REAL decode + REAL nearest-neighbor resize
+    * ([[Multimodal.imageResizeStats]]): 16x16 PNG fixtures decode
+    * losslessly, the 8x8 NN downsample picks source pixels (2x, 2y),
+    * and the resized channel means are exact rationals of the generator
+    * pattern at those coordinates — the oracle replays the sampling
+    * rule, so a wrong coordinate or mis-decoded pixel breaks the
+    * hash. */
+  private def q134(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageResizeStats(s, Tables.documents(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  private val q134Sql =
+    """SELECT d.doc_id,
+      |  CAST(16 AS INT) AS src_w, CAST(16 AS INT) AS src_h,
+      |  CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+      |  avg(CAST((7*d.doc_id + 13*(2*x.range) + 31*(2*y.range)) % 256
+      |      AS DOUBLE)) AS mean_r,
+      |  avg(CAST((11*d.doc_id + 17*(2*x.range) + 5*(2*y.range)) % 256
+      |      AS DOUBLE)) AS mean_g,
+      |  avg(CAST((3*d.doc_id + 23*(2*x.range) + 29*(2*y.range)) % 256
+      |      AS DOUBLE)) AS mean_b
+      |FROM documents d, range(0, 8) x, range(0, 8) y
+      |WHERE d.doc_id % 3 = 0
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** Token-budget curation ([[Sampling.tokenBudgetSelect]]): per
     * source, keep documents in (n_chars desc, doc_id) priority order

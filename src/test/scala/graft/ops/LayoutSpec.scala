@@ -87,4 +87,46 @@ class LayoutSpec extends SparkSpec {
     // and the layout changes nothing about the data itself
     assert(spark.read.parquet(zDir).count() == li.count())
   }
+
+  test("compactWrite sizes file count from plan stats, not partitions") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    // fragment the input: 32 shuffle partitions would mean 32 tiny files
+    val fragmented = li.repartition(32)
+    val dir = Files.createTempDirectory("compact").toString
+    val est = fragmented.queryExecution.optimizedPlan.stats
+      .sizeInBytes.toDouble * 0.35
+    val target = math.max(1L, (est / 3).toLong) // aim for ~3 files
+    val n = Layout.compactWrite(fragmented, dir, targetBytes = target)
+    assert(n >= 2 && n <= 4, s"expected ~3 files from the estimate, got $n")
+    val written = files(dir)
+    assert(written.length == n,
+      s"file count ${written.length} != chosen partitioning $n")
+    assert(spark.read.parquet(dir).count() == li.count())
+    // a huge target collapses the fragments into ONE file
+    val one = Files.createTempDirectory("compact1").toString
+    assert(Layout.compactWrite(fragmented, one, targetBytes = Long.MaxValue) == 1)
+    assert(files(one).length == 1)
+  }
+
+  test("compactWrite with keys range-clusters AND right-sizes at once") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+    val dir = Files.createTempDirectory("compact_keys").toString
+    val est = li.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble * 0.35
+    val n = Layout.compactWrite(li, dir, targetBytes = math.max(1L, (est / 4).toLong),
+      keys = Seq(col("l_orderkey")))
+    assert(n >= 2, s"want multiple files to check disjointness, got $n")
+    // per-file orderkey ranges must be (tie-modulo) disjoint: range
+    // clustering survived the compaction sizing
+    val ranges = files(dir).map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(loB >= hiA, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+  }
 }

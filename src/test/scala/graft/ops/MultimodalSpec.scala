@@ -236,6 +236,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("nearestResize samples floor-scaled source coordinates exactly") {
+    val img = Multimodal.decodeImage(Multimodal.syntheticImageBytes(6L)).get
+    // 16 -> 8: output (x, y) must be source (2x, 2y)
+    val half = Multimodal.nearestResize(img, 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(half.getRGB(x, y) == img.getRGB(2 * x, 2 * y))
+    // 16 -> 7 (non-integer ratio): source coord is floor(i*16/7)
+    val odd = Multimodal.nearestResize(img, 7, 7)
+    for (y <- 0 until 7; x <- 0 until 7)
+      assert(odd.getRGB(x, y) == img.getRGB(x * 16 / 7, y * 16 / 7))
+    // upscale 16 -> 20 repeats pixels, never reads out of bounds
+    val up = Multimodal.nearestResize(img, 20, 20)
+    for (y <- 0 until 20; x <- 0 until 20)
+      assert(up.getRGB(x, y) == img.getRGB(x * 16 / 20, y * 16 / 20))
+  }
+
+  test("imageResizeStats means equal the pattern at sampled coordinates") {
+    import spark.implicits._
+    val rows = Multimodal.imageResizeStats(spark, Seq(0L, 6L, 9L).toDF("doc_id"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rows.keySet == Set(0L, 6L, 9L))
+    rows.foreach { case (id, r) =>
+      def mean(a: Long, bx: Long, by: Long): Double =
+        (for (y <- 0 until 8; x <- 0 until 8)
+          yield ((a * id + bx * (2 * x) + by * (2 * y)) % 256).toDouble)
+          .sum / 64.0
+      assert(r.mean_r == mean(7, 13, 31))
+      assert(r.mean_g == mean(11, 17, 5))
+      assert(r.mean_b == mean(3, 23, 29))
+    }
+  }
+
   test("audioDecodeStats folds exact stats over decoded samples") {
     import spark.implicits._
     val one = Seq(1L).toDF("doc_id") // doc_id % 3 == 1 -> audio slice

@@ -162,6 +162,20 @@ object Bpe {
       acc
     }
 
+  /** Scalar greedy left-to-right merge of (a, b) -> m — the reference
+    * semantics both distributed rewrite paths must match. */
+  private[ops] def scalarMerge(s: Array[Long], a: Long, b: Long,
+      m: Long): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += m; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** Single-threaded replay of [[bpeMerges]] for oracle generation and
     * first-principles specs: same pair counting, same (count desc,
     * a asc, b asc) arg-max, same greedy left-to-right merge. */
@@ -181,19 +195,55 @@ object Bpe {
       }
       val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
       val m = Mod + r
-      if (r < rounds - 1) {
-        seqs = seqs.map { s =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-          var i = 0
-          while (i < s.length) {
-            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
-              out += m; i += 2
-            } else { out += s(i); i += 1 }
-          }
-          out.toArray
-        }.filter(_.length >= 2)
-      }
+      if (r < rounds - 1)
+        seqs = seqs.map(scalarMerge(_, a, b, m)).filter(_.length >= 2)
       (r, a, b, c, m)
     }
+  }
+
+  /** Replay twin of train + [[applyMerges]] + per-key aggregation, for
+    * verify-time oracle generation: (key, n_docs, toks_before,
+    * toks_after, merged_occurrences) per key, keys ascending. */
+  private[graft] def tokenizeSummaryReplay(rows: Seq[(String, String)],
+      rounds: Int): Seq[(String, Long, Long, Long, Long)] = {
+    val merges = bpeMergesReplay(rows.map(_._2), rounds)
+      .map(t => (t._2, t._3, t._5))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (key, docs) =>
+      var nd = 0L; var before = 0L; var after = 0L; var merged = 0L
+      docs.foreach { case (_, text) =>
+        val base = scalarTokenHashes(text)
+        var s = base
+        merges.foreach { case (a, b, m) => s = scalarMerge(s, a, b, m) }
+        nd += 1; before += base.length; after += s.length
+        merged += s.count(_ >= Mod)
+      }
+      (key, nd, before, after, merged)
+    }
+  }
+
+  /** Tokenize the corpus under a trained merge list — the APPLY side of
+    * BPE: every document's token-hash sequence runs the ordered merges
+    * and reports (n_tokens, n_after, n_merged). A zero-shuffle typed
+    * map stage: the k merges are closure constants (bounded — a merge
+    * table is vocabulary metadata, the one thing that SHOULD live on
+    * every executor), texts never move, and the per-row scalar kernel
+    * is the SAME [[scalarMerge]] the trainer replay and oracle use —
+    * not a reimplementation. */
+  def applyMerges(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      merges: Seq[(Long, Long, Long)], textCol: String = "text",
+      keyCol: String = "source"): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col(keyCol).cast("string"), col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, key, text) =>
+          val base = scalarTokenHashes(text)
+          var s = base
+          merges.foreach { case (a, b, m) => s = scalarMerge(s, a, b, m) }
+          (id, key, base.length.toLong, s.length.toLong,
+            s.count(_ >= Mod).toLong)
+        }
+      }
+      .toDF("doc_id", keyCol, "n_tokens", "n_after", "n_merged")
   }
 }

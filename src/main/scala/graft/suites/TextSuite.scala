@@ -77,8 +77,78 @@ object TextSuite {
     Q("q130_bloom_decontaminate", q130, Some(q130Sql)),
     Q("q132_bpe_merges", q132, None, Some(q132Oracle)),
     Q("q133_token_budget_select", q133, Some(q133Sql)),
-    Q("q134_image_resize_stats", q134, Some(q134Sql))
+    Q("q134_image_resize_stats", q134, Some(q134Sql)),
+    Q("q135_bpe_tokenize", q135, None, Some(q135Oracle)),
+    Q("q136_snapshot_diff", q136, Some(q136Sql))
   )
+
+  /** The APPLY side of BPE ([[Bpe.applyMerges]]): train 4 merges, then
+    * tokenize every document under them in a zero-shuffle map stage
+    * (the merge table is the bounded closure constant) and aggregate
+    * compression stats per source. The oracle replays train + apply +
+    * aggregate single-threaded at verify time — the distributed rewrite
+    * paths must land on the identical token counts. */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val merges = Bpe.bpeMerges(Tables.documents(s, d), rounds = 4)
+      .collect() // 4 rows: the trained vocabulary metadata
+      .map(r => (r.getAs[Long]("sym_a"), r.getAs[Long]("sym_b"),
+        r.getAs[Long]("merged_sym"))).toIndexedSeq
+    Bpe.applyMerges(s, Tables.documents(s, d), merges)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("toks_before"),
+        sum(col("n_after")).as("toks_after"),
+        sum(col("n_merged")).as("merged_occ"))
+      .orderBy(col("source"))
+  }
+
+  private def q135Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val rows = Tables.documents(s, d).select(col("source"), col("text"))
+      .as[(String, String)].collect()
+    Bpe.tokenizeSummaryReplay(rows.toIndexedSeq, 4).map {
+      case (src, nd, before, after, merged) =>
+        s"  ('$src', CAST($nd AS BIGINT), CAST($before AS BIGINT)," +
+          s" CAST($after AS BIGINT), CAST($merged AS BIGINT))"
+    }.mkString("SELECT * FROM (VALUES\n", ",\n",
+      "\n) t(source, n_docs, toks_before, toks_after, merged_occ)" +
+        " ORDER BY source")
+  }
+
+  /** Snapshot diff ([[graft.ops.Diff.snapshotDiffCounts]]): the new
+    * snapshot drops doc_id % 17 = 3, edits the text of % 13 = 2, and
+    * clones % 10 = 0 under offset ids; the diff classifies every key
+    * from content fingerprints meeting in ONE ids+hash full-outer join.
+    * The oracle states the ground-truth rules directly, so a
+    * fingerprint that failed to flag an edit (or flagged a non-edit)
+    * breaks the hash. */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val newSnap = docs.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 2, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 50000L))
+    graft.ops.Diff.snapshotDiffCounts(docs, newSnap, "doc_id",
+        TextAnalysis.fingerprint(col("text")))
+      .orderBy(col("status"))
+  }
+
+  private val q136Sql =
+    """SELECT * FROM (
+      |  SELECT 'added' AS status, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'changed', CAST(count(*) AS BIGINT) FROM documents
+      |  WHERE doc_id % 17 <> 3 AND doc_id % 13 = 2
+      |  UNION ALL
+      |  SELECT 'removed', CAST(count(*) AS BIGINT) FROM documents
+      |  WHERE doc_id % 17 = 3
+      |  UNION ALL
+      |  SELECT 'unchanged', CAST(count(*) AS BIGINT) FROM documents
+      |  WHERE doc_id % 17 <> 3 AND doc_id % 13 <> 2
+      |) ORDER BY status""".stripMargin
 
   /** REAL decode + REAL nearest-neighbor resize
     * ([[Multimodal.imageResizeStats]]): 16x16 PNG fixtures decode

@@ -68,6 +68,30 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("applyMerges matches the scalar tokenize replay per document") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.bpeMerges(docs, rounds = 3).collect()
+      .map(r => (r.getAs[Long]("sym_a"), r.getAs[Long]("sym_b"),
+        r.getAs[Long]("merged_sym"))).toIndexedSeq
+    val dist = Bpe.applyMerges(spark, docs, merges)
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("n_tokens")).as("b"),
+        org.apache.spark.sql.functions.sum(col("n_after")).as("a"),
+        org.apache.spark.sql.functions.sum(col("n_merged")).as("m"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("b"), r.getAs[Long]("a"), r.getAs[Long]("m")))
+      .sortBy(_._1).toSeq
+    val rows = docs.select(col("source"), col("text"))
+      .as[(String, String)].collect()
+    assert(dist == Bpe.tokenizeSummaryReplay(rows.toIndexedSeq, 3))
+    // merges must actually fire: some tokens collapsed somewhere
+    assert(dist.map(_._4).sum < dist.map(_._3).sum)
+  }
+
   test("no persisted blocks survive the call (checkpoint release)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Bpe.bpeMerges(Tables.documents(spark, sfDir).limit(50),

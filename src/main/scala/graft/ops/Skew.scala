@@ -27,4 +27,29 @@ object Skew {
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
+
+  /** Salted equi-join for a skewed big side: each big-side row gets a
+    * deterministic salt in [0, buckets); the small side replicates
+    * `buckets` times (one copy per salt) so the join key becomes
+    * (key, salt) and a hot key's rows spread over `buckets` reducers
+    * instead of melting one. Result-identical to
+    * `big.join(small, keyCol)` — replication only multiplies the
+    * SMALL side, every big-side row still matches exactly its key's
+    * copies.
+    *
+    * This is the manual form of AQE's skew-join split, for the cases
+    * AQE cannot see (skew introduced after the last stats boundary) or
+    * when the small side is mid-sized: salting composes with a shuffle
+    * join, not just broadcast. The `explode` replication is map work;
+    * the small side grows buckets-fold, which is the explicit,
+    * bounded price of the spread. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val saltedBig = big.withColumn("_salt",
+      salt(buckets, big.columns.map(col).toIndexedSeq: _*))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until buckets).map(lit(_)): _*)))
+    saltedBig.join(replicated, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

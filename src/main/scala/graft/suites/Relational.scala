@@ -45,8 +45,34 @@ object Relational {
     Q("q96_fuzzy_edit1_join", q96, Some(q96Sql)),
     Q("q118_global_ids", q118, Some(q118Sql)),
     Q("q120_table_checksum", q120, Some(q120Sql)),
-    Q("q131_orc_roundtrip", q131, Some(q131Sql))
+    Q("q131_orc_roundtrip", q131, Some(q131Sql)),
+    Q("q137_salted_join", q137, Some(q137Sql))
   )
+
+  /** Salted equi-join ([[graft.ops.Skew.saltedJoin]]): the big side
+    * salts each row into one of 8 buckets and the mid-size side
+    * replicates per salt, so a hot join key spreads over 8 reducers —
+    * the manual form of AQE's skew split, composable when AQE cannot
+    * see the skew. The oracle is the PLAIN join: salting must be
+    * result-invisible. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.Skew.saltedJoin(li, o, "l_orderkey", buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q137Sql =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** ORC sink + source round-trip (SURVEY §2.1 interchange formats
     * beyond parquet/CSV/JSON): a lineitem slice is written to ORC, read

@@ -46,8 +46,59 @@ object Relational {
     Q("q118_global_ids", q118, Some(q118Sql)),
     Q("q120_table_checksum", q120, Some(q120Sql)),
     Q("q131_orc_roundtrip", q131, Some(q131Sql)),
-    Q("q137_salted_join", q137, Some(q137Sql))
+    Q("q137_salted_join", q137, Some(q137Sql)),
+    Q("q138_join_cardinality", q138, Some(q138Sql)),
+    Q("q139_column_profile", q139, Some(q139Sql))
   )
+
+  /** Exact join-cardinality prediction
+    * ([[graft.ops.Cardinality.joinCardinality]]): the output row count
+    * of an equi-join computed from two distinct-key-sized count tables
+    * — the fail-fast pre-check `guardedJoin` runs before letting a
+    * skewed or mis-keyed join melt the cluster. The query surfaces the
+    * prediction NEXT TO the actual join count; the oracle computes
+    * both, so any divergence between the predictor and reality breaks
+    * the hash. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"))
+    graft.ops.Cardinality.joinCardinality(li, o, "l_orderkey")
+      .crossJoin(li.join(o, Seq("l_orderkey"))
+        .agg(count(lit(1)).as("actual_rows")))
+  }
+
+  private val q138Sql =
+    """SELECT
+      |  (SELECT CAST(COALESCE(sum(ln * rn), 0) AS BIGINT) FROM
+      |    (SELECT l_orderkey AS k, count(*) AS ln
+      |     FROM lineitem GROUP BY 1) a
+      |    JOIN (SELECT o_orderkey AS k, count(*) AS rn
+      |          FROM orders GROUP BY 1) b USING (k)) AS join_rows,
+      |  (SELECT count(*) FROM lineitem
+      |   JOIN orders ON l_orderkey = o_orderkey) AS actual_rows""".stripMargin
+
+  /** One-pass column profiling ([[graft.ops.Profile.numericProfile]]):
+    * the ANALYZE TABLE statistics surface — per column, value/null/
+    * distinct counts and the min-max envelope from a single partially-
+    * aggregated job, pivoted to stats rows. */
+  private def q139(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.numericProfile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_name"))
+
+  private val q139Sql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count($c) AS BIGINT) AS n_values,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v,
+         |  CAST(max($c) AS DOUBLE) AS max_v
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name")
+  }
 
   /** Salted equi-join ([[graft.ops.Skew.saltedJoin]]): the big side
     * salts each row into one of 8 buckets and the mid-size side

@@ -81,6 +81,60 @@ object Sampling {
       .drop("rn")
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling: per
+    * key, pick ~`k` documents with inclusion probability proportional to
+    * `weightCol` (the classic Madow systematic design — sample an eval
+    * set proportional to token mass, not uniformly). A document is
+    * picked iff its weight interval (cum-w, cum] in the id-ordered
+    * cumulative-weight line crosses a multiple of W/k; the crossing
+    * test is pure integer arithmetic — `(cum*k) div W` strictly grows —
+    * so the selection is deterministic, engine-portable, and
+    * reproducible run-to-run (no RNG anywhere; the "random start" of
+    * textbook systematic sampling is fixed at 0, which trades the
+    * design-unbiasedness a survey statistician wants for the exact
+    * reproducibility a training pipeline wants). A row heavier than W/k
+    * crosses several strides: it is emitted once with `n_picks` > 1,
+    * keeping the Horvitz-Thompson accounting exact.
+    *
+    * Scale shape: the naive per-key running sum is one reducer per key
+    * (dead for a hot key), so the cumulative line decomposes exactly as
+    * [[tokenBudgetSelect]]'s histogram does — per (key, id-range bin)
+    * totals (one partially-aggregated shuffle emitting bin rows), bin
+    * offsets via a window over the bin table, then an intra-bin running
+    * sum — parallelism per bin, and `off + intra` equals the naive
+    * running sum row-for-row, which is exactly what the oracle replays
+    * with a single window. Caller contract: `sum(w) * k` per key must
+    * fit in a Long (at 1e14 total weight that allows k up to ~9e4; shard
+    * the key space first if you need more). */
+  def ppsSample(docs: DataFrame, keyCol: String, weightCol: String, k: Int,
+      idCol: String = "doc_id", binSize: Long = 64L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(binSize >= 1, s"binSize must be >= 1: $binSize")
+    val W = org.apache.spark.sql.expressions.Window
+    val rows = docs.select(col(keyCol), col(idCol),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("__bin", floor(col(idCol) / binSize).cast("long"))
+    val bins = rows.groupBy(col(keyCol), col("__bin"))
+      .agg(sum(col("__w")).as("__bin_w"))
+    val wPrev = W.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wAll = W.partitionBy(col(keyCol))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val offsets = bins
+      .withColumn("__off", coalesce(sum(col("__bin_w")).over(wPrev), lit(0L)))
+      .withColumn("__tot", sum(col("__bin_w")).over(wAll))
+      .select(col(keyCol), col("__bin"), col("__off"), col("__tot"))
+    val wIn = W.partitionBy(col(keyCol), col("__bin")).orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    rows.join(offsets, Seq(keyCol, "__bin"))
+      .withColumn("cum", col("__off") + sum(col("__w")).over(wIn))
+      .withColumn("__picks",
+        expr(s"(cum * $k) div __tot - ((cum - __w) * $k) div __tot"))
+      .filter(col("__picks") > 0)
+      .select(col(keyCol), col(idCol), col("__w").as("w"), col("cum"),
+        col("__picks").as("n_picks"))
+  }
+
   /** Token-budget curation: per key, keep documents in priority order
     * (priority desc, id asc as the tiebreak) while the running token
     * total stays within `budget` — "fill the training mix from the best

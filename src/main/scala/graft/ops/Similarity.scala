@@ -50,6 +50,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered exact top-k (the "filtered vector search" every
+    * production retrieval stack needs: top-k among vectors satisfying a
+    * structured predicate, e.g. one tenant / language / date range).
+    * The predicate is applied BEFORE any vector arithmetic, on the bare
+    * input relation, so Catalyst pushes it into the parquet scan
+    * (PushedFilters) — only the filtered slice is ever read or scored,
+    * which at 100 TB is the difference between scanning a partition and
+    * scanning the corpus (pre-filtering beats post-filtering whenever
+    * the predicate is selective; with partition- or z-ordered layout on
+    * the filter column, [[Layout]], the scan skips whole files). The
+    * query vector is a 1-row broadcast and the top-k is
+    * TakeOrderedAndProject — no sort, no extra shuffle, exactly
+    * [[cosineTopK]]'s plan over a smaller scan. */
+  def filteredCosineTopK(emb: DataFrame, pred: Column, queryVecId: Long,
+      k: Int, metaCols: Seq[String] = Seq("label")): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    emb.filter(pred)
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id") +: metaCols.map(col) :+
+        round(VectorFunctions.cosine(col("embedding"), col("qe")), 6)
+          .as("cosine"): _*)
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Engine-portable pseudo-random plane weight in [-1, 1]:
     * `((k+1)*2654435761 mod 1e9+7 mod 2001 - 1000) / 1000` for flat index
     * k = plane*dim + i. Pure integer arithmetic, so the DuckDB oracle

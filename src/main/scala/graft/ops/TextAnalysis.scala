@@ -376,6 +376,52 @@ object TextAnalysis {
           sum(col("occ")).cast("double"), 6).as("mean_df"))
   }
 
+  /** Add-one-smoothed bigram language-model score — the CCNet/KenLM
+    * "how probable is this doc under the corpus LM" quality signal that
+    * [[bigramCoverage]]'s df-threshold only approximates. The model is
+    * the corpus's own bigram table with Laplace smoothing:
+    * `P(b|a) = (c(ab)+1) / (c(a)+V)` where `c(a)` counts occurrences of
+    * `a` as a bigram context and `V` is the corpus vocabulary size.
+    * Real LM scoring multiplies these (log-sums); ln() is not
+    * bit-portable across engines (the [[bigramCoverage]] rationale), so
+    * each conditional probability is fixed-pointed FIRST —
+    * `p_ppm = ((c_ab+1) * 1e6) div (c_a+V)`, an integer — and the doc
+    * score is the occurrence-weighted integer mean `avg_ppm`. Every step
+    * is integer arithmetic, so the score is engine-exact, summation-order
+    * independent, and the DuckDB oracle replays the whole model build.
+    *
+    * Scale shape: (doc, bigram) counts partial-aggregate map-side; the
+    * model tables are keyed reduces of that (bigram -> c_ab, context ->
+    * c_a); both join back on their keys as shuffle equi-joins — a 100 TB
+    * corpus's bigram vocabulary is itself huge, so nothing here assumes
+    * broadcast except the single-row vocabulary count. Docs with fewer
+    * than 2 tokens have no bigram and drop out, mirroring the oracle. */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(ngramOccurrences(col(textCol), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("occ"))
+    val cb = perDoc.groupBy(col("bigram")).agg(sum(col("occ")).as("c_ab"))
+    val ca = cb
+      .withColumn("__ctx", element_at(split(col("bigram"), " "), 1))
+      .groupBy(col("__ctx")).agg(sum(col("c_ab")).as("c_a"))
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .agg(count_distinct(col("__t")).as("__v"))
+    val probs = cb
+      .withColumn("__ctx", element_at(split(col("bigram"), " "), 1))
+      .join(ca, "__ctx")
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"),
+        expr("((c_ab + 1) * 1000000) div (c_a + __v)").as("p_ppm"))
+    perDoc.join(probs, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).as("n_bigrams"),
+        expr("sum(occ * p_ppm) div sum(occ)").as("avg_ppm"),
+        min(col("p_ppm")).as("min_ppm"))
+  }
+
   /** PII patterns a pre-training scrub pass must catch. Kept to the
     * regex subset whose semantics are identical between Java regex
     * (Spark) and RE2 (DuckDB/Go tooling): character classes,

@@ -79,8 +79,99 @@ object TextSuite {
     Q("q133_token_budget_select", q133, Some(q133Sql)),
     Q("q134_image_resize_stats", q134, Some(q134Sql)),
     Q("q135_bpe_tokenize", q135, None, Some(q135Oracle)),
-    Q("q136_snapshot_diff", q136, Some(q136Sql))
+    Q("q136_snapshot_diff", q136, Some(q136Sql)),
+    Q("q141_pps_sample", q141, Some(q141Sql)),
+    Q("q142_bigram_lm_score", q142, Some(q142Sql)),
+    Q("q143_nfc_normalize", q143, Some(q143Sql))
   )
+
+  /** Systematic PPS sampling ([[Sampling.ppsSample]]): ~20 docs per
+    * source with inclusion probability proportional to n_chars, selected
+    * by integer stride-crossing over the id-ordered cumulative-weight
+    * line. The oracle replays the naive single-window formulation, which
+    * the two-level (bin offset + intra-bin) decomposition must equal
+    * row-for-row. */
+  private def q141(s: SparkSession, d: String): DataFrame =
+    Sampling.ppsSample(Tables.documents(s, d), "source", "n_chars", k = 20)
+      .orderBy(col("doc_id"))
+
+  private val q141Sql =
+    """WITH t AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, w,
+      |    CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot FROM t)
+      |SELECT source, doc_id, w, cum,
+      |  CAST((cum * 20) // tot - ((cum - w) * 20) // tot AS BIGINT)
+      |    AS n_picks
+      |FROM c WHERE (cum * 20) // tot > ((cum - w) * 20) // tot
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus bigram LM scoring ([[TextAnalysis.bigramLmScore]]): add-one
+    * smoothed conditional bigram probabilities, fixed-pointed to integer
+    * millionths before any summation so the score is engine-exact. The
+    * oracle rebuilds the full model — bigram counts, context counts,
+    * vocabulary — and rescores every document. */
+  private def q142(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLmScore(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  private val q142Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |bg AS (SELECT doc_id,
+      |    w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS bigram
+      |  FROM (SELECT doc_id, w,
+      |          unnest(generate_series(1, len(w) - 1)) AS i FROM toks)),
+      |perdoc AS (SELECT doc_id, bigram, count(*) AS occ
+      |  FROM bg GROUP BY doc_id, bigram),
+      |cb AS (SELECT bigram, CAST(sum(occ) AS BIGINT) AS c_ab
+      |  FROM perdoc GROUP BY bigram),
+      |ca AS (SELECT string_split(bigram, ' ')[1] AS ctx,
+      |    CAST(sum(c_ab) AS BIGINT) AS c_a FROM cb GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t) AS nv FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      |p AS (SELECT bigram,
+      |    CAST(((c_ab + 1) * 1000000) // (c_a + nv) AS BIGINT) AS p_ppm
+      |  FROM cb JOIN ca ON string_split(bigram, ' ')[1] = ctx
+      |  CROSS JOIN v)
+      |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(occ * p_ppm) // sum(occ) AS BIGINT) AS avg_ppm,
+      |  CAST(min(p_ppm) AS BIGINT) AS min_ppm
+      |FROM perdoc JOIN p USING (bigram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Unicode NFC normalization via the native codegen expression
+    * ([[graft.functions.TextNormFunctions.nfcNormalize]]). The corpus is
+    * ASCII, so the decomposed input is constructed in-query (every 'a'
+    * becomes 'a' + combining macron U+0304) and both engines normalize
+    * the identical string: NFC recomposes each pair to a single
+    * codepoint, so len_nfc returns to len_raw and n_composed counts the
+    * 'a's. DuckDB's nfc_normalize builtin is the oracle-side kernel. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val dec = regexp_replace(col("text"), "a", "a\u0304")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_raw"),
+      length(dec).cast("long").as("len_dec"),
+      length(graft.functions.TextNormFunctions.nfcNormalize(dec))
+        .cast("long").as("len_nfc"))
+      .withColumn("n_composed", col("len_dec") - col("len_nfc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q143Sql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS len_raw,
+      |  CAST(length(replace(text, 'a', 'a' || chr(772))) AS BIGINT)
+      |    AS len_dec,
+      |  CAST(length(nfc_normalize(replace(text, 'a', 'a' || chr(772))))
+      |    AS BIGINT) AS len_nfc,
+      |  CAST(length(replace(text, 'a', 'a' || chr(772))) -
+      |    length(nfc_normalize(replace(text, 'a', 'a' || chr(772))))
+      |    AS BIGINT) AS n_composed
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** The APPLY side of BPE ([[Bpe.applyMerges]]): train 4 merges, then
     * tokenize every document under them in a zero-shuffle map stage

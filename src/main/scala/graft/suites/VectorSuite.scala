@@ -23,8 +23,31 @@ object VectorSuite {
     Q("q100_ivfpq_topk", q100, None, Some(q100Oracle)),
     Q("q101_semantic_dedup", q101, Some(q101Sql)),
     Q("q103_projected_topk", q103, Some(q103Sql)),
-    Q("q109_ann_knn_join", q109, Some(q109Sql))
+    Q("q109_ann_knn_join", q109, Some(q109Sql)),
+    Q("q140_filtered_ann", q140, Some(q140Sql))
   )
+
+  /** Metadata-filtered vector search
+    * ([[Similarity.filteredCosineTopK]]): top-10 by cosine among vectors
+    * with `label = 1` only. The predicate lands in the parquet scan's
+    * PushedFilters (asserted in PlanSpec), so only the filtered slice is
+    * read or scored — pre-filtering, not post-filtering. */
+  private def q140(s: SparkSession, d: String): DataFrame =
+    Similarity.filteredCosineTopK(Tables.embeddings(s, d),
+      col("label") === 1, queryVecId = 0L, k = 10)
+
+  private val q140Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id, label,
+      |  list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n1,
+      |  sqrt(list_sum(list_transform(qe,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n2
+      |  FROM embeddings, q WHERE label = 1 AND vec_id <> 0)
+      |SELECT vec_id, label, round(dot / (n1 * n2), 6) AS cosine FROM s
+      |ORDER BY round(dot / (n1 * n2), 6) DESC, vec_id LIMIT 10""".stripMargin
 
   /** Batch ANN kNN join ([[Similarity.annKnnJoin]]): every 25th vector is
     * a query and gets its top-5 neighbors from the whole corpus in ONE

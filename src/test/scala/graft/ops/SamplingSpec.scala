@@ -41,6 +41,52 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("ppsSample equals the naive single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1 to 97).map(i => (i.toLong, s"k${i % 3}", 10L + i * 7 % 50))
+      .toDF("doc_id", "key", "w")
+    val k = 5
+    val wCum = Window.partitionBy($"key").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"key")
+    val naive = docs
+      .withColumn("cum", sum($"w").over(wCum))
+      .withColumn("tot", sum($"w").over(wAll))
+      .withColumn("n_picks",
+        expr(s"(cum * $k) div tot - ((cum - w) * $k) div tot"))
+      .filter($"n_picks" > 0)
+      .select($"key", $"doc_id", $"w", $"cum", $"n_picks")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // binSize=4 forces many bins per key, so the offset+intra path is hit
+    val out = Sampling.ppsSample(docs, "key", "w", k, binSize = 4L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(out.toSeq == naive.toSeq)
+  }
+
+  test("ppsSample picks sum to exactly k per key; heavy rows multi-count") {
+    val docs = Seq(
+      (1L, "a", 1L), (2L, "a", 1L), (3L, "a", 96L), (4L, "a", 1L),
+      (5L, "b", 5L), (6L, "b", 5L)).toDF("doc_id", "key", "w")
+    val out = Sampling.ppsSample(docs, "key", "w", k = 4)
+    val perKey = out.groupBy($"key").agg(sum($"n_picks").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey == Map("a" -> 4L, "b" -> 4L),
+      s"picks must telescope to k per key: $perKey")
+    // doc 3 holds 96/99 of key a's mass: it must absorb several strides
+    val heavy = out.filter($"doc_id" === 3L).head.getAs[Long]("n_picks")
+    assert(heavy >= 3L, s"heavy row under-counted: $heavy")
+  }
+
+  test("ppsSample is deterministic and stable under re-sharding") {
+    val docs = (1 to 60).map(i => (i.toLong, s"s${i % 2}", (i % 9) + 1L))
+      .toDF("doc_id", "key", "w")
+    val a = Sampling.ppsSample(docs, "key", "w", 7)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = Sampling.ppsSample(docs.repartition(13), "key", "w", 7)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("perKeyCap keeps the lowest ids per key, at most cap each") {
     import spark.implicits._
     val docs = Seq(

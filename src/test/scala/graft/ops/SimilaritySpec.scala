@@ -238,6 +238,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filteredCosineTopK equals a hand-built filtered brute force") {
+    val filtered = Similarity.filteredCosineTopK(emb, $"label" === 1, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("cosine")))
+    // independent formulation: the query vector comes from the FULL
+    // relation (its own label is irrelevant); only candidates filter
+    val q = emb.filter($"vec_id" === 0L).select($"embedding".as("qe"))
+    val brute = emb.filter($"label" === 1 && $"vec_id" =!= 0L).crossJoin(q)
+      .select($"vec_id",
+        round(Similarity.cosine($"embedding", $"qe"), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(filtered.toSeq == brute.toSeq)
+  }
+
+  test("filteredCosineTopK returns only rows satisfying the predicate") {
+    val labels = Similarity.filteredCosineTopK(emb, $"label" === 2, 0L, 10)
+      .select($"label").as[Int].collect()
+    assert(labels.nonEmpty && labels.forall(_ == 2))
+  }
+
   test("randomProject output is outDim doubles and deterministic") {
     val p1 = Similarity.randomProject(emb).orderBy($"vec_id").limit(3)
       .select($"pv").as[Seq[Double]].collect()

@@ -250,4 +250,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rs.forall(_.getDouble(4) == 1.0), "every bigram has df=5 >= 2")
     assert(rs.forall(_.getDouble(5) == 5.0), "mean_df must be the doc count")
   }
+
+  test("bigramLmScore matches hand-computed Laplace probabilities") {
+    import spark.implicits._
+    // corpus: "a b", "a b", "a c". c(a b)=2, c(a c)=1, context c(a)=3,
+    // vocab V={a,b,c}=3. p(b|a)=(2+1)*1e6 div (3+3)=500000;
+    // p(c|a)=(1+1)*1e6 div 6=333333.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val rs = TextAnalysis.bigramLmScore(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rs.toSeq == Seq(
+      (1L, 1L, 500000L, 500000L),
+      (2L, 1L, 500000L, 500000L),
+      (3L, 1L, 333333L, 333333L)))
+  }
+
+  test("bigramLmScore: in-distribution docs outscore noise; 1-token docs drop") {
+    import spark.implicits._
+    val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((9L, "zq xv qqk lmw pf"), (10L, "solo")))
+      .toDF("doc_id", "text")
+    val rs = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("avg_ppm")).toMap
+    assert(!rs.contains(10L), "a single-token doc has no bigram")
+    assert(rs(1L) > rs(9L),
+      s"corpus-typical doc must outscore noise: ${rs(1L)} vs ${rs(9L)}")
+  }
 }

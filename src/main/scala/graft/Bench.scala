@@ -55,9 +55,17 @@ object Bench {
       r
     }
     val order = selected.keys.toSeq
-    def pass(): Map[String, Either[String, Double]] =
-      order.map(n => n -> once(n, selected(n))).toMap
-    val (p1, p2) = (pass(), pass())
+    def pass(o: Seq[String]): Map[String, Either[String, Double]] =
+      o.map(n => n -> once(n, selected(n))).toMap
+    // Load-spike insurance: (1) one UNTIMED warmup execution of the
+    // first query absorbs the JVM/classloader/codegen cold start that
+    // otherwise lands entirely on slot 1's pass-1 reading; (2) pass 2
+    // runs in REVERSE order, so an ambient load spike at either end of
+    // the run can never hit the same query's both readings — the
+    // min-of-two then sees at least one reading from the other end of
+    // the timeline.
+    order.headOption.foreach(n => once(n, selected(n)))
+    val (p1, p2) = (pass(order), pass(order.reverse))
     val results = order.map { n =>
       n -> ((p1(n), p2(n)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))

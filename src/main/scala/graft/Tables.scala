@@ -75,6 +75,35 @@ object Tables {
       .withColumn("ps_supplycost",
         col("ps_supplycost_cents") / lit(100.0))
   }
+
+  /** Synthesized shipping columns (the [[partsupp]] precedent): the
+    * driver lineitem has no l_shipmode/l_commitdate/l_receiptdate, so
+    * TPC-H Q12's surface is DERIVED in-plan as deterministic modular
+    * mixes of the line keys — shipmode picks one of the 7 classic modes
+    * by (l_orderkey*3 + l_linenumber) mod 7, commit/receipt dates are
+    * shipdate plus bounded day offsets (commit in [0,35), receipt in
+    * [1,30]), so the late-delivery predicates (ship < commit < receipt)
+    * select a nontrivial, SF-portable subset. The DuckDB oracle replays
+    * the identical arithmetic as a CTE over the same parquet
+    * ([[graft.suites.Tpch.lineitemShipCte]]). Scale shape: pure map
+    * over the lineitem scan — zero shuffles, zero extra reads. */
+  def lineitemShipping(s: SparkSession, d: String): DataFrame = {
+    val modes =
+      Seq("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+    lineitem(s, d)
+      .withColumn("l_shipmode",
+        element_at(typedLit(modes),
+          (pmod(col("l_orderkey") * lit(3L) + col("l_linenumber"), lit(7L)) +
+            lit(1L)).cast("int")))
+      .withColumn("l_commitdate",
+        date_add(to_date(col("l_shipdate")),
+          pmod(col("l_orderkey") + col("l_linenumber") * lit(7L), lit(35L))
+            .cast("int")))
+      .withColumn("l_receiptdate",
+        date_add(to_date(col("l_shipdate")),
+          (pmod(col("l_orderkey") * lit(5L) + col("l_linenumber") * lit(3L),
+            lit(30L)) + lit(1L)).cast("int")))
+  }
 }
 
 /** One verifiable query: a Spark plan plus (when SQL-expressible) the DuckDB

@@ -58,5 +58,6 @@ object GraftFunctions {
       exprs => AlbersLon(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("albers_lat",
       exprs => AlbersLat(exprs(0), exprs(1)), "built-in")
+    TextNormFunctions.register(spark)
   }
 }

@@ -65,8 +65,15 @@ object TextNormFunctions {
     GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(text)))
 
   /** Register for SQL / expr() use (same name as the DuckDB builtin the
-    * oracle replays with). */
+    * oracle replays with). Called from [[GraftFunctions.register]] so
+    * every registration path (Dev session, tests) gets it. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalizeExpr(exprs.head), "built-in")
+      "nfc_normalize",
+      exprs => {
+        require(exprs.length == 1,
+          s"nfc_normalize takes exactly 1 argument, got ${exprs.length}")
+        NfcNormalizeExpr(exprs.head)
+      },
+      "built-in")
 }

@@ -67,4 +67,49 @@ object Udafs {
     * DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE. */
   def topK(k: Int, score: Column, id: Column): Column =
     udaf(new TopK(k), Encoders.product[Scored]).apply(score, id)
+
+  case class HllIn(v: Long, valid: Boolean)
+  case class HllBuf(maxRho: Seq[Long])
+
+  /** The engine-portable HLL cardinality sketch
+    * ([[graft.ops.Sketches]]) as a typed Aggregator: the buffer is the
+    * 64-entry max-rho table itself, `reduce` folds one hashed key in
+    * map-side, `merge` is the element-wise max (the mergeable-sketch
+    * property as an Aggregator merge), and `finish` is the same
+    * integer-scaled harmonic estimate the q112 oracle replays — so N
+    * of these in ONE `df.agg(...)` profile N columns' distinct counts
+    * in a single pass with a constant 64-long buffer each, where N
+    * exact `count_distinct`s plan an Expand (rows x columns) and
+    * shuffle every column's full distinct universe. Null inputs
+    * arrive as (0, valid=false) and are skipped, matching
+    * count_distinct's null semantics. */
+  object HllSketch extends Aggregator[HllIn, HllBuf, Double] {
+    private val M = 64
+    def zero: HllBuf = HllBuf(Vector.fill(M)(0L))
+    def reduce(b: HllBuf, x: HllIn): HllBuf =
+      if (!x.valid) b
+      else {
+        val h = graft.ops.Sketches.portableHashLong(x.v)
+        val bucket = graft.ops.Sketches.bucketOf(h)
+        val rho = graft.ops.Sketches.rhoOf(h)
+        if (rho > b.maxRho(bucket)) HllBuf(b.maxRho.updated(bucket, rho))
+        else b
+      }
+    def merge(a: HllBuf, b: HllBuf): HllBuf =
+      HllBuf(a.maxRho.lazyZip(b.maxRho).map(math.max))
+    def finish(b: HllBuf): Double =
+      graft.ops.Sketches.estimateOf(b.maxRho.toArray)
+    def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** [[HllSketch]] over a numeric column: the key is the value's
+    * TRUNCATING long cast (Spark `cast` semantics; the oracle replays
+    * `trunc`), so fractional columns should be pre-scaled to integer
+    * units by the caller — the [[graft.ops.Sketches]] contract. */
+  def hllEst(value: Column): Column =
+    udaf(HllSketch, Encoders.product[HllIn])
+      .apply(org.apache.spark.sql.functions.coalesce(
+        value.cast("long"), org.apache.spark.sql.functions.lit(0L)),
+        value.isNotNull)
 }

@@ -152,6 +152,169 @@ object Bpe {
       .orderBy(col("merge_round"))
   }
 
+  /** Greedy selection of up to `want` PAIRWISE-DISJOINT pairs down a
+    * candidate list already in the (count desc, sym_a, sym_b) total
+    * order: a pair is taken iff neither of its symbols appears in an
+    * already-taken pair. Shared by the distributed trainer and the
+    * replay so the selection rule is one piece of code. */
+  private[ops] def selectDisjoint(cands: Seq[(Long, Long, Long)],
+      want: Int): Seq[(Long, Long, Long)] = {
+    val used = scala.collection.mutable.HashSet.empty[Long]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val it = cands.iterator
+    while (sel.length < want && it.hasNext) {
+      val c = it.next()
+      if (!used.contains(c._1) && !used.contains(c._2)) {
+        used += c._1; used += c._2; sel += c
+      }
+    }
+    sel.toSeq
+  }
+
+  /** Candidate-list depth per round: enough total-order prefix to find
+    * `batch` disjoint pairs in practice; both the distributed trainer
+    * and the replay use the SAME cap, so even a cap-starved round (fewer
+    * than `batch` disjoint pairs inside the prefix) selects identically
+    * on both sides. */
+  private def candidateCap(batch: Int): Int = batch * 8
+
+  /** Batched BPE training — [[bpeMerges]] lifted past the
+    * one-merge-per-round wall (a production tokenizer needs 10k+ merges;
+    * at one pair per round that is 10k+ sequential job waves, a
+    * driver-latency wall no executor count fixes). Each round selects
+    * the top-`batch` PAIRWISE-DISJOINT pairs greedily down the same
+    * (count desc, sym_a, sym_b) total order and rewrites the corpus
+    * ONCE — O(totalMerges / batch) job waves.
+    *
+    * Why batch-start counts stay honest: selected pairs share no
+    * symbols, and a merge (a,b)->m only consumes its own two symbols
+    * and emits a brand-new one (m is fresh, and "a b" collapsing to "m"
+    * never makes two other symbols adjacent that weren't), so applying
+    * one selected merge can neither destroy nor create occurrences of
+    * another selected pair. Every reported `pair_count` is therefore
+    * exactly the count a sequential application of the batch would have
+    * observed, and the rewrite is order-independent (applied in
+    * selection order for determinism anyway).
+    *
+    * The per-round top-`candidateCap` candidate list is collected to the
+    * driver and the selected merges re-enter the rewrite as closure
+    * constants — the [[applyMerges]] contract: a merge table is bounded
+    * vocabulary metadata, the one thing that SHOULD live on the driver
+    * and every executor. Texts still never shuffle; per round the corpus
+    * pays one pair-count partial agg and one zero-shuffle typed-map
+    * rewrite ([[scalarMerge]], the same kernel the replay and apply side
+    * use), with checkpoint-per-round lineage truncation and precise
+    * release. Training stops early if the corpus runs out of pairs.
+    *
+    * Output: (merge_round, sym_a, sym_b, pair_count, merged_sym) with
+    * merge_round the GLOBAL merge index (so `merged_sym = Mod + merge_round`
+    * and the output is a drop-in merge table for [[applyMerges]]).
+    * Bit-equality with the single-threaded [[bpeMergesBatchedReplay]] is
+    * what the q145 verify-time oracle pins. */
+  def bpeMergesBatched(docs: DataFrame, totalMerges: Int, batch: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    require(totalMerges >= 1 && totalMerges <= 65536,
+      s"totalMerges in [1,65536]: $totalMerges")
+    require(batch >= 1 && batch <= 4096, s"batch in [1,4096]: $batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def checkpointWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- pre).toSet)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (seqs, seqIds) = checkpointWithIds(
+      docs.select(TextAnalysis.tokenHashes(col(textCol)).as("seq"))
+        .filter(size(col("seq")) >= 2))
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+    var done = 0
+    var exhausted = false
+    while (done < totalMerges && !exhausted) {
+      val cands = seqs
+        .select(explode(adjacentPairs(col("seq"))).as("p"))
+        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        .limit(candidateCap(batch))
+        .collect() // bounded: <= 8*batch vocabulary-metadata rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val selected = selectDisjoint(cands, math.min(batch, totalMerges - done))
+      if (selected.isEmpty) exhausted = true
+      else {
+        val merges = selected.zipWithIndex.map { case ((a, b, c), i) =>
+          out += ((done + i, a, b, c, Mod + done + i))
+          (a, b, Mod + done + i)
+        }
+        done += selected.length
+        if (done < totalMerges) {
+          val (next, nextIds) = checkpointWithIds(
+            seqs.as[Array[Long]].mapPartitions { it =>
+              it.map { s0 =>
+                var s = s0
+                merges.foreach { case (a, b, m) => s = scalarMerge(s, a, b, m) }
+                s
+              }.filter(_.length >= 2)
+            }.toDF("seq"))
+          release(seqIds)
+          seqs = next
+          seqIds = nextIds
+        }
+      }
+    }
+    release(seqIds)
+    out.toSeq
+      .toDF("merge_round", "sym_a", "sym_b", "pair_count", "merged_sym")
+      .orderBy(col("merge_round"))
+  }
+
+  /** Single-threaded replay of [[bpeMergesBatched]] — same pair
+    * counting, same capped total-order candidate list, same greedy
+    * disjoint selection, same batch rewrite — for oracle generation and
+    * first-principles specs. */
+  private[graft] def bpeMergesBatchedReplay(texts: Seq[String],
+      totalMerges: Int, batch: Int = 64): Seq[(Int, Long, Long, Long, Long)] = {
+    var seqs: Seq[Array[Long]] =
+      texts.map(scalarTokenHashes).filter(_.length >= 2)
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+    var done = 0
+    var exhausted = false
+    while (done < totalMerges && !exhausted) {
+      val counts = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+      seqs.foreach { s =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          i += 1
+        }
+      }
+      val cands = counts.toSeq.map { case ((a, b), n) => (a, b, n) }
+        .sortBy { case (a, b, n) => (-n, a, b) }
+        .take(candidateCap(batch))
+      val selected = selectDisjoint(cands, math.min(batch, totalMerges - done))
+      if (selected.isEmpty) exhausted = true
+      else {
+        val merges = selected.zipWithIndex.map { case ((a, b, c), i) =>
+          out += ((done + i, a, b, c, Mod + done + i))
+          (a, b, Mod + done + i)
+        }
+        done += selected.length
+        if (done < totalMerges)
+          seqs = seqs.map { s0 =>
+            var s = s0
+            merges.foreach { case (a, b, m) => s = scalarMerge(s, a, b, m) }
+            s
+          }.filter(_.length >= 2)
+      }
+    }
+    out.toSeq
+  }
+
   /** Pure-Scala scalar twin of [[TextAnalysis.tokenHashes]]: per token,
     * fold (acc * 31 + char) mod 1e9+7 over the code points, acc0 = 7. */
   private[ops] def scalarTokenHashes(text: String): Array[Long] =

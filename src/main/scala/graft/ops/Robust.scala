@@ -43,13 +43,17 @@ object Robust {
     * equal-width slices of [binLo, binHi]; out-of-range values clamp to
     * the edge bins, so no row is ever dropped from the CDF.
     *
-    * The bounds table is one row per distinct `keyCol` value and is
-    * broadcast back over the facts — callers with a high-cardinality
-    * group column (bounds beyond the broadcast threshold) should
-    * pre-aggregate or shard, as with any broadcast dimension. */
+    * The bounds table is one row per distinct `keyCol` value. Up to
+    * `broadcastKeyLimit` keys it is broadcast back over the facts (fact
+    * rows never shuffle for the clamp); above the limit — measured by a
+    * cheap count of the groups-sized bounds table, NOT of the facts —
+    * the forced hint is dropped and the clamp degrades to a plain
+    * shuffle join, so a high-cardinality group column costs a shuffle
+    * instead of a driver/executor OOM on an over-sized broadcast. */
   def winsorize(df: DataFrame, keyCol: String, valueCol: String,
       lo: Double, hi: Double,
-      binLo: Double, binHi: Double, bins: Int = 4096): DataFrame = {
+      binLo: Double, binHi: Double, bins: Int = 4096,
+      broadcastKeyLimit: Long = 1000000L): DataFrame = {
     require(lo > 0 && lo < hi && hi < 1, s"need 0 < lo < hi < 1: $lo, $hi")
     require(bins >= 1 && binHi > binLo,
       s"need binHi > binLo and bins >= 1: [$binLo, $binHi] x $bins")
@@ -76,7 +80,14 @@ object Robust {
         (lit(binLo) +
           (min(when(col("__cum") >= lit(hi) * col("__n"), col("__bin"))) +
             lit(1L)) * lit(width)).as("__phi"))
-    df.join(broadcast(bounds), Seq(keyCol))
+    // materialize the groups-sized bounds ONCE (localCheckpoint) so the
+    // broadcast-eligibility count doesn't replay the fact-table histogram
+    // scan; the blocks are the op's bounded state feeding its result
+    // (the smoke-spec checkpoint allowance), never fact-sized
+    val boundsM = bounds.localCheckpoint(true)
+    val boundsKeyed =
+      if (boundsM.count() <= broadcastKeyLimit) broadcast(boundsM) else boundsM
+    df.join(boundsKeyed, Seq(keyCol))
       .withColumn(valueCol,
         least(greatest(col(valueCol), col("__plo")), col("__phi")))
   }
@@ -90,11 +101,11 @@ object Robust {
   def winsorizeSummary(df: DataFrame, keyCol: String, valueCol: String,
       lo: Double, hi: Double,
       binLo: Double, binHi: Double, bins: Int = 4096,
-      scale: Long = 10000L): DataFrame = {
+      scale: Long = 10000L, broadcastKeyLimit: Long = 1000000L): DataFrame = {
     val raw = col("__raw")
     winsorize(
         df.withColumn("__raw", col(valueCol)), keyCol, valueCol,
-        lo, hi, binLo, binHi, bins)
+        lo, hi, binLo, binHi, bins, broadcastKeyLimit)
       .groupBy(col(keyCol))
       .agg(
         round(min(col("__plo")), 4).as("p_lo"),

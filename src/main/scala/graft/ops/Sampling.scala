@@ -105,15 +105,22 @@ object Sampling {
     * running sum row-for-row, which is exactly what the oracle replays
     * with a single window. Caller contract: `sum(w) * k` per key must
     * fit in a Long (at 1e14 total weight that allows k up to ~9e4; shard
-    * the key space first if you need more). */
+    * the key space first if you need more). Negative weights are clamped
+    * to 0 (a negative interval would break the monotone cumulative line
+    * and the picks-telescope-to-k invariant); zero-weight rows — and
+    * whole keys whose total weight is 0, where inclusion probability is
+    * undefined — are never picked and drop out of the output. */
   def ppsSample(docs: DataFrame, keyCol: String, weightCol: String, k: Int,
       idCol: String = "doc_id", binSize: Long = 64L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(binSize >= 1, s"binSize must be >= 1: $binSize")
     val W = org.apache.spark.sql.expressions.Window
+    // integer `div` for the bin: double division drifts off the
+    // documented floor(id/binSize) grid for ids above 2^53
     val rows = docs.select(col(keyCol), col(idCol),
-        col(weightCol).cast("long").as("__w"))
-      .withColumn("__bin", floor(col(idCol) / binSize).cast("long"))
+        greatest(col(weightCol).cast("long"), lit(0L)).as("__w"))
+      .withColumn("__bin",
+        expr(s"CAST($idCol AS BIGINT) div $binSize"))
     val bins = rows.groupBy(col(keyCol), col("__bin"))
       .agg(sum(col("__w")).as("__bin_w"))
     val wPrev = W.partitionBy(col(keyCol)).orderBy(col("__bin"))

@@ -438,21 +438,37 @@ object Similarity {
     *
     * Scale: no broadcast of the corpus, no cartesian anywhere; the only
     * per-query state is the window's k-row frontier. A hot bucket (many
-    * corpus vectors with one signature) widens the candidate set for the
-    * queries in it — the same skew the bucket caps in [[lshNearDupPairs]]
-    * bound; callers with adversarial corpora should pre-cap buckets.
-    * Ties break on (cosine desc, vec_id) with cosine rounded to 6 dp so
-    * the ranking replays bit-identically in the oracle. */
+    * corpus vectors with one signature) widens the candidate set for
+    * EVERY query in it — candidate volume is sum(bucket_q x bucket_c),
+    * the two-sided version of the skew the one-sided generators cap —
+    * so the corpus side keeps at most `corpusBucketCap` vectors per
+    * (band, bucket), the FIRST ones in vec_id order (deterministic and
+    * oracle-replayable as a row_number window; the window's sort rides
+    * the same (band, bucket) shuffle the candidate join needs anyway).
+    * The cap is a recall/cost lever, not exactness-neutral: a capped
+    * bucket can hide a true neighbor behind `corpusBucketCap` lower-id
+    * bucket-mates (both engines agree on the capped answer — the q109
+    * oracle replays the cap). Size it to a few x the expected bucket
+    * occupancy; duplicate-heavy corpora should exact-collapse first
+    * (the q84 discipline). Ties break on (cosine desc, vec_id) with
+    * cosine rounded to 6 dp so the ranking replays bit-identically in
+    * the oracle. */
   def annKnnJoin(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       numPlanes: Int = 16,
       bands: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      corpusBucketCap: Int = 1024): DataFrame = {
     val qb = bandedIds(queries, numPlanes, bands, dim)
       .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
     val cb = bandedIds(corpus, numPlanes, bands, dim)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket")).orderBy(col("vec_id"))))
+      .filter(col("__rn") <= corpusBucketCap)
+      .drop("__rn")
     val cand = cb.join(qb, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))

@@ -48,8 +48,54 @@ object Relational {
     Q("q131_orc_roundtrip", q131, Some(q131Sql)),
     Q("q137_salted_join", q137, Some(q137Sql)),
     Q("q138_join_cardinality", q138, Some(q138Sql)),
-    Q("q139_column_profile", q139, Some(q139Sql))
+    Q("q139_column_profile", q139, Some(q139Sql)),
+    Q("q146_column_profile_approx", q146, Some(q146Sql))
   )
+
+  /** Sketch-based column profiling
+    * ([[graft.ops.Profile.numericProfileApprox]]): the warehouse-scale
+    * ANALYZE pass — per column, value/null counts, the min-max
+    * envelope, and an HLL-estimated distinct count, ALL from one
+    * aggregation job with NO Expand and no per-column distinct shuffle
+    * (q139's exact profile pays both). Each column's sketch is the
+    * q112 portable HLL folded as a typed Aggregator buffer, so the
+    * oracle replays every sketch bit-for-bit — a wrong bucket, rho, or
+    * merge breaks the hash. */
+  private def q146(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.numericProfileApprox(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_suppkey"))
+      .orderBy(col("col_name"))
+
+  private val q146Sql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count($c) AS BIGINT) AS n_values,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  (SELECT round(CAST(0.709436 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |       * CAST(1073741824 AS DOUBLE) /
+         |       (sum(1::BIGINT << CAST(30 - mj AS INT))
+         |         + (64 - count(*)) * (1::BIGINT << 30)), 2)
+         |   FROM (
+         |     SELECT h % 64 AS bucket,
+         |       max(CASE WHEN h // 64 = 0 THEN 25
+         |           ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1
+         |           END) AS mj
+         |     FROM (SELECT ((h1 + h1 // 8192) * 468703703) % 1000000007 AS h
+         |           FROM (SELECT ((h0 + h0 // 8192) * 972663749)
+         |                     % 1000000007 AS h1
+         |                 FROM (SELECT ((CAST(trunc(CAST($c AS DOUBLE))
+         |                           AS BIGINT) % 1000000007) * 2654435761)
+         |                           % 1000000007 AS h0
+         |                       FROM lineitem
+         |                       WHERE $c IS NOT NULL) t0) t1) t2
+         |     GROUP BY bucket) s) AS n_distinct_est,
+         |  CAST(min($c) AS DOUBLE) AS min_v,
+         |  CAST(max($c) AS DOUBLE) AS max_v
+         |FROM lineitem""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_quantity", "l_suppkey")
+      .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name")
+  }
 
   /** Exact join-cardinality prediction
     * ([[graft.ops.Cardinality.joinCardinality]]): the output row count

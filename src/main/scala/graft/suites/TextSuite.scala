@@ -81,6 +81,7 @@ object TextSuite {
     Q("q135_bpe_tokenize", q135, None, Some(q135Oracle)),
     Q("q136_snapshot_diff", q136, Some(q136Sql)),
     Q("q141_pps_sample", q141, Some(q141Sql)),
+    Q("q145_bpe_merges_batched", q145, None, Some(q145Oracle)),
     Q("q142_bigram_lm_score", q142, Some(q142Sql)),
     Q("q143_nfc_normalize", q143, Some(q143Sql))
   )
@@ -314,6 +315,33 @@ object TextSuite {
     val texts = Tables.documents(s, d).select(col("text")).as[String]
       .collect()
     Bpe.bpeMergesReplay(texts.toIndexedSeq, 6).map {
+      case (r, a, b, c, m) =>
+        s"  (CAST($r AS INT), CAST($a AS BIGINT), CAST($b AS BIGINT)," +
+          s" CAST($c AS BIGINT), CAST($m AS BIGINT))"
+    }.mkString("SELECT * FROM (VALUES\n", ",\n",
+      "\n) t(merge_round, sym_a, sym_b, pair_count, merged_sym)" +
+        " ORDER BY merge_round")
+  }
+
+  /** Batched BPE training ([[Bpe.bpeMergesBatched]]): 256 merges in
+    * 4 job waves (top-64 pairwise-disjoint pairs per round, one corpus
+    * rewrite per round) — the production-depth tokenizer-trainer shape
+    * that [[Bpe.bpeMerges]]'s one-merge-per-round loop cannot reach.
+    * Not SQL-expressible, so the oracle is GENERATED at verify time
+    * from the single-threaded replay ([[Bpe.bpeMergesBatchedReplay]]):
+    * same capped total-order candidate list, same greedy disjoint
+    * selection, same batch rewrite — 256 rows of bit-equality at any
+    * SF. */
+  private def q145(s: SparkSession, d: String): DataFrame =
+    Bpe.bpeMergesBatched(Tables.documents(s, d), totalMerges = 256,
+      batch = 64)
+
+  private def q145Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    // oracle-generation-only collect (the q132 precedent)
+    val texts = Tables.documents(s, d).select(col("text")).as[String]
+      .collect()
+    Bpe.bpeMergesBatchedReplay(texts.toIndexedSeq, 256, 64).map {
       case (r, a, b, c, m) =>
         s"  (CAST($r AS INT), CAST($a AS BIGINT), CAST($b AS BIGINT)," +
           s" CAST($c AS BIGINT), CAST($m AS BIGINT))"

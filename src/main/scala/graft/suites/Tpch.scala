@@ -43,8 +43,70 @@ object Tpch {
     Q("q125_tpch_min_cost_supplier", q125, Some(q125Sql)),
     Q("q126_tpch_important_stock", q126, Some(q126Sql)),
     Q("q127_tpch_parts_supplier_counts", q127, Some(q127Sql)),
-    Q("q128_tpch_potential_promotion", q128, Some(q128Sql))
+    Q("q128_tpch_potential_promotion", q128, Some(q128Sql)),
+    Q("q144_tpch_shipmode_priority", q144, Some(q144Sql))
   )
+
+  /** Oracle twin of [[graft.Tables.lineitemShipping]]: the same
+    * deterministic shipmode/commit/receipt derivation as a DuckDB CTE
+    * over the same parquet — SF-portable, nothing pinned. */
+  private[graft] val lineitemShipCte: String =
+    """lineitem_ship AS (
+      |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS l_shipdate_d,
+      |    (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])[
+      |      CAST((l_orderkey * 3 + l_linenumber) % 7 AS INT) + 1]
+      |      AS l_shipmode,
+      |    CAST(l_shipdate AS DATE) +
+      |      CAST((l_orderkey + l_linenumber * 7) % 35 AS INT)
+      |      AS l_commitdate,
+      |    CAST(l_shipdate AS DATE) +
+      |      CAST((l_orderkey * 5 + l_linenumber * 3) % 30 + 1 AS INT)
+      |      AS l_receiptdate
+      |  FROM lineitem)""".stripMargin
+
+  /** TPC-H Q12 (shipping modes and order priority): lines received in
+    * 1996 by MAIL/SHIP that were committed after shipping and received
+    * after committing (the late-commit discipline check), counted by
+    * how many belong to urgent/high-priority orders. The shipmode and
+    * both dates come from the deterministic in-plan synthesis
+    * ([[graft.Tables.lineitemShipping]] — the partsupp precedent), so
+    * the classic 21-query shape set is complete. Plan: the mode/date
+    * predicates are pure map work over the lineitem scan; the single
+    * join shuffles on the order key with AQE free to broadcast the
+    * filtered line side. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitemShipping(s, d)
+      .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+        col("l_commitdate") < col("l_receiptdate") &&
+        to_date(col("l_shipdate")) < col("l_commitdate") &&
+        col("l_receiptdate") >= lit("1996-01-01").cast("date") &&
+        col("l_receiptdate") < lit("1997-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_shipmode"))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, d)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_shipmode"))
+      .agg(
+        sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(hi, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+      .orderBy(col("l_shipmode"))
+  }
+
+  private val q144Sql =
+    s"""WITH $lineitemShipCte
+       |SELECT l_shipmode,
+       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM orders JOIN lineitem_ship ON o_orderkey = l_orderkey
+       |WHERE l_shipmode IN ('MAIL', 'SHIP')
+       |  AND l_commitdate < l_receiptdate
+       |  AND l_shipdate_d < l_commitdate
+       |  AND l_receiptdate >= DATE '1996-01-01'
+       |  AND l_receiptdate < DATE '1997-01-01'
+       |GROUP BY l_shipmode
+       |ORDER BY l_shipmode""".stripMargin
 
   /** Oracle twin of [[graft.Tables.partsupp]]: the same deterministic
     * integer derivation as a DuckDB CTE over the same parquet, so every

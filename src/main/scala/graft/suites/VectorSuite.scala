@@ -54,7 +54,8 @@ object VectorSuite {
     * distributed job — banded ids meet in a (band, bucket) equi-join,
     * pairs dedup before scoring, and the per-query top-5 is a row_number
     * window. The oracle replays the entire pipeline: portable planes,
-    * banding, candidate join, exact cosine, and the ranked cut. */
+    * banding, the corpus-side hot-bucket cap (first 1024 per bucket by
+    * vec_id), candidate join, exact cosine, and the ranked cut. */
   private def q109(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.annKnnJoin(emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
@@ -77,8 +78,12 @@ object VectorSuite {
       |        bits[b.range*4+1 : b.range*4+4]),
       |      (a, v) -> a * 2 + v) AS bucket
       |  FROM sig, range(0, 4) b),
+      |capped AS (SELECT vec_id, band, bucket FROM (
+      |    SELECT vec_id, band, bucket, row_number() OVER (
+      |      PARTITION BY band, bucket ORDER BY vec_id) AS rn FROM banded)
+      |  WHERE rn <= 1024),
       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-      |  FROM banded q JOIN banded c USING (band, bucket)
+      |  FROM banded q JOIN capped c USING (band, bucket)
       |  WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
       |scored AS (SELECT query_id, cand.vec_id,
       |    round(

@@ -520,6 +520,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"all-pairs blowup in:\n$p")
   }
 
+  test("q146: sketch profile is one pass — no Expand, partial aggregation") {
+    val p = plan("q146_column_profile_approx")
+    assert(!p.contains("Expand"),
+      s"sketch profile planned an Expand (the exact-distinct shape):\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial aggregation in:\n$p")
+    // the exact profile is WHY the sketch variant exists: multi-column
+    // count_distinct plans the rows x columns Expand multiplier
+    assert(plan("q139_column_profile").contains("Expand"),
+      "exact profile no longer plans Expand — re-evaluate the approx doc")
+  }
+
+  test("q140: the metadata predicate lands in the parquet scan " +
+      "(pre-filter, not post-filter)") {
+    val p = plan("q140_filtered_ann")
+    assert(p.contains("PushedFilters") && p.contains("label"),
+      s"label predicate not pushed into the scan in:\n$p")
+  }
+
   test("q133: the fact-side window is per (key, priority) bin, not per key") {
     val p = plan("q133_token_budget_select")
     // two windows: bin offsets over the histogram, running sums per bin.

@@ -92,6 +92,64 @@ class BpeSpec extends SparkSpec {
     assert(dist.map(_._4).sum < dist.map(_._3).sum)
   }
 
+  test("batched trainer with batch=1 is bit-identical to the sequential " +
+      "trainer") {
+    // with one pair per round the disjointness constraint is vacuous and
+    // the batched loop must reduce exactly to bpeMerges
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val seq = Bpe.bpeMerges(docs, rounds = 5).collect().map(_.toSeq).toSeq
+    val bat = Bpe.bpeMergesBatched(docs, totalMerges = 5, batch = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(bat == seq)
+  }
+
+  test("batched distributed merges are bit-identical to the batched replay") {
+    val docs = Tables.documents(spark, sfDir).limit(150)
+    val dist = Bpe.bpeMergesBatched(docs, totalMerges = 48, batch = 16)
+      .collect()
+      .map(r => (r.getAs[Int]("merge_round"), r.getAs[Long]("sym_a"),
+        r.getAs[Long]("sym_b"), r.getAs[Long]("pair_count"),
+        r.getAs[Long]("merged_sym"))).toSeq
+    val texts = docs.select(col("text")).as[String].collect().toIndexedSeq
+    val replay = Bpe.bpeMergesBatchedReplay(texts, 48, 16)
+    assert(dist == replay)
+    // the batch actually fired: 48 merges in 3 waves
+    assert(dist.length == 48)
+    assert(dist.map(_._5) == (0 until 48).map(Bpe.Mod + _))
+  }
+
+  test("within-round selections are pairwise-disjoint and counts are " +
+      "batch-start-exact") {
+    // selectDisjoint: top candidate always taken, symbol reuse skipped
+    val cands = Seq((1L, 2L, 100L), (2L, 3L, 90L), (4L, 4L, 80L),
+      (4L, 5L, 70L), (6L, 7L, 60L))
+    val sel = Bpe.selectDisjoint(cands, 3)
+    assert(sel == Seq((1L, 2L, 100L), (4L, 4L, 80L), (6L, 7L, 60L)))
+    // disjoint merges don't disturb each other's counts: "a b c d" has
+    // (a,b) and (c,d) both once; a 1-round batch of 2 must report both
+    // at their corpus counts and the next round must see (M0, M1)
+    val docs = Seq("a b c d", "a b c d", "c d q q").toDF("text")
+    val out = Bpe.bpeMergesBatched(docs, totalMerges = 3, batch = 2)
+      .collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("pair_count") == 3L) // (c,d): 3 occurrences
+    assert(out(1).getAs[Long]("pair_count") == 2L) // (a,b): 2 occurrences
+    // round 2: rewritten corpus is [M1 M0, M1 M0, M0 q q] -> (M1,M0) x2
+    assert(out(2).getAs[Long]("sym_a") == Bpe.Mod + 1 &&
+      out(2).getAs[Long]("sym_b") == Bpe.Mod &&
+      out(2).getAs[Long]("pair_count") == 2L)
+  }
+
+  test("batched trainer stops early when the corpus runs out of pairs") {
+    val docs = Seq("x y", "x y").toDF("text")
+    // round 0 merges (x,y) everywhere; every sequence drops below 2
+    // symbols, so the corpus is exhausted after exactly 1 merge
+    val out = Bpe.bpeMergesBatched(docs, totalMerges = 10, batch = 4)
+      .collect()
+    assert(out.length == 1)
+    assert(Bpe.bpeMergesBatchedReplay(Seq("x y", "x y"), 10, 4).length == 1)
+  }
+
   test("no persisted blocks survive the call (checkpoint release)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Bpe.bpeMerges(Tables.documents(spark, sfDir).limit(50),

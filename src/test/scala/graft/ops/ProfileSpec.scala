@@ -27,4 +27,43 @@ class ProfileSpec extends SparkSpec {
     assert("FileScan|Scan parquet".r.findAllIn(plan).length <= 1,
       s"profile should scan once:\n$plan")
   }
+
+  test("numericProfileApprox: aggregator sketch equals the Column-level " +
+      "hllDistinct estimate, counts equal the exact profile") {
+    val df = graft.Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_orderkey", "l_partkey")
+    val approx = Profile.numericProfileApprox(df, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Profile.numericProfile(df, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      // two independent formulations of the SAME portable sketch must
+      // land on the identical rounded estimate
+      val est = Sketches.hllDistinct(df, c).collect().head.getDouble(0)
+      assert(approx(c).getDouble(3) == est,
+        s"$c: aggregator ${approx(c).getDouble(3)} != column $est")
+      // everything that isn't the sketch is exact and must match
+      assert(approx(c).getLong(1) == exact(c).getLong(1))
+      assert(approx(c).getLong(2) == exact(c).getLong(2))
+      assert(approx(c).getDouble(4) == exact(c).getDouble(4))
+      assert(approx(c).getDouble(5) == exact(c).getDouble(5))
+    }
+  }
+
+  test("numericProfileApprox skips nulls like count_distinct does") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0), (null, 40.0))
+      .toDF("a", "b")
+    val rows = Profile.numericProfileApprox(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a null must contribute NOTHING to the sketch: the estimate over
+    // the null-bearing column equals the estimate over its null-free twin
+    val aTwin = Sketches.hllDistinct(
+      Seq(1.0, 2.0, 2.0).toDF("a"), "a").collect().head.getDouble(0)
+    val bTwin = Sketches.hllDistinct(
+      Seq(10.0, 30.0, 40.0).toDF("b"), "b").collect().head.getDouble(0)
+    assert(rows("a").getDouble(3) == aTwin)
+    assert(rows("b").getDouble(3) == bTwin)
+    assert(rows("a").getLong(2) == 1L && rows("b").getLong(2) == 1L)
+  }
 }

@@ -59,6 +59,25 @@ class RobustSpec extends SparkSpec {
     assert(math.abs(win - 50.5) < math.abs(raw - 50.5))
   }
 
+  test("broadcast fallback: above the key limit the clamp degrades to a " +
+      "shuffle join with identical results") {
+    // force the fallback (limit 1 < 2 groups): with the hint dropped AND
+    // auto-broadcast off (so Catalyst can't re-derive a broadcast from
+    // size stats on its own), the plan must carry NO broadcast join
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fb = Robust.winsorize(frame, "k", "v", 0.05, 0.95,
+        binLo = -1000.0, binHi = 5000.0, bins = 6000, broadcastKeyLimit = 1L)
+      val p = fb.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"bounds still broadcast under the key limit:\n$p")
+      // ...and the results must be bit-identical to the broadcast path
+      val hinted = win(frame).orderBy($"k", $"v").collect().toSeq
+      assert(fb.orderBy($"k", $"v").collect().toSeq == hinted)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+  }
+
   test("bounds come from the histogram — no O(group-data) percentile buffer") {
     // the 100x-scale guarantee: aggregation state is O(groups x bins),
     // so the plan must contain no Percentile aggregate anywhere

@@ -238,6 +238,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annKnnJoin corpus bucket cap: generous cap is invisible, tight " +
+      "cap keeps the lowest-id bucket-mates") {
+    val queries = emb.filter($"vec_id".isin(0L, 7L, 42L))
+    val dflt = Similarity.annKnnJoin(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // a cap above every bucket's occupancy must change nothing
+    val wide = Similarity.annKnnJoin(queries, emb, k = 5,
+      corpusBucketCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(wide == dflt)
+    // cap = 1: each bucket contributes only its lowest-id vector, so
+    // every returned neighbor must be the min vec_id of one of its
+    // buckets — and the output shape stays valid (dense ranks)
+    val tight = Similarity.annKnnJoin(queries, emb, k = 5,
+      corpusBucketCap = 1).collect()
+    val bucketMins = Similarity.bandedIds(emb, 16, 4, 64)
+      .groupBy($"band", $"bucket")
+      .agg(org.apache.spark.sql.functions.min($"vec_id").as("m"))
+      .collect().map(_.getAs[Long]("m")).toSet
+    tight.foreach(r => assert(bucketMins.contains(r.getLong(1)),
+      s"neighbor ${r.getLong(1)} survived a cap-1 bucket without being " +
+        "its minimum"))
+    tight.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+  }
+
   test("filteredCosineTopK equals a hand-built filtered brute force") {
     val filtered = Similarity.filteredCosineTopK(emb, $"label" === 1, 0L, 10)
       .collect().map(r => (r.getLong(0), r.getAs[Double]("cosine")))

@@ -1,7 +1,7 @@
 package graft.suites
 
 import graft.{Q, Tables}
-import graft.wri.{Classify, Cog, Fixtures, Inventory, Stac}
+import graft.wri.{Classify, Cog, CogQuery, Fixtures, Inventory, Stac, TiffWriter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,8 +19,54 @@ object WriSuite {
     Q("wri_settings_grid", wriGrid, Some(wriGridSql)),
     Q("wri_inventory", wriInventory, Some(wriInventorySql)),
     Q("wri_cog_pipeline", wriCog, Some(wriCogSql)),
+    Q("wri_cog_window_stats", wriCogWindow, Some(wriCogWindowSql)),
     Q("wri_stac_items", wriStac, Some(wriStacSql))
   )
+
+  /** The consumption end of the COG pipeline ([[CogQuery.windowStats]]):
+    * a 48x48 pixel window over four written 192x128 COGs (32px tiles),
+    * answered by ONE header-prefix range read plus exactly the 6 of 24
+    * full-res tiles the window intersects — the streaming-access
+    * discipline the reference publishes COGs for. The oracle replays the
+    * fixture generator analytically over the same window (the q134
+    * pattern): every decoded pixel's scaled-integer value must match the
+    * generator's, so a wrong tile offset, decode, predictor, or window
+    * clip breaks the hash. Economy (tiles_read/bytes_read) is asserted
+    * in CogQuerySpec — DuckDB cannot see file layout. */
+  private def wriCogWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(s"$fixtureRoot/winq",
+      n = 4, w = 192, h = 128)
+    val cogDir = s"$fixtureRoot/winq_cogs"
+    // eager: the status DF is lazy, the files must exist before the
+    // window reads (idempotent — reruns take the skip path)
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    CogQuery.windowStats(s, cogDir, inputs.map(_._2),
+        x0 = 70, y0 = 30, winW = 48, winH = 48)
+      .select(col("layer"), col("n_valid"), col("n_nan"),
+        col("vs_sum"), col("vs_min"), col("vs_max"))
+      .orderBy(col("layer"))
+  }
+
+  private val wriCogWindowSql =
+    """WITH px AS (
+      |  SELECT i.range AS i,
+      |    (y.range * 192 + x.range) AS j
+      |  FROM range(0, 4) i, range(70, 118) x, range(30, 78) y),
+      |v AS (SELECT i,
+      |    CASE WHEN (j + i) % 13 = 0 THEN NULL
+      |      ELSE CAST(round(CAST(CAST((j * (i + 3)) % 101 AS REAL)
+      |             / CAST(7 AS REAL) AS DOUBLE) * 10000) AS BIGINT)
+      |    END AS vs
+      |  FROM px)
+      |SELECT 'layer_' || i || '.tif' AS layer,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v GROUP BY i ORDER BY layer""".stripMargin
 
   /** Pseudo raster paths synthesized from the documents table so the
     * classification exprs (P1-P4) get a DuckDB-verifiable surface. */

@@ -1,0 +1,123 @@
+package graft.wri
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Windowed raster stats over written COGs, answered through the
+  * range-read contract — the CONSUMPTION end of the reference pipeline
+  * (its COGs exist precisely so clients can stream sub-windows without
+  * downloading whole rasters; `README.md:329-335` checks exactly this
+  * streaming access).
+  *
+  * Per layer: ONE bounded prefix read parses every pyramid level's tile
+  * layout ([[TiffIO.levelLayoutsFromPrefix]] — the "single HEAD + first
+  * 16 KB" COG discipline), the full-resolution tiles intersecting the
+  * requested pixel window are computed from that layout, and ONLY those
+  * tiles are fetched by byte range and decoded
+  * ([[TiffIO.decodeLevelTile]]). A window over an N-tile raster reads
+  * O(window tiles) bytes no matter how large the raster — the same
+  * economics as q129's idx1-indexed video frame sampling.
+  *
+  * Statistics are engine-exact: each decoded float is scaled to an
+  * integer (`round(v * scale)` as a long, the q99/q124 fixed-point
+  * discipline), so sums/mins/maxes are deterministic in any summation
+  * order and a DuckDB oracle can replay them to the bit. NaN pixels (the
+  * raster nodata convention) are counted, never aggregated.
+  *
+  * Scale shape: one task per layer file (mapPartitions over layer
+  * names); layers are independent, so a 1000-layer catalog fans out
+  * across executors exactly like the Cog.run encode stage.
+  */
+object CogQuery {
+
+  case class CogWindowStat(
+      layer: String,
+      tiles_total: Long, tiles_read: Long,
+      bytes_read: Long, file_bytes: Long,
+      n_valid: Long, n_nan: Long,
+      vs_sum: Long, vs_min: Option[Long], vs_max: Option[Long])
+
+  /** Stats of the pixel window [x0, x0+winW) x [y0, y0+winH) for each
+    * named COG under `cogDir`, values scaled by `scale` before integer
+    * aggregation. `prefixBytes` is the size of the single header range
+    * request (the COG contract: it must cover the whole IFD chain —
+    * [[TiffIO.levelLayoutsFromPrefix]] throws loudly if not). */
+  def windowStats(spark: SparkSession, cogDir: String, layers: Seq[String],
+      x0: Int, y0: Int, winW: Int, winH: Int,
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024): DataFrame = {
+    import spark.implicits._
+    require(x0 >= 0 && y0 >= 0 && winW > 0 && winH > 0,
+      s"window must be non-empty and non-negative: ($x0,$y0) ${winW}x$winH")
+    spark.createDataset(layers).mapPartitions { it =>
+      it.map { name =>
+        val raf = new java.io.RandomAccessFile(s"$cogDir/$name", "r")
+        try {
+          val fileLen = raf.length()
+          // range request #1: the bounded header prefix
+          val pl = math.min(fileLen, prefixBytes.toLong).toInt
+          val prefix = new Array[Byte](pl)
+          raf.readFully(prefix)
+          val full = TiffIO.levelLayoutsFromPrefix(prefix).head
+          val tw = full.tileWidth
+          val th = full.tileHeight
+          require(tw > 0 && th > 0, s"$name is not tiled — not a COG")
+          val tilesAcross = (full.width + tw - 1) / tw
+          val tilesDown = (full.height + th - 1) / th
+          val c0 = math.min(x0 / tw, tilesAcross - 1)
+          val c1 = math.min((math.min(x0 + winW, full.width) - 1) / tw,
+            tilesAcross - 1)
+          val r0 = math.min(y0 / th, tilesDown - 1)
+          val r1 = math.min((math.min(y0 + winH, full.height) - 1) / th,
+            tilesDown - 1)
+          var tilesRead = 0L
+          var bytesRead = pl.toLong
+          var nValid = 0L
+          var nNan = 0L
+          var vsSum = 0L
+          var vsMin = Long.MaxValue
+          var vsMax = Long.MinValue
+          var r = r0
+          while (r <= r1) {
+            var c = c0
+            while (c <= c1) {
+              val t = r * tilesAcross + c
+              val cnt = full.tileByteCounts(t).toInt
+              val buf = new Array[Byte](cnt)
+              raf.seek(full.tileOffsets(t)) // range request #2..k: one tile
+              raf.readFully(buf)
+              tilesRead += 1
+              bytesRead += cnt
+              val px = TiffIO.decodeLevelTile(full, buf)
+              val xLo = math.max(x0, c * tw)
+              val xHi = math.min(math.min(x0 + winW, (c + 1) * tw), full.width)
+              val yLo = math.max(y0, r * th)
+              val yHi = math.min(math.min(y0 + winH, (r + 1) * th), full.height)
+              var y = yLo
+              while (y < yHi) {
+                var x = xLo
+                while (x < xHi) {
+                  val v = px((y - r * th) * tw + (x - c * tw))
+                  if (java.lang.Float.isNaN(v)) nNan += 1
+                  else {
+                    val vs = Math.round(v.toDouble * scale)
+                    nValid += 1
+                    vsSum += vs
+                    if (vs < vsMin) vsMin = vs
+                    if (vs > vsMax) vsMax = vs
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              c += 1
+            }
+            r += 1
+          }
+          CogWindowStat(name, tilesAcross.toLong * tilesDown, tilesRead,
+            bytesRead, fileLen, nValid, nNan, vsSum,
+            if (nValid == 0) None else Some(vsMin),
+            if (nValid == 0) None else Some(vsMax))
+        } finally raf.close()
+      }
+    }.toDF()
+  }
+}

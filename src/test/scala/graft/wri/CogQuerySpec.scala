@@ -1,0 +1,74 @@
+package graft.wri
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CogQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("cogquery").toString
+  private lazy val inputs =
+    Fixtures.writeCogInputs(root, n = 2, w = 192, h = 128)
+  private lazy val cogDir = {
+    val dir = s"$root/cogs"
+    Cog.run(spark, inputs.toDF("filepath", "cog_filename"), dir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    dir
+  }
+
+  test("window stats equal a full-raster decode of the same window") {
+    val out = CogQuery.windowStats(spark, cogDir, inputs.map(_._2),
+        x0 = 70, y0 = 30, winW = 48, winH = 48)
+      .collect().map(r => r.getAs[String]("layer") -> r).toMap
+    inputs.foreach { case (src, name) =>
+      // independent formulation: decode the WHOLE source raster and fold
+      // the window directly — the range-read path must agree exactly
+      val (h, px) = TiffIO.readPixels(src)
+      var nValid = 0L; var nNan = 0L; var sum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      for (y <- 30 until 78; x <- 70 until 118) {
+        val v = px(y * h.width + x)
+        if (java.lang.Float.isNaN(v)) nNan += 1
+        else {
+          val vs = Math.round(v.toDouble * 10000)
+          nValid += 1; sum += vs
+          mn = math.min(mn, vs); mx = math.max(mx, vs)
+        }
+      }
+      val r = out(name)
+      assert(r.getAs[Long]("n_valid") == nValid && r.getAs[Long]("n_nan") == nNan)
+      assert(r.getAs[Long]("vs_sum") == sum)
+      assert(r.getAs[Long]("vs_min") == mn && r.getAs[Long]("vs_max") == mx)
+    }
+  }
+
+  test("economy: only the intersecting tiles are fetched, a bounded " +
+      "fraction of the file") {
+    val r = CogQuery.windowStats(spark, cogDir, inputs.map(_._2).take(1),
+      x0 = 70, y0 = 30, winW = 48, winH = 48).collect().head
+    // 192x128 at 32px tiles = 6x4 = 24; window [70,118)x[30,78) touches
+    // tile cols 2-3 and rows 0-2 = 6 tiles
+    assert(r.getAs[Long]("tiles_total") == 24L)
+    assert(r.getAs[Long]("tiles_read") == 6L,
+      s"expected 6 tiles, read ${r.getAs[Long]("tiles_read")}")
+    // prefix + 6/24 of the tile data: far below the whole file (the
+    // pyramid levels alone add ~33% the window never touches)
+    assert(r.getAs[Long]("bytes_read") < r.getAs[Long]("file_bytes"),
+      s"read ${r.getAs[Long]("bytes_read")} of ${r.getAs[Long]("file_bytes")}")
+  }
+
+  test("a single-tile window reads exactly one tile") {
+    val r = CogQuery.windowStats(spark, cogDir, inputs.map(_._2).take(1),
+      x0 = 33, y0 = 33, winW = 8, winH = 8).collect().head
+    assert(r.getAs[Long]("tiles_read") == 1L)
+  }
+
+  test("edge clipping: a window past the raster edge stays in bounds") {
+    val r = CogQuery.windowStats(spark, cogDir, inputs.map(_._2).take(1),
+      x0 = 180, y0 = 120, winW = 100, winH = 100).collect().head
+    // only the 12x8 in-raster corner is counted
+    assert(r.getAs[Long]("n_valid") + r.getAs[Long]("n_nan") == 12L * 8L)
+    assert(r.getAs[Long]("tiles_read") == 1L)
+  }
+}

@@ -24,8 +24,36 @@ object VectorSuite {
     Q("q101_semantic_dedup", q101, Some(q101Sql)),
     Q("q103_projected_topk", q103, Some(q103Sql)),
     Q("q109_ann_knn_join", q109, Some(q109Sql)),
-    Q("q140_filtered_ann", q140, Some(q140Sql))
+    Q("q140_filtered_ann", q140, Some(q140Sql)),
+    // the DISK path must land on bit-identical scores, so it shares
+    // q100's verify-time replay oracle verbatim
+    Q("q147_vector_store_topk", q147, None, Some(q100Oracle))
   )
+
+  /** Disk-backed vector store ([[graft.ops.VectorStore]]): the q100
+    * IVF-PQ composition persisted as parquet PQ codes PARTITIONED BY
+    * coarse cell, then queried with `cell IN probed` landing in
+    * PartitionFilters — the scan never opens unprobed cells' files
+    * (directory-level pruning, asserted in VectorStoreSpec). The store
+    * builds once per (JVM, SF) and every query is a read-only scan of
+    * nprobe/cells of the code files + m table lookups per row. Same
+    * deterministic trainers as q100, so its replay oracle pins this
+    * path bit-for-bit too. */
+  private val storeDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = storeDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("vecstore").toString
+      graft.ops.VectorStore.write(s, Tables.embeddings(s, d), out)
+      out
+    })
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.ops.VectorStore.queryTopK(s, dir, qv, k = 10, nprobe = 2,
+      excludeVecId = Some(0L))
+  }
 
   /** Metadata-filtered vector search
     * ([[Similarity.filteredCosineTopK]]): top-10 by cosine among vectors

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class VectorStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_spec").toString
+    VectorStore.write(spark, emb, d)
+    d
+  }
+  private def queryVec: Array[Float] =
+    emb.filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+
+  test("disk store query is bit-identical to the in-memory ivfPqTopK") {
+    val disk = VectorStore.queryTopK(spark, dir, queryVec, k = 10,
+        nprobe = 2, excludeVecId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Pq.ivfPqTopK(emb, queryVecId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(disk == mem,
+      s"disk path drifted from the in-memory composition:\n$disk\nvs\n$mem")
+  }
+
+  test("the probe filter prunes at the directory level — unprobed " +
+      "cells' files are never opened") {
+    val q = VectorStore.queryTopK(spark, dir, queryVec, k = 10, nprobe = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in:\n$plan")
+    // the executed scan's selected files all come from <= nprobe cell dirs
+    val files = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+    }.flatten.filter(_.contains("cell="))
+    val cellsTouched = files.map(_.split("cell=")(1).split("/")(0)).distinct
+    assert(files.nonEmpty && cellsTouched.size <= 2,
+      s"scan touched ${cellsTouched.size} cell dirs: $cellsTouched")
+  }
+
+  test("stored codes are m small ints; store metadata round-trips") {
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == emb.count())
+    val row = codes.select($"codes").head().getSeq[Int](0)
+    assert(row.length == 8 && row.forall(c => c >= 0 && c < 16))
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+    assert(spark.read.parquet(s"$dir/codebooks").count() == 8L * 16)
+  }
+
+  test("nprobe widening only adds candidates — top-1 from full probe " +
+      "is at least as close") {
+    val narrow = VectorStore.queryTopK(spark, dir, queryVec, k = 1,
+      nprobe = 1, excludeVecId = Some(0L)).collect().head.getDouble(1)
+    val wide = VectorStore.queryTopK(spark, dir, queryVec, k = 1,
+      nprobe = 8, excludeVecId = Some(0L)).collect().head.getDouble(1)
+    assert(wide <= narrow)
+  }
+}

@@ -38,6 +38,9 @@ object VectorStore {
       cells: Int = 8, m: Int = 8, codebookSize: Int = 16,
       kmeansIters: Int = 3): Unit = {
     import spark.implicits._
+    require(cells >= 1 && m >= 1 && codebookSize >= 2 && codebookSize <= 256,
+      s"need cells >= 1, m >= 1, codebookSize in [2,256]: " +
+        s"$cells/$m/$codebookSize")
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coarse = Similarity.kMeansCentroids(vecs, cells, kmeansIters)
@@ -81,10 +84,13 @@ object VectorStore {
       k: Int, nprobe: Int = 2,
       excludeVecId: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
     val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val booksFlat = spark.read.parquet(s"$dir/codebooks")
       .as[(Int, Int, Seq[Double])].collect()
+    require(coarse.nonEmpty && booksFlat.nonEmpty,
+      s"$dir does not hold a written store (empty centroids/codebooks)")
     val m = booksFlat.map(_._1).max + 1
     val codebookSize = booksFlat.map(_._2).max + 1
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>

@@ -47,6 +47,8 @@ object CogQuery {
     import spark.implicits._
     require(x0 >= 0 && y0 >= 0 && winW > 0 && winH > 0,
       s"window must be non-empty and non-negative: ($x0,$y0) ${winW}x$winH")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    require(layers.nonEmpty, "no layers to query")
     spark.createDataset(layers).mapPartitions { it =>
       it.map { name =>
         val raf = new java.io.RandomAccessFile(s"$cogDir/$name", "r")
@@ -62,12 +64,17 @@ object CogQuery {
           require(tw > 0 && th > 0, s"$name is not tiled — not a COG")
           val tilesAcross = (full.width + tw - 1) / tw
           val tilesDown = (full.height + th - 1) / th
+          // a window entirely past the raster edge intersects no tiles:
+          // the empty ranges below read nothing and report zero counts
+          val inRaster = x0 < full.width && y0 < full.height
           val c0 = math.min(x0 / tw, tilesAcross - 1)
-          val c1 = math.min((math.min(x0 + winW, full.width) - 1) / tw,
-            tilesAcross - 1)
+          val c1 = if (!inRaster) c0 - 1
+            else math.min((math.min(x0 + winW, full.width) - 1) / tw,
+              tilesAcross - 1)
           val r0 = math.min(y0 / th, tilesDown - 1)
-          val r1 = math.min((math.min(y0 + winH, full.height) - 1) / th,
-            tilesDown - 1)
+          val r1 = if (!inRaster) r0 - 1
+            else math.min((math.min(y0 + winH, full.height) - 1) / th,
+              tilesDown - 1)
           var tilesRead = 0L
           var bytesRead = pl.toLong
           var nValid = 0L

@@ -64,6 +64,15 @@ class CogQuerySpec extends SparkSpec {
     assert(r.getAs[Long]("tiles_read") == 1L)
   }
 
+  test("a window entirely outside the raster reads no tiles, counts " +
+      "nothing") {
+    val r = CogQuery.windowStats(spark, cogDir, inputs.map(_._2).take(1),
+      x0 = 500, y0 = 500, winW = 10, winH = 10).collect().head
+    assert(r.getAs[Long]("tiles_read") == 0L)
+    assert(r.getAs[Long]("n_valid") == 0L && r.getAs[Long]("n_nan") == 0L)
+    assert(r.isNullAt(r.fieldIndex("vs_min")))
+  }
+
   test("edge clipping: a window past the raster edge stays in bounds") {
     val r = CogQuery.windowStats(spark, cogDir, inputs.map(_._2).take(1),
       x0 = 180, y0 = 120, winW = 100, winH = 100).collect().head

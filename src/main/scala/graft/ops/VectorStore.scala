@@ -72,6 +72,47 @@ object VectorStore {
     vecs.unpersist()
   }
 
+  /** Incremental ingest — the production pattern: NEW vectors join an
+    * existing store WITHOUT retraining. The frozen centroids/codebooks
+    * collect to the driver (bounded metadata), each new vector assigns
+    * to its nearest EXISTING cell and encodes its residual against the
+    * FROZEN codebooks, and the code rows append into the cell
+    * partitions — a pure map stage plus a partitioned parquet append;
+    * the existing corpus is never read or rewritten. Queries see old
+    * and new vectors identically (same cells, same ADC tables).
+    * Quantization drift is the stated trade: appended vectors are coded
+    * against codebooks trained before they existed — monitor and
+    * retrain offline when recall decays, as every IVF store does.
+    * Idempotence is the caller's contract (dedup ids before append, the
+    * q90 incremental-ingest discipline). */
+  def append(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
+    import spark.implicits._
+    val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val booksFlat = spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Seq[Double])].collect()
+    require(coarse.nonEmpty && booksFlat.nonEmpty,
+      s"$dir does not hold a written store (empty centroids/codebooks)")
+    val m = booksFlat.map(_._1).max + 1
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      booksFlat.filter(_._1 == j).sortBy(_._2).map(_._3.toArray)
+    }
+    val cs = coarse
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val c = Similarity.nearestCentroid(v, cs)
+        val res = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { res(i) = (v(i) - cs(c)(i)).toFloat; i += 1 }
+        (id, c, res)
+      }
+      .toDF("vec_id", "cell", "embedding")
+      .select(col("vec_id"), col("cell"),
+        Pq.encode(col("embedding"), books).as("codes"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+  }
+
   /** Approximate top-k nearest (squared L2) to `queryVec` from the
     * store: centroids/codebooks collect to the driver (bounded
     * metadata), the `nprobe` nearest cells and their ADC tables are

@@ -27,7 +27,8 @@ object VectorSuite {
     Q("q140_filtered_ann", q140, Some(q140Sql)),
     // the DISK path must land on bit-identical scores, so it shares
     // q100's verify-time replay oracle verbatim
-    Q("q147_vector_store_topk", q147, None, Some(q100Oracle))
+    Q("q147_vector_store_topk", q147, None, Some(q100Oracle)),
+    Q("q148_vector_store_append", q148, None, Some(q148Oracle))
   )
 
   /** Disk-backed vector store ([[graft.ops.VectorStore]]): the q100
@@ -53,6 +54,77 @@ object VectorSuite {
       .select(col("embedding")).as[Array[Float]].head()
     graft.ops.VectorStore.queryTopK(s, dir, qv, k = 10, nprobe = 2,
       excludeVecId = Some(0L))
+  }
+
+  /** Incremental store ingest ([[graft.ops.VectorStore.append]]): the
+    * store trains on HALF the corpus (even vec_ids), the odd half
+    * appends later against the FROZEN centroids/codebooks — no retrain,
+    * no rewrite of existing partitions — and a query over the combined
+    * store must rank old and new vectors identically. The oracle
+    * replays exactly that asymmetry: coarse cells + codebooks from the
+    * even half only, every vector (both halves) assigned and coded
+    * against them. */
+  private val appendStoreDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dir = appendStoreDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("vecstore_app").toString
+      graft.ops.VectorStore.write(s, emb.filter(col("vec_id") % 2 === 0), out)
+      graft.ops.VectorStore.append(s, out,
+        emb.filter(col("vec_id") % 2 === 1))
+      out
+    })
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.ops.VectorStore.queryTopK(s, dir, qv, k = 10, nprobe = 2,
+      excludeVecId = Some(0L))
+  }
+
+  private def q148Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 2 === 0)
+    val coarse = Similarity.kMeansCentroids(base, k = 8, iters = 3)
+    val cs = coarse
+    val resDf = base.as[(Long, Array[Float])].map { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, cs)
+      (id, Array.tabulate(v.length)(i => (v(i) - cs(c)(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = graft.ops.Pq.trainCodebooks(resDf, m = 8, codebookSize = 16,
+      kmeansIters = 3)
+    val sub = books.head.head.length
+    val vecs = collectVecs(s, d) // BOTH halves score against frozen books
+    val qv = vecs.find(_._1 == 0L).get._2
+    val probed = coarse.indices.sortBy(c => sliceD2(coarse(c), qv, 0)).take(2)
+    def adc(c: Int, j: Int, code: Int): Double = {
+      var dd = 0.0; var i = 0
+      val cent = books(j)(code)
+      while (i < sub) {
+        val qr = (qv(j * sub + i) - coarse(c)(j * sub + i)).toFloat
+        val diff = qr - cent(i); dd += diff * diff; i += 1
+      }
+      dd
+    }
+    val top = vecs.iterator.filter(_._1 != 0L).flatMap { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, coarse)
+      if (!probed.contains(c)) None
+      else {
+        val res = Array.tabulate(v.length)(i => (v(i) - coarse(c)(i)).toFloat)
+        var approx = 0.0
+        var j = 0
+        while (j < books.length) {
+          val code = argminCode(books(j), res, j * sub)
+          approx += adc(c, j, code)
+          j += 1
+        }
+        Some((id, round6(approx)))
+      }
+    }.toSeq.sortBy { case (id, dd) => (dd, id) }.take(10)
+    valuesPin(top, "approx_d2", "ORDER BY approx_d2, vec_id")
   }
 
   /** Metadata-filtered vector search

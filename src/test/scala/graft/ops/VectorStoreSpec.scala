@@ -51,6 +51,30 @@ class VectorStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/codebooks").count() == 8L * 16)
   }
 
+  test("append encodes against FROZEN codebooks — appended rows carry " +
+      "exactly the codes the original write would have given them") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_app").toString
+    // store trained on the full corpus, then the same 20 vectors appended
+    // under offset ids: frozen-book encoding must reproduce their codes
+    VectorStore.write(spark, emb, d)
+    val before = spark.read.parquet(s"$d/codes")
+    val n = before.count()
+    val re = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    VectorStore.append(spark, d, re)
+    val after = spark.read.parquet(s"$d/codes")
+    assert(after.count() == n + 20)
+    def row(r: org.apache.spark.sql.Row): (List[Int], Int) =
+      (r.getSeq[Int](r.fieldIndex("codes")).toList,
+        r.getAs[Int]("cell"))
+    val orig = after.filter($"vec_id" < 20)
+      .collect().map(r => r.getLong(0) -> row(r)).toMap
+    after.filter($"vec_id" >= 100000L).collect().foreach { r =>
+      assert(row(r) == orig(r.getLong(0) - 100000L),
+        s"appended copy of ${r.getLong(0) - 100000L} drifted")
+    }
+  }
+
   test("nprobe widening only adds candidates — top-1 from full probe " +
       "is at least as close") {
     val narrow = VectorStore.queryTopK(spark, dir, queryVec, k = 1,

@@ -485,6 +485,54 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** ANN quality evaluation — recall@k of the banded-LSH kNN
+    * ([[annKnnJoin]], same parameters and hot-bucket cap) against the
+    * exact brute-force ranking, per query: (query_id, n_ann, n_hits)
+    * with n_hits = |ANN top-k ∩ exact top-k|. Integer counts, both
+    * rankings tie-broken on (cosine rounded to 6 dp desc, vec_id), so
+    * the whole evaluation replays exactly in SQL — this is the
+    * recall-monitoring query a production retrieval stack runs after
+    * every index rebuild or ingest batch.
+    *
+    * Scale: the EXACT side is |queries| x |corpus| by construction (it
+    * is the ground truth) — run it on a SAMPLED query set and size the
+    * sample, not the corpus; the query set enters as a broadcast so the
+    * corpus never shuffles for the scoring. */
+  def annRecallAtK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64,
+      corpusBucketCap: Int = 1024): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ann = annKnnJoin(queries, corpus, k, numPlanes, bands, dim,
+        corpusBucketCap)
+      .select(col("query_id"), col("vec_id"))
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val exact = corpus.select(col("vec_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.cosine(col("qe"), col("ce")), 6).as("cosine"))
+      .withColumn("__r", row_number().over(
+        W.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val nAnn = ann.groupBy(col("query_id")).agg(count(lit(1)).as("n_ann"))
+    val nHits = ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(nAnn, Seq("query_id"), "left")
+      .join(nHits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Semantic deduplication (SemDeDup-style, Abbas et al. 2023): prune the
     * corpus of vectors that are near-duplicates IN EMBEDDING SPACE of an
     * earlier (lower-id) vector. Candidates come from the same LSH band

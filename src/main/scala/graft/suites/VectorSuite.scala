@@ -28,8 +28,80 @@ object VectorSuite {
     // the DISK path must land on bit-identical scores, so it shares
     // q100's verify-time replay oracle verbatim
     Q("q147_vector_store_topk", q147, None, Some(q100Oracle)),
-    Q("q148_vector_store_append", q148, None, Some(q148Oracle))
+    Q("q148_vector_store_append", q148, None, Some(q148Oracle)),
+    Q("q149_ann_recall", q149, Some(q149Sql))
   )
+
+  /** ANN recall monitoring ([[Similarity.annRecallAtK]]): every 25th
+    * vector queries the corpus through the banded-LSH kNN (q109's exact
+    * configuration, hot-bucket cap included) AND through brute force;
+    * the per-query intersection counts are integers, so the oracle
+    * replays BOTH rankings end-to-end — banding, cap, candidate join,
+    * rounded-cosine tiebreaks, and the ground-truth window. The
+    * recall-after-rebuild check a production retrieval stack schedules. */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.annRecallAtK(emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
+      .orderBy(col("query_id"))
+  }
+
+  private val q149Sql =
+    """WITH sig AS (SELECT vec_id, embedding,
+      |    list_transform(range(0, 16), p ->
+      |      CASE WHEN list_sum(list_transform(embedding, (x, i) ->
+      |        CAST(x AS DOUBLE) *
+      |        ((CAST(p*64 + i AS BIGINT) * 2654435761 % 1000000007) % 2001
+      |         - 1000) / 1000.0)) > 0
+      |      THEN 1 ELSE 0 END) AS bits
+      |  FROM embeddings),
+      |banded AS (SELECT vec_id, b.range AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        bits[b.range*4+1 : b.range*4+4]),
+      |      (a, v) -> a * 2 + v) AS bucket
+      |  FROM sig, range(0, 4) b),
+      |capped AS (SELECT vec_id, band, bucket FROM (
+      |    SELECT vec_id, band, bucket, row_number() OVER (
+      |      PARTITION BY band, bucket ORDER BY vec_id) AS rn FROM banded)
+      |  WHERE rn <= 1024),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      |  FROM banded q JOIN capped c USING (band, bucket)
+      |  WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+      |scored AS (SELECT query_id, cand.vec_id,
+      |    round(
+      |      list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(eq.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(ec.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+      |  FROM cand
+      |  JOIN embeddings eq ON eq.vec_id = cand.query_id
+      |  JOIN embeddings ec ON ec.vec_id = cand.vec_id),
+      |ann AS (SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, vec_id) AS r FROM scored) WHERE r <= 5),
+      |exactscore AS (SELECT eq.vec_id AS query_id, ec.vec_id,
+      |    round(
+      |      list_sum(list_transform(list_zip(eq.embedding, ec.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(eq.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(ec.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+      |  FROM embeddings eq JOIN embeddings ec ON ec.vec_id <> eq.vec_id
+      |  WHERE eq.vec_id % 25 = 0),
+      |exact AS (SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, vec_id) AS r FROM exactscore) WHERE r <= 5),
+      |qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 25 = 0),
+      |na AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1),
+      |nh AS (SELECT query_id, count(*) AS n_hits
+      |  FROM ann JOIN exact USING (query_id, vec_id) GROUP BY 1)
+      |SELECT query_id,
+      |  CAST(COALESCE(n_ann, 0) AS BIGINT) AS n_ann,
+      |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits
+      |FROM qs LEFT JOIN na USING (query_id) LEFT JOIN nh USING (query_id)
+      |ORDER BY query_id""".stripMargin
 
   /** Disk-backed vector store ([[graft.ops.VectorStore]]): the q100
     * IVF-PQ composition persisted as parquet PQ codes PARTITIONED BY

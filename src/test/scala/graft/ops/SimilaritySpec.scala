@@ -266,6 +266,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRecallAtK: hit counts equal an independent intersection of " +
+      "the two rankings") {
+    val queries = emb.filter($"vec_id".isin(0L, 7L, 42L))
+    val out = Similarity.annRecallAtK(queries, emb, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 7L, 42L))
+    out.values.foreach { case (nAnn, nHits) =>
+      assert(nHits <= nAnn && nAnn <= 5)
+    }
+    // independent check per query: ANN ids from annKnnJoin, exact ids
+    // from cosineTopK (both already spec-pinned), intersected by hand
+    Seq(0L, 7L, 42L).foreach { qid =>
+      val annIds = Similarity.annKnnJoin(emb.filter($"vec_id" === qid),
+        emb, k = 5).collect().map(_.getLong(1)).toSet
+      val exactIds = Similarity.cosineTopK(emb, qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(out(qid) == ((annIds.size.toLong,
+        annIds.intersect(exactIds).size.toLong)))
+    }
+  }
+
   test("filteredCosineTopK equals a hand-built filtered brute force") {
     val filtered = Similarity.filteredCosineTopK(emb, $"label" === 1, 0L, 10)
       .collect().map(r => (r.getLong(0), r.getAs[Double]("cosine")))

@@ -14,8 +14,16 @@ import org.apache.spark.sql.functions._
   * [[Layout]]'s clustered writes and the COG range-read path.
   *
   * Layout under `dir`:
-  *   codes/cell=<c>/  (vec_id, codes array<int>) — m bytes of PQ code
-  *                    per vector, the only thing a query scans
+  *   codes/batch=<b>/cell=<c>/  (vec_id, codes array<int>) — m bytes of
+  *                    PQ code per vector, the only thing a query scans.
+  *                    batch 0 is the initial write; appends (batch and
+  *                    streaming) add whole batch directories, which
+  *                    makes ingest IDEMPOTENT at the batch level (a
+  *                    replayed micro-batch that finds its directory
+  *                    already present skips — the foreachBatch sink
+  *                    discipline). Queries filter on cell only, and
+  *                    cell stays a partition column, so directory
+  *                    pruning is unaffected by the batch level.
   *   centroids/       (cell, centroid array<double>) — coarse cells
   *   codebooks/       (j, code, centroid array<double>) — shared
   *                    residual codebooks (classic IVFADC)
@@ -57,9 +65,10 @@ object VectorStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = Pq.trainCodebooks(assigned, m, codebookSize, kmeansIters)
     assigned
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"), lit(0L).as("batch"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+      .write.partitionBy("batch", "cell").mode("overwrite")
+      .parquet(s"$dir/codes")
     coarse.zipWithIndex
       .map { case (cent, c) => (c, cent.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -83,10 +92,21 @@ object VectorStore {
     * Quantization drift is the stated trade: appended vectors are coded
     * against codebooks trained before they existed — monitor and
     * retrain offline when recall decays, as every IVF store does.
-    * Idempotence is the caller's contract (dedup ids before append, the
-    * q90 incremental-ingest discipline). */
-  def append(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
+    * Idempotence: each append lands as one NEW `batch=<id>` directory
+    * (id = max existing + 1 unless pinned); an append whose batch
+    * directory already exists is a NO-OP, so a replayed micro-batch or
+    * retried job cannot duplicate rows. Duplicate vec_ids ACROSS
+    * distinct batches remain the caller's contract (dedup ids upstream,
+    * the q90 incremental-ingest discipline). */
+  def append(spark: SparkSession, dir: String, emb: DataFrame,
+      batchId: Option[Long] = None): Unit = {
     import spark.implicits._
+    val existing = Option(new java.io.File(s"$dir/codes").list())
+      .getOrElse(Array.empty[String])
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    val id = batchId.getOrElse(if (existing.isEmpty) 1L else existing.max + 1)
+    if (existing.contains(id)) return // replay of a committed batch
     val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val booksFlat = spark.read.parquet(s"$dir/codebooks")
@@ -100,18 +120,37 @@ object VectorStore {
     val cs = coarse
     emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) =>
+      .map { case (id0, v) =>
         val c = Similarity.nearestCentroid(v, cs)
         val res = new Array[Float](v.length)
         var i = 0
         while (i < v.length) { res(i) = (v(i) - cs(c)(i)).toFloat; i += 1 }
-        (id, c, res)
+        (id0, c, res)
       }
       .toDF("vec_id", "cell", "embedding")
       .select(col("vec_id"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
-      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/codes/batch=$id")
   }
+
+  /** Streaming ingest: every micro-batch of an embedding stream appends
+    * through [[append]] under a batch id derived from the stream's own
+    * micro-batch id (offset by `batchBase` so stream batches never
+    * collide with batch-mode appends) — a crashed-and-replayed
+    * micro-batch finds its directory committed and skips, the
+    * exactly-once foreachBatch sink discipline the streaming suite pins
+    * for parquet. Returns the started query; one active stream per
+    * store. */
+  def appendStream(spark: SparkSession, dir: String,
+      embStream: DataFrame,
+      batchBase: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+    embStream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        append(spark, dir, df, batchId = Some(batchBase + id))
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
 
   /** Approximate top-k nearest (squared L2) to `queryVec` from the
     * store: centroids/codebooks collect to the driver (bounded

@@ -75,6 +75,41 @@ class VectorStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest: micro-batches append with frozen codes and " +
+      "batch replay is a no-op") {
+    // store trained on even ids; the odd half arrives as a file stream
+    val d = java.nio.file.Files.createTempDirectory("vecstore_stream")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    val streamSrc = java.nio.file.Files
+      .createTempDirectory("emb_stream").toString
+    emb.filter($"vec_id" % 2 === 1)
+      .write.mode("overwrite").parquet(streamSrc)
+    val schema = spark.read.parquet(streamSrc).schema
+    val stream = spark.readStream.schema(schema).parquet(streamSrc)
+    val q = VectorStore.appendStream(spark, d, stream)
+    try q.processAllAvailable() finally q.stop()
+    val codes = spark.read.parquet(s"$d/codes")
+    assert(codes.count() == emb.count(),
+      "streamed half did not fully land in the store")
+    // the streamed rows carry exactly the codes a batch append gives
+    val twin = java.nio.file.Files.createTempDirectory("vecstore_twin")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), twin)
+    VectorStore.append(spark, twin, emb.filter($"vec_id" % 2 === 1))
+    def codeMap(dir: String) = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        (r.getSeq[Int](r.fieldIndex("codes")).toList,
+          r.getAs[Int]("cell"))).toMap
+    assert(codeMap(d) == codeMap(twin))
+    // replaying a committed batch id is a no-op, not a duplication
+    val n = codes.count()
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1),
+      batchId = Some(1000000L))
+    assert(spark.read.parquet(s"$d/codes").count() == n,
+      "batch replay duplicated rows")
+  }
+
   test("nprobe widening only adds candidates — top-1 from full probe " +
       "is at least as close") {
     val narrow = VectorStore.queryTopK(spark, dir, queryVec, k = 1,

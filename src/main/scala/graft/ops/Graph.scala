@@ -27,15 +27,18 @@ object Graph {
     * `(scale*(den-num)) div (den*n)  +  (num * (incoming + dm div n)) div den`
     * with damping d = num/den (default 17/20 = 0.85).
     *
-    * Scale shape: the edge list is materialized ONCE (localCheckpoint) and
-    * reused every round; each round is one equi-join on the rank key plus
-    * one groupBy(dst) with map-side combine — the same per-round cost
-    * class as [[Dedup.connectedComponents]]. The dangling-mass scalar is a
-    * 1-row aggregate broadcast back over the nodes, never a driver
-    * round-trip inside the plan. localCheckpoint truncates lineage each
-    * round so round N never replays rounds 1..N-1; superseded rank
-    * checkpoints are released as the loop advances (the bench/guardrail
-    * cache-hygiene contract).
+    * Scale shape: the edge list is laid out ONCE in a loop-invariant
+    * partitioned cache (two regimes — see the layout comment in the
+    * body) so an ITERATION MOVES NO EDGE BYTES; each round is the edge
+    * scan + groupBy(dst) with map-side combine. The dangling-mass
+    * scalar is a 1-row aggregate broadcast back over the nodes, never a
+    * driver round-trip inside the plan. Rank checkpoints truncate
+    * lineage each round and superseded rounds are released (the
+    * bench/guardrail cache-hygiene contract). Measured trade: the
+    * layout cache costs ~0.4 s extra at the sf0.1 1x graph (q110
+    * 3.5 -> 4.0 s isolated) and wins 3x at the 16x probe (SCALE.md
+    * pagerank_3iter 43.7 -> ~12-15 s) — the setup amortizes with edge
+    * count, which is the direction that matters.
     *
     * Output: (node, r) with r the scaled rank (divide by `scale` for the
     * conventional value). Fixed `iters` rather than convergence detection

@@ -152,6 +152,26 @@ object VectorStore {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
 
+  /** Tombstone deletes — the third lifecycle verb (a dedup or takedown
+    * pass removes vectors from retrieval without rewriting code files):
+    * the ids land as a `deletes/batch=<id>` directory (same
+    * batch-directory idempotence as [[append]]) and every query
+    * anti-joins them out BEFORE scoring. A tombstone is FINAL for its
+    * vec_id — it masks every stored row with that id, past and future;
+    * re-ingest under a fresh id. Space is reclaimed offline by a
+    * rewrite (the compaction discipline), never in the serving path. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    val existing = Option(new java.io.File(s"$dir/deletes").list())
+      .getOrElse(Array.empty[String])
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    val id = batchId.getOrElse(if (existing.isEmpty) 1L else existing.max + 1)
+    if (existing.contains(id)) return
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/deletes/batch=$id")
+  }
+
   /** Approximate top-k nearest (squared L2) to `queryVec` from the
     * store: centroids/codebooks collect to the driver (bounded
     * metadata), the `nprobe` nearest cells and their ADC tables are
@@ -205,10 +225,17 @@ object VectorStore {
     }
     val base = spark.read.parquet(s"$dir/codes")
       .filter(col("cell").isInCollection(probed))
-    val scanned = excludeVecId match {
+    val excluded = excludeVecId match {
       case Some(id) => base.filter(col("vec_id") =!= id)
       case None => base
     }
+    // tombstones mask rows before any scoring work is spent on them
+    val scanned =
+      if (new java.io.File(s"$dir/deletes").exists())
+        excluded.join(
+          spark.read.parquet(s"$dir/deletes").select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      else excluded
     scanned
       .select(col("vec_id"),
         round(aggregate(

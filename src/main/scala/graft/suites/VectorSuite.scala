@@ -29,8 +29,81 @@ object VectorSuite {
     // q100's verify-time replay oracle verbatim
     Q("q147_vector_store_topk", q147, None, Some(q100Oracle)),
     Q("q148_vector_store_append", q148, None, Some(q148Oracle)),
-    Q("q149_ann_recall", q149, Some(q149Sql))
+    Q("q149_ann_recall", q149, Some(q149Sql)),
+    Q("q150_vector_store_delete", q150, None, Some(q150Oracle))
   )
+
+  /** Tombstone deletes ([[graft.ops.VectorStore.delete]]): the store
+    * holds the full corpus, every vec_id % 10 == 3 is tombstoned, and a
+    * query must rank as if those vectors never existed — the oracle is
+    * the q100 replay with the deleted ids filtered from the candidate
+    * universe, so a tombstone that leaks into (or over-masks) the
+    * ranking breaks the hash. */
+  private val deleteStoreDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dir = deleteStoreDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("vecstore_del")
+        .toString
+      graft.ops.VectorStore.write(s, emb, out)
+      graft.ops.VectorStore.delete(s, out,
+        emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")))
+      out
+    })
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.ops.VectorStore.queryTopK(s, dir, qv, k = 10, nprobe = 2,
+      excludeVecId = Some(0L))
+  }
+
+  private def q150Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val embSel = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val coarse = Similarity.kMeansCentroids(embSel, k = 8, iters = 3)
+    val cs = coarse
+    val resDf = embSel.as[(Long, Array[Float])].map { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, cs)
+      (id, Array.tabulate(v.length)(i => (v(i) - cs(c)(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = graft.ops.Pq.trainCodebooks(resDf, m = 8, codebookSize = 16,
+      kmeansIters = 3)
+    val sub = books.head.head.length
+    val vecs = collectVecs(s, d)
+    val qv = vecs.find(_._1 == 0L).get._2
+    val probed = coarse.indices.sortBy(c => sliceD2(coarse(c), qv, 0)).take(2)
+    def adc(c: Int, j: Int, code: Int): Double = {
+      var dd = 0.0; var i = 0
+      val cent = books(j)(code)
+      while (i < sub) {
+        val qr = (qv(j * sub + i) - coarse(c)(j * sub + i)).toFloat
+        val diff = qr - cent(i); dd += diff * diff; i += 1
+      }
+      dd
+    }
+    val top = vecs.iterator
+      .filter { case (id, _) => id != 0L && id % 10 != 3 } // tombstoned out
+      .flatMap { case (id, v) =>
+        val c = Similarity.nearestCentroid(v, coarse)
+        if (!probed.contains(c)) None
+        else {
+          val res =
+            Array.tabulate(v.length)(i => (v(i) - coarse(c)(i)).toFloat)
+          var approx = 0.0
+          var j = 0
+          while (j < books.length) {
+            val code = argminCode(books(j), res, j * sub)
+            approx += adc(c, j, code)
+            j += 1
+          }
+          Some((id, round6(approx)))
+        }
+      }.toSeq.sortBy { case (id, dd) => (dd, id) }.take(10)
+    valuesPin(top, "approx_d2", "ORDER BY approx_d2, vec_id")
+  }
 
   /** ANN recall monitoring ([[Similarity.annRecallAtK]]): every 25th
     * vector queries the corpus through the banded-LSH kNN (q109's exact

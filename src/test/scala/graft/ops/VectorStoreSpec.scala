@@ -110,6 +110,32 @@ class VectorStoreSpec extends SparkSpec {
       "batch replay duplicated rows")
   }
 
+  test("tombstones mask deleted ids from queries; delete replay is a " +
+      "no-op; other rankings are untouched") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_del").toString
+    VectorStore.write(spark, emb, d)
+    val before = VectorStore.queryTopK(spark, d, queryVec, k = 50,
+      nprobe = 8, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val victims = before.take(3).map(_._1).toSet
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id".isInCollection(victims)).select($"vec_id"))
+    val after = VectorStore.queryTopK(spark, d, queryVec, k = 50,
+      nprobe = 8, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(after.forall(r => !victims.contains(r._1)),
+      "a tombstoned id leaked into the ranking")
+    // survivors keep their scores and relative order exactly
+    assert(after.take(10).toSeq ==
+      before.filterNot(r => victims.contains(r._1)).take(10).toSeq)
+    // replaying the same delete batch adds nothing
+    val nDel = spark.read.parquet(s"$d/deletes").count()
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id".isInCollection(victims)).select($"vec_id"),
+      batchId = Some(1L))
+    assert(spark.read.parquet(s"$d/deletes").count() == nDel)
+  }
+
   test("nprobe widening only adds candidates — top-1 from full probe " +
       "is at least as close") {
     val narrow = VectorStore.queryTopK(spark, dir, queryVec, k = 1,

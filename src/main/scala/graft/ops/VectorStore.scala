@@ -172,6 +172,39 @@ object VectorStore {
       .write.mode("overwrite").parquet(s"$dir/deletes/batch=$id")
   }
 
+  /** Offline compaction — the space-reclaim half of the tombstone
+    * contract: fold every append batch into one batch-0 layout with the
+    * tombstoned rows physically dropped, then clear the tombstones.
+    * Codes and metadata are untouched semantically, so any query
+    * returns bit-identical results before and after (spec-pinned); what
+    * changes is the file layout — one directory per cell again instead
+    * of one per (batch, cell), and no anti-join work in the serving
+    * path. Runs OFFLINE by construction: the rewrite lands in a
+    * temporary directory and swaps in with two renames, so a crash
+    * leaves either the old store or the new one, never a mix. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val live = {
+      val codes = spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("cell"), col("codes"))
+      if (new java.io.File(s"$dir/deletes").exists())
+        codes.join(spark.read.parquet(s"$dir/deletes").select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      else codes
+    }
+    live.select(col("vec_id"), lit(0L).as("batch"), col("cell"), col("codes"))
+      .write.partitionBy("batch", "cell").mode("overwrite")
+      .parquet(s"$dir/codes_compact")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$dir/codes"))
+    rm(new java.io.File(s"$dir/deletes"))
+    require(new java.io.File(s"$dir/codes_compact")
+      .renameTo(new java.io.File(s"$dir/codes")),
+      s"compaction swap failed for $dir")
+  }
+
   /** Approximate top-k nearest (squared L2) to `queryVec` from the
     * store: centroids/codebooks collect to the driver (bounded
     * metadata), the `nprobe` nearest cells and their ADC tables are

@@ -136,6 +136,33 @@ class VectorStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/deletes").count() == nDel)
   }
 
+  test("compaction folds batches, drops tombstoned rows, and leaves " +
+      "query results bit-identical") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_cpt").toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1))
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    val before = VectorStore.queryTopK(spark, d, queryVec, k = 20,
+      nprobe = 8, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    VectorStore.compact(spark, d)
+    val after = VectorStore.queryTopK(spark, d, queryVec, k = 20,
+      nprobe = 8, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "compaction changed query results")
+    // physically: one batch level remains, tombstones are gone, and the
+    // deleted rows no longer exist anywhere on disk
+    val codes = spark.read.parquet(s"$d/codes")
+    // partition inference types `batch` from the dir names (int here)
+    assert(codes.select($"batch".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    assert(!new java.io.File(s"$d/deletes").exists())
+    assert(codes.filter($"vec_id" % 10 === 3).count() == 0)
+    assert(codes.count() ==
+      emb.count() - emb.filter($"vec_id" % 10 === 3).count())
+  }
+
   test("nprobe widening only adds candidates — top-1 from full probe " +
       "is at least as close") {
     val narrow = VectorStore.queryTopK(spark, dir, queryVec, k = 1,

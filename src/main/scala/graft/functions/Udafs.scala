@@ -97,8 +97,13 @@ object Udafs {
       }
     def merge(a: HllBuf, b: HllBuf): HllBuf =
       HllBuf(a.maxRho.lazyZip(b.maxRho).map(math.max))
+    // an all-zero table means NOTHING was folded (any value sets some
+    // bucket's rho >= 1): report 0 like count_distinct, not the raw
+    // estimator's empty-sketch bias (alpha*m ~ 45.4). The SQL replay is
+    // never exercised on an empty column (its aggregate would be NULL).
     def finish(b: HllBuf): Double =
-      graft.ops.Sketches.estimateOf(b.maxRho.toArray)
+      if (b.maxRho.forall(_ == 0L)) 0.0
+      else graft.ops.Sketches.estimateOf(b.maxRho.toArray)
     def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }

@@ -83,7 +83,11 @@ object Robust {
     // materialize the groups-sized bounds ONCE (localCheckpoint) so the
     // broadcast-eligibility count doesn't replay the fact-table histogram
     // scan; the blocks are the op's bounded state feeding its result
-    // (the smoke-spec checkpoint allowance), never fact-sized
+    // (the smoke-spec checkpoint allowance), never fact-sized. They back
+    // the RETURNED plan, so this call cannot release them itself —
+    // long-lived sessions calling winsorize repeatedly should release
+    // consumed results via getPersistentRDDs, exactly as the bench
+    // harness and smoke guardrail do between queries
     val boundsM = bounds.localCheckpoint(true)
     val boundsKeyed =
       if (boundsM.count() <= broadcastKeyLimit) broadcast(boundsM) else boundsM

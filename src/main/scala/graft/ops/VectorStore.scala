@@ -16,17 +16,24 @@ import org.apache.spark.sql.functions._
   * Layout under `dir`:
   *   codes/batch=<b>/cell=<c>/  (vec_id, codes array<int>) — m bytes of
   *                    PQ code per vector, the only thing a query scans.
-  *                    batch 0 is the initial write; appends (batch and
-  *                    streaming) add whole batch directories, which
-  *                    makes ingest IDEMPOTENT at the batch level (a
-  *                    replayed micro-batch that finds its directory
-  *                    already present skips — the foreachBatch sink
-  *                    discipline). Queries filter on cell only, and
-  *                    cell stays a partition column, so directory
+  *                    batch 0 is the initial write; appends add whole
+  *                    batch directories. Queries filter on cell only,
+  *                    and cell stays a partition column, so directory
   *                    pruning is unaffected by the batch level.
+  *   codes.ledger     batch ids folded away by [[compact]] — they stay
+  *                    "committed" forever so a late replay of an
+  *                    already-ingested batch remains a no-op even after
+  *                    its directory is gone
+  *   deletes/batch=<b>/ + deletes.ledger — tombstones, same discipline
   *   centroids/       (cell, centroid array<double>) — coarse cells
   *   codebooks/       (j, code, centroid array<double>) — shared
   *                    residual codebooks (classic IVFADC)
+  *
+  * Ingest idempotence is COMMIT-based, not directory-based: a batch id
+  * counts as committed only when its directory carries the parquet
+  * job-commit `_SUCCESS` marker (or the compaction ledger lists it) — a
+  * directory left by a crashed half-write is NOT committed, and the
+  * replay overwrites it instead of silently skipping the batch's rows.
   *
   * Everything is deterministic and bit-identical to [[Pq.ivfPqTopK]]
   * with the same parameters: same k-means init/merge order, same
@@ -37,6 +44,104 @@ import org.apache.spark.sql.functions._
   * the driver at query time, the store's only non-scan reads.
   */
 object VectorStore {
+
+  /** Stream micro-batch ids map to `StreamBatchBase + id`; batch-mode
+    * appends allocate below the base — the two id pools can never
+    * collide, so a batch-mode append can't shadow a future micro-batch. */
+  val StreamBatchBase = 1000000L
+
+  // ---- store plumbing ---------------------------------------------------
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
+  private def ledgerOf(root: String) = new java.io.File(s"$root.ledger")
+
+  private def readLedger(root: String): Set[Long] = {
+    val f = ledgerOf(root)
+    if (!f.exists()) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").iterator.filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  private def extendLedger(root: String, ids: Set[Long]): Unit = {
+    val all = (readLedger(root) ++ ids).toSeq.sorted
+    val tmp = new java.io.File(s"$root.ledger.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      all.mkString("", "\n", "\n").getBytes("UTF-8"))
+    require(tmp.renameTo(ledgerOf(root)), s"ledger update failed for $root")
+  }
+
+  /** Batch ids under `root` that are fully committed: their directory
+    * carries the `_SUCCESS` job-commit marker, or the compaction ledger
+    * records them. A marker-less directory is a crashed half-write and
+    * does NOT count. */
+  private def committedBatches(root: String): Set[Long] = {
+    val onDisk = Option(new java.io.File(root).list())
+      .getOrElse(Array.empty[String])
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(id =>
+        new java.io.File(s"$root/batch=$id/_SUCCESS").exists())
+    onDisk.toSet ++ readLedger(root)
+  }
+
+  private def nextBatchId(root: String): Long = {
+    val pool = committedBatches(root).filter(id =>
+      id > 0L && id < StreamBatchBase)
+    if (pool.isEmpty) 1L else pool.max + 1
+  }
+
+  /** Self-healing for the narrow compaction crash window: if `codes` is
+    * missing but the completed replacement is present, swap it in. */
+  private def heal(dir: String): Unit = {
+    val codes = new java.io.File(s"$dir/codes")
+    val pending = new java.io.File(s"$dir/codes_compact")
+    if (!codes.exists() && pending.exists() &&
+        new java.io.File(s"$dir/codes_compact/_SUCCESS").exists())
+      require(pending.renameTo(codes), s"recovery rename failed for $dir")
+  }
+
+  /** Frozen store metadata: (coarse centroids by cell, codebooks by
+    * (subspace, code)) — the one definition every reader shares. */
+  private def readMeta(spark: SparkSession,
+      dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val booksFlat = spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Seq[Double])].collect()
+    require(coarse.nonEmpty && booksFlat.nonEmpty,
+      s"$dir does not hold a written store (empty centroids/codebooks)")
+    val m = booksFlat.map(_._1).max + 1
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      booksFlat.filter(_._1 == j).sortBy(_._2).map(_._3.toArray)
+    }
+    (coarse, books)
+  }
+
+  /** (vec_id, cell, residual) for every vector — the one assignment
+    * kernel [[write]] and [[append]] share, so the two ingest paths can
+    * never drift. */
+  private def assignResiduals(spark: SparkSession, emb: DataFrame,
+      coarse: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val cs = coarse
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val c = Similarity.nearestCentroid(v, cs)
+        val res = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { res(i) = (v(i) - cs(c)(i)).toFloat; i += 1 }
+        (id, c, res)
+      }
+      .toDF("vec_id", "cell", "embedding")
+  }
+
+  // ---- lifecycle verbs --------------------------------------------------
 
   /** Train coarse cells + residual codebooks over `emb` and write the
     * store under `dir` (overwrite). One training pipeline, one
@@ -52,16 +157,7 @@ object VectorStore {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coarse = Similarity.kMeansCentroids(vecs, cells, kmeansIters)
-    val cs = coarse
-    val assigned = vecs.as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val c = Similarity.nearestCentroid(v, cs)
-        val res = new Array[Float](v.length)
-        var i = 0
-        while (i < v.length) { res(i) = (v(i) - cs(c)(i)).toFloat; i += 1 }
-        (id, c, res)
-      }
-      .toDF("vec_id", "cell", "embedding")
+    val assigned = assignResiduals(spark, vecs, coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = Pq.trainCodebooks(assigned, m, codebookSize, kmeansIters)
     assigned
@@ -69,6 +165,8 @@ object VectorStore {
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("batch", "cell").mode("overwrite")
       .parquet(s"$dir/codes")
+    ledgerOf(s"$dir/codes").delete()
+    ledgerOf(s"$dir/deletes").delete()
     coarse.zipWithIndex
       .map { case (cent, c) => (c, cent.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -85,66 +183,46 @@ object VectorStore {
     * existing store WITHOUT retraining. The frozen centroids/codebooks
     * collect to the driver (bounded metadata), each new vector assigns
     * to its nearest EXISTING cell and encodes its residual against the
-    * FROZEN codebooks, and the code rows append into the cell
-    * partitions — a pure map stage plus a partitioned parquet append;
-    * the existing corpus is never read or rewritten. Queries see old
-    * and new vectors identically (same cells, same ADC tables).
+    * FROZEN codebooks, and the code rows land as one new batch
+    * directory — a pure map stage plus a partitioned parquet write; the
+    * existing corpus is never read or rewritten. Queries see old and
+    * new vectors identically (same cells, same ADC tables).
     * Quantization drift is the stated trade: appended vectors are coded
-    * against codebooks trained before they existed — monitor and
-    * retrain offline when recall decays, as every IVF store does.
-    * Idempotence: each append lands as one NEW `batch=<id>` directory
-    * (id = max existing + 1 unless pinned); an append whose batch
-    * directory already exists is a NO-OP, so a replayed micro-batch or
-    * retried job cannot duplicate rows. Duplicate vec_ids ACROSS
-    * distinct batches remain the caller's contract (dedup ids upstream,
-    * the q90 incremental-ingest discipline). */
+    * against codebooks trained before they existed — monitor (the q149
+    * recall query) and retrain offline when recall decays.
+    *
+    * Idempotence: an append whose batch id is already COMMITTED
+    * (`_SUCCESS` marker or compaction ledger) is a no-op; a marker-less
+    * directory from a crashed attempt is overwritten, never trusted.
+    * Default ids allocate below [[StreamBatchBase]] so batch-mode
+    * appends can never shadow a stream micro-batch. Duplicate vec_ids
+    * ACROSS distinct batches remain the caller's contract (dedup ids
+    * upstream, the q90 incremental-ingest discipline). */
   def append(spark: SparkSession, dir: String, emb: DataFrame,
       batchId: Option[Long] = None): Unit = {
-    import spark.implicits._
-    val existing = Option(new java.io.File(s"$dir/codes").list())
-      .getOrElse(Array.empty[String])
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-    val id = batchId.getOrElse(if (existing.isEmpty) 1L else existing.max + 1)
-    if (existing.contains(id)) return // replay of a committed batch
-    val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-    val booksFlat = spark.read.parquet(s"$dir/codebooks")
-      .as[(Int, Int, Seq[Double])].collect()
-    require(coarse.nonEmpty && booksFlat.nonEmpty,
-      s"$dir does not hold a written store (empty centroids/codebooks)")
-    val m = booksFlat.map(_._1).max + 1
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      booksFlat.filter(_._1 == j).sortBy(_._2).map(_._3.toArray)
-    }
-    val cs = coarse
-    emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id0, v) =>
-        val c = Similarity.nearestCentroid(v, cs)
-        val res = new Array[Float](v.length)
-        var i = 0
-        while (i < v.length) { res(i) = (v(i) - cs(c)(i)).toFloat; i += 1 }
-        (id0, c, res)
-      }
-      .toDF("vec_id", "cell", "embedding")
+    require(batchId.forall(_ > 0L), "batch 0 is the initial write")
+    heal(dir)
+    val root = s"$dir/codes"
+    val id = batchId.getOrElse(nextBatchId(root))
+    if (committedBatches(root).contains(id)) return
+    val (coarse, books) = readMeta(spark, dir)
+    assignResiduals(spark, emb, coarse)
       .select(col("vec_id"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$dir/codes/batch=$id")
+      .parquet(s"$root/batch=$id")
   }
 
   /** Streaming ingest: every micro-batch of an embedding stream appends
-    * through [[append]] under a batch id derived from the stream's own
-    * micro-batch id (offset by `batchBase` so stream batches never
-    * collide with batch-mode appends) — a crashed-and-replayed
-    * micro-batch finds its directory committed and skips, the
-    * exactly-once foreachBatch sink discipline the streaming suite pins
-    * for parquet. Returns the started query; one active stream per
+    * through [[append]] under `StreamBatchBase + microBatchId` — a
+    * crashed-and-replayed micro-batch whose directory committed skips,
+    * one that half-wrote is overwritten; either way no rows are lost or
+    * doubled (the foreachBatch sink discipline the streaming suite pins
+    * for parquet). Returns the started query; one active stream per
     * store. */
   def appendStream(spark: SparkSession, dir: String,
       embStream: DataFrame,
-      batchBase: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+      batchBase: Long = StreamBatchBase): org.apache.spark.sql.streaming.StreamingQuery =
     embStream.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         append(spark, dir, df, batchId = Some(batchBase + id))
@@ -154,55 +232,75 @@ object VectorStore {
 
   /** Tombstone deletes — the third lifecycle verb (a dedup or takedown
     * pass removes vectors from retrieval without rewriting code files):
-    * the ids land as a `deletes/batch=<id>` directory (same
-    * batch-directory idempotence as [[append]]) and every query
-    * anti-joins them out BEFORE scoring. A tombstone is FINAL for its
-    * vec_id — it masks every stored row with that id, past and future;
-    * re-ingest under a fresh id. Space is reclaimed offline by a
-    * rewrite (the compaction discipline), never in the serving path. */
+    * the ids land as a `deletes/batch=<id>` directory (same commit-based
+    * idempotence as [[append]]) and every query anti-joins them out
+    * BEFORE scoring. A tombstone is FINAL for its vec_id — it masks
+    * every stored row with that id, past and future; re-ingest under a
+    * fresh id. Space is reclaimed offline by [[compact]], never in the
+    * serving path. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       batchId: Option[Long] = None): Unit = {
-    val existing = Option(new java.io.File(s"$dir/deletes").list())
-      .getOrElse(Array.empty[String])
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-    val id = batchId.getOrElse(if (existing.isEmpty) 1L else existing.max + 1)
-    if (existing.contains(id)) return
+    require(batchId.forall(_ > 0L), "delete batch ids start at 1")
+    val root = s"$dir/deletes"
+    val id = batchId.getOrElse(nextBatchId(root))
+    if (committedBatches(root).contains(id)) return
     ids.select(col("vec_id").cast("long").as("vec_id"))
-      .write.mode("overwrite").parquet(s"$dir/deletes/batch=$id")
+      .write.mode("overwrite").parquet(s"$root/batch=$id")
   }
 
   /** Offline compaction — the space-reclaim half of the tombstone
-    * contract: fold every append batch into one batch-0 layout with the
-    * tombstoned rows physically dropped, then clear the tombstones.
-    * Codes and metadata are untouched semantically, so any query
-    * returns bit-identical results before and after (spec-pinned); what
-    * changes is the file layout — one directory per cell again instead
-    * of one per (batch, cell), and no anti-join work in the serving
-    * path. Runs OFFLINE by construction: the rewrite lands in a
-    * temporary directory and swaps in with two renames, so a crash
-    * leaves either the old store or the new one, never a mix. */
+    * contract: fold every committed batch into one batch-0 layout with
+    * the tombstoned rows physically dropped, then clear the tombstones.
+    * Semantically result-invisible (spec-pinned); physically one
+    * directory per cell again and no anti-join in the serving path.
+    *
+    * Crash contract, in order: (1) the folded batch ids are recorded in
+    * the ledgers FIRST, so a replay of an already-folded batch stays a
+    * no-op even though its directory is about to disappear; (2) the
+    * rewrite lands complete in `codes_compact`; (3) the old `codes`
+    * renames aside and the replacement renames in. A crash before (3)
+    * leaves the old store fully intact (the ledger entries are
+    * redundant but harmless); a crash INSIDE the two renames leaves the
+    * completed replacement on disk and [[heal]] — run by append/query —
+    * swaps it in. No window leaves a mix of old and new rows. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    heal(dir)
+    val codesRoot = s"$dir/codes"
+    val delRoot = s"$dir/deletes"
+    // purge crashed half-writes BEFORE folding: their rows must not leak
+    // into the compacted layout, and leaving their ids OUT of the ledger
+    // lets a later replay legitimately re-ingest them
+    Seq(codesRoot, delRoot).foreach { root =>
+      val committed = committedBatches(root)
+      Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filterNot(id => id == 0L || committed.contains(id))
+        .foreach(id => rmTree(new java.io.File(s"$root/batch=$id")))
+    }
     val live = {
-      val codes = spark.read.parquet(s"$dir/codes")
+      val codes = spark.read.parquet(codesRoot)
         .select(col("vec_id"), col("cell"), col("codes"))
-      if (new java.io.File(s"$dir/deletes").exists())
-        codes.join(spark.read.parquet(s"$dir/deletes").select(col("vec_id")),
+      if (new java.io.File(delRoot).exists())
+        codes.join(spark.read.parquet(delRoot).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else codes
     }
+    rmTree(new java.io.File(s"$dir/codes_compact"))
     live.select(col("vec_id"), lit(0L).as("batch"), col("cell"), col("codes"))
       .write.partitionBy("batch", "cell").mode("overwrite")
       .parquet(s"$dir/codes_compact")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(s"$dir/codes"))
-    rm(new java.io.File(s"$dir/deletes"))
-    require(new java.io.File(s"$dir/codes_compact")
-      .renameTo(new java.io.File(s"$dir/codes")),
-      s"compaction swap failed for $dir")
+    // poison the folded ids BEFORE any directory disappears
+    extendLedger(codesRoot, committedBatches(codesRoot))
+    extendLedger(delRoot, committedBatches(delRoot))
+    val codesDir = new java.io.File(codesRoot)
+    val oldDir = new java.io.File(s"$dir/codes_old")
+    rmTree(oldDir) // stale leftover from an earlier crash
+    require(codesDir.renameTo(oldDir), s"compaction swap-out failed: $dir")
+    require(new java.io.File(s"$dir/codes_compact").renameTo(codesDir),
+      s"compaction swap-in failed: $dir")
+    rmTree(oldDir)
+    rmTree(new java.io.File(delRoot))
   }
 
   /** Approximate top-k nearest (squared L2) to `queryVec` from the
@@ -216,19 +314,11 @@ object VectorStore {
   def queryTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
       k: Int, nprobe: Int = 2,
       excludeVecId: Option[Long] = None): DataFrame = {
-    import spark.implicits._
     require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
-    val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-    val booksFlat = spark.read.parquet(s"$dir/codebooks")
-      .as[(Int, Int, Seq[Double])].collect()
-    require(coarse.nonEmpty && booksFlat.nonEmpty,
-      s"$dir does not hold a written store (empty centroids/codebooks)")
-    val m = booksFlat.map(_._1).max + 1
-    val codebookSize = booksFlat.map(_._2).max + 1
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      booksFlat.filter(_._1 == j).sortBy(_._2).map(_._3.toArray)
-    }
+    heal(dir)
+    val (coarse, books) = readMeta(spark, dir)
+    val m = books.length
+    val codebookSize = books.head.length
     val sub = books.head.head.length
     val cells = coarse.length
     require(queryVec.length == m * sub,

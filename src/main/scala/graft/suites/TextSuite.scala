@@ -97,7 +97,8 @@ object TextSuite {
       .orderBy(col("doc_id"))
 
   private val q141Sql =
-    """WITH t AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w
+    """WITH t AS (SELECT source, doc_id,
+      |    GREATEST(CAST(n_chars AS BIGINT), 0) AS w
       |  FROM documents),
       |c AS (SELECT source, doc_id, w,
       |    CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id

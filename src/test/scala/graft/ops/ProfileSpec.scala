@@ -66,4 +66,15 @@ class ProfileSpec extends SparkSpec {
     assert(rows("b").getDouble(3) == bTwin)
     assert(rows("a").getLong(2) == 1L && rows("b").getLong(2) == 1L)
   }
+
+  test("numericProfileApprox estimates 0 for a column with no values, " +
+      "matching count_distinct") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (null, 1.0), (null, 2.0)).toDF("a", "b")
+    val r = Profile.numericProfileApprox(df, Seq("a"))
+      .collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.0,
+      s"empty sketch must report 0, got ${r.getDouble(3)}")
+  }
 }

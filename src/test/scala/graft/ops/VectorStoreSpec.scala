@@ -136,6 +136,44 @@ class VectorStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/deletes").count() == nDel)
   }
 
+  test("a crashed half-write (directory without _SUCCESS) is NOT " +
+      "committed — the replay overwrites it instead of skipping") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_crash")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    // simulate a crash: the batch directory exists with partial junk but
+    // no job-commit marker
+    val partial = new java.io.File(s"$d/codes/batch=77/cell=0")
+    partial.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(partial, "part-junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1),
+      batchId = Some(77L))
+    val codes = spark.read.parquet(s"$d/codes")
+    assert(codes.count() == emb.count(),
+      "replay of an uncommitted batch must rewrite it, not skip it")
+    // and now that it IS committed, a second replay adds nothing
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1),
+      batchId = Some(77L))
+    assert(spark.read.parquet(s"$d/codes").count() == emb.count())
+  }
+
+  test("batch-mode default ids never enter the streaming id namespace") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_ns").toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    // a committed STREAM batch must not drag the batch-mode default id
+    // into the stream pool (where it would shadow a future micro-batch)
+    VectorStore.append(spark, d, emb.filter($"vec_id" === 1L),
+      batchId = Some(VectorStore.StreamBatchBase))
+    VectorStore.append(spark, d, emb.filter($"vec_id" === 3L))
+    val batches = Option(new java.io.File(s"$d/codes").list()).get
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    assert(batches.contains(1L),
+      s"default id skipped the batch-mode pool: ${batches.sorted.toSeq}")
+    assert(batches.count(_ >= VectorStore.StreamBatchBase) == 1)
+  }
+
   test("compaction folds batches, drops tombstoned rows, and leaves " +
       "query results bit-identical") {
     val d = java.nio.file.Files.createTempDirectory("vecstore_cpt").toString
@@ -161,6 +199,13 @@ class VectorStoreSpec extends SparkSpec {
     assert(codes.filter($"vec_id" % 10 === 3).count() == 0)
     assert(codes.count() ==
       emb.count() - emb.filter($"vec_id" % 10 === 3).count())
+    // the ledger keeps folded batch ids committed: replaying the append
+    // that compaction folded away must stay a no-op
+    val n = codes.count()
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1),
+      batchId = Some(1L))
+    assert(spark.read.parquet(s"$d/codes").count() == n,
+      "a folded batch replayed after compaction — ledger failed")
   }
 
   test("nprobe widening only adds candidates — top-1 from full probe " +

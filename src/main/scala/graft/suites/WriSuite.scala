@@ -1,7 +1,7 @@
 package graft.suites
 
 import graft.{Q, Tables}
-import graft.wri.{Classify, Cog, CogQuery, Fixtures, Inventory, Stac, TiffWriter}
+import graft.wri.{Classify, Cog, CogQuery, Fixtures, Inventory, Stac, TiffIO, TiffWriter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,7 @@ object WriSuite {
     Q("wri_inventory", wriInventory, Some(wriInventorySql)),
     Q("wri_cog_pipeline", wriCog, Some(wriCogSql)),
     Q("wri_cog_window_stats", wriCogWindow, Some(wriCogWindowSql)),
+    Q("wri_cog_overview_stats", wriCogOverview, Some(wriCogOverviewSql)),
     Q("wri_stac_items", wriStac, Some(wriStacSql))
   )
 
@@ -48,6 +49,48 @@ object WriSuite {
         col("vs_sum"), col("vs_min"), col("vs_max"))
       .orderBy(col("layer"))
   }
+
+  /** The ZOOM-OUT path ([[CogQuery.windowStats]] at level 1): a coarse
+    * window answered from the 96x64 OVERVIEW tiles of
+    * NEAREST-resampled 192x128 COGs — the query never touches full-res
+    * data, which is what the pyramid exists for. Nearest overviews
+    * sample source pixel (2x, 2y) (TiffWriter's downsample rule), so
+    * the oracle replays the generator at the strided coordinates — the
+    * q134 resize discipline applied to the pyramid: a wrong level
+    * layout, tile fetch, or stride breaks the hash. */
+  private def wriCogOverview(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(s"$fixtureRoot/winq",
+      n = 4, w = 192, h = 128)
+    val cogDir = s"$fixtureRoot/winq_nn_cogs"
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32,
+        resampling = TiffIO.Nearest)).count()
+    CogQuery.windowStats(s, cogDir, inputs.map(_._2),
+        x0 = 35, y0 = 10, winW = 35, winH = 30, level = 1)
+      .select(col("layer"), col("n_valid"), col("n_nan"),
+        col("vs_sum"), col("vs_min"), col("vs_max"))
+      .orderBy(col("layer"))
+  }
+
+  private val wriCogOverviewSql =
+    """WITH px AS (
+      |  SELECT i.range AS i,
+      |    ((y.range * 2) * 192 + (x.range * 2)) AS j
+      |  FROM range(0, 4) i, range(35, 70) x, range(10, 40) y),
+      |v AS (SELECT i,
+      |    CASE WHEN (j + i) % 13 = 0 THEN NULL
+      |      ELSE CAST(round(CAST(CAST((j * (i + 3)) % 101 AS REAL)
+      |             / CAST(7 AS REAL) AS DOUBLE) * 10000) AS BIGINT)
+      |    END AS vs
+      |  FROM px)
+      |SELECT 'layer_' || i || '.tif' AS layer,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v GROUP BY i ORDER BY layer""".stripMargin
 
   private val wriCogWindowSql =
     """WITH px AS (

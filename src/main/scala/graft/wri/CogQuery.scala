@@ -38,16 +38,23 @@ object CogQuery {
 
   /** Stats of the pixel window [x0, x0+winW) x [y0, y0+winH) for each
     * named COG under `cogDir`, values scaled by `scale` before integer
-    * aggregation. `prefixBytes` is the size of the single header range
-    * request (the COG contract: it must cover the whole IFD chain —
-    * [[TiffIO.levelLayoutsFromPrefix]] throws loudly if not). */
+    * aggregation. `level` selects the pyramid level to read (0 = full
+    * resolution, 1+ = overviews — the ZOOM-OUT path: a coarse query
+    * reads the small overview tiles and never touches full-res data,
+    * which is why COGs carry pyramids at all); the window coordinates
+    * are in THAT level's pixel grid. `prefixBytes` is the size of the
+    * single header range request (the COG contract: it must cover the
+    * whole IFD chain — [[TiffIO.levelLayoutsFromPrefix]] throws loudly
+    * if not). */
   def windowStats(spark: SparkSession, cogDir: String, layers: Seq[String],
       x0: Int, y0: Int, winW: Int, winH: Int,
-      scale: Long = 10000L, prefixBytes: Int = 16 * 1024): DataFrame = {
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
     import spark.implicits._
     require(x0 >= 0 && y0 >= 0 && winW > 0 && winH > 0,
       s"window must be non-empty and non-negative: ($x0,$y0) ${winW}x$winH")
     require(scale >= 1, s"scale must be >= 1: $scale")
+    require(level >= 0, s"level must be >= 0: $level")
     require(layers.nonEmpty, "no layers to query")
     spark.createDataset(layers).mapPartitions { it =>
       it.map { name =>
@@ -58,7 +65,10 @@ object CogQuery {
           val pl = math.min(fileLen, prefixBytes.toLong).toInt
           val prefix = new Array[Byte](pl)
           raf.readFully(prefix)
-          val full = TiffIO.levelLayoutsFromPrefix(prefix).head
+          val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
+          require(level < layouts.length,
+            s"$name has ${layouts.length} levels, requested $level")
+          val full = layouts(level)
           val tw = full.tileWidth
           val th = full.tileHeight
           require(tw > 0 && th > 0, s"$name is not tiled — not a COG")

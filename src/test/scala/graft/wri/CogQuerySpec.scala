@@ -73,6 +73,45 @@ class CogQuerySpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("vs_min")))
   }
 
+  test("overview-level stats equal a full decode + scalar nearest " +
+      "downsample of the same window") {
+    // NEAREST-resampled pyramid: level-1 pixel (x, y) = source (2x, 2y)
+    val nnDir = {
+      val out = s"$root/nn_cogs"
+      Cog.run(spark, inputs.toDF("filepath", "cog_filename"), out,
+        TiffWriter.CogOptions(blockSize = 32,
+          resampling = TiffIO.Nearest)).count()
+      out
+    }
+    val got = CogQuery.windowStats(spark, nnDir, inputs.map(_._2),
+        x0 = 10, y0 = 5, winW = 40, winH = 25, level = 1)
+      .collect().map(r => r.getAs[String]("layer") -> r).toMap
+    inputs.foreach { case (src, name) =>
+      val (h, px) = TiffIO.readPixels(src)
+      var nValid = 0L; var nNan = 0L; var sum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      for (y <- 5 until 30; x <- 10 until 50) {
+        val v = px((y * 2) * h.width + (x * 2))
+        if (java.lang.Float.isNaN(v)) nNan += 1
+        else {
+          val vs = Math.round(v.toDouble * 10000)
+          nValid += 1; sum += vs
+          mn = math.min(mn, vs); mx = math.max(mx, vs)
+        }
+      }
+      val r = got(name)
+      assert(r.getAs[Long]("n_valid") == nValid &&
+        r.getAs[Long]("n_nan") == nNan && r.getAs[Long]("vs_sum") == sum &&
+        r.getAs[Long]("vs_min") == mn && r.getAs[Long]("vs_max") == mx,
+        s"level-1 drift for $name")
+    }
+    // asking past the pyramid depth fails loudly
+    intercept[org.apache.spark.SparkException] {
+      CogQuery.windowStats(spark, nnDir, inputs.map(_._2).take(1),
+        x0 = 0, y0 = 0, winW = 4, winH = 4, level = 64).collect()
+    }
+  }
+
   test("edge clipping: a window past the raster edge stays in bounds") {
     val r = CogQuery.windowStats(spark, cogDir, inputs.map(_._2).take(1),
       x0 = 180, y0 = 120, winW = 100, winH = 100).collect().head

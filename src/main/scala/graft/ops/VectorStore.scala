@@ -88,20 +88,48 @@ object VectorStore {
     onDisk.toSet ++ readLedger(root)
   }
 
-  private def nextBatchId(root: String): Long = {
-    val pool = committedBatches(root).filter(id =>
-      id > 0L && id < StreamBatchBase)
+  private def nextBatchId(committed: Set[Long]): Long = {
+    val pool = committed.filter(id => id > 0L && id < StreamBatchBase)
     if (pool.isEmpty) 1L else pool.max + 1
   }
 
+  /** The whole commit model keys on the parquet job-commit `_SUCCESS`
+    * marker; an environment that disables it
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) would make
+    * every committed batch look like a crashed half-write — silent data
+    * loss at the next compact. Fail LOUDLY at ingest instead. */
+  private def requireMarker(path: String): Unit =
+    require(new java.io.File(s"$path/_SUCCESS").exists(),
+      s"no _SUCCESS marker under $path — this store's idempotence " +
+        "requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
+
   /** Self-healing for the narrow compaction crash window: if `codes` is
-    * missing but the completed replacement is present, swap it in. */
+    * missing but the completed replacement is present, swap it in.
+    * Race-safe: two concurrent healers both attempting the rename is
+    * fine — the loser re-checks that SOMEONE put codes in place before
+    * declaring the store broken. */
   private def heal(dir: String): Unit = {
     val codes = new java.io.File(s"$dir/codes")
     val pending = new java.io.File(s"$dir/codes_compact")
     if (!codes.exists() && pending.exists() &&
-        new java.io.File(s"$dir/codes_compact/_SUCCESS").exists())
-      require(pending.renameTo(codes), s"recovery rename failed for $dir")
+        new java.io.File(s"$dir/codes_compact/_SUCCESS").exists()) {
+      val won = pending.renameTo(codes)
+      require(won || codes.exists(), s"recovery rename failed for $dir")
+    }
+  }
+
+  /** The paths of every COMMITTED batch directory under `root` — what a
+    * query is allowed to scan. Batch 0 (the initial write, whose marker
+    * sits at the root itself) is included when present; an uncommitted
+    * half-write's directory is never listed, so its partial files are
+    * neither read nor even footer-probed. */
+  private def committedPaths(root: String): Seq[String] = {
+    val ids = committedBatches(root)
+      .filter(id => new java.io.File(s"$root/batch=$id").exists())
+    val zero =
+      if (new java.io.File(s"$root/batch=0").exists()) Seq(s"$root/batch=0")
+      else Seq.empty
+    (zero ++ ids.toSeq.sorted.map(id => s"$root/batch=$id")).distinct
   }
 
   /** Frozen store metadata: (coarse centroids by cell, codebooks by
@@ -144,7 +172,10 @@ object VectorStore {
   // ---- lifecycle verbs --------------------------------------------------
 
   /** Train coarse cells + residual codebooks over `emb` and write the
-    * store under `dir` (overwrite). One training pipeline, one
+    * store under `dir` (overwrite — including every trace of a previous
+    * incarnation: tombstones, ledgers, and compaction leftovers are
+    * cleared FIRST, so a rebuilt store can never be haunted by the old
+    * one's deletes or poisoned batch ids). One training pipeline, one
     * partitioned write; the corpus never shuffles except the
     * partitionBy(cell) write placement. */
   def write(spark: SparkSession, emb: DataFrame, dir: String,
@@ -154,6 +185,14 @@ object VectorStore {
     require(cells >= 1 && m >= 1 && codebookSize >= 2 && codebookSize <= 256,
       s"need cells >= 1, m >= 1, codebookSize in [2,256]: " +
         s"$cells/$m/$codebookSize")
+    // previous-incarnation state goes BEFORE any new data lands: stale
+    // tombstones would mask the new corpus, a stale ledger would
+    // swallow future appends as "already committed"
+    rmTree(new java.io.File(s"$dir/deletes"))
+    rmTree(new java.io.File(s"$dir/codes_compact"))
+    rmTree(new java.io.File(s"$dir/codes_old"))
+    ledgerOf(s"$dir/codes").delete()
+    ledgerOf(s"$dir/deletes").delete()
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coarse = Similarity.kMeansCentroids(vecs, cells, kmeansIters)
@@ -165,8 +204,7 @@ object VectorStore {
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("batch", "cell").mode("overwrite")
       .parquet(s"$dir/codes")
-    ledgerOf(s"$dir/codes").delete()
-    ledgerOf(s"$dir/deletes").delete()
+    requireMarker(s"$dir/codes")
     coarse.zipWithIndex
       .map { case (cent, c) => (c, cent.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -203,14 +241,16 @@ object VectorStore {
     require(batchId.forall(_ > 0L), "batch 0 is the initial write")
     heal(dir)
     val root = s"$dir/codes"
-    val id = batchId.getOrElse(nextBatchId(root))
-    if (committedBatches(root).contains(id)) return
+    val committed = committedBatches(root)
+    val id = batchId.getOrElse(nextBatchId(committed))
+    if (committed.contains(id)) return
     val (coarse, books) = readMeta(spark, dir)
     assignResiduals(spark, emb, coarse)
       .select(col("vec_id"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$root/batch=$id")
+    requireMarker(s"$root/batch=$id")
   }
 
   /** Streaming ingest: every micro-batch of an embedding stream appends
@@ -222,13 +262,18 @@ object VectorStore {
     * store. */
   def appendStream(spark: SparkSession, dir: String,
       embStream: DataFrame,
-      batchBase: Long = StreamBatchBase): org.apache.spark.sql.streaming.StreamingQuery =
+      batchBase: Long = StreamBatchBase): org.apache.spark.sql.streaming.StreamingQuery = {
+    // below the base a stream id could collide with a batch-mode id and
+    // silently drop the micro-batch — the separation the base exists for
+    require(batchBase >= StreamBatchBase,
+      s"batchBase must be >= $StreamBatchBase: $batchBase")
     embStream.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         append(spark, dir, df, batchId = Some(batchBase + id))
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
+  }
 
   /** Tombstone deletes — the third lifecycle verb (a dedup or takedown
     * pass removes vectors from retrieval without rewriting code files):
@@ -242,10 +287,12 @@ object VectorStore {
       batchId: Option[Long] = None): Unit = {
     require(batchId.forall(_ > 0L), "delete batch ids start at 1")
     val root = s"$dir/deletes"
-    val id = batchId.getOrElse(nextBatchId(root))
-    if (committedBatches(root).contains(id)) return
+    val committed = committedBatches(root)
+    val id = batchId.getOrElse(nextBatchId(committed))
+    if (committed.contains(id)) return
     ids.select(col("vec_id").cast("long").as("vec_id"))
       .write.mode("overwrite").parquet(s"$root/batch=$id")
+    requireMarker(s"$root/batch=$id")
   }
 
   /** Offline compaction — the space-reclaim half of the tombstone
@@ -254,15 +301,16 @@ object VectorStore {
     * Semantically result-invisible (spec-pinned); physically one
     * directory per cell again and no anti-join in the serving path.
     *
-    * Crash contract, in order: (1) the folded batch ids are recorded in
-    * the ledgers FIRST, so a replay of an already-folded batch stays a
-    * no-op even though its directory is about to disappear; (2) the
-    * rewrite lands complete in `codes_compact`; (3) the old `codes`
-    * renames aside and the replacement renames in. A crash before (3)
-    * leaves the old store fully intact (the ledger entries are
-    * redundant but harmless); a crash INSIDE the two renames leaves the
-    * completed replacement on disk and [[heal]] — run by append/query —
-    * swaps it in. No window leaves a mix of old and new rows. */
+    * Crash contract, in order: (1) the rewrite lands complete in
+    * `codes_compact`; (2) the folded batch ids are recorded in the
+    * ledgers — BEFORE any directory disappears, so a replay of an
+    * already-folded batch stays a no-op; (3) the old `codes` renames
+    * aside and the replacement renames in. A crash before (3) leaves
+    * the old store fully intact (ledger entries and the pending rewrite
+    * are redundant but harmless — the next compact restarts them); a
+    * crash INSIDE the two renames leaves the completed replacement on
+    * disk and [[heal]] — run by append/query — swaps it in. No window
+    * leaves a mix of old and new rows. */
   def compact(spark: SparkSession, dir: String): Unit = {
     heal(dir)
     val codesRoot = s"$dir/codes"
@@ -346,17 +394,25 @@ object VectorStore {
         }
       }
     }
-    val base = spark.read.parquet(s"$dir/codes")
+    // scan ONLY committed batch directories (explicit paths under a
+    // basePath, so partition columns survive): a crashed half-write is
+    // officially nonexistent and must be neither served nor even
+    // footer-probed by schema inference
+    val base = spark.read.option("basePath", s"$dir/codes")
+      .parquet(committedPaths(s"$dir/codes"): _*)
       .filter(col("cell").isInCollection(probed))
     val excluded = excludeVecId match {
       case Some(id) => base.filter(col("vec_id") =!= id)
       case None => base
     }
-    // tombstones mask rows before any scoring work is spent on them
+    // tombstones (committed ones only) mask rows before any scoring
+    // work is spent on them
+    val delPaths = committedPaths(s"$dir/deletes")
     val scanned =
-      if (new java.io.File(s"$dir/deletes").exists())
+      if (delPaths.nonEmpty)
         excluded.join(
-          spark.read.parquet(s"$dir/deletes").select(col("vec_id")),
+          spark.read.option("basePath", s"$dir/deletes")
+            .parquet(delPaths: _*).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else excluded
     scanned

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +26,9 @@ import org.apache.spark.sql.functions._
   *                    "committed" forever so a late replay of an
   *                    already-ingested batch remains a no-op even after
   *                    its directory is gone
+  *   codes.claims/    one empty marker per DEFAULT-allocated batch id —
+  *                    the create-exclusive claim that keeps two
+  *                    concurrent batch appends off the same id
   *   deletes/batch=<b>/ + deletes.ledger — tombstones, same discipline
   *   centroids/       (cell, centroid array<double>) — coarse cells
   *   codebooks/       (j, code, centroid array<double>) — shared
@@ -34,6 +39,19 @@ import org.apache.spark.sql.functions._
   * job-commit `_SUCCESS` marker (or the compaction ledger lists it) — a
   * directory left by a crashed half-write is NOT committed, and the
   * replay overwrites it instead of silently skipping the batch's rows.
+  *
+  * FILESYSTEM CONTRACT: every control-plane touch (ledger read/write,
+  * `_SUCCESS` probes, id claims, crash-heal and compaction renames,
+  * half-write purges) goes through the Hadoop [[FileSystem]] API
+  * resolved from the store path's own scheme, so the store runs
+  * wherever a 100 TB corpus actually lives — `hdfs://`, `file://`, or
+  * any registered scheme — not just the driver's local POSIX disk.
+  * The crash guarantees assume the filesystem's `rename` is atomic and
+  * `create(overwrite=false)` is exclusive, which HDFS (and local file://)
+  * provide. Object stores (s3a://) emulate rename as copy+delete and
+  * have no exclusive-create: on those, run compact/retrain offline from
+  * a single process and treat a crash mid-compact as "rerun compact",
+  * or front the store with an HDFS/consistent-metadata layer.
   *
   * Everything is deterministic and bit-identical to [[Pq.ivfPqTopK]]
   * with the same parameters: same k-means init/merge order, same
@@ -52,40 +70,68 @@ object VectorStore {
 
   // ---- store plumbing ---------------------------------------------------
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete()
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rmTree(fs: FileSystem, path: String): Unit = {
+    val p = new Path(path)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
-  private def ledgerOf(root: String) = new java.io.File(s"$root.ledger")
+  private def ledgerOf(root: String) = new Path(s"$root.ledger")
 
-  private def readLedger(root: String): Set[Long] = {
-    val f = ledgerOf(root)
-    if (!f.exists()) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .split("\n").iterator.filter(_.nonEmpty).map(_.toLong).toSet
+  /** Read the compaction ledger. A replacement in flight (see
+    * [[extendLedger]]) may have deleted the ledger but not yet renamed
+    * the complete `.tmp` in — the tmp is only ever deleted-toward AFTER
+    * it is fully written and closed, so falling back to it is safe; a
+    * crash DURING the tmp write leaves the old ledger intact and the
+    * partial tmp ignored. */
+  private def readLedger(fs: FileSystem, root: String): Set[Long] = {
+    val main = ledgerOf(root)
+    val tmp = new Path(s"$root.ledger.tmp")
+    val src = if (fs.exists(main)) Some(main)
+      else if (fs.exists(tmp)) Some(tmp)
+      else None
+    src.fold(Set.empty[Long]) { p =>
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0L, bytes)
+        new String(bytes, "UTF-8").split("\n").iterator
+          .filter(_.nonEmpty).map(_.toLong).toSet
+      } finally in.close()
+    }
   }
 
-  private def extendLedger(root: String, ids: Set[Long]): Unit = {
-    val all = (readLedger(root) ++ ids).toSeq.sorted
-    val tmp = new java.io.File(s"$root.ledger.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      all.mkString("", "\n", "\n").getBytes("UTF-8"))
-    require(tmp.renameTo(ledgerOf(root)), s"ledger update failed for $root")
+  /** Replace the ledger with `old ∪ ids`: full content to a `.tmp`,
+    * then delete-and-rename (FileSystem.rename refuses an existing
+    * destination on HDFS, so an overwriting rename is spelled as the
+    * two steps; [[readLedger]]'s tmp fallback covers the gap). */
+  private def extendLedger(fs: FileSystem, root: String,
+      ids: Set[Long]): Unit = {
+    val all = (readLedger(fs, root) ++ ids).toSeq.sorted
+    val tmp = new Path(s"$root.ledger.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(all.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val main = ledgerOf(root)
+    if (fs.exists(main)) fs.delete(main, false)
+    require(fs.rename(tmp, main), s"ledger update failed for $root")
   }
 
   /** Batch ids under `root` that are fully committed: their directory
     * carries the `_SUCCESS` job-commit marker, or the compaction ledger
     * records them. A marker-less directory is a crashed half-write and
     * does NOT count. */
-  private def committedBatches(root: String): Set[Long] = {
-    val onDisk = Option(new java.io.File(root).list())
-      .getOrElse(Array.empty[String])
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-      .filter(id =>
-        new java.io.File(s"$root/batch=$id/_SUCCESS").exists())
-    onDisk.toSet ++ readLedger(root)
+  private def committedBatches(fs: FileSystem, root: String): Set[Long] = {
+    val rootP = new Path(root)
+    val onDisk =
+      if (!fs.exists(rootP)) Array.empty[Long]
+      else fs.listStatus(rootP).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(id => fs.exists(new Path(s"$root/batch=$id/_SUCCESS")))
+    onDisk.toSet ++ readLedger(fs, root)
   }
 
   private def nextBatchId(committed: Set[Long]): Long = {
@@ -93,13 +139,33 @@ object VectorStore {
     if (pool.isEmpty) 1L else pool.max + 1
   }
 
+  /** Exclusive-create claim of the next free DEFAULT batch id, so two
+    * concurrent batch-mode appends (or deletes) can never allocate the
+    * same id and silently drop one batch as "already committed". The
+    * claim marker is `root.claims/<id>`: `createNewFile` is atomic on
+    * HDFS/local, the loser of a race sees `false` and moves to the next
+    * id. A claim whose append later crashed just burns one integer of
+    * the id space (the replay path re-claims a fresh id; explicit
+    * batchId callers — the stream discipline — bypass claims entirely
+    * and coordinate through the id itself). */
+  private def claimBatchId(fs: FileSystem, root: String): Long = {
+    val claimsDir = new Path(s"$root.claims")
+    fs.mkdirs(claimsDir)
+    val claimed = fs.listStatus(claimsDir)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .filter(id => id > 0L && id < StreamBatchBase).toSet
+    var id = nextBatchId(committedBatches(fs, root) ++ claimed)
+    while (!fs.createNewFile(new Path(claimsDir, id.toString))) id += 1
+    id
+  }
+
   /** The whole commit model keys on the parquet job-commit `_SUCCESS`
     * marker; an environment that disables it
     * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) would make
     * every committed batch look like a crashed half-write — silent data
     * loss at the next compact. Fail LOUDLY at ingest instead. */
-  private def requireMarker(path: String): Unit =
-    require(new java.io.File(s"$path/_SUCCESS").exists(),
+  private def requireMarker(fs: FileSystem, path: String): Unit =
+    require(fs.exists(new Path(s"$path/_SUCCESS")),
       s"no _SUCCESS marker under $path — this store's idempotence " +
         "requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
 
@@ -108,26 +174,27 @@ object VectorStore {
     * Race-safe: two concurrent healers both attempting the rename is
     * fine — the loser re-checks that SOMEONE put codes in place before
     * declaring the store broken. */
-  private def heal(dir: String): Unit = {
-    val codes = new java.io.File(s"$dir/codes")
-    val pending = new java.io.File(s"$dir/codes_compact")
-    if (!codes.exists() && pending.exists() &&
-        new java.io.File(s"$dir/codes_compact/_SUCCESS").exists()) {
-      val won = pending.renameTo(codes)
-      require(won || codes.exists(), s"recovery rename failed for $dir")
+  private def heal(fs: FileSystem, dir: String): Unit = {
+    val codes = new Path(s"$dir/codes")
+    val pending = new Path(s"$dir/codes_compact")
+    if (!fs.exists(codes) && fs.exists(pending) &&
+        fs.exists(new Path(s"$dir/codes_compact/_SUCCESS"))) {
+      val won = fs.rename(pending, codes)
+      require(won || fs.exists(codes), s"recovery rename failed for $dir")
     }
   }
 
   /** The paths of every COMMITTED batch directory under `root` — what a
-    * query is allowed to scan. Batch 0 (the initial write, whose marker
-    * sits at the root itself) is included when present; an uncommitted
-    * half-write's directory is never listed, so its partial files are
-    * neither read nor even footer-probed. */
-  private def committedPaths(root: String): Seq[String] = {
-    val ids = committedBatches(root)
-      .filter(id => new java.io.File(s"$root/batch=$id").exists())
+    * query is allowed to scan. Batch 0 (the initial write, whose
+    * `_SUCCESS` marker sits at the root itself) is included only when
+    * that root marker exists — a crashed initial write or half-landed
+    * compacted layout is as uncommitted as any other half-write. */
+  private def committedPaths(fs: FileSystem, root: String): Seq[String] = {
+    val ids = committedBatches(fs, root)
+      .filter(id => fs.exists(new Path(s"$root/batch=$id")))
     val zero =
-      if (new java.io.File(s"$root/batch=0").exists()) Seq(s"$root/batch=0")
+      if (fs.exists(new Path(s"$root/batch=0")) &&
+          fs.exists(new Path(s"$root/_SUCCESS"))) Seq(s"$root/batch=0")
       else Seq.empty
     (zero ++ ids.toSeq.sorted.map(id => s"$root/batch=$id")).distinct
   }
@@ -173,10 +240,10 @@ object VectorStore {
 
   /** Train coarse cells + residual codebooks over `emb` and write the
     * store under `dir` (overwrite — including every trace of a previous
-    * incarnation: tombstones, ledgers, and compaction leftovers are
-    * cleared FIRST, so a rebuilt store can never be haunted by the old
-    * one's deletes or poisoned batch ids). One training pipeline, one
-    * partitioned write; the corpus never shuffles except the
+    * incarnation: tombstones, ledgers, claims, and compaction leftovers
+    * are cleared FIRST, so a rebuilt store can never be haunted by the
+    * old one's deletes or poisoned batch ids). One training pipeline,
+    * one partitioned write; the corpus never shuffles except the
     * partitionBy(cell) write placement. */
   def write(spark: SparkSession, emb: DataFrame, dir: String,
       cells: Int = 8, m: Int = 8, codebookSize: Int = 16,
@@ -185,14 +252,19 @@ object VectorStore {
     require(cells >= 1 && m >= 1 && codebookSize >= 2 && codebookSize <= 256,
       s"need cells >= 1, m >= 1, codebookSize in [2,256]: " +
         s"$cells/$m/$codebookSize")
+    val fs = fsOf(spark, dir)
     // previous-incarnation state goes BEFORE any new data lands: stale
     // tombstones would mask the new corpus, a stale ledger would
     // swallow future appends as "already committed"
-    rmTree(new java.io.File(s"$dir/deletes"))
-    rmTree(new java.io.File(s"$dir/codes_compact"))
-    rmTree(new java.io.File(s"$dir/codes_old"))
-    ledgerOf(s"$dir/codes").delete()
-    ledgerOf(s"$dir/deletes").delete()
+    rmTree(fs, s"$dir/deletes")
+    rmTree(fs, s"$dir/codes_compact")
+    rmTree(fs, s"$dir/codes_old")
+    rmTree(fs, s"$dir/codes.claims")
+    rmTree(fs, s"$dir/deletes.claims")
+    rmTree(fs, s"$dir/codes.ledger")
+    rmTree(fs, s"$dir/codes.ledger.tmp")
+    rmTree(fs, s"$dir/deletes.ledger")
+    rmTree(fs, s"$dir/deletes.ledger.tmp")
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coarse = Similarity.kMeansCentroids(vecs, cells, kmeansIters)
@@ -204,7 +276,7 @@ object VectorStore {
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("batch", "cell").mode("overwrite")
       .parquet(s"$dir/codes")
-    requireMarker(s"$dir/codes")
+    requireMarker(fs, s"$dir/codes")
     coarse.zipWithIndex
       .map { case (cent, c) => (c, cent.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -227,30 +299,31 @@ object VectorStore {
     * new vectors identically (same cells, same ADC tables).
     * Quantization drift is the stated trade: appended vectors are coded
     * against codebooks trained before they existed — monitor (the q149
-    * recall query) and retrain offline when recall decays.
+    * recall query) and [[retrain]] offline when recall decays.
     *
     * Idempotence: an append whose batch id is already COMMITTED
     * (`_SUCCESS` marker or compaction ledger) is a no-op; a marker-less
     * directory from a crashed attempt is overwritten, never trusted.
-    * Default ids allocate below [[StreamBatchBase]] so batch-mode
-    * appends can never shadow a stream micro-batch. Duplicate vec_ids
+    * Default ids allocate below [[StreamBatchBase]] through an
+    * exclusive-create claim ([[claimBatchId]]), so two concurrent
+    * batch-mode appends land as two distinct batches. Duplicate vec_ids
     * ACROSS distinct batches remain the caller's contract (dedup ids
     * upstream, the q90 incremental-ingest discipline). */
   def append(spark: SparkSession, dir: String, emb: DataFrame,
       batchId: Option[Long] = None): Unit = {
     require(batchId.forall(_ > 0L), "batch 0 is the initial write")
-    heal(dir)
+    val fs = fsOf(spark, dir)
+    heal(fs, dir)
     val root = s"$dir/codes"
-    val committed = committedBatches(root)
-    val id = batchId.getOrElse(nextBatchId(committed))
-    if (committed.contains(id)) return
+    val id = batchId.getOrElse(claimBatchId(fs, root))
+    if (committedBatches(fs, root).contains(id)) return
     val (coarse, books) = readMeta(spark, dir)
     assignResiduals(spark, emb, coarse)
       .select(col("vec_id"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$root/batch=$id")
-    requireMarker(s"$root/batch=$id")
+    requireMarker(fs, s"$root/batch=$id")
   }
 
   /** Streaming ingest: every micro-batch of an embedding stream appends
@@ -258,16 +331,23 @@ object VectorStore {
     * crashed-and-replayed micro-batch whose directory committed skips,
     * one that half-wrote is overwritten; either way no rows are lost or
     * doubled (the foreachBatch sink discipline the streaming suite pins
-    * for parquet). Returns the started query; one active stream per
-    * store. */
+    * for parquet). The stream's checkpoint lives INSIDE the store by
+    * default (`dir/_stream_checkpoint`): idempotence depends on a
+    * restarted stream resuming the same micro-batch numbering, and a
+    * temp checkpoint would restart ids at 0 — making every already-
+    * committed id silently swallow the restarted stream's NEW data.
+    * Returns the started query; one active stream per store. */
   def appendStream(spark: SparkSession, dir: String,
       embStream: DataFrame,
-      batchBase: Long = StreamBatchBase): org.apache.spark.sql.streaming.StreamingQuery = {
+      batchBase: Long = StreamBatchBase,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // below the base a stream id could collide with a batch-mode id and
     // silently drop the micro-batch — the separation the base exists for
     require(batchBase >= StreamBatchBase,
       s"batchBase must be >= $StreamBatchBase: $batchBase")
     embStream.writeStream
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$dir/_stream_checkpoint"))
       .foreachBatch { (df: DataFrame, id: Long) =>
         append(spark, dir, df, batchId = Some(batchBase + id))
       }
@@ -278,21 +358,21 @@ object VectorStore {
   /** Tombstone deletes — the third lifecycle verb (a dedup or takedown
     * pass removes vectors from retrieval without rewriting code files):
     * the ids land as a `deletes/batch=<id>` directory (same commit-based
-    * idempotence as [[append]]) and every query anti-joins them out
-    * BEFORE scoring. A tombstone is FINAL for its vec_id — it masks
-    * every stored row with that id, past and future; re-ingest under a
-    * fresh id. Space is reclaimed offline by [[compact]], never in the
-    * serving path. */
+    * idempotence and claim-based default ids as [[append]]) and every
+    * query anti-joins them out BEFORE scoring. A tombstone is FINAL for
+    * its vec_id — it masks every stored row with that id, past and
+    * future; re-ingest under a fresh id. Space is reclaimed offline by
+    * [[compact]], never in the serving path. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       batchId: Option[Long] = None): Unit = {
     require(batchId.forall(_ > 0L), "delete batch ids start at 1")
+    val fs = fsOf(spark, dir)
     val root = s"$dir/deletes"
-    val committed = committedBatches(root)
-    val id = batchId.getOrElse(nextBatchId(committed))
-    if (committed.contains(id)) return
+    val id = batchId.getOrElse(claimBatchId(fs, root))
+    if (committedBatches(fs, root).contains(id)) return
     ids.select(col("vec_id").cast("long").as("vec_id"))
       .write.mode("overwrite").parquet(s"$root/batch=$id")
-    requireMarker(s"$root/batch=$id")
+    requireMarker(fs, s"$root/batch=$id")
   }
 
   /** Offline compaction — the space-reclaim half of the tombstone
@@ -301,8 +381,17 @@ object VectorStore {
     * Semantically result-invisible (spec-pinned); physically one
     * directory per cell again and no anti-join in the serving path.
     *
+    * The committed id set is captured ONCE, up front; the fold reads
+    * exactly those directories, and exactly that captured set is
+    * ledgered — the ledger can never claim a batch was folded whose
+    * rows the rewrite did not actually read. Compact remains an OFFLINE
+    * verb: the final swap replaces the whole `codes` tree, so a batch
+    * committed by a concurrent appender between the capture and the
+    * swap would be lost with or without the ledger discipline — run it
+    * from the single maintenance process, like [[retrain]].
+    *
     * Crash contract, in order: (1) the rewrite lands complete in
-    * `codes_compact`; (2) the folded batch ids are recorded in the
+    * `codes_compact`; (2) the CAPTURED batch ids are recorded in the
     * ledgers — BEFORE any directory disappears, so a replay of an
     * already-folded batch stays a no-op; (3) the old `codes` renames
     * aside and the replacement renames in. A crash before (3) leaves
@@ -310,45 +399,61 @@ object VectorStore {
     * are redundant but harmless — the next compact restarts them); a
     * crash INSIDE the two renames leaves the completed replacement on
     * disk and [[heal]] — run by append/query — swaps it in. No window
-    * leaves a mix of old and new rows. */
+    * leaves a mix of old and new rows. Renames are atomic on HDFS and
+    * local filesystems; see the object-store caveat in the class doc. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    heal(dir)
+    val fs = fsOf(spark, dir)
+    heal(fs, dir)
     val codesRoot = s"$dir/codes"
     val delRoot = s"$dir/deletes"
     // purge crashed half-writes BEFORE folding: their rows must not leak
     // into the compacted layout, and leaving their ids OUT of the ledger
     // lets a later replay legitimately re-ingest them
     Seq(codesRoot, delRoot).foreach { root =>
-      val committed = committedBatches(root)
-      Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
-        .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong)
-        .filterNot(id => id == 0L || committed.contains(id))
-        .foreach(id => rmTree(new java.io.File(s"$root/batch=$id")))
+      val committed = committedBatches(fs, root)
+      val rootP = new Path(root)
+      if (fs.exists(rootP))
+        fs.listStatus(rootP).map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+          .filterNot(id => id == 0L || committed.contains(id))
+          .foreach(id => rmTree(fs, s"$root/batch=$id"))
     }
+    // capture ONCE: these exact ids are folded and these exact ids are
+    // ledgered — the fold's input set and the ledger can never diverge
+    val codeIds = committedBatches(fs, codesRoot)
+    val delIds = committedBatches(fs, delRoot)
+    val codePaths = committedPaths(fs, codesRoot)
+    val delPaths = committedPaths(fs, delRoot)
+    require(codePaths.nonEmpty, s"nothing to compact under $codesRoot")
     val live = {
-      val codes = spark.read.parquet(codesRoot)
+      val codes = spark.read.option("basePath", codesRoot)
+        .parquet(codePaths: _*)
         .select(col("vec_id"), col("cell"), col("codes"))
-      if (new java.io.File(delRoot).exists())
-        codes.join(spark.read.parquet(delRoot).select(col("vec_id")),
+      if (delPaths.nonEmpty)
+        codes.join(
+          spark.read.option("basePath", delRoot).parquet(delPaths: _*)
+            .select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else codes
     }
-    rmTree(new java.io.File(s"$dir/codes_compact"))
+    rmTree(fs, s"$dir/codes_compact")
     live.select(col("vec_id"), lit(0L).as("batch"), col("cell"), col("codes"))
       .write.partitionBy("batch", "cell").mode("overwrite")
       .parquet(s"$dir/codes_compact")
-    // poison the folded ids BEFORE any directory disappears
-    extendLedger(codesRoot, committedBatches(codesRoot))
-    extendLedger(delRoot, committedBatches(delRoot))
-    val codesDir = new java.io.File(codesRoot)
-    val oldDir = new java.io.File(s"$dir/codes_old")
-    rmTree(oldDir) // stale leftover from an earlier crash
-    require(codesDir.renameTo(oldDir), s"compaction swap-out failed: $dir")
-    require(new java.io.File(s"$dir/codes_compact").renameTo(codesDir),
+    // poison the CAPTURED ids BEFORE any directory disappears (batch 0
+    // folds into the new batch 0; it never enters the ledger)
+    extendLedger(fs, codesRoot, codeIds - 0L)
+    extendLedger(fs, delRoot, delIds - 0L)
+    rmTree(fs, s"$dir/codes_old") // stale leftover from an earlier crash
+    require(fs.rename(new Path(codesRoot), new Path(s"$dir/codes_old")),
+      s"compaction swap-out failed: $dir")
+    require(fs.rename(new Path(s"$dir/codes_compact"), new Path(codesRoot)),
       s"compaction swap-in failed: $dir")
-    rmTree(oldDir)
-    rmTree(new java.io.File(delRoot))
+    rmTree(fs, s"$dir/codes_old")
+    rmTree(fs, delRoot)
+    rmTree(fs, s"$dir/codes.claims")
+    rmTree(fs, s"$dir/deletes.claims")
   }
 
   /** Approximate top-k nearest (squared L2) to `queryVec` from the
@@ -363,7 +468,8 @@ object VectorStore {
       k: Int, nprobe: Int = 2,
       excludeVecId: Option[Long] = None): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
-    heal(dir)
+    val fs = fsOf(spark, dir)
+    heal(fs, dir)
     val (coarse, books) = readMeta(spark, dir)
     val m = books.length
     val codebookSize = books.head.length
@@ -399,7 +505,7 @@ object VectorStore {
     // officially nonexistent and must be neither served nor even
     // footer-probed by schema inference
     val base = spark.read.option("basePath", s"$dir/codes")
-      .parquet(committedPaths(s"$dir/codes"): _*)
+      .parquet(committedPaths(fs, s"$dir/codes"): _*)
       .filter(col("cell").isInCollection(probed))
     val excluded = excludeVecId match {
       case Some(id) => base.filter(col("vec_id") =!= id)
@@ -407,7 +513,7 @@ object VectorStore {
     }
     // tombstones (committed ones only) mask rows before any scoring
     // work is spent on them
-    val delPaths = committedPaths(s"$dir/deletes")
+    val delPaths = committedPaths(fs, s"$dir/deletes")
     val scanned =
       if (delPaths.nonEmpty)
         excluded.join(

@@ -45,7 +45,15 @@ object CogQuery {
     * are in THAT level's pixel grid. `prefixBytes` is the size of the
     * single header range request (the COG contract: it must cover the
     * whole IFD chain — [[TiffIO.levelLayoutsFromPrefix]] throws loudly
-    * if not). */
+    * if not).
+    *
+    * `cogDir` may be a local path, any Hadoop scheme (`file://`,
+    * `hdfs://`, ...), or an `http(s)://` base URL — each layer opens
+    * through [[RangeReader]], so the prefix+tile byte-range economy is
+    * identical whether the raster sits on local disk, a cluster
+    * filesystem, or behind the reference's hosted-COG HTTP serving
+    * mode. The session's Hadoop configuration rides to executors in a
+    * broadcast so scheme credentials/settings resolve there too. */
   def windowStats(spark: SparkSession, cogDir: String, layers: Seq[String],
       x0: Int, y0: Int, winW: Int, winH: Int,
       scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
@@ -56,15 +64,19 @@ object CogQuery {
     require(scale >= 1, s"scale must be >= 1: $scale")
     require(level >= 0, s"level must be >= 0: $level")
     require(layers.nonEmpty, "no layers to query")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)))
     spark.createDataset(layers).mapPartitions { it =>
       it.map { name =>
-        val raf = new java.io.RandomAccessFile(s"$cogDir/$name", "r")
+        val raf = RangeReader.open(s"$cogDir/$name", confBc.value.value)
         try {
-          val fileLen = raf.length()
+          val fileLen = raf.length
           // range request #1: the bounded header prefix
           val pl = math.min(fileLen, prefixBytes.toLong).toInt
           val prefix = new Array[Byte](pl)
-          raf.readFully(prefix)
+          raf.readFully(0L, prefix)
           val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
           require(level < layouts.length,
             s"$name has ${layouts.length} levels, requested $level")
@@ -99,8 +111,8 @@ object CogQuery {
               val t = r * tilesAcross + c
               val cnt = full.tileByteCounts(t).toInt
               val buf = new Array[Byte](cnt)
-              raf.seek(full.tileOffsets(t)) // range request #2..k: one tile
-              raf.readFully(buf)
+              raf.readFully(full.tileOffsets(t), buf) // range req #2..k
+
               tilesRead += 1
               bytesRead += cnt
               val px = TiffIO.decodeLevelTile(full, buf)

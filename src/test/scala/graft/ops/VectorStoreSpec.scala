@@ -208,6 +208,93 @@ class VectorStoreSpec extends SparkSpec {
       "a folded batch replayed after compaction — ledger failed")
   }
 
+  test("the whole lifecycle runs through scheme-qualified file:// URIs " +
+      "(Hadoop FileSystem control plane, not java.io)") {
+    // a raw-java.io control plane would treat "file:///x" as the literal
+    // relative path "file:/x" and break immediately — green here means
+    // every ledger/marker/claim/rename goes through the Path's own
+    // FileSystem, the contract that carries the store to hdfs://
+    val local = java.nio.file.Files.createTempDirectory("vecstore_uri")
+      .toString
+    val d = s"file://$local"
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1))
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    val before = VectorStore.queryTopK(spark, d, queryVec, k = 10,
+      nprobe = 8, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before.nonEmpty && before.forall(_._1 % 10 != 3))
+    VectorStore.compact(spark, d)
+    val after = VectorStore.queryTopK(spark, d, queryVec, k = 10,
+      nprobe = 8, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "file:// compaction changed query results")
+    // and the twin store on a plain local path agrees bit-for-bit
+    val twin = java.nio.file.Files.createTempDirectory("vecstore_uri_t")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), twin)
+    VectorStore.append(spark, twin, emb.filter($"vec_id" % 2 === 1))
+    VectorStore.delete(spark, twin,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    val twinTop = VectorStore.queryTopK(spark, twin, queryVec, k = 10,
+      nprobe = 8, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == twinTop)
+  }
+
+  test("two RACING default-id appends land as two distinct committed " +
+      "batches — the exclusive-create claim arbitrates the id") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_race")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    val n0 = spark.read.parquet(s"$d/codes").count()
+    val aRows = emb.filter($"vec_id" % 4 === 1)
+    val bRows = emb.filter($"vec_id" % 4 === 3)
+    val na = aRows.count(); val nb = bRows.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val race = Future.sequence(Seq(
+      Future(VectorStore.append(spark, d, aRows)),
+      Future(VectorStore.append(spark, d, bRows))))
+    Await.result(race, 120.seconds)
+    assert(spark.read.parquet(s"$d/codes").count() == n0 + na + nb,
+      "a racing append shadowed the other's batch id and dropped rows")
+    val batches = new java.io.File(s"$d/codes").list()
+      .filter(_.startsWith("batch=")).toSeq
+    assert(batches.sorted == Seq("batch=0", "batch=1", "batch=2"),
+      s"unexpected batch layout: $batches")
+  }
+
+  test("appendStream restart resumes micro-batch numbering from its " +
+      "checkpoint — restarted streams' NEW data is never skipped") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_ckpt")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 4 === 0), d)
+    val src = java.nio.file.Files.createTempDirectory("emb_ckpt_src")
+      .toString
+    emb.filter($"vec_id" % 4 === 1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def startStream() = VectorStore.appendStream(spark, d,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1000").parquet(src))
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+    val n1 = spark.read.parquet(s"$d/codes").count()
+    assert(n1 == emb.filter($"vec_id" % 4 <= 1).count())
+    // a SECOND run of the stream over new source files: without a real
+    // checkpoint its micro-batches would renumber from 0 and collide
+    // with the committed StreamBatchBase+0, silently dropping the rows
+    emb.filter($"vec_id" % 4 === 2)
+      .write.mode("append").parquet(src)
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$d/codes").count() ==
+      emb.filter($"vec_id" % 4 <= 2).count(),
+      "restarted stream's new micro-batch was swallowed by a stale id")
+  }
+
   test("nprobe widening only adds candidates — top-1 from full probe " +
       "is at least as close") {
     val narrow = VectorStore.queryTopK(spark, dir, queryVec, k = 1,

@@ -112,6 +112,80 @@ class CogQuerySpec extends SparkSpec {
     }
   }
 
+  test("window stats over scheme-qualified file:// URIs match plain " +
+      "local paths (Hadoop FileSystem read path)") {
+    val local = CogQuery.windowStats(spark, cogDir, inputs.map(_._2),
+      x0 = 70, y0 = 30, winW = 48, winH = 48).collect()
+      .map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+    val viaUri = CogQuery.windowStats(spark, s"file://$cogDir",
+      inputs.map(_._2), x0 = 70, y0 = 30, winW = 48, winH = 48).collect()
+      .map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+    assert(viaUri == local)
+  }
+
+  /** Minimal HTTP server over `dir`: honors `Range: bytes=a-b` with 206
+    * (the hosted-COG contract) unless `ignoreRange`, in which case every
+    * GET returns 200 + the whole body — the misbehaving-server case. */
+  private def withHttpServer[T](dir: String, ignoreRange: Boolean = false)(
+      f: String => T): T = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val file = new java.io.File(dir, exchange.getRequestURI.getPath)
+      if (!file.isFile) {
+        exchange.sendResponseHeaders(404, -1)
+      } else if (exchange.getRequestMethod == "HEAD") {
+        exchange.getResponseHeaders.set("Content-Length",
+          file.length.toString)
+        exchange.sendResponseHeaders(200, -1)
+      } else {
+        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+        val range = Option(exchange.getRequestHeaders.getFirst("Range"))
+          .filter(_ => !ignoreRange)
+          .map(_.stripPrefix("bytes=").split("-"))
+          .map { case Array(a, b) =>
+            (a.toLong, math.min(b.toLong, bytes.length - 1L)) }
+        range match {
+          case Some((a, b)) =>
+            exchange.sendResponseHeaders(206, b - a + 1)
+            exchange.getResponseBody.write(bytes, a.toInt, (b - a + 1).toInt)
+          case None =>
+            exchange.sendResponseHeaders(200, bytes.length.toLong)
+            exchange.getResponseBody.write(bytes)
+        }
+      }
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("window stats over HTTP range requests match the local read — " +
+      "the reference's hosted-COG serving mode") {
+    val local = CogQuery.windowStats(spark, cogDir, inputs.map(_._2),
+      x0 = 70, y0 = 30, winW = 48, winH = 48).collect()
+      .map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+    withHttpServer(cogDir) { base =>
+      val viaHttp = CogQuery.windowStats(spark, base, inputs.map(_._2),
+        x0 = 70, y0 = 30, winW = 48, winH = 48).collect()
+        .map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+      assert(viaHttp == local)
+    }
+  }
+
+  test("a server that ignores Range is rejected loudly — never a silent " +
+      "whole-file download") {
+    withHttpServer(cogDir, ignoreRange = true) { base =>
+      val e = intercept[org.apache.spark.SparkException] {
+        CogQuery.windowStats(spark, base, inputs.map(_._2).take(1),
+          x0 = 0, y0 = 0, winW = 8, winH = 8).collect()
+      }
+      assert(e.getMessage.contains("Range") ||
+        Option(e.getCause).exists(_.getMessage.contains("Range")))
+    }
+  }
+
   test("edge clipping: a window past the raster edge stays in bounds") {
     val r = CogQuery.windowStats(spark, cogDir, inputs.map(_._2).take(1),
       x0 = 180, y0 = 120, winW = 100, winH = 100).collect().head

@@ -474,7 +474,6 @@ object VectorStore {
     val m = books.length
     val codebookSize = books.head.length
     val sub = books.head.head.length
-    val cells = coarse.length
     require(queryVec.length == m * sub,
       s"query dim ${queryVec.length} != ${m * sub}")
     // stable sort: equal distances tie-break to the lower cell id — the
@@ -486,9 +485,13 @@ object VectorStore {
       }
       d
     }.take(nprobe)
-    val adc: Seq[Seq[Seq[Double]]] = Seq.tabulate(cells) { c =>
-      if (!probed.contains(c)) Seq.fill(m)(Seq.fill(codebookSize)(0.0))
-      else Seq.tabulate(m) { j =>
+    // ADC tables for the PROBED cells only, keyed by cell id: the plan
+    // literal is nprobe x m x codebookSize doubles no matter how many
+    // cells the store holds — a production IVF at 64k cells would
+    // otherwise embed ~65 MB of zero-filled tables per query for cells
+    // the partition filter never lets through
+    val adc: Map[Int, Seq[Seq[Double]]] = probed.map { c =>
+      c -> Seq.tabulate(m) { j =>
         Seq.tabulate(codebookSize) { code =>
           var d = 0.0; var i = 0
           val cent = books(j)(code)
@@ -499,7 +502,7 @@ object VectorStore {
           d
         }
       }
-    }
+    }.toMap
     // scan ONLY committed batch directories (explicit paths under a
     // basePath, so partition columns survive): a crashed half-write is
     // officially nonexistent and must be neither served nor even
@@ -525,10 +528,110 @@ object VectorStore {
       .select(col("vec_id"),
         round(aggregate(
           zip_with(col("codes"),
-            element_at(typedLit(adc), col("cell") + 1),
+            element_at(typedLit(adc), col("cell")),
             (code, row) => element_at(row, code + 1)),
           lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
       .orderBy(col("approx_d2"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch ANN over the disk store — the production retrieval shape: a
+    * whole DataFrame of `(vec_id, embedding)` queries answered in ONE
+    * distributed job against the store's layout, instead of one driver
+    * round-trip per query (a 10k-query eval through [[queryTopK]] is
+    * 10k sequential jobs; here it is one).
+    *
+    * Plan shape (the [[Similarity.annKnnJoin]] discipline against the
+    * partitioned codes): each query row computes its own probed cells
+    * and per-cell ADC tables in a map stage over the QUERY side (the
+    * frozen centroids/codebooks ride the closure — bounded metadata);
+    * the store scans the UNION of probed cells once (still directory-
+    * pruned through PartitionFilters — unprobed cells' files stay
+    * unopened); probe rows meet code rows in one `cell` equi-join
+    * (broadcast while the query set is small — `broadcastProbes=false`
+    * for query sets too big to broadcast, where it degrades to a
+    * shuffle join on cell); scoring is the same m table lookups per
+    * candidate; and the per-query top-k is one `row_number` window.
+    * Corpus rows are touched once for ALL queries.
+    *
+    * Output: (query_id, vec_id, approx_d2, knn_rank), rank 1..k per
+    * query by (approx_d2 asc, vec_id) — bit-identical per query to
+    * [[queryTopK]] with the same parameters (spec-pinned). A query row
+    * whose vec_id also exists in the store never matches itself. */
+  def queryTopKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 2,
+      broadcastProbes: Boolean = true): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
+    val fs = fsOf(spark, dir)
+    heal(fs, dir)
+    val (coarse, books) = readMeta(spark, dir)
+    val m = books.length
+    val codebookSize = books.head.length
+    val sub = books.head.head.length
+    val cs = coarse
+    val bks = books
+    // one row per (query, probed cell) carrying that pair's ADC table —
+    // the exact per-cell arithmetic of queryTopK, computed where the
+    // query rows live instead of on the driver
+    val qprobe = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        require(qv.length == m * sub,
+          s"query dim ${qv.length} != ${m * sub}")
+        val probed = cs.indices.sortBy { c =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) {
+            val x = qv(i) - cs(c)(i); d += x * x; i += 1
+          }
+          d
+        }.take(nprobe)
+        probed.map { c =>
+          val adc = Seq.tabulate(m) { j =>
+            Seq.tabulate(codebookSize) { code =>
+              var d = 0.0; var i = 0
+              val cent = bks(j)(code)
+              while (i < sub) {
+                val qr = (qv(j * sub + i) - cs(c)(j * sub + i)).toFloat
+                val diff = qr - cent(i); d += diff * diff; i += 1
+              }
+              d
+            }
+          }
+          (qid, c, adc)
+        }
+      }
+      .toDF("query_id", "cell", "adc")
+      // queries x nprobe rows, read twice (probed-cell union + the
+      // join): materialize once, bounded by the query set
+      .localCheckpoint(true)
+    // the union of probed cells bounds the scan; collecting it is a
+    // <= cells-sized metadata read, the price of partition pruning
+    val probedCells = qprobe.select(col("cell")).distinct()
+      .as[Int].collect().toSeq
+    val base = spark.read.option("basePath", s"$dir/codes")
+      .parquet(committedPaths(fs, s"$dir/codes"): _*)
+      .filter(col("cell").isInCollection(probedCells))
+    val delPaths = committedPaths(fs, s"$dir/deletes")
+    val scanned =
+      if (delPaths.nonEmpty)
+        base.join(
+          spark.read.option("basePath", s"$dir/deletes")
+            .parquet(delPaths: _*).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      else base
+    val probes = if (broadcastProbes) broadcast(qprobe) else qprobe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+    scanned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), col("adc"),
+            (code, row) => element_at(row, code + 1)),
+          lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
+      .withColumn("knn_rank", row_number().over(w).cast("long"))
+      .filter(col("knn_rank") <= k)
   }
 }

@@ -30,7 +30,8 @@ object VectorSuite {
     Q("q147_vector_store_topk", q147, None, Some(q100Oracle)),
     Q("q148_vector_store_append", q148, None, Some(q148Oracle)),
     Q("q149_ann_recall", q149, Some(q149Sql)),
-    Q("q150_vector_store_delete", q150, None, Some(q150Oracle))
+    Q("q150_vector_store_delete", q150, None, Some(q150Oracle)),
+    Q("q151_vector_store_batch_topk", q151, None, Some(q151Oracle))
   )
 
   /** Tombstone deletes ([[graft.ops.VectorStore.delete]]): the store
@@ -188,17 +189,94 @@ object VectorSuite {
   private val storeDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def q147(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val dir = storeDirs.getOrElseUpdate(d, {
+  private def q147Store(s: SparkSession, d: String): String =
+    storeDirs.getOrElseUpdate(d, {
       val out = java.nio.file.Files.createTempDirectory("vecstore").toString
       graft.ops.VectorStore.write(s, Tables.embeddings(s, d), out)
       out
     })
+
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = q147Store(s, d)
     val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding")).as[Array[Float]].head()
     graft.ops.VectorStore.queryTopK(s, dir, qv, k = 10, nprobe = 2,
       excludeVecId = Some(0L))
+  }
+
+  /** Batch ANN over the disk store
+    * ([[graft.ops.VectorStore.queryTopKBatch]]): every 25th vector
+    * queries the q147 store in ONE distributed job — per-query probes
+    * and ADC tables computed query-side, one pruned scan of the probed
+    * cells' union for ALL queries, per-query top-5 as a row_number
+    * window. The oracle extends q147's replay to the whole query set:
+    * same trainers, same per-cell ADC arithmetic, same
+    * (approx_d2, vec_id) ranking — each query's rows must match what
+    * single-query [[graft.ops.VectorStore.queryTopK]] serves
+    * (additionally spec-pinned 1-row-batch == single-query). */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val dir = q147Store(s, d)
+    graft.ops.VectorStore.queryTopKBatch(s, dir,
+        Tables.embeddings(s, d).filter(col("vec_id") % 25 === 0),
+        k = 5, nprobe = 2)
+      .orderBy(col("query_id"), col("knn_rank"))
+  }
+
+  private def q151Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val embSel = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val coarse = Similarity.kMeansCentroids(embSel, k = 8, iters = 3)
+    val cs = coarse
+    val resDf = embSel.as[(Long, Array[Float])].map { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, cs)
+      (id, Array.tabulate(v.length)(i => (v(i) - cs(c)(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = graft.ops.Pq.trainCodebooks(resDf, m = 8, codebookSize = 16,
+      kmeansIters = 3)
+    val sub = books.head.head.length
+    val vecs = collectVecs(s, d)
+    val assigned = vecs.map { case (id, v) =>
+      (id, v, Similarity.nearestCentroid(v, coarse))
+    }
+    val rows = vecs.filter(_._1 % 25 == 0).sortBy(_._1).flatMap {
+      case (qid, qv) =>
+        val probed = coarse.indices
+          .sortBy(c => sliceD2(coarse(c), qv, 0)).take(2)
+        def adc(c: Int, j: Int, code: Int): Double = {
+          var dd = 0.0; var i = 0
+          val cent = books(j)(code)
+          while (i < sub) {
+            val qr = (qv(j * sub + i) - coarse(c)(j * sub + i)).toFloat
+            val diff = qr - cent(i); dd += diff * diff; i += 1
+          }
+          dd
+        }
+        assigned.iterator
+          .filter { case (id, _, c) => id != qid && probed.contains(c) }
+          .map { case (id, v, c) =>
+            val res =
+              Array.tabulate(v.length)(i => (v(i) - coarse(c)(i)).toFloat)
+            var approx = 0.0
+            var j = 0
+            while (j < books.length) {
+              val code = argminCode(books(j), res, j * sub)
+              approx += adc(c, j, code)
+              j += 1
+            }
+            (id, round6(approx))
+          }
+          .toSeq.sortBy { case (id, dd) => (dd, id) }.take(5)
+          .zipWithIndex
+          .map { case ((id, dd), r) => (qid, id, dd, r + 1L) }
+    }
+    rows.map { case (qid, id, dd, r) =>
+      s"  (CAST($qid AS BIGINT), CAST($id AS BIGINT), " +
+        s"CAST($dd AS DOUBLE), CAST($r AS BIGINT))"
+    }.mkString("SELECT * FROM (VALUES\n", ",\n",
+      "\n) t(query_id, vec_id, approx_d2, knn_rank) " +
+        "ORDER BY query_id, knn_rank")
   }
 
   /** Incremental store ingest ([[graft.ops.VectorStore.append]]): the

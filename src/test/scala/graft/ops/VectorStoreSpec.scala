@@ -295,6 +295,80 @@ class VectorStoreSpec extends SparkSpec {
       "restarted stream's new micro-batch was swallowed by a stale id")
   }
 
+  test("a 1-row batch query is bit-identical to the single-query path") {
+    val single = VectorStore.queryTopK(spark, dir, queryVec, k = 10,
+      nprobe = 2, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = VectorStore.queryTopKBatch(spark, dir,
+        emb.filter($"vec_id" === 0L), k = 10, nprobe = 2)
+      .orderBy($"knn_rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("approx_d2")))
+      .toSeq
+    assert(batch == single,
+      s"batch path drifted from queryTopK:\n$batch\nvs\n$single")
+  }
+
+  test("batch query: every query's rows equal its own single-query run, " +
+      "and the shuffle-join regime (broadcastProbes=false) agrees") {
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val batch = VectorStore.queryTopKBatch(spark, dir, queries, k = 5,
+      nprobe = 2).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("knn_rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("approx_d2")))
+        .toSeq).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (qid, rows) =>
+      val qv = emb.filter($"vec_id" === qid).select($"embedding")
+        .as[Array[Float]].head()
+      val single = VectorStore.queryTopK(spark, dir, qv, k = 5, nprobe = 2,
+        excludeVecId = Some(qid)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == single, s"query $qid drifted in the batch path")
+    }
+    val shuffled = VectorStore.queryTopKBatch(spark, dir, queries, k = 5,
+        nprobe = 2, broadcastProbes = false)
+      .orderBy($"query_id", $"knn_rank").collect().toSeq
+    val hinted = VectorStore.queryTopKBatch(spark, dir, queries, k = 5,
+        nprobe = 2)
+      .orderBy($"query_id", $"knn_rank").collect().toSeq
+    assert(shuffled == hinted)
+  }
+
+  test("batch query scans only the UNION of probed cells, once") {
+    val q = VectorStore.queryTopKBatch(spark, dir,
+      emb.filter($"vec_id".isin(0L, 1L)), k = 5, nprobe = 2)
+    q.collect() // the join plan is adaptive: stages exist only after exec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec => scans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val files = scans(q.queryExecution.executedPlan)
+      .flatMap(_.selectedPartitions.toPartitionArray.toSeq
+        .map(_.filePath.toString))
+      .filter(_.contains("cell="))
+    val cellsTouched = files.map(_.split("cell=")(1).split("/")(0)).distinct
+    // 2 queries x nprobe=2 -> at most 4 distinct cells opened
+    assert(files.nonEmpty && cellsTouched.size <= 4,
+      s"scan touched ${cellsTouched.size} cell dirs: $cellsTouched")
+  }
+
+  test("the ADC plan literal carries only the PROBED cells — no " +
+      "zero-filled tables for cells the filter prunes") {
+    // with nprobe=1 of 8 cells the old cells-indexed literal embedded 7
+    // zero tables (16 consecutive zeros each); the probe-keyed map must
+    // embed exactly one real table
+    val plan = VectorStore.queryTopK(spark, dir, queryVec, k = 5,
+      nprobe = 1).queryExecution.analyzed.toString
+    assert(!plan.contains("0.0, 0.0, 0.0, 0.0"),
+      "zero-filled ADC tables for unprobed cells are back in the plan")
+  }
+
   test("nprobe widening only adds candidates — top-1 from full probe " +
       "is at least as close") {
     val narrow = VectorStore.queryTopK(spark, dir, queryVec, k = 1,

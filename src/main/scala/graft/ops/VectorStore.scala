@@ -169,12 +169,13 @@ object VectorStore {
       s"no _SUCCESS marker under $path — this store's idempotence " +
         "requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
 
-  /** Self-healing for the narrow compaction crash window: if `codes` is
-    * missing but the completed replacement is present, swap it in.
-    * Race-safe: two concurrent healers both attempting the rename is
-    * fine — the loser re-checks that SOMEONE put codes in place before
-    * declaring the store broken. */
+  /** Self-healing for the narrow crash windows of [[compact]] and
+    * [[retrain]]: a completed-but-unswapped replacement is swapped in
+    * before anything is served. Race-safe: two concurrent healers both
+    * attempting a rename is fine — the loser re-checks that SOMEONE put
+    * the component in place before declaring the store broken. */
   private def heal(fs: FileSystem, dir: String): Unit = {
+    finishRetrain(fs, dir)
     val codes = new Path(s"$dir/codes")
     val pending = new Path(s"$dir/codes_compact")
     if (!fs.exists(codes) && fs.exists(pending) &&
@@ -182,6 +183,31 @@ object VectorStore {
       val won = fs.rename(pending, codes)
       require(won || fs.exists(codes), s"recovery rename failed for $dir")
     }
+  }
+
+  /** The swap half of [[retrain]], idempotent so a crash ANYWHERE inside
+    * it re-runs to completion from [[heal]]: once the `_retrain_ready`
+    * marker exists, every staged component still present moves into
+    * place (components already moved are simply absent from staging),
+    * then the dead incarnation's tombstone directories and claims are
+    * cleared and the marker is removed LAST. Without the marker the
+    * staging directories are invisible and the old incarnation serves
+    * untouched. */
+  private def finishRetrain(fs: FileSystem, dir: String): Unit = {
+    if (!fs.exists(new Path(s"$dir/_retrain_ready"))) return
+    Seq("centroids", "codebooks", "codes").foreach { c =>
+      val pending = new Path(s"$dir/${c}_retrain")
+      if (fs.exists(pending)) {
+        rmTree(fs, s"$dir/$c")
+        val won = fs.rename(pending, new Path(s"$dir/$c"))
+        require(won || fs.exists(new Path(s"$dir/$c")),
+          s"retrain swap-in failed for $dir/$c")
+      }
+    }
+    rmTree(fs, s"$dir/deletes")
+    rmTree(fs, s"$dir/codes.claims")
+    rmTree(fs, s"$dir/deletes.claims")
+    rmTree(fs, s"$dir/_retrain_ready")
   }
 
   /** The paths of every COMMITTED batch directory under `root` — what a
@@ -259,12 +285,30 @@ object VectorStore {
     rmTree(fs, s"$dir/deletes")
     rmTree(fs, s"$dir/codes_compact")
     rmTree(fs, s"$dir/codes_old")
+    rmTree(fs, s"$dir/_retrain_ready")
+    rmTree(fs, s"$dir/codes_retrain")
+    rmTree(fs, s"$dir/centroids_retrain")
+    rmTree(fs, s"$dir/codebooks_retrain")
     rmTree(fs, s"$dir/codes.claims")
     rmTree(fs, s"$dir/deletes.claims")
     rmTree(fs, s"$dir/codes.ledger")
     rmTree(fs, s"$dir/codes.ledger.tmp")
     rmTree(fs, s"$dir/deletes.ledger")
     rmTree(fs, s"$dir/deletes.ledger.tmp")
+    trainInto(spark, emb, cells, m, codebookSize, kmeansIters,
+      s"$dir/codes", s"$dir/centroids", s"$dir/codebooks")
+  }
+
+  /** The one training+layout pipeline [[write]] and [[retrain]] share:
+    * train coarse cells + residual codebooks over `emb` and lay the
+    * store's three components down at the given paths (codes as
+    * batch=0, cell-partitioned). */
+  private def trainInto(spark: SparkSession, emb: DataFrame,
+      cells: Int, m: Int, codebookSize: Int, kmeansIters: Int,
+      codesOut: String, centroidsOut: String,
+      codebooksOut: String): Unit = {
+    import spark.implicits._
+    val fs = fsOf(spark, codesOut)
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coarse = Similarity.kMeansCentroids(vecs, cells, kmeansIters)
@@ -275,16 +319,16 @@ object VectorStore {
       .select(col("vec_id"), lit(0L).as("batch"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("batch", "cell").mode("overwrite")
-      .parquet(s"$dir/codes")
-    requireMarker(fs, s"$dir/codes")
+      .parquet(codesOut)
+    requireMarker(fs, codesOut)
     coarse.zipWithIndex
       .map { case (cent, c) => (c, cent.toSeq) }.toSeq
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsOut)
     books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (cent, code) => (j, code, cent.toSeq) }
     }.toSeq.toDF("j", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(codebooksOut)
     assigned.unpersist()
     vecs.unpersist()
   }
@@ -454,6 +498,82 @@ object VectorStore {
     rmTree(fs, delRoot)
     rmTree(fs, s"$dir/codes.claims")
     rmTree(fs, s"$dir/deletes.claims")
+  }
+
+  /** Offline retraining — the lifecycle closure for quantization drift:
+    * when [[append]]ed vectors (coded against codebooks trained before
+    * they existed) erode recall (measured by the q149/q152 monitoring
+    * queries), recompute coarse cells AND residual codebooks from the
+    * live corpus and rewrite the store as a FRESH incarnation. `corpus`
+    * is the lake's raw embedding table (the store itself holds only
+    * m-byte codes — reconstructing training vectors from them would
+    * bake the very quantization error retraining exists to shed); only
+    * the rows whose vec_id is live in the store — stored, not
+    * tombstoned — are trained on or re-coded, so retrain composes with
+    * [[delete]] exactly like [[compact]] does.
+    *
+    * Crash contract, composing [[compact]]'s discipline: (1) the new
+    * incarnation's three components land COMPLETE in `*_retrain`
+    * staging (job-committed); (2) the folded batch ids are ledgered —
+    * so a late replay of a pre-retrain batch stays a no-op even though
+    * its rows now live in batch 0 of the new incarnation; (3) a single
+    * `_retrain_ready` marker flips the store, and [[finishRetrain]] —
+    * idempotent, run by every verb through [[heal]] — performs the
+    * component swaps. A crash before (3) leaves the old incarnation
+    * fully serving; a crash inside the swaps is finished by the next
+    * touch. Like compact, retrain is an OFFLINE verb: run it from the
+    * single maintenance process.
+    *
+    * Determinism: the live corpus is canonicalized —
+    * `repartition(P, vec_id).sortWithinPartitions(vec_id)` — before
+    * training, so row-to-partition placement depends only on vec_id
+    * hashes, not on upstream join shapes. That one extra shuffle (of an
+    * offline job) is what lets the q152 oracle replay the trainers
+    * bit-for-bit from a plain filter of the lake table. */
+  def retrain(spark: SparkSession, dir: String, corpus: DataFrame,
+      cells: Int = 8, m: Int = 8, codebookSize: Int = 16,
+      kmeansIters: Int = 3): Unit = {
+    require(cells >= 1 && m >= 1 && codebookSize >= 2 && codebookSize <= 256,
+      s"need cells >= 1, m >= 1, codebookSize in [2,256]: " +
+        s"$cells/$m/$codebookSize")
+    val fs = fsOf(spark, dir)
+    heal(fs, dir)
+    val codesRoot = s"$dir/codes"
+    val delRoot = s"$dir/deletes"
+    // capture ONCE, like compact: these ids are folded and ledgered
+    val codeIds = committedBatches(fs, codesRoot)
+    val delIds = committedBatches(fs, delRoot)
+    val codePaths = committedPaths(fs, codesRoot)
+    val delPaths = committedPaths(fs, delRoot)
+    require(codePaths.nonEmpty, s"nothing to retrain under $codesRoot")
+    val storedIds = spark.read.option("basePath", codesRoot)
+      .parquet(codePaths: _*).select(col("vec_id"))
+    val liveIds =
+      if (delPaths.nonEmpty)
+        storedIds.join(
+          spark.read.option("basePath", delRoot).parquet(delPaths: _*)
+            .select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      else storedIds
+    val p = spark.sessionState.conf.numShufflePartitions
+    val live = corpus.select(col("vec_id"), col("embedding"))
+      .join(liveIds, Seq("vec_id"), "left_semi")
+      .repartition(p, col("vec_id")).sortWithinPartitions("vec_id")
+    // stale staging from an earlier crashed attempt (pre-marker, so the
+    // old incarnation never saw it) restarts from scratch
+    rmTree(fs, s"$dir/_retrain_ready")
+    rmTree(fs, s"$dir/codes_retrain")
+    rmTree(fs, s"$dir/centroids_retrain")
+    rmTree(fs, s"$dir/codebooks_retrain")
+    trainInto(spark, live, cells, m, codebookSize, kmeansIters,
+      s"$dir/codes_retrain", s"$dir/centroids_retrain",
+      s"$dir/codebooks_retrain")
+    // poison replays of the folded batches BEFORE the incarnation flips
+    extendLedger(fs, codesRoot, codeIds - 0L)
+    extendLedger(fs, delRoot, delIds - 0L)
+    // the single-file marker IS the flip; everything after is replayable
+    fs.create(new Path(s"$dir/_retrain_ready"), true).close()
+    finishRetrain(fs, dir)
   }
 
   /** Approximate top-k nearest (squared L2) to `queryVec` from the

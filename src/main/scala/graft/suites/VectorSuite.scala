@@ -31,8 +31,87 @@ object VectorSuite {
     Q("q148_vector_store_append", q148, None, Some(q148Oracle)),
     Q("q149_ann_recall", q149, Some(q149Sql)),
     Q("q150_vector_store_delete", q150, None, Some(q150Oracle)),
-    Q("q151_vector_store_batch_topk", q151, None, Some(q151Oracle))
+    Q("q151_vector_store_batch_topk", q151, None, Some(q151Oracle)),
+    Q("q152_vector_store_retrain", q152, None, Some(q152Oracle))
   )
+
+  /** Retrained store ([[graft.ops.VectorStore.retrain]]): the full
+    * lifecycle — write on the even half, append the odd half against
+    * frozen books, tombstone every vec_id % 10 == 3, then retrain from
+    * the lake table. The store must serve as if freshly TRAINED on
+    * exactly the live set (all ids minus the tombstoned ones): the
+    * oracle replays the trainers on the same canonicalized live corpus
+    * (`repartition(P, vec_id) + sortWithinPartitions` — retrain's
+    * documented determinism contract) and scores the live vectors
+    * against the NEW cells and codebooks. */
+  private val retrainStoreDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dir = retrainStoreDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("vecstore_rt")
+        .toString
+      graft.ops.VectorStore.write(s, emb.filter(col("vec_id") % 2 === 0), out)
+      graft.ops.VectorStore.append(s, out, emb.filter(col("vec_id") % 2 === 1))
+      graft.ops.VectorStore.delete(s, out,
+        emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")))
+      graft.ops.VectorStore.retrain(s, out, emb)
+      out
+    })
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.ops.VectorStore.queryTopK(s, dir, qv, k = 10, nprobe = 2,
+      excludeVecId = Some(0L))
+  }
+
+  private def q152Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    // the live corpus, canonicalized exactly as retrain does internally
+    val p = s.sessionState.conf.numShufflePartitions
+    val live = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 =!= 3)
+      .repartition(p, col("vec_id")).sortWithinPartitions("vec_id")
+    val coarse = Similarity.kMeansCentroids(live, k = 8, iters = 3)
+    val cs = coarse
+    val resDf = live.as[(Long, Array[Float])].map { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, cs)
+      (id, Array.tabulate(v.length)(i => (v(i) - cs(c)(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = graft.ops.Pq.trainCodebooks(resDf, m = 8, codebookSize = 16,
+      kmeansIters = 3)
+    val sub = books.head.head.length
+    val vecs = collectVecs(s, d).filter(_._1 % 10 != 3) // live rows only
+    val qv = vecs.find(_._1 == 0L).get._2
+    val probed = coarse.indices.sortBy(c => sliceD2(coarse(c), qv, 0)).take(2)
+    def adc(c: Int, j: Int, code: Int): Double = {
+      var dd = 0.0; var i = 0
+      val cent = books(j)(code)
+      while (i < sub) {
+        val qr = (qv(j * sub + i) - coarse(c)(j * sub + i)).toFloat
+        val diff = qr - cent(i); dd += diff * diff; i += 1
+      }
+      dd
+    }
+    val top = vecs.iterator.filter(_._1 != 0L).flatMap { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, coarse)
+      if (!probed.contains(c)) None
+      else {
+        val res = Array.tabulate(v.length)(i => (v(i) - coarse(c)(i)).toFloat)
+        var approx = 0.0
+        var j = 0
+        while (j < books.length) {
+          val code = argminCode(books(j), res, j * sub)
+          approx += adc(c, j, code)
+          j += 1
+        }
+        Some((id, round6(approx)))
+      }
+    }.toSeq.sortBy { case (id, dd) => (dd, id) }.take(10)
+    valuesPin(top, "approx_d2", "ORDER BY approx_d2, vec_id")
+  }
 
   /** Tombstone deletes ([[graft.ops.VectorStore.delete]]): the store
     * holds the full corpus, every vec_id % 10 == 3 is tombstoned, and a

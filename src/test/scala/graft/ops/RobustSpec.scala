@@ -59,23 +59,37 @@ class RobustSpec extends SparkSpec {
     assert(math.abs(win - 50.5) < math.abs(raw - 50.5))
   }
 
-  test("broadcast fallback: above the key limit the clamp degrades to a " +
-      "shuffle join with identical results") {
-    // force the fallback (limit 1 < 2 groups): with the hint dropped AND
-    // auto-broadcast off (so Catalyst can't re-derive a broadcast from
-    // size stats on its own), the plan must carry NO broadcast join
+  test("shuffle regime (broadcastKeyLimit = 0): no broadcast hint, " +
+      "identical results") {
+    // high-cardinality contract: with the hint off AND auto-broadcast
+    // off (so neither Catalyst nor AQE re-derives a broadcast from size
+    // stats), the plan must carry NO broadcast join
     val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val fb = Robust.winsorize(frame, "k", "v", 0.05, 0.95,
-        binLo = -1000.0, binHi = 5000.0, bins = 6000, broadcastKeyLimit = 1L)
+        binLo = -1000.0, binHi = 5000.0, bins = 6000, broadcastKeyLimit = 0L)
       val p = fb.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastHashJoin"),
-        s"bounds still broadcast under the key limit:\n$p")
+        s"bounds still broadcast in the shuffle regime:\n$p")
       // ...and the results must be bit-identical to the broadcast path
       val hinted = win(frame).orderBy($"k", $"v").collect().toSeq
       assert(fb.orderBy($"k", $"v").collect().toSeq == hinted)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+  }
+
+  test("broadcast tripwire: exceeding the declared key limit fails " +
+      "loudly and names the fix, never a silent over-sized broadcast") {
+    val e = intercept[Exception] {
+      Robust.winsorize(frame, "k", "v", 0.05, 0.95,
+        binLo = -1000.0, binHi = 5000.0, bins = 6000,
+        broadcastKeyLimit = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("broadcastKeyLimit")),
+      s"tripwire error lost its actionable message: ${messages(e)}")
   }
 
   test("bounds come from the histogram — no O(group-data) percentile buffer") {

@@ -95,13 +95,18 @@ object Robust {
             lit(1L)) * lit(width)).as("__phi"))
     val boundsKeyed =
       if (broadcastKeyLimit > 0) {
-        // tripwire: counts only the groups-sized bounds (the window
-        // never touches fact rows) and turns an over-limit broadcast
-        // into a loud, actionable error instead of a silent OOM
-        val wNk = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
-        broadcast(bounds
-          .withColumn("__nk", count(lit(1)).over(wNk))
+        // tripwire: counts only the groups-sized bounds (never fact
+        // rows) and turns an over-limit broadcast into a loud,
+        // actionable error instead of a silent OOM. The count is a
+        // 1-row aggregate joined back onto the bounds by a broadcast
+        // nested-loop join — NOT a no-partition window, whose
+        // WindowExec "Moving all data to a single partition" WARN
+        // would fire on every production run (an always-on warning ops
+        // teams page on is a real cost). Still one action: the count
+        // branch and the bounds branch share the histogram's shuffle
+        // exchange (ReusedExchange), so the fact table is scanned once
+        val nk = bounds.groupBy().agg(count(lit(1)).as("__nk"))
+        broadcast(bounds.crossJoin(broadcast(nk))
           .filter(when(col("__nk") <= lit(broadcastKeyLimit), lit(true))
             .otherwise(raise_error(format_string(
               "winsorize: %s distinct '" + keyCol + "' keys exceed " +

@@ -2,7 +2,6 @@ package graft.wri
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** Stage 01 — COG conversion (SURVEY §3.2; `01b_make_cog_all.R`).
   *
@@ -15,6 +14,11 @@ import java.nio.file.{Files, Paths}
   * Files are independent, so this scales linearly with executors —
   * inter-file parallelism replacing the reference's intra-file
   * NUM_THREADS=50 (`scripts/README.md:184-190`).
+  *
+  * All reads/sinks resolve through each path's own scheme ([[WriFs]] /
+  * [[RangeReader]]): sources and `outDir` may live on local disk,
+  * `hdfs://`, or any registered filesystem — the encode stage runs
+  * where the rasters live.
   */
 object Cog {
 
@@ -29,11 +33,15 @@ object Cog {
   def run(spark: SparkSession, consistent: DataFrame, outDir: String,
       opts: TiffWriter.CogOptions = TiffWriter.CogOptions()): DataFrame = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(outDir))
+    val driverConf = spark.sparkContext.hadoopConfiguration
+    WriFs.mkdirs(outDir, driverConf)
+    // executors resolve source/sink filesystems from each path's own
+    // scheme; the session's Hadoop configuration rides in a broadcast
+    val confBc = WriFs.confBroadcast(spark)
 
     // idempotent resume: skip outputs that already exist (anti-join vs a
     // listing rather than per-row fs checks, SURVEY §2.2 P10)
-    val existing = Option(Paths.get(outDir).toFile.list()).getOrElse(Array.empty)
+    val existing = WriFs.listNames(outDir, driverConf)
     val existingDf = spark.createDataset(existing.toIndexedSeq).toDF("cog_filename")
     val todo = consistent.select("filepath", "cog_filename")
       .join(existingDf, Seq("cog_filename"), "left_anti")
@@ -44,16 +52,17 @@ object Cog {
       .as[String].map(f => CogStatus(f, "skipped", None, None, None, None))
 
     val done = todo.as[(String, String)].mapPartitions { it =>
+      val conf = confBc.value.value
       it.map { case (src, cogName) =>
         val dst = s"$outDir/$cogName"
         try {
-          if (!Files.exists(Paths.get(src)))
+          if (!WriFs.exists(src, conf))
             CogStatus(cogName, "missing_input", None, None, None, None)
           else {
-            val (h, px) = TiffIO.readPixels(src)
+            val (h, px) = TiffIO.readPixels(src, conf)
             TiffWriter.writeCog(dst, h.width, h.height, px,
               TiffIO.GeoInfo(h.epsg.getOrElse(0), h.resX, h.resY,
-                h.xmin, h.ymax), opts)
+                h.xmin, h.ymax), opts, conf)
             var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
             var i = 0
             while (i < px.length) {
@@ -62,7 +71,7 @@ object Cog {
               i += 1
             }
             val stats = if (mn <= mx) (Some(mn), Some(mx)) else (None, None)
-            val mb = Files.size(Paths.get(dst)) / 1024.0 / 1024.0
+            val mb = WriFs.size(dst, conf) / 1024.0 / 1024.0
             CogStatus(cogName, "written",
               Some(math.round(mb * 100) / 100.0), None, stats._1, stats._2)
           }
@@ -99,10 +108,12 @@ object Cog {
     * (replaces `experiments/test_cog_settings_benchmark.R`). */
   def settingsSweep(spark: SparkSession, srcPath: String, outDir: String): DataFrame = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(outDir))
+    WriFs.mkdirs(outDir, spark.sparkContext.hadoopConfiguration)
+    val confBc = WriFs.confBroadcast(spark)
     settingsGrid(spark)
       .as[(String, Int, Int, String, String)]
       .mapPartitions { it =>
+        val conf = confBc.value.value
         it.map { case (comp, pred, block, bigtiff, resamp) =>
           val c: TiffIO.Compression = comp match {
             case "DEFLATE" => TiffIO.Deflate
@@ -114,17 +125,17 @@ object Cog {
           val out = s"$outDir/cog_${comp}_${pred}_${block}_${bigtiff}_$resamp.tif"
           val t0 = System.nanoTime()
           val status = try {
-            val (h, px) = TiffIO.readPixels(srcPath)
+            val (h, px) = TiffIO.readPixels(srcPath, conf)
             TiffWriter.writeCog(out, h.width, h.height, px,
               TiffIO.GeoInfo(h.epsg.getOrElse(0), h.resX, h.resY, h.xmin,
                 h.ymax),
               TiffWriter.CogOptions(block, c, pred, r,
-                bigTiff = bigtiff == "YES"))
+                bigTiff = bigtiff == "YES"), conf)
             "ok"
           } catch { case e: Exception => s"failed: ${e.getMessage}" }
           val secs = (System.nanoTime() - t0) / 1e9
-          val size = if (Files.exists(Paths.get(out)))
-            Files.size(Paths.get(out)) else 0L
+          val size = if (WriFs.exists(out, conf)) WriFs.size(out, conf)
+            else 0L
           (out, status, comp, pred, block, bigtiff, resamp, secs, size)
         }
       }

@@ -49,11 +49,16 @@ object Inventory {
     * inconsistent split. */
   def withHeaders(spark: SparkSession, listed: DataFrame): DataFrame = {
     import spark.implicits._
+    // headers are read where the task runs, through RangeReader — the
+    // same bounded-read seam as CogQuery, so the scan stage works over
+    // local disk, any Hadoop scheme, or hosted-raster HTTP alike
+    val confBc = WriFs.confBroadcast(spark)
     val headers = listed.select(col("filepath"), col("length")).as[(String, Long)]
       .mapPartitions { it =>
+        val conf = confBc.value.value
         it.map { case (fp, len) =>
           try {
-            val h = TiffIO.readHeader(fp)
+            val h = TiffIO.readHeader(fp, conf)
             RawHeader(fp,
               Some(math.round(len / 1024.0 / 1024.0 * 100) / 100.0),
               Some(h.height), Some(h.width), Some(h.bands),
@@ -97,7 +102,8 @@ object Inventory {
     * problems exist. Parquet is the canonical store; CSV is the
     * reference-compatible export. */
   def writeOutputs(result: InventoryResult, metadataDir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(metadataDir))
+    WriFs.mkdirs(metadataDir,
+      result.raw.sparkSession.sparkContext.hadoopConfiguration)
     def csv(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").option("header", "true")
         .csv(s"$metadataDir/$name")
@@ -127,8 +133,42 @@ object Inventory {
   /** Full stage 00 over a data directory; `resumeFrom` optionally holds a
     * previously-written raw table for skip-processed semantics (J1). */
   def run(spark: SparkSession, dataDir: String,
+      resumeFrom: Option[DataFrame] = None): InventoryResult =
+    runListed(spark, listAndClassify(spark, dataDir), resumeFrom)
+
+  /** Stage 00 over HOSTED rasters — the reference's actual serving mode
+    * (`README.md:329-335`): the "files" are URLs, sizes come from one
+    * HEAD-equivalent [[RangeReader]] open per URL, and the header reads
+    * are bounded HTTP range requests. Classification sees the URL path,
+    * so the same directory conventions apply. `hdfs://`-style URLs work
+    * identically (RangeReader resolves non-HTTP schemes through the
+    * Hadoop FileSystem API). */
+  def runOverUrls(spark: SparkSession, urls: Seq[String],
       resumeFrom: Option[DataFrame] = None): InventoryResult = {
-    val listed0 = listAndClassify(spark, dataDir)
+    import spark.implicits._
+    val confBc = WriFs.confBroadcast(spark)
+    // classification + exclude FIRST, on the URL strings alone — an
+    // excluded layer never costs even its HEAD request (P5 discipline)
+    val listed = spark.createDataset(urls).toDF("filepath")
+      .select(col("filepath"),
+        Classify.dataType(col("filepath")).as("data_type"))
+      .filter(col("data_type") =!= "exclude")
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { case (url, dt) =>
+          val r = RangeReader.open(url, conf)
+          try (url, r.length, dt) finally r.close()
+        }
+      }
+      .toDF("filepath", "length", "data_type")
+    runListed(spark, listed, resumeFrom)
+  }
+
+  /** The shared tail of [[run]]/[[runOverUrls]]: resume anti-join,
+    * header extraction, validation, consistent/inconsistent split. */
+  private def runListed(spark: SparkSession, listed0: DataFrame,
+      resumeFrom: Option[DataFrame]): InventoryResult = {
     val listed = resumeFrom match {
       case Some(prev) =>
         listed0.join(prev.select("filepath"), Seq("filepath"), "left_anti")

@@ -50,24 +50,76 @@ final class HadoopRangeReader(url: String, conf: Configuration)
   * `Range: bytes=a-b` GET per requested range (header prefix + each
   * tile). A server that ignores Range (responds 200 with the full
   * body) is rejected loudly rather than silently downloading whole
-  * rasters — the economy IS the contract. */
-final class HttpRangeReader(url: String) extends RangeReader {
+  * rasters — the economy IS the contract; the one legitimate 200 is a
+  * request whose range IS the entire object (RFC 9110 permits either
+  * answer there).
+  *
+  * Robustness contract:
+  *   - `Accept-Encoding: identity` rides on every request, so
+  *     Content-Length and Range offsets always speak raw object bytes
+  *     (a transparently-gzipping server would otherwise hand back
+  *     lengths inconsistent with the byte offsets of later requests);
+  *   - redirects the HTTP client will not follow transparently (e.g.
+  *     cross-protocol http->https) are rejected with a message naming
+  *     the redirect target instead of a bare 3xx;
+  *   - a 206's `Content-Range` offsets are validated against the
+  *     requested range before any byte is trusted;
+  *   - transient `IOException`s (reset connections, mid-body EOF) are
+  *     retried with backoff up to `maxAttempts` per request; contract
+  *     violations (wrong status, bad offsets) never retry. */
+final class HttpRangeReader(url: String, maxAttempts: Int = 3)
+    extends RangeReader {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+
   private def connect(range: Option[(Long, Long)]) = {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setConnectTimeout(10000)
     c.setReadTimeout(60000)
+    // raw bytes or nothing: a Content-Encoding would break the
+    // Content-Length/Range-offset arithmetic this reader lives on
+    c.setRequestProperty("Accept-Encoding", "identity")
     range.foreach { case (a, b) =>
       c.setRequestProperty("Range", s"bytes=$a-$b")
     }
     c
   }
 
-  val length: Long = {
+  /** HttpURLConnection only auto-follows same-protocol redirects; a 3xx
+    * that reaches us is one it refused — fail naming the target so the
+    * operator sees "this catalog moved to https://..." instead of a
+    * bare status code. */
+  private def rejectRedirect(code: Int, c: java.net.HttpURLConnection,
+      what: String): Unit =
+    if (code >= 300 && code < 400) {
+      val target = Option(c.getHeaderField("Location")).getOrElse("<unset>")
+      throw new IllegalArgumentException(
+        s"$what $url -> $code redirect to $target — follow manually " +
+          "(cross-protocol redirects are not followed)")
+    }
+
+  /** Run `attempt` up to [[maxAttempts]] times, retrying ONLY transient
+    * I/O failures; contract violations surface immediately. */
+  private def withRetries[T](attempt: () => T): T = {
+    var tries = 0
+    while (true) {
+      tries += 1
+      try return attempt()
+      catch {
+        case _: java.io.IOException if tries < maxAttempts =>
+          Thread.sleep(100L * tries)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  val length: Long = withRetries { () =>
     val c = connect(None)
     c.setRequestMethod("HEAD")
     try {
-      require(c.getResponseCode == 200, s"HEAD $url -> ${c.getResponseCode}")
+      val code = c.getResponseCode
+      rejectRedirect(code, c, "HEAD")
+      require(code == 200, s"HEAD $url -> $code")
       val len = c.getContentLengthLong
       require(len >= 0, s"HEAD $url returned no Content-Length")
       len
@@ -76,21 +128,41 @@ final class HttpRangeReader(url: String) extends RangeReader {
 
   def readFully(offset: Long, buf: Array[Byte]): Unit = {
     if (buf.length == 0) return
-    val c = connect(Some((offset, offset + buf.length - 1)))
-    try {
-      require(c.getResponseCode == 206,
-        s"GET $url range $offset+${buf.length} -> ${c.getResponseCode} " +
-          "(server does not honor Range requests)")
-      val in = c.getInputStream
+    withRetries { () =>
+      val c = connect(Some((offset, offset + buf.length - 1)))
       try {
-        var off = 0
-        while (off < buf.length) {
-          val n = in.read(buf, off, buf.length - off)
-          require(n >= 0, s"short range read from $url at $offset")
-          off += n
+        val code = c.getResponseCode
+        rejectRedirect(code, c, "GET")
+        // a 200 is acceptable ONLY when the requested range is the whole
+        // object — then "the full body" and "the range" are the same
+        // bytes; anywhere else it means Range was ignored
+        val wholeObject = offset == 0 && buf.length.toLong == length
+        require(code == 206 || (code == 200 && wholeObject),
+          s"GET $url range $offset+${buf.length} -> $code " +
+            "(server does not honor Range requests)")
+        if (code == 206) {
+          // trust no byte before the offsets check out
+          val cr = Option(c.getHeaderField("Content-Range")).getOrElse("")
+          val m = "bytes (\\d+)-(\\d+)/(?:\\d+|\\*)".r.findFirstMatchIn(cr)
+          require(m.isDefined, s"GET $url -> 206 with unparsable " +
+            s"Content-Range '$cr'")
+          val (a, b) = (m.get.group(1).toLong, m.get.group(2).toLong)
+          require(a == offset && b == offset + buf.length - 1,
+            s"GET $url asked bytes=$offset-${offset + buf.length - 1}, " +
+              s"server answered '$cr'")
         }
-      } finally in.close()
-    } finally c.disconnect()
+        val in = c.getInputStream
+        try {
+          var off = 0
+          while (off < buf.length) {
+            val n = in.read(buf, off, buf.length - off)
+            if (n < 0) throw new java.io.EOFException(
+              s"short range read from $url at $offset ($off/${buf.length})")
+            off += n
+          }
+        } finally in.close()
+      } finally c.disconnect()
+    }
   }
 
   def close(): Unit = ()

@@ -2,9 +2,9 @@ package graft.wri
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Stage 02 — STAC catalog/collection/items (SURVEY §3.3;
   * `02b_make_stac_all.R`). Items are built per-row on executors; the
@@ -112,17 +112,18 @@ object Stac {
     * written. */
   def writeItems(items: DataFrame, itemsDir: String,
       overwrite: Boolean = false): Long = {
-    Files.createDirectories(Paths.get(itemsDir))
+    val spark = items.sparkSession
+    WriFs.mkdirs(itemsDir, spark.sparkContext.hadoopConfiguration)
+    val confBc = WriFs.confBroadcast(spark)
     val dir = itemsDir
     val ow = overwrite
     items.select("item_id", "json").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = confBc.value.value
         rows.foreach { r =>
-          val p = Paths.get(s"$dir/${r.getString(0)}.json")
-          if (ow || !Files.exists(p))
-            Files.writeString(p, r.getString(1),
-              StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-              StandardOpenOption.TRUNCATE_EXISTING)
+          val p = s"$dir/${r.getString(0)}.json"
+          if (ow || !WriFs.exists(p, conf))
+            WriFs.writeString(p, r.getString(1), conf)
         }
     }
     items.count()
@@ -201,19 +202,13 @@ object Stac {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  /** JSON-directory re-scan (S9): item ids from the files on disk. */
-  def listItemIds(itemsDir: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val d = Paths.get(itemsDir)
-    if (!Files.isDirectory(d)) Seq.empty
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json")).toSeq.sorted
-      finally s.close()
-    }
-  }
+  /** JSON-directory re-scan (S9): item ids from the files on disk —
+    * whichever filesystem `itemsDir`'s scheme names. */
+  def listItemIds(itemsDir: String,
+      conf: Configuration = WriFs.defaultConf): Seq[String] =
+    WriFs.listNames(itemsDir, conf)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).sorted
 
   /** Required-column assert (`02b:112-123`): fail fast, by name. */
   def assertRequired(meta: DataFrame): Unit = {
@@ -235,11 +230,12 @@ object Stac {
     // S9: crawl the items directory (not the in-memory DF) for the
     // collection's rel=item links, exactly like the reference's dir_ls
     // re-scan (`02b:312-322`) — picks up items from earlier runs too
-    val ids = listItemIds(itemsDir)
-    Files.writeString(
-      Paths.get(s"$stacRoot/collections/$collectionId/collection.json"),
-      collectionJson(consistent, ids))
-    Files.writeString(Paths.get(s"$stacRoot/catalog.json"), catalogJson)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ids = listItemIds(itemsDir, conf)
+    WriFs.writeString(
+      s"$stacRoot/collections/$collectionId/collection.json",
+      collectionJson(consistent, ids), conf)
+    WriFs.writeString(s"$stacRoot/catalog.json", catalogJson, conf)
     items
   }
 }

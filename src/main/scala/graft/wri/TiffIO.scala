@@ -1,8 +1,7 @@
 package graft.wri
 
-import java.io.{ByteArrayOutputStream, RandomAccessFile}
+import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 import java.util.zip.{Deflater, Inflater}
 
 /** Pure-JVM GeoTIFF I/O (SURVEY §2.1 S2/S7, §2.7 F11).
@@ -88,16 +87,26 @@ object TiffIO {
     case _ => 1
   }
 
-  /** Reads only the header bytes of a GeoTIFF (never pixel payloads). */
-  def readHeader(path: String): Header = {
-    val raf = new RandomAccessFile(path, "r")
-    try readHeader(raf) finally raf.close()
+  /** Reads only the header bytes of a GeoTIFF (never pixel payloads),
+    * resolving bare/local paths against the default filesystem. */
+  def readHeader(path: String): Header = readHeader(path, WriFs.defaultConf)
+
+  /** Scheme-agnostic header read: the same bounded reads (magic, IFD
+    * chain, tag value arrays — KBs, never pixels), issued through
+    * [[RangeReader]] so the inventory stage reads headers wherever the
+    * rasters live — local disk, `hdfs://`, any Hadoop scheme, or the
+    * reference's hosted-raster HTTP serving mode (`README.md:329-335`),
+    * where each bounded read is one `Range: bytes=a-b` request. */
+  def readHeader(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Header = {
+    val r = RangeReader.open(path, conf)
+    try readHeader(r) finally r.close()
   }
 
-  private def readHeader(raf: RandomAccessFile): Header = {
+  private def readHeader(reader: RangeReader): Header = {
     def readAt(off: Long, len: Int): ByteBuffer = {
       val b = new Array[Byte](len)
-      raf.seek(off); raf.readFully(b)
+      reader.readFully(off, b)
       ByteBuffer.wrap(b)
     }
     val head = readAt(0, 16)
@@ -221,13 +230,28 @@ object TiffIO {
   /** Reads the full single-band Float32 pixel payload (small files /
     * tests / COG re-encode input). Handles strips and tiles; NONE, LZW,
     * DEFLATE and ZSTD compression; predictors 1/2/3. */
-  def readPixels(path: String): (Header, Array[Float]) = {
-    val h = readHeader(path)
+  def readPixels(path: String): (Header, Array[Float]) =
+    readPixels(path, WriFs.defaultConf)
+
+  /** Scheme-agnostic full decode: one [[RangeReader]] read of the whole
+    * object (this path exists for small files / tests / COG re-encode
+    * input — windowed production reads go through [[CogQuery]]). */
+  def readPixels(path: String,
+      conf: org.apache.hadoop.conf.Configuration): (Header, Array[Float]) = {
+    val h = readHeader(path, conf)
     require(h.bands == 1 && h.bitsPerSample == 32 && h.sampleFormat == 3,
       s"only single-band Float32 supported, got $h")
-    val raf = new RandomAccessFile(path, "r")
-    try {
-      val bytes = Files.readAllBytes(Paths.get(path))
+    val bytes = {
+      val r = RangeReader.open(path, conf)
+      try {
+        require(r.length <= Int.MaxValue.toLong,
+          s"$path too large for a full in-memory decode: ${r.length} bytes")
+        val b = new Array[Byte](r.length.toInt)
+        r.readFully(0L, b)
+        b
+      } finally r.close()
+    }
+    {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       // re-parse offsets/counts from IFD0 via a minimal second pass
       val (offs, counts, tw, th) = stripOrTileInfo(bb)
@@ -269,7 +293,7 @@ object TiffIO {
         }
       }
       (h, out)
-    } finally raf.close()
+    }
   }
 
   /** IFD0 as tag -> values, handling classic and BigTIFF layouts. */

@@ -1,7 +1,8 @@
 package graft.wri
 
-import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, DataOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.hadoop.conf.Configuration
 
 /** Single-band Float32 GeoTIFF writers: a plain strip-based writer (test
   * fixtures; stage-00 inputs) and a Cloud-Optimized GeoTIFF writer
@@ -41,24 +42,27 @@ object TiffWriter {
     * "no value sampling"), so tests can exercise full-scale header values
     * (52355x57865, the fixed CONUS extent) without 12 GB of pixels. */
   def writeHeaderFixture(path: String, width: Int, height: Int,
-      geo: GeoInfo): Unit =
+      geo: GeoInfo, conf: Configuration = WriFs.defaultConf): Unit =
     writeTiff(path, Seq(Level(width, height, width, height,
-      Seq(Array[Byte](0, 0, 0, 0)))), geo, Uncompressed, 1, tiled = false)
+      Seq(Array[Byte](0, 0, 0, 0)))), geo, Uncompressed, 1, tiled = false,
+      conf = conf)
 
   /** Plain (non-COG) GeoTIFF: one uncompressed strip per image. */
   def writeGeoTiff(path: String, width: Int, height: Int,
-      pixels: Array[Float], geo: GeoInfo): Unit = {
+      pixels: Array[Float], geo: GeoInfo,
+      conf: Configuration = WriFs.defaultConf): Unit = {
     require(pixels.length == width * height)
     val data = new Array[Byte](pixels.length * 4)
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     pixels.foreach(bb.putFloat)
     val levels = Seq(Level(width, height, width, height, Seq(data)))
-    writeTiff(path, levels, geo, Uncompressed, 1, tiled = false)
+    writeTiff(path, levels, geo, Uncompressed, 1, tiled = false, conf = conf)
   }
 
   /** Cloud-Optimized GeoTIFF with overview pyramid. */
   def writeCog(path: String, width: Int, height: Int, pixels: Array[Float],
-      geo: GeoInfo, opts: CogOptions = CogOptions()): Unit = {
+      geo: GeoInfo, opts: CogOptions = CogOptions(),
+      conf: Configuration = WriFs.defaultConf): Unit = {
     require(pixels.length == width * height)
     val bs = opts.blockSize
     // build pyramid
@@ -93,7 +97,7 @@ object TiffWriter {
       Level(w, h, bs, bs, tiles)
     }
     writeTiff(path, levels, geo, opts.compression, opts.predictor,
-      tiled = true, big = opts.bigTiff)
+      tiled = true, big = opts.bigTiff, conf = conf)
   }
 
   /** NaN-aware 2x downsample. */
@@ -140,7 +144,8 @@ object TiffWriter {
     * entries, 8-byte counts/offsets/next pointers, 8-byte inline limit). */
   private def writeTiff(path: String, levels: Seq[Level], geo: GeoInfo,
       comp: Compression, predictor: Int, tiled: Boolean,
-      big: Boolean = false): Unit = {
+      big: Boolean = false,
+      conf: Configuration = WriFs.defaultConf): Unit = {
     val inlineMax = if (big) 8 else 4
     val entrySize = if (big) 20 else 12
 
@@ -207,8 +212,10 @@ object TiffWriter {
     }.toMap
 
     // ---- pass 2: write ----
+    // sink through the filesystem the path's own scheme names — the
+    // write is strictly sequential, so any Hadoop OutputStream works
     val out = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(path)))
+      WriFs.create(path, conf)))
     try {
       def writeShort(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
       def writeInt(v: Long): Unit = {

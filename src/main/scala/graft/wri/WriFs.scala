@@ -1,0 +1,70 @@
+package graft.wri
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path}
+import org.apache.spark.SerializableWritable
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+
+/** Scheme-agnostic filesystem plumbing for the WRI pipeline stages.
+  *
+  * The reference's rasters are served remotely (`README.md:329-335`), and
+  * at 100 TB the inventory/COG/STAC stages are exactly the jobs that must
+  * run where the data lives — so every sink and every existence/size/list
+  * touch in stages 00/01/02 resolves the Hadoop [[FileSystem]] from the
+  * path's OWN scheme (`file://`, `hdfs://`, any registered scheme)
+  * instead of assuming the driver's local POSIX disk. Raster READS go
+  * through [[RangeReader]] (which adds plain-HTTP range requests on top
+  * of the Hadoop schemes); this object carries the write/metadata side.
+  */
+object WriFs {
+
+  /** Hadoop FileSystem for `path`'s own scheme. The local
+    * ChecksumFileSystem is unwrapped to its raw form so local sinks
+    * produce the same bytes-on-disk trees as before (no `.crc`
+    * sidecars next to COGs or STAC JSON); HDFS and object-store
+    * filesystems pass through untouched. */
+  def fs(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf) match {
+      case c: ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
+  /** The session's Hadoop configuration as an executor-shippable
+    * broadcast (Configuration itself is Writable but not Serializable),
+    * so scheme credentials/settings resolve on executors too. */
+  def confBroadcast(
+      spark: SparkSession): Broadcast[SerializableWritable[Configuration]] =
+    spark.sparkContext.broadcast(new SerializableWritable(
+      new Configuration(spark.sparkContext.hadoopConfiguration)))
+
+  /** Default configuration for non-Spark call sites (tests, local
+    * tools): bare paths resolve against the default local filesystem. */
+  lazy val defaultConf: Configuration = new Configuration()
+
+  def mkdirs(dir: String, conf: Configuration): Unit = {
+    fs(dir, conf).mkdirs(new Path(dir)); ()
+  }
+
+  def exists(p: String, conf: Configuration): Boolean =
+    fs(p, conf).exists(new Path(p))
+
+  def size(p: String, conf: Configuration): Long =
+    fs(p, conf).getFileStatus(new Path(p)).getLen
+
+  /** Child names under `dir` (empty if the directory does not exist). */
+  def listNames(dir: String, conf: Configuration): Seq[String] = {
+    val f = fs(dir, conf)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName).toSeq
+  }
+
+  def create(p: String, conf: Configuration): java.io.OutputStream =
+    fs(p, conf).create(new Path(p), true)
+
+  def writeString(p: String, s: String, conf: Configuration): Unit = {
+    val out = create(p, conf)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+}

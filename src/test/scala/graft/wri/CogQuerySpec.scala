@@ -147,6 +147,10 @@ class CogQuerySpec extends SparkSpec {
             (a.toLong, math.min(b.toLong, bytes.length - 1L)) }
         range match {
           case Some((a, b)) =>
+            // RFC 9110: Content-Range is mandatory on a 206, and the
+            // reader validates it before trusting any byte
+            exchange.getResponseHeaders.set("Content-Range",
+              s"bytes $a-$b/${bytes.length}")
             exchange.sendResponseHeaders(206, b - a + 1)
             exchange.getResponseBody.write(bytes, a.toInt, (b - a + 1).toInt)
           case None =>

@@ -1,0 +1,258 @@
+package graft.wri
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+/** The round-9 seam: the WHOLE pipeline (not just the COG query) runs
+  * over scheme-qualified URIs and hosted-raster HTTP — stage 00 header
+  * scans via RangeReader, stage 01/02 sinks via the Hadoop FileSystem
+  * API — plus the HttpRangeReader robustness contract (redirects,
+  * Content-Range validation, whole-object 200, transient-error retry).
+  */
+class RemoteIoSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("wriremote").toString
+  private lazy val dataDir = Fixtures.writeInventoryTree(root)
+
+  /** Configurable HTTP stub over `dir`. Serves nested paths. */
+  private def withHttpServer[T](dir: String,
+      ignoreRange: Boolean = false,
+      failFirstN: Int = 0,
+      contentRangeSkew: Long = 0L,
+      redirectTo: Option[String] = None,
+      requested: Option[java.util.concurrent.ConcurrentLinkedQueue[String]] =
+        None)(f: String => T): T = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val failures = new AtomicInteger(failFirstN)
+    server.createContext("/", { exchange =>
+      requested.foreach(_.add(exchange.getRequestURI.getPath))
+      if (failures.getAndDecrement() > 0) {
+        // die without a response: the client sees a transient IOException
+        exchange.close()
+      } else if (redirectTo.isDefined) {
+        exchange.getResponseHeaders.set("Location",
+          redirectTo.get + exchange.getRequestURI.getPath)
+        exchange.sendResponseHeaders(301, -1)
+        exchange.close()
+      } else {
+        val file = new java.io.File(dir, exchange.getRequestURI.getPath)
+        if (!file.isFile) {
+          exchange.sendResponseHeaders(404, -1)
+        } else if (exchange.getRequestMethod == "HEAD") {
+          exchange.getResponseHeaders.set("Content-Length",
+            file.length.toString)
+          exchange.sendResponseHeaders(200, -1)
+        } else {
+          val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+          val range = Option(exchange.getRequestHeaders.getFirst("Range"))
+            .filter(_ => !ignoreRange)
+            .map(_.stripPrefix("bytes=").split("-"))
+            .map { case Array(a, b) =>
+              (a.toLong, math.min(b.toLong, bytes.length - 1L)) }
+          range match {
+            case Some((a, b)) =>
+              exchange.getResponseHeaders.set("Content-Range",
+                s"bytes ${a + contentRangeSkew}-${b + contentRangeSkew}" +
+                  s"/${bytes.length}")
+              exchange.sendResponseHeaders(206, b - a + 1)
+              exchange.getResponseBody.write(bytes, a.toInt, (b - a + 1).toInt)
+            case None =>
+              exchange.sendResponseHeaders(200, bytes.length.toLong)
+              exchange.getResponseBody.write(bytes)
+          }
+        }
+        exchange.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  /** Relative paths of every fixture file under the data dir. */
+  private def relPaths(base: String): Seq[String] = {
+    val b = Paths.get(base)
+    val s = Files.walk(b)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(p => b.relativize(p).toString).toSeq.sorted
+    finally s.close()
+  }
+
+  private def byFilename(rows: Array[Row]): Map[String, Map[String, Any]] =
+    rows.map { r =>
+      r.getAs[String]("filename") ->
+        r.schema.fieldNames.filterNot(_ == "filepath")
+          .map(n => n -> r.getAs[Any](n)).toMap
+    }.toMap
+
+  test("stage 00 over a scheme-qualified file:// data dir equals plain " +
+      "local paths") {
+    val plain = Inventory.run(spark, dataDir)
+    val viaUri = Inventory.run(spark, s"file://$dataDir")
+    // binaryFile normalizes both to the same file: URIs, and the
+    // header reads resolve through the scheme — identical rows out
+    assert(viaUri.raw.collect().map(_.toString).sorted.toSeq ==
+      plain.raw.collect().map(_.toString).sorted.toSeq)
+    assert(viaUri.consistent.count() == plain.consistent.count())
+  }
+
+  test("HTTP-backed inventory: header scans over Range requests match " +
+      "the local run field-for-field; excluded layers cost zero requests") {
+    val local = byFilename(Inventory.run(spark, dataDir).raw.collect())
+    val requested = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer(dataDir, requested = Some(requested)) { base =>
+      val urls = relPaths(dataDir).map(rel => s"$base/$rel")
+      val hosted = byFilename(Inventory.runOverUrls(spark, urls).raw.collect())
+      assert(hosted.keySet == local.keySet)
+      hosted.foreach { case (name, fields) =>
+        assert(fields == local(name), s"field drift for $name over HTTP")
+      }
+      // the exclude filter ran before ANY raster I/O: no request — not
+      // even a HEAD — ever left for an excluded layer
+      val excludedHits = requested.asScala.filter(p =>
+        p.contains("/archive/") || p.contains("/indicators_no_mask/") ||
+          p.contains("/final_checks/"))
+      assert(excludedHits.isEmpty, s"excluded layers were fetched: " +
+        excludedHits.mkString(", "))
+    }
+  }
+
+  test("stage 01 + 02 sink through the Hadoop FileSystem API: COGs and " +
+      "STAC documents land under a file:// output root") {
+    import spark.implicits._
+    val inputs = Fixtures.writeCogInputs(root)
+    val meta = inputs.toDF("filepath", "cog_filename")
+    val outDir = s"file://$root/cogs_uri"
+    val s1 = Cog.summary(Cog.run(spark, meta, outDir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == Map("written" -> 4L))
+    // the written COG is valid, read back through the same scheme
+    val h = TiffIO.readHeader(s"$outDir/layer_0.tif")
+    assert(h.tiled && h.isCogLayout)
+    // rerun skips via the scheme-resolved listing (idempotence)
+    val s2 = Cog.summary(Cog.run(spark, meta, outDir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == Map("skipped" -> 4L))
+    // bytes identical to a plain-local encode (no .crc sidecars either)
+    val localDir = s"$root/cogs_plain"
+    Cog.run(spark, meta, localDir).count()
+    val viaUri = Files.readAllBytes(Paths.get(s"$root/cogs_uri/layer_0.tif"))
+    val viaLocal = Files.readAllBytes(Paths.get(s"$localDir/layer_0.tif"))
+    assert(java.util.Arrays.equals(viaUri, viaLocal))
+    assert(!Files.exists(Paths.get(s"$root/cogs_uri/.layer_0.tif.crc")))
+
+    // stage 02 under file://: items + collection + catalog land and parse
+    val inv = Inventory.run(spark, dataDir)
+    val stacRoot = s"file://$root/stac_uri"
+    val items = Stac.run(spark, inv.consistent, stacRoot)
+    assert(items.count() == 5)
+    val mapper = new ObjectMapper()
+    val item = mapper.readTree(Files.readString(Paths.get(
+      s"$root/stac_uri/collections/${Model.collectionId}/items/WRI_score.json")))
+    assert(item.get("id").asText == "WRI_score")
+    assert(mapper.readTree(Files.readString(Paths.get(
+      s"$root/stac_uri/catalog.json"))).get("id").asText == "wri-catalog")
+    val coll = mapper.readTree(Files.readString(Paths.get(
+      s"$root/stac_uri/collections/${Model.collectionId}/collection.json")))
+    assert(coll.findValues("rel").asScala.exists(_.asText == "item"))
+  }
+
+  // ---- HttpRangeReader robustness contract -----------------------------
+
+  private lazy val cogFile = {
+    val inputs = Fixtures.writeCogInputs(root)
+    inputs.head._1
+  }
+
+  test("transient connection failures are retried with backoff — two " +
+      "dead connections, then success") {
+    withHttpServer(Paths.get(cogFile).getParent.toString, failFirstN = 2) {
+      base =>
+        val r = new HttpRangeReader(
+          s"$base/${Paths.get(cogFile).getFileName}", maxAttempts = 4)
+        val buf = new Array[Byte](16)
+        r.readFully(0, buf)
+        assert((buf(0) & 0xff) == 0x49 && (buf(1) & 0xff) == 0x49)
+    }
+  }
+
+  test("retries are bounded: a server that always dies surfaces the " +
+      "IOException after maxAttempts") {
+    withHttpServer(Paths.get(cogFile).getParent.toString, failFirstN = 99) {
+      base =>
+        intercept[java.io.IOException] {
+          new HttpRangeReader(
+            s"$base/${Paths.get(cogFile).getFileName}", maxAttempts = 2)
+        }
+    }
+  }
+
+  test("a 206 whose Content-Range does not match the requested offsets " +
+      "is rejected before any byte is trusted") {
+    withHttpServer(Paths.get(cogFile).getParent.toString,
+        contentRangeSkew = 8) { base =>
+      val r = new HttpRangeReader(s"$base/${Paths.get(cogFile).getFileName}")
+      val e = intercept[IllegalArgumentException] {
+        r.readFully(100, new Array[Byte](16))
+      }
+      assert(e.getMessage.contains("answered"), e.getMessage)
+    }
+  }
+
+  test("a redirect the client cannot follow fails loudly, naming the " +
+      "target URL") {
+    withHttpServer(Paths.get(cogFile).getParent.toString,
+        redirectTo = Some("https://moved.invalid")) { base =>
+      val e = intercept[IllegalArgumentException] {
+        new HttpRangeReader(s"$base/${Paths.get(cogFile).getFileName}")
+          .length
+      }
+      assert(e.getMessage.contains("https://moved.invalid"), e.getMessage)
+    }
+  }
+
+  test("a 200 is accepted exactly when the requested range IS the whole " +
+      "object — and still rejected for partial ranges") {
+    val dir = Paths.get(cogFile).getParent.toString
+    val name = Paths.get(cogFile).getFileName.toString
+    val whole = Files.readAllBytes(Paths.get(cogFile))
+    withHttpServer(dir, ignoreRange = true) { base =>
+      val r = new HttpRangeReader(s"$base/$name")
+      val buf = new Array[Byte](whole.length)
+      r.readFully(0, buf) // whole object: 200 is a legitimate answer
+      assert(java.util.Arrays.equals(buf, whole))
+      val e = intercept[IllegalArgumentException] {
+        r.readFully(0, new Array[Byte](whole.length - 1))
+      }
+      assert(e.getMessage.contains("Range"), e.getMessage)
+    }
+  }
+
+  test("every request carries Accept-Encoding: identity (raw-byte " +
+      "arithmetic is the contract)") {
+    val headers = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      headers.add(
+        Option(exchange.getRequestHeaders.getFirst("Accept-Encoding"))
+          .getOrElse("<none>"))
+      exchange.getResponseHeaders.set("Content-Length", "4")
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val r = new HttpRangeReader(
+        s"http://127.0.0.1:${server.getAddress.getPort}/x")
+      assert(r.length == 4L)
+      assert(headers.asScala.nonEmpty &&
+        headers.asScala.forall(_ == "identity"))
+    } finally server.stop(0)
+  }
+}

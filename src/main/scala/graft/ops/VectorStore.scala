@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,14 +24,24 @@ import org.apache.spark.sql.functions._
   *   codes.ledger     batch ids folded away by [[compact]] — they stay
   *                    "committed" forever so a late replay of an
   *                    already-ingested batch remains a no-op even after
-  *                    its directory is gone
+  *                    its directory is gone. Replaced atomically; closed
+  *                    by a `#<count>` sentinel line so a torn write is
+  *                    detected loudly, never parsed as wrong ids.
   *   codes.claims/    one empty marker per DEFAULT-allocated batch id —
   *                    the create-exclusive claim that keeps two
-  *                    concurrent batch appends off the same id
+  *                    concurrent batch appends off the same id. Markers
+  *                    whose batch committed are pruned on the next
+  *                    claim, so the directory stays bounded.
   *   deletes/batch=<b>/ + deletes.ledger — tombstones, same discipline
   *   centroids/       (cell, centroid array<double>) — coarse cells
   *   codebooks/       (j, code, centroid array<double>) — shared
   *                    residual codebooks (classic IVFADC)
+  *   _current         OPTIONAL incarnation pointer: when present, every
+  *                    component above resolves to `<name>@<gen>`
+  *                    instead of its bare name. Written (atomically,
+  *                    one small file) only by pointer-mode
+  *                    [[compact]]/[[retrain]] — the object-store-safe
+  *                    swap that replaces directory renames.
   *
   * Ingest idempotence is COMMIT-based, not directory-based: a batch id
   * counts as committed only when its directory carries the parquet
@@ -41,17 +50,22 @@ import org.apache.spark.sql.functions._
   * replay overwrites it instead of silently skipping the batch's rows.
   *
   * FILESYSTEM CONTRACT: every control-plane touch (ledger read/write,
-  * `_SUCCESS` probes, id claims, crash-heal and compaction renames,
-  * half-write purges) goes through the Hadoop [[FileSystem]] API
-  * resolved from the store path's own scheme, so the store runs
-  * wherever a 100 TB corpus actually lives — `hdfs://`, `file://`, or
-  * any registered scheme — not just the driver's local POSIX disk.
-  * The crash guarantees assume the filesystem's `rename` is atomic and
-  * `create(overwrite=false)` is exclusive, which HDFS (and local file://)
-  * provide. Object stores (s3a://) emulate rename as copy+delete and
-  * have no exclusive-create: on those, run compact/retrain offline from
-  * a single process and treat a crash mid-compact as "rerun compact",
-  * or front the store with an HDFS/consistent-metadata layer.
+  * `_SUCCESS` probes, id claims, crash-heal and swap work) goes through
+  * the Hadoop [[FileSystem]] API resolved from the store path's own
+  * scheme, so the store runs wherever a 100 TB corpus actually lives —
+  * `hdfs://`, `file://`, or any registered scheme. Ledgers and the
+  * `_current` pointer are replaced via an overwrite-rename
+  * (FileContext) where the filesystem supports it, and by a direct
+  * single-file overwrite (an atomic PUT) on object stores. Compact and
+  * retrain offer two swap modes: the default rename swap (atomic on
+  * HDFS/local — the fast path) and `pointerSwap = true`, which stages
+  * the next incarnation under generation-suffixed names and flips the
+  * `_current` pointer — no rename at all, safe where rename is
+  * copy+delete (s3a). The one remaining object-store caveat is the
+  * exclusive-create id claim for DEFAULT-id batch appends/deletes
+  * (`create(overwrite=false)` is not atomic on s3a): there, pass
+  * explicit batch ids (the stream discipline) or serialize batch-mode
+  * ingest.
   *
   * Everything is deterministic and bit-identical to [[Pq.ivfPqTopK]]
   * with the same parameters: same k-means init/merge order, same
@@ -71,53 +85,125 @@ object VectorStore {
   // ---- store plumbing ---------------------------------------------------
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      // control-plane files are small and self-validated (the ledger
+      // sentinel); the local ChecksumFileSystem's .crc sidecars only
+      // complicate the atomic-replace discipline below, so unwrap to
+      // the raw filesystem — HDFS and object stores pass through
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
 
   private def rmTree(fs: FileSystem, path: String): Unit = {
     val p = new Path(path)
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  private def ledgerOf(root: String) = new Path(s"$root.ledger")
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0L, bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+  }
 
-  /** Read the compaction ledger. A replacement in flight (see
-    * [[extendLedger]]) may have deleted the ledger but not yet renamed
-    * the complete `.tmp` in — the tmp is only ever deleted-toward AFTER
-    * it is fully written and closed, so falling back to it is safe; a
-    * crash DURING the tmp write leaves the old ledger intact and the
-    * partial tmp ignored. */
-  private def readLedger(fs: FileSystem, root: String): Set[Long] = {
-    val main = ledgerOf(root)
-    val tmp = new Path(s"$root.ledger.tmp")
-    val src = if (fs.exists(main)) Some(main)
-      else if (fs.exists(tmp)) Some(tmp)
-      else None
-    src.fold(Set.empty[Long]) { p =>
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(0L, bytes)
-        new String(bytes, "UTF-8").split("\n").iterator
-          .filter(_.nonEmpty).map(_.toLong).toSet
-      } finally in.close()
+  /** Replace `path` with `content` ATOMICALLY: full write to a sibling
+    * tmp, then a FileContext overwrite-rename — atomic on HDFS and
+    * local filesystems, so a reader sees the old complete file or the
+    * new complete file, never a missing or torn one (the plain
+    * FileSystem.rename cannot overwrite, and delete-then-rename opens
+    * exactly the unsafe gap this helper exists to close). Filesystems
+    * with no FileContext binding fall back to a direct create-overwrite
+    * — a single PUT, which object stores make atomic themselves. */
+  private def atomicWriteString(fs: FileSystem, path: Path,
+      content: String): Unit = {
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val direct = fs.create(path, true)
+        try direct.write(content.getBytes("UTF-8")) finally direct.close()
+        fs.delete(tmp, false)
     }
   }
 
-  /** Replace the ledger with `old ∪ ids`: full content to a `.tmp`,
-    * then delete-and-rename (FileSystem.rename refuses an existing
-    * destination on HDFS, so an overwriting rename is spelled as the
-    * two steps; [[readLedger]]'s tmp fallback covers the gap). */
-  private def extendLedger(fs: FileSystem, root: String,
-      ids: Set[Long]): Unit = {
-    val all = (readLedger(fs, root) ++ ids).toSeq.sorted
-    val tmp = new Path(s"$root.ledger.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(all.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    val main = ledgerOf(root)
-    if (fs.exists(main)) fs.delete(main, false)
-    require(fs.rename(tmp, main), s"ledger update failed for $root")
+  // ---- incarnation pointer ----------------------------------------------
+
+  /** Generation named by the `_current` pointer; None = the pre-pointer
+    * base layout (components at their bare names). */
+  private def currentGen(fs: FileSystem, dir: String): Option[Long] = {
+    val p = new Path(s"$dir/_current")
+    if (!fs.exists(p)) None
+    else Some(readSmallFile(fs, p).trim.toLong)
   }
+
+  /** Resolved root of a swappable component under the CURRENT
+    * incarnation. Every read and ingest path resolves through this, so
+    * a pointer-mode swap flips the whole store with one small atomic
+    * write instead of directory renames. */
+  private def componentRoot(dir: String, name: String,
+      gen: Option[Long]): String =
+    gen.fold(s"$dir/$name")(g => s"$dir/$name@$g")
+
+  /** Remove every pointer-mode generation artifact except `keep`:
+    * component directories `<name>@<gen>` and their sidecar
+    * ledgers/claims. Called only from OFFLINE verbs (write / compact /
+    * retrain — the single maintenance process), never from serving
+    * verbs, so it cannot race an in-flight staging. */
+  private def gcGenerations(fs: FileSystem, dir: String,
+      keep: Option[Long]): Unit = {
+    val rootP = new Path(dir)
+    if (!fs.exists(rootP)) return
+    val GenName =
+      "^(?:codes|centroids|codebooks|deletes)@(\\d+)(?:\\.ledger(?:\\.tmp)?|\\.claims)?$".r
+    fs.listStatus(rootP).foreach { st =>
+      st.getPath.getName match {
+        case GenName(g) if !keep.contains(g.toLong) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  // ---- ledgers / claims / commit markers --------------------------------
+
+  private def ledgerOf(root: String) = new Path(s"$root.ledger")
+
+  /** Ledger file format: sorted committed batch ids, one per line,
+    * closed by a `#<count>` sentinel line. [[writeLedger]] replaces the
+    * file atomically; the sentinel makes a torn write (a filesystem
+    * that broke the atomic contract) fail LOUDLY instead of parsing a
+    * truncated trailing id as a smaller, wrong id — which would falsely
+    * mark that batch committed and silently no-op its legitimate
+    * replay. */
+  private def readLedger(fs: FileSystem, root: String): Set[Long] = {
+    val main = ledgerOf(root)
+    if (!fs.exists(main)) return Set.empty
+    val lines = readSmallFile(fs, main).split("\n").filter(_.nonEmpty)
+    val ids = lines.takeWhile(!_.startsWith("#")).map(_.toLong).toSet
+    require(lines.lastOption.contains(s"#${ids.size}"),
+      s"corrupt ledger $main: missing or mismatched '#<count>' sentinel")
+    ids
+  }
+
+  private def writeLedger(fs: FileSystem, root: String,
+      ids: Set[Long]): Unit = {
+    val all = ids.toSeq.sorted
+    atomicWriteString(fs, ledgerOf(root),
+      all.map(_.toString).mkString("", "\n", "\n") + s"#${all.size}\n")
+  }
+
+  /** Replace the ledger with `old ∪ ids` (atomic, see
+    * [[atomicWriteString]]). */
+  private def extendLedger(fs: FileSystem, root: String,
+      ids: Set[Long]): Unit =
+    writeLedger(fs, root, readLedger(fs, root) ++ ids)
 
   /** Batch ids under `root` that are fully committed: their directory
     * carries the `_SUCCESS` job-commit marker, or the compaction ledger
@@ -144,17 +230,23 @@ object VectorStore {
     * same id and silently drop one batch as "already committed". The
     * claim marker is `root.claims/<id>`: `createNewFile` is atomic on
     * HDFS/local, the loser of a race sees `false` and moves to the next
-    * id. A claim whose append later crashed just burns one integer of
-    * the id space (the replay path re-claims a fresh id; explicit
-    * batchId callers — the stream discipline — bypass claims entirely
-    * and coordinate through the id itself). */
+    * id. Markers whose batch has since COMMITTED are pruned here (they
+    * are redundant with the commit marker from then on) so an
+    * append-heavy store's claims directory stays bounded instead of
+    * growing — and being listStatus-scanned — forever. A claim whose
+    * append crashed pre-commit just burns one integer of the id space. */
   private def claimBatchId(fs: FileSystem, root: String): Long = {
     val claimsDir = new Path(s"$root.claims")
     fs.mkdirs(claimsDir)
-    val claimed = fs.listStatus(claimsDir)
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-      .filter(id => id > 0L && id < StreamBatchBase).toSet
-    var id = nextBatchId(committedBatches(fs, root) ++ claimed)
+    val committed = committedBatches(fs, root)
+    val live = fs.listStatus(claimsDir).flatMap { st =>
+      scala.util.Try(st.getPath.getName.toLong).toOption match {
+        case Some(id) if committed.contains(id) =>
+          fs.delete(st.getPath, false); None
+        case other => other
+      }
+    }.filter(id => id > 0L && id < StreamBatchBase).toSet
+    var id = nextBatchId(committed ++ live)
     while (!fs.createNewFile(new Path(claimsDir, id.toString))) id += 1
     id
   }
@@ -169,14 +261,17 @@ object VectorStore {
       s"no _SUCCESS marker under $path — this store's idempotence " +
         "requires mapreduce.fileoutputcommitter.marksuccessfuljobs=true")
 
-  /** Self-healing for the narrow crash windows of [[compact]] and
-    * [[retrain]]: a completed-but-unswapped replacement is swapped in
-    * before anything is served. Race-safe: two concurrent healers both
-    * attempting a rename is fine — the loser re-checks that SOMEONE put
-    * the component in place before declaring the store broken. */
-  private def heal(fs: FileSystem, dir: String): Unit = {
-    finishRetrain(fs, dir)
-    val codes = new Path(s"$dir/codes")
+  /** Self-healing for the narrow crash windows of RENAME-mode
+    * [[compact]] and [[retrain]]: a completed-but-unswapped replacement
+    * is swapped in before anything is served. Race-safe: two concurrent
+    * healers both attempting a rename is fine — the loser re-checks
+    * that SOMEONE put the component in place before declaring the store
+    * broken. Pointer-mode swaps need no healing: the `_current` flip is
+    * atomic, and stale staging is garbage-collected by the next offline
+    * verb. */
+  private def heal(fs: FileSystem, dir: String, gen: Option[Long]): Unit = {
+    finishRetrain(fs, dir, gen)
+    val codes = new Path(componentRoot(dir, "codes", gen))
     val pending = new Path(s"$dir/codes_compact")
     if (!fs.exists(codes) && fs.exists(pending) &&
         fs.exists(new Path(s"$dir/codes_compact/_SUCCESS"))) {
@@ -185,28 +280,30 @@ object VectorStore {
     }
   }
 
-  /** The swap half of [[retrain]], idempotent so a crash ANYWHERE inside
-    * it re-runs to completion from [[heal]]: once the `_retrain_ready`
-    * marker exists, every staged component still present moves into
-    * place (components already moved are simply absent from staging),
-    * then the dead incarnation's tombstone directories and claims are
-    * cleared and the marker is removed LAST. Without the marker the
-    * staging directories are invisible and the old incarnation serves
-    * untouched. */
-  private def finishRetrain(fs: FileSystem, dir: String): Unit = {
+  /** The swap half of RENAME-mode [[retrain]], idempotent so a crash
+    * ANYWHERE inside it re-runs to completion from [[heal]]: once the
+    * `_retrain_ready` marker exists, every staged component still
+    * present moves into place (components already moved are simply
+    * absent from staging), then the dead incarnation's tombstone
+    * directories and claims are cleared and the marker is removed LAST.
+    * Without the marker the staging directories are invisible and the
+    * old incarnation serves untouched. */
+  private def finishRetrain(fs: FileSystem, dir: String,
+      gen: Option[Long]): Unit = {
     if (!fs.exists(new Path(s"$dir/_retrain_ready"))) return
     Seq("centroids", "codebooks", "codes").foreach { c =>
       val pending = new Path(s"$dir/${c}_retrain")
+      val target = componentRoot(dir, c, gen)
       if (fs.exists(pending)) {
-        rmTree(fs, s"$dir/$c")
-        val won = fs.rename(pending, new Path(s"$dir/$c"))
-        require(won || fs.exists(new Path(s"$dir/$c")),
-          s"retrain swap-in failed for $dir/$c")
+        rmTree(fs, target)
+        val won = fs.rename(pending, new Path(target))
+        require(won || fs.exists(new Path(target)),
+          s"retrain swap-in failed for $target")
       }
     }
-    rmTree(fs, s"$dir/deletes")
-    rmTree(fs, s"$dir/codes.claims")
-    rmTree(fs, s"$dir/deletes.claims")
+    rmTree(fs, componentRoot(dir, "deletes", gen))
+    rmTree(fs, s"${componentRoot(dir, "codes", gen)}.claims")
+    rmTree(fs, s"${componentRoot(dir, "deletes", gen)}.claims")
     rmTree(fs, s"$dir/_retrain_ready")
   }
 
@@ -227,13 +324,15 @@ object VectorStore {
 
   /** Frozen store metadata: (coarse centroids by cell, codebooks by
     * (subspace, code)) — the one definition every reader shares. */
-  private def readMeta(spark: SparkSession,
-      dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+  private def readMeta(spark: SparkSession, dir: String,
+      gen: Option[Long]): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import spark.implicits._
-    val coarse: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-    val booksFlat = spark.read.parquet(s"$dir/codebooks")
-      .as[(Int, Int, Seq[Double])].collect()
+    val coarse: Array[Array[Double]] =
+      spark.read.parquet(componentRoot(dir, "centroids", gen))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val booksFlat =
+      spark.read.parquet(componentRoot(dir, "codebooks", gen))
+        .as[(Int, Int, Seq[Double])].collect()
     require(coarse.nonEmpty && booksFlat.nonEmpty,
       s"$dir does not hold a written store (empty centroids/codebooks)")
     val m = booksFlat.map(_._1).max + 1
@@ -266,22 +365,25 @@ object VectorStore {
 
   /** Train coarse cells + residual codebooks over `emb` and write the
     * store under `dir` (overwrite — including every trace of a previous
-    * incarnation: tombstones, ledgers, claims, and compaction leftovers
-    * are cleared FIRST, so a rebuilt store can never be haunted by the
-    * old one's deletes or poisoned batch ids). One training pipeline,
-    * one partitioned write; the corpus never shuffles except the
-    * partitionBy(cell) write placement. */
+    * incarnation: tombstones, ledgers, claims, pointer-mode generations
+    * and compaction leftovers are cleared FIRST, so a rebuilt store can
+    * never be haunted by the old one's deletes or poisoned batch ids).
+    * One training pipeline, one partitioned write; the corpus never
+    * shuffles except the partitionBy(cell) write placement. */
   def write(spark: SparkSession, emb: DataFrame, dir: String,
       cells: Int = 8, m: Int = 8, codebookSize: Int = 16,
       kmeansIters: Int = 3): Unit = {
-    import spark.implicits._
     require(cells >= 1 && m >= 1 && codebookSize >= 2 && codebookSize <= 256,
       s"need cells >= 1, m >= 1, codebookSize in [2,256]: " +
         s"$cells/$m/$codebookSize")
     val fs = fsOf(spark, dir)
     // previous-incarnation state goes BEFORE any new data lands: stale
     // tombstones would mask the new corpus, a stale ledger would
-    // swallow future appends as "already committed"
+    // swallow future appends as "already committed", a stale pointer
+    // would resolve reads away from the fresh base-named components
+    gcGenerations(fs, dir, keep = None)
+    rmTree(fs, s"$dir/_current")
+    rmTree(fs, s"$dir/_current.tmp")
     rmTree(fs, s"$dir/deletes")
     rmTree(fs, s"$dir/codes_compact")
     rmTree(fs, s"$dir/codes_old")
@@ -357,11 +459,12 @@ object VectorStore {
       batchId: Option[Long] = None): Unit = {
     require(batchId.forall(_ > 0L), "batch 0 is the initial write")
     val fs = fsOf(spark, dir)
-    heal(fs, dir)
-    val root = s"$dir/codes"
+    val gen = currentGen(fs, dir)
+    heal(fs, dir, gen)
+    val root = componentRoot(dir, "codes", gen)
     val id = batchId.getOrElse(claimBatchId(fs, root))
     if (committedBatches(fs, root).contains(id)) return
-    val (coarse, books) = readMeta(spark, dir)
+    val (coarse, books) = readMeta(spark, dir, gen)
     assignResiduals(spark, emb, coarse)
       .select(col("vec_id"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
@@ -371,7 +474,7 @@ object VectorStore {
   }
 
   /** Streaming ingest: every micro-batch of an embedding stream appends
-    * through [[append]] under `StreamBatchBase + microBatchId` — a
+    * through [[append]] under `StreamBatchBase + id` — a
     * crashed-and-replayed micro-batch whose directory committed skips,
     * one that half-wrote is overwritten; either way no rows are lost or
     * doubled (the foreachBatch sink discipline the streaming suite pins
@@ -406,12 +509,20 @@ object VectorStore {
     * query anti-joins them out BEFORE scoring. A tombstone is FINAL for
     * its vec_id — it masks every stored row with that id, past and
     * future; re-ingest under a fresh id. Space is reclaimed offline by
-    * [[compact]], never in the serving path. */
+    * [[compact]], never in the serving path.
+    *
+    * Like every other lifecycle verb, delete [[heal]]s first: a
+    * pending retrain swap must finish BEFORE the tombstone lands, or
+    * the tombstone would be written into the dead incarnation's
+    * directory and destroyed by the very swap that next serves the
+    * store — the deleted vectors would silently keep being served. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       batchId: Option[Long] = None): Unit = {
     require(batchId.forall(_ > 0L), "delete batch ids start at 1")
     val fs = fsOf(spark, dir)
-    val root = s"$dir/deletes"
+    val gen = currentGen(fs, dir)
+    heal(fs, dir, gen)
+    val root = componentRoot(dir, "deletes", gen)
     val id = batchId.getOrElse(claimBatchId(fs, root))
     if (committedBatches(fs, root).contains(id)) return
     ids.select(col("vec_id").cast("long").as("vec_id"))
@@ -429,27 +540,39 @@ object VectorStore {
     * exactly those directories, and exactly that captured set is
     * ledgered — the ledger can never claim a batch was folded whose
     * rows the rewrite did not actually read. Compact remains an OFFLINE
-    * verb: the final swap replaces the whole `codes` tree, so a batch
-    * committed by a concurrent appender between the capture and the
-    * swap would be lost with or without the ledger discipline — run it
-    * from the single maintenance process, like [[retrain]].
+    * verb: the final swap replaces the whole codes component, so a
+    * batch committed by a concurrent appender between the capture and
+    * the swap would be lost with or without the ledger discipline — run
+    * it from the single maintenance process, like [[retrain]].
     *
-    * Crash contract, in order: (1) the rewrite lands complete in
-    * `codes_compact`; (2) the CAPTURED batch ids are recorded in the
-    * ledgers — BEFORE any directory disappears, so a replay of an
-    * already-folded batch stays a no-op; (3) the old `codes` renames
-    * aside and the replacement renames in. A crash before (3) leaves
-    * the old store fully intact (ledger entries and the pending rewrite
-    * are redundant but harmless — the next compact restarts them); a
-    * crash INSIDE the two renames leaves the completed replacement on
-    * disk and [[heal]] — run by append/query — swaps it in. No window
-    * leaves a mix of old and new rows. Renames are atomic on HDFS and
-    * local filesystems; see the object-store caveat in the class doc. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+    * Two swap modes:
+    *
+    *  - `pointerSwap = false` (default, the fast path where rename is
+    *    atomic — HDFS/local): (1) the rewrite lands complete in
+    *    `codes_compact`; (2) the CAPTURED batch ids are ledgered —
+    *    BEFORE any directory disappears, so a replay of an
+    *    already-folded batch stays a no-op; (3) the old codes renames
+    *    aside and the replacement renames in. A crash before (3) leaves
+    *    the old store fully intact; a crash INSIDE the two renames
+    *    leaves the completed replacement on disk and [[heal]] — run by
+    *    append/query — swaps it in. No window leaves a mix of old and
+    *    new rows.
+    *  - `pointerSwap = true` (object stores, where rename is
+    *    copy+delete): the folded layout, the carried-over
+    *    centroids/codebooks, and BOTH ledgers (pre-loaded with the
+    *    folded ids) land COMPLETE under the next generation's
+    *    `<name>@<gen>` paths — all invisible to readers; then ONE small
+    *    atomic `_current` write flips the store, and the dead
+    *    generation is garbage-collected (a crash mid-GC just leaves
+    *    garbage for the next offline verb's sweep). No rename touches
+    *    data at any point. */
+  def compact(spark: SparkSession, dir: String,
+      pointerSwap: Boolean = false): Unit = {
     val fs = fsOf(spark, dir)
-    heal(fs, dir)
-    val codesRoot = s"$dir/codes"
-    val delRoot = s"$dir/deletes"
+    val gen = currentGen(fs, dir)
+    heal(fs, dir, gen)
+    val codesRoot = componentRoot(dir, "codes", gen)
+    val delRoot = componentRoot(dir, "deletes", gen)
     // purge crashed half-writes BEFORE folding: their rows must not leak
     // into the compacted layout, and leaving their ids OUT of the ledger
     // lets a later replay legitimately re-ingest them
@@ -481,23 +604,60 @@ object VectorStore {
           Seq("vec_id"), "left_anti")
       else codes
     }
-    rmTree(fs, s"$dir/codes_compact")
-    live.select(col("vec_id"), lit(0L).as("batch"), col("cell"), col("codes"))
-      .write.partitionBy("batch", "cell").mode("overwrite")
-      .parquet(s"$dir/codes_compact")
-    // poison the CAPTURED ids BEFORE any directory disappears (batch 0
-    // folds into the new batch 0; it never enters the ledger)
-    extendLedger(fs, codesRoot, codeIds - 0L)
-    extendLedger(fs, delRoot, delIds - 0L)
-    rmTree(fs, s"$dir/codes_old") // stale leftover from an earlier crash
-    require(fs.rename(new Path(codesRoot), new Path(s"$dir/codes_old")),
-      s"compaction swap-out failed: $dir")
-    require(fs.rename(new Path(s"$dir/codes_compact"), new Path(codesRoot)),
-      s"compaction swap-in failed: $dir")
-    rmTree(fs, s"$dir/codes_old")
-    rmTree(fs, delRoot)
-    rmTree(fs, s"$dir/codes.claims")
-    rmTree(fs, s"$dir/deletes.claims")
+    if (!pointerSwap) {
+      rmTree(fs, s"$dir/codes_compact")
+      live.select(col("vec_id"), lit(0L).as("batch"), col("cell"), col("codes"))
+        .write.partitionBy("batch", "cell").mode("overwrite")
+        .parquet(s"$dir/codes_compact")
+      // poison the CAPTURED ids BEFORE any directory disappears (batch 0
+      // folds into the new batch 0; it never enters the ledger)
+      extendLedger(fs, codesRoot, codeIds - 0L)
+      extendLedger(fs, delRoot, delIds - 0L)
+      rmTree(fs, s"$dir/codes_old") // stale leftover from an earlier crash
+      require(fs.rename(new Path(codesRoot), new Path(s"$dir/codes_old")),
+        s"compaction swap-out failed: $dir")
+      require(fs.rename(new Path(s"$dir/codes_compact"), new Path(codesRoot)),
+        s"compaction swap-in failed: $dir")
+      rmTree(fs, s"$dir/codes_old")
+      rmTree(fs, delRoot)
+      rmTree(fs, s"$codesRoot.claims")
+      rmTree(fs, s"$delRoot.claims")
+    } else {
+      // stale staging from an earlier crashed pointer attempt restarts
+      // from scratch (gens other than the serving one are never read)
+      gcGenerations(fs, dir, keep = gen)
+      val next = gen.getOrElse(0L) + 1
+      val nextCodes = s"$dir/codes@$next"
+      val nextDel = s"$dir/deletes@$next"
+      live.select(col("vec_id"), lit(0L).as("batch"), col("cell"), col("codes"))
+        .write.partitionBy("batch", "cell").mode("overwrite")
+        .parquet(nextCodes)
+      requireMarker(fs, nextCodes)
+      // centroids/codebooks are unchanged by compaction but must exist
+      // under the new generation's names: rewrite the tiny metadata
+      spark.read.parquet(componentRoot(dir, "centroids", gen))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids@$next")
+      spark.read.parquet(componentRoot(dir, "codebooks", gen))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/codebooks@$next")
+      // the new generation is born with the folded ids already
+      // ledgered — a replay of a folded batch is a no-op from the
+      // first moment the generation serves
+      writeLedger(fs, nextCodes, codeIds - 0L)
+      writeLedger(fs, nextDel, delIds - 0L)
+      // THE FLIP: one small atomic write; everything before it was
+      // invisible, everything after it is garbage collection
+      atomicWriteString(fs, new Path(s"$dir/_current"), next.toString)
+      Seq(codesRoot, delRoot,
+          componentRoot(dir, "centroids", gen),
+          componentRoot(dir, "codebooks", gen)).foreach(rmTree(fs, _))
+      Seq(codesRoot, delRoot).foreach { r =>
+        rmTree(fs, s"$r.claims")
+        rmTree(fs, s"$r.ledger")
+        rmTree(fs, s"$r.ledger.tmp")
+      }
+    }
   }
 
   /** Offline retraining — the lifecycle closure for quantization drift:
@@ -510,19 +670,19 @@ object VectorStore {
     * bake the very quantization error retraining exists to shed); only
     * the rows whose vec_id is live in the store — stored, not
     * tombstoned — are trained on or re-coded, so retrain composes with
-    * [[delete]] exactly like [[compact]] does.
+    * [[delete]] exactly like [[compact]] does. The corpus must COVER
+    * the live set: a lake table that lost rows (or was passed filtered
+    * by mistake) fails loudly up front instead of quietly training a
+    * store that forgot those vectors.
     *
-    * Crash contract, composing [[compact]]'s discipline: (1) the new
-    * incarnation's three components land COMPLETE in `*_retrain`
-    * staging (job-committed); (2) the folded batch ids are ledgered —
-    * so a late replay of a pre-retrain batch stays a no-op even though
-    * its rows now live in batch 0 of the new incarnation; (3) a single
-    * `_retrain_ready` marker flips the store, and [[finishRetrain]] —
-    * idempotent, run by every verb through [[heal]] — performs the
-    * component swaps. A crash before (3) leaves the old incarnation
-    * fully serving; a crash inside the swaps is finished by the next
-    * touch. Like compact, retrain is an OFFLINE verb: run it from the
-    * single maintenance process.
+    * Swap modes mirror [[compact]]: the default rename protocol stages
+    * `*_retrain` components and flips through the idempotent
+    * `_retrain_ready` marker + [[finishRetrain]] (crash anywhere =
+    * finished by the next touch via [[heal]]); `pointerSwap = true`
+    * stages the full next generation (components + pre-loaded ledgers)
+    * and flips the `_current` pointer — no renames, object-store-safe.
+    * Like compact, retrain is an OFFLINE verb: run it from the single
+    * maintenance process.
     *
     * Determinism: the live corpus is canonicalized —
     * `repartition(P, vec_id).sortWithinPartitions(vec_id)` — before
@@ -532,14 +692,15 @@ object VectorStore {
     * bit-for-bit from a plain filter of the lake table. */
   def retrain(spark: SparkSession, dir: String, corpus: DataFrame,
       cells: Int = 8, m: Int = 8, codebookSize: Int = 16,
-      kmeansIters: Int = 3): Unit = {
+      kmeansIters: Int = 3, pointerSwap: Boolean = false): Unit = {
     require(cells >= 1 && m >= 1 && codebookSize >= 2 && codebookSize <= 256,
       s"need cells >= 1, m >= 1, codebookSize in [2,256]: " +
         s"$cells/$m/$codebookSize")
     val fs = fsOf(spark, dir)
-    heal(fs, dir)
-    val codesRoot = s"$dir/codes"
-    val delRoot = s"$dir/deletes"
+    val gen = currentGen(fs, dir)
+    heal(fs, dir, gen)
+    val codesRoot = componentRoot(dir, "codes", gen)
+    val delRoot = componentRoot(dir, "deletes", gen)
     // capture ONCE, like compact: these ids are folded and ledgered
     val codeIds = committedBatches(fs, codesRoot)
     val delIds = committedBatches(fs, delRoot)
@@ -555,25 +716,54 @@ object VectorStore {
             .select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else storedIds
+    // completeness guard: every live id must exist in the corpus —
+    // `corpus ⋉ liveIds` would otherwise SILENTLY drop the vectors the
+    // lake lost, and the store would serve as if they never existed
+    val missing = liveIds
+      .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"retrain corpus is missing $missing live vector id(s) — a " +
+        "filtered or stale lake table would silently shrink the store; " +
+        "pass the complete embedding corpus")
     val p = spark.sessionState.conf.numShufflePartitions
     val live = corpus.select(col("vec_id"), col("embedding"))
       .join(liveIds, Seq("vec_id"), "left_semi")
       .repartition(p, col("vec_id")).sortWithinPartitions("vec_id")
-    // stale staging from an earlier crashed attempt (pre-marker, so the
-    // old incarnation never saw it) restarts from scratch
-    rmTree(fs, s"$dir/_retrain_ready")
-    rmTree(fs, s"$dir/codes_retrain")
-    rmTree(fs, s"$dir/centroids_retrain")
-    rmTree(fs, s"$dir/codebooks_retrain")
-    trainInto(spark, live, cells, m, codebookSize, kmeansIters,
-      s"$dir/codes_retrain", s"$dir/centroids_retrain",
-      s"$dir/codebooks_retrain")
-    // poison replays of the folded batches BEFORE the incarnation flips
-    extendLedger(fs, codesRoot, codeIds - 0L)
-    extendLedger(fs, delRoot, delIds - 0L)
-    // the single-file marker IS the flip; everything after is replayable
-    fs.create(new Path(s"$dir/_retrain_ready"), true).close()
-    finishRetrain(fs, dir)
+    if (!pointerSwap) {
+      // stale staging from an earlier crashed attempt (pre-marker, so
+      // the old incarnation never saw it) restarts from scratch
+      rmTree(fs, s"$dir/_retrain_ready")
+      rmTree(fs, s"$dir/codes_retrain")
+      rmTree(fs, s"$dir/centroids_retrain")
+      rmTree(fs, s"$dir/codebooks_retrain")
+      trainInto(spark, live, cells, m, codebookSize, kmeansIters,
+        s"$dir/codes_retrain", s"$dir/centroids_retrain",
+        s"$dir/codebooks_retrain")
+      // poison replays of the folded batches BEFORE the incarnation flips
+      extendLedger(fs, codesRoot, codeIds - 0L)
+      extendLedger(fs, delRoot, delIds - 0L)
+      // the single-file marker IS the flip; everything after is replayable
+      fs.create(new Path(s"$dir/_retrain_ready"), true).close()
+      finishRetrain(fs, dir, gen)
+    } else {
+      gcGenerations(fs, dir, keep = gen)
+      val next = gen.getOrElse(0L) + 1
+      trainInto(spark, live, cells, m, codebookSize, kmeansIters,
+        s"$dir/codes@$next", s"$dir/centroids@$next",
+        s"$dir/codebooks@$next")
+      writeLedger(fs, s"$dir/codes@$next", codeIds - 0L)
+      writeLedger(fs, s"$dir/deletes@$next", delIds - 0L)
+      atomicWriteString(fs, new Path(s"$dir/_current"), next.toString)
+      Seq(codesRoot, delRoot,
+          componentRoot(dir, "centroids", gen),
+          componentRoot(dir, "codebooks", gen)).foreach(rmTree(fs, _))
+      Seq(codesRoot, delRoot).foreach { r =>
+        rmTree(fs, s"$r.claims")
+        rmTree(fs, s"$r.ledger")
+        rmTree(fs, s"$r.ledger.tmp")
+      }
+    }
   }
 
   /** Approximate top-k nearest (squared L2) to `queryVec` from the
@@ -589,8 +779,9 @@ object VectorStore {
       excludeVecId: Option[Long] = None): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
     val fs = fsOf(spark, dir)
-    heal(fs, dir)
-    val (coarse, books) = readMeta(spark, dir)
+    val gen = currentGen(fs, dir)
+    heal(fs, dir, gen)
+    val (coarse, books) = readMeta(spark, dir, gen)
     val m = books.length
     val codebookSize = books.head.length
     val sub = books.head.head.length
@@ -627,8 +818,9 @@ object VectorStore {
     // basePath, so partition columns survive): a crashed half-write is
     // officially nonexistent and must be neither served nor even
     // footer-probed by schema inference
-    val base = spark.read.option("basePath", s"$dir/codes")
-      .parquet(committedPaths(fs, s"$dir/codes"): _*)
+    val codesRoot = componentRoot(dir, "codes", gen)
+    val base = spark.read.option("basePath", codesRoot)
+      .parquet(committedPaths(fs, codesRoot): _*)
       .filter(col("cell").isInCollection(probed))
     val excluded = excludeVecId match {
       case Some(id) => base.filter(col("vec_id") =!= id)
@@ -636,11 +828,12 @@ object VectorStore {
     }
     // tombstones (committed ones only) mask rows before any scoring
     // work is spent on them
-    val delPaths = committedPaths(fs, s"$dir/deletes")
+    val delRoot = componentRoot(dir, "deletes", gen)
+    val delPaths = committedPaths(fs, delRoot)
     val scanned =
       if (delPaths.nonEmpty)
         excluded.join(
-          spark.read.option("basePath", s"$dir/deletes")
+          spark.read.option("basePath", delRoot)
             .parquet(delPaths: _*).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else excluded
@@ -667,12 +860,22 @@ object VectorStore {
     * frozen centroids/codebooks ride the closure — bounded metadata);
     * the store scans the UNION of probed cells once (still directory-
     * pruned through PartitionFilters — unprobed cells' files stay
-    * unopened); probe rows meet code rows in one `cell` equi-join
-    * (broadcast while the query set is small — `broadcastProbes=false`
-    * for query sets too big to broadcast, where it degrades to a
-    * shuffle join on cell); scoring is the same m table lookups per
-    * candidate; and the per-query top-k is one `row_number` window.
-    * Corpus rows are touched once for ALL queries.
+    * unopened); probe rows meet code rows in one `cell` equi-join;
+    * scoring is the same m table lookups per candidate; and the
+    * per-query top-k is one `row_number` window. Corpus rows are
+    * touched once for ALL queries.
+    *
+    * Join regimes: while the query set is small the probe side
+    * broadcasts (default). With `broadcastProbes = false` — query sets
+    * too big to broadcast — the join shuffles, and a bare `cell` key
+    * would hand each hot cell's ENTIRE candidate set to one reducer
+    * (cell cardinality is the IVF cell count, and real corpora are
+    * skewed across cells). The shuffle regime therefore salts the code
+    * side into `saltBuckets` shards and replicates each probe row per
+    * shard ([[Skew.saltedJoin]], the q137 pattern) — result-invisible
+    * (regime-equivalence is spec-pinned), hot cells spread over
+    * `saltBuckets` reducers, and the bounded price is the probe side
+    * growing saltBuckets-fold.
     *
     * Output: (query_id, vec_id, approx_d2, knn_rank), rank 1..k per
     * query by (approx_d2 asc, vec_id) — bit-identical per query to
@@ -680,12 +883,15 @@ object VectorStore {
     * whose vec_id also exists in the store never matches itself. */
   def queryTopKBatch(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 2,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      saltBuckets: Int = 16): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
     val fs = fsOf(spark, dir)
-    heal(fs, dir)
-    val (coarse, books) = readMeta(spark, dir)
+    val gen = currentGen(fs, dir)
+    heal(fs, dir, gen)
+    val (coarse, books) = readMeta(spark, dir, gen)
     val m = books.length
     val codebookSize = books.head.length
     val sub = books.head.head.length
@@ -729,22 +935,26 @@ object VectorStore {
     // <= cells-sized metadata read, the price of partition pruning
     val probedCells = qprobe.select(col("cell")).distinct()
       .as[Int].collect().toSeq
-    val base = spark.read.option("basePath", s"$dir/codes")
-      .parquet(committedPaths(fs, s"$dir/codes"): _*)
+    val codesRoot = componentRoot(dir, "codes", gen)
+    val base = spark.read.option("basePath", codesRoot)
+      .parquet(committedPaths(fs, codesRoot): _*)
       .filter(col("cell").isInCollection(probedCells))
-    val delPaths = committedPaths(fs, s"$dir/deletes")
+    val delRoot = componentRoot(dir, "deletes", gen)
+    val delPaths = committedPaths(fs, delRoot)
     val scanned =
       if (delPaths.nonEmpty)
         base.join(
-          spark.read.option("basePath", s"$dir/deletes")
+          spark.read.option("basePath", delRoot)
             .parquet(delPaths: _*).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else base
-    val probes = if (broadcastProbes) broadcast(qprobe) else qprobe
+    val joined =
+      if (broadcastProbes) scanned.join(broadcast(qprobe), Seq("cell"))
+      else Skew.saltedJoin(scanned, qprobe, "cell", saltBuckets)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_d2"), col("vec_id"))
-    scanned.join(probes, Seq("cell"))
+    joined
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(aggregate(

@@ -480,4 +480,190 @@ class VectorStoreSpec extends SparkSpec {
       nprobe = 8, excludeVecId = Some(0L)).collect().head.getDouble(1)
     assert(wide <= narrow)
   }
+
+  // ---- round 9: pointer-mode swaps, guards, sentinel, claim pruning ----
+
+  private def topk(d: String, k: Int = 20): Seq[(Long, Double)] =
+    VectorStore.queryTopK(spark, d, queryVec, k = k, nprobe = 8,
+        excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("pointer-mode compact: results bit-identical, no rename — the " +
+      "flip is one _current write; every verb resolves the generation") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_ptr").toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1))
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    val before = topk(d)
+    VectorStore.compact(spark, d, pointerSwap = true)
+    assert(topk(d) == before, "pointer-mode compaction changed results")
+    // the flip left the folded layout under the generation name; the
+    // base-named components are gone (garbage-collected after the flip)
+    assert(new java.io.File(s"$d/_current").exists())
+    assert(new java.io.File(s"$d/codes@1").exists() &&
+      !new java.io.File(s"$d/codes").exists() &&
+      !new java.io.File(s"$d/deletes").exists())
+    val codes = spark.read.parquet(s"$d/codes@1")
+    assert(codes.select($"batch".cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    assert(codes.filter($"vec_id" % 10 === 3).count() == 0)
+    // the new generation was BORN with the folded ids ledgered: a
+    // replay of the folded append is a no-op
+    val n = codes.count()
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1),
+      batchId = Some(1L))
+    assert(spark.read.parquet(s"$d/codes@1").count() == n,
+      "a folded batch replayed after the pointer flip — staged ledger " +
+        "failed")
+    // post-flip verbs resolve the generation: append/delete land under
+    // the @1 roots and queries see them
+    VectorStore.append(spark, d,
+      emb.filter($"vec_id" === 3L)
+        .select(($"vec_id" + 20000L).as("vec_id"), $"embedding"))
+    assert(spark.read.parquet(s"$d/codes@1").count() == n + 1)
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
+    assert(topk(d).forall(_._1 % 10 != 7))
+    // a SECOND pointer compact moves to generation 2 cleanly
+    val before2 = topk(d)
+    VectorStore.compact(spark, d, pointerSwap = true)
+    assert(topk(d) == before2)
+    assert(new java.io.File(s"$d/codes@2").exists() &&
+      !new java.io.File(s"$d/codes@1").exists())
+  }
+
+  test("pointer-mode retrain equals rename-mode retrain bit-for-bit; " +
+      "tombstones die with the old incarnation") {
+    val dP = java.nio.file.Files.createTempDirectory("vecstore_ptr_rt")
+      .toString
+    val dR = java.nio.file.Files.createTempDirectory("vecstore_ren_rt")
+      .toString
+    for (d <- Seq(dP, dR)) {
+      VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+      VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1))
+      VectorStore.delete(spark, d,
+        emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    }
+    VectorStore.retrain(spark, dP, emb, pointerSwap = true)
+    VectorStore.retrain(spark, dR, emb)
+    assert(topk(dP) == topk(dR),
+      "pointer-mode retrain drifted from the rename-mode protocol")
+    // folded-batch replay stays a no-op; a tombstoned id may re-ingest
+    val n = spark.read.parquet(s"$dP/codes@1").count()
+    VectorStore.append(spark, dP, emb.filter($"vec_id" % 2 === 1),
+      batchId = Some(1L))
+    assert(spark.read.parquet(s"$dP/codes@1").count() == n)
+    VectorStore.append(spark, dP, emb.filter($"vec_id" === 3L))
+    assert(spark.read.parquet(s"$dP/codes@1").count() == n + 1)
+  }
+
+  test("pointer crash windows: an unflipped staged generation is " +
+      "invisible and cleaned up; a flipped one serves even before GC") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_ptr_crash")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    val before = topk(d)
+    // crash BEFORE the flip: a fully staged next generation sits on
+    // disk with no _current — queries must serve the old layout
+    val junk = new java.io.File(s"$d/codes@1/batch=0/cell=0")
+    junk.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(s"$d/codes@1/_SUCCESS").toPath, Array.empty[Byte])
+    assert(topk(d) == before,
+      "an unflipped staged generation leaked into queries")
+    // the next offline verb garbage-collects it and completes
+    VectorStore.compact(spark, d, pointerSwap = true)
+    assert(topk(d) == before)
+    assert(!new java.io.File(s"$d/codes@1/batch=0/cell=0/junk").exists())
+    // crash AFTER the flip, BEFORE GC: plant stale old-generation dirs
+    // next to the live one — queries resolve the pointer, not the names
+    val stale = new java.io.File(s"$d/codes@9")
+    stale.mkdirs()
+    assert(topk(d) == before)
+    VectorStore.compact(spark, d, pointerSwap = true)
+    assert(!stale.exists(), "stale generation survived the GC sweep")
+    assert(topk(d) == before)
+  }
+
+  test("retrain fails LOUDLY when the corpus is missing live vectors — " +
+      "a filtered lake table cannot silently shrink the store") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_guard")
+      .toString
+    VectorStore.write(spark, emb, d)
+    val truncated = emb.filter($"vec_id" % 7 =!= 0)
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.retrain(spark, d, truncated)
+    }
+    assert(e.getMessage.contains("missing") &&
+      e.getMessage.contains("complete embedding corpus"), e.getMessage)
+    // the guard composes with tombstones: deleting the missing rows
+    // first makes the truncated corpus complete FOR THE LIVE SET
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    VectorStore.retrain(spark, d, truncated)
+    assert(spark.read.parquet(s"$d/codes").count() ==
+      emb.filter($"vec_id" % 7 =!= 0).count())
+  }
+
+  test("a torn ledger (missing sentinel) fails LOUDLY instead of " +
+      "parsing a truncated id as committed") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_torn")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1))
+    VectorStore.compact(spark, d)
+    // simulate the torn write the sentinel exists to catch: the ledger
+    // ends mid-id with no '#<count>' line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/codes.ledger"), "1\n12".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.append(spark, d, emb.filter($"vec_id" === 1L),
+        batchId = Some(12L))
+    }
+    assert(e.getMessage.contains("sentinel"), e.getMessage)
+  }
+
+  test("claim markers for committed batches are pruned — the claims " +
+      "directory stays bounded on an append-heavy store") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_claims")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 4 === 0), d)
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 4 === 1))
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 4 === 2))
+    // both default-id appends committed; the next claim prunes their
+    // now-redundant markers and holds only its own
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 4 === 3))
+    val claims = new java.io.File(s"$d/codes.claims").list().toSeq
+    assert(claims == Seq("3"),
+      s"claims directory not pruned to the live claim: $claims")
+  }
+
+  test("delete() heals first: a tombstone never lands in an incarnation " +
+      "a pending retrain swap is about to destroy") {
+    // the ADVICE scenario: retrain crashed after _retrain_ready but
+    // before the swaps; a delete() that skipped heal would write its
+    // tombstone into the OLD deletes/ directory, which finishRetrain
+    // then rmTree's — the delete would be silently undone
+    val dA = java.nio.file.Files.createTempDirectory("vecstore_delheal")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), dA)
+    val dB = java.nio.file.Files.createTempDirectory("vecstore_delheal_b")
+      .toString
+    VectorStore.write(spark, emb, dB)
+    Seq("codes", "centroids", "codebooks").foreach { c =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dB/$c"),
+        java.nio.file.Paths.get(s"$dA/${c}_retrain"))
+    }
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dA/_retrain_ready"))
+    VectorStore.delete(spark, dA,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    // the swap finished BEFORE the tombstone landed: deleted ids are
+    // masked in the new incarnation, not silently resurrected
+    assert(topk(dA).forall(_._1 % 10 != 3),
+      "tombstone was destroyed by the retrain swap delete() should " +
+        "have finished first")
+  }
 }

@@ -49,11 +49,15 @@ object Ids {
       .withColumn("__pid", spark_partition_id())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(cols: _*)
-    // prefix-sum the per-partition counts; #partitions rows, broadcast back
+    // prefix-sum the per-partition counts; #partitions rows, broadcast
+    // back (global window over a bounded frame — single-partition key
+    // via [[Windows.singlePartitionKey]], so no WindowExec WARN)
     val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
       .withColumn("off",
         coalesce(sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(Windows.singlePartitionKey(col("__pid")))
+            .orderBy(col("__pid"))
             .rowsBetween(Long.MinValue, -1)), lit(0L)))
       .select(col("__pid"), col("off"))
     parted

@@ -97,16 +97,18 @@ object Robust {
       if (broadcastKeyLimit > 0) {
         // tripwire: counts only the groups-sized bounds (never fact
         // rows) and turns an over-limit broadcast into a loud,
-        // actionable error instead of a silent OOM. The count is a
-        // 1-row aggregate joined back onto the bounds by a broadcast
-        // nested-loop join — NOT a no-partition window, whose
-        // WindowExec "Moving all data to a single partition" WARN
-        // would fire on every production run (an always-on warning ops
-        // teams page on is a real cost). Still one action: the count
-        // branch and the bounds branch share the histogram's shuffle
-        // exchange (ReusedExchange), so the fact table is scanned once
-        val nk = bounds.groupBy().agg(count(lit(1)).as("__nk"))
-        broadcast(bounds.crossJoin(broadcast(nk))
+        // actionable error instead of a silent OOM. The count rides a
+        // single-partition window keyed by [[Windows.singlePartitionKey]]
+        // (runtime-constant, non-foldable — so no WindowExec WARN). A
+        // plain 1-row count join is NOT equivalent: the optimizer
+        // prunes that branch straight past the histogram to a second
+        // distinct-scan of the fact table (measured), where this
+        // window sees only the groups-sized bounds. No second scan, no
+        // extra action, single partition by construction.
+        val wNk = Window.partitionBy(Windows.singlePartitionKey(col(keyCol)))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        broadcast(bounds
+          .withColumn("__nk", count(lit(1)).over(wNk))
           .filter(when(col("__nk") <= lit(broadcastKeyLimit), lit(true))
             .otherwise(raise_error(format_string(
               "winsorize: %s distinct '" + keyCol + "' keys exceed " +

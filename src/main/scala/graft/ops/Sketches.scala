@@ -168,12 +168,20 @@ object Sketches {
           floor((col(valueCol).cast("double") - lit(lo)) / lit(width))
             .cast("long"))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // the CDF windows are global but their input is the bins-row
+    // histogram, bounded by construction — keyed through
+    // [[Windows.singlePartitionKey]] so the single partition is
+    // intentional in the plan, not the accidental-global-window shape
+    // WindowExec WARNs about on every run
+    val onePart = Windows.singlePartitionKey(col("bin"))
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(onePart)
       .orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // total N from a full-frame window over the same bins-row histogram —
     // one corpus scan, not a second aggregate over the input
     val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(onePart)
       .orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)

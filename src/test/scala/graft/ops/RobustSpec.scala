@@ -99,4 +99,26 @@ class RobustSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("percentile"),
       s"exact percentile crept back into the plan:\n$p")
   }
+
+  test("the broadcast tripwire is plan-quiet and bounds-only: no " +
+      "empty-partition window, no second scan of the facts") {
+    val df = Robust.winsorize(frame, "k", "v", 0.05, 0.95,
+      binLo = -1000.0, binHi = 5000.0, bins = 100)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every Window carries a partition spec — the optimizer did not
+    // fold the tripwire's runtime-constant key back to the empty spec
+    // whose WindowExec WARN fires on every run
+    val windows = "windowspecdefinition\\(([^,)]*)"
+      .r.findAllMatchIn(finalPlan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.trim.nonEmpty),
+      s"a no-partition window crept back into the plan:\n$finalPlan")
+    // the tripwire sees only the bounds: exactly two scans of the fact
+    // relation — the histogram build and the clamp's join left side
+    // (a pruned-down count branch would add a third)
+    val scans = "LocalTableScan".r.findAllIn(finalPlan).length
+    assert(scans == 2,
+      s"expected 2 fact scans (histogram + clamp), found $scans:\n$finalPlan")
+  }
 }

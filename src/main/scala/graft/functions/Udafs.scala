@@ -68,6 +68,34 @@ object Udafs {
   def topK(k: Int, score: Column, id: Column): Column =
     udaf(new TopK(k), Encoders.product[Scored]).apply(score, id)
 
+  /** [[TopK]]'s ascending twin: the k SMALLEST (score, id) pairs in
+    * (score asc, id asc) order — the nearest-neighbor shape, where the
+    * score is a distance and ties at the boundary go to the LOWER id
+    * (the queryTopK sort contract). Same bounded-buffer property: each
+    * partition contributes at most k pairs per group to the shuffle. */
+  class BottomK(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    private def lt(a: Scored, b: Scored): Boolean =
+      a.score < b.score || (a.score == b.score && a.id < b.id)
+    private def prune(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortWith(lt).take(k)
+    def zero: TopKBuf = TopKBuf(Nil)
+    def reduce(b: TopKBuf, x: Scored): TopKBuf =
+      if (b.items.size < k || lt(x, b.items.last))
+        TopKBuf(prune(b.items :+ x))
+      else b
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(prune(a.items ++ b.items))
+    def finish(b: TopKBuf): Seq[Scored] = b.items
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** [[BottomK]] as a column aggregate; returns array<struct<score,id>>
+    * sorted ascending. */
+  def bottomK(k: Int, score: Column, id: Column): Column =
+    udaf(new BottomK(k), Encoders.product[Scored]).apply(score, id)
+
   case class HllIn(v: Long, valid: Boolean)
   case class HllBuf(maxRho: Seq[Long])
 

@@ -875,7 +875,12 @@ object VectorStore {
     * shard ([[Skew.saltedJoin]], the q137 pattern) — result-invisible
     * (regime-equivalence is spec-pinned), hot cells spread over
     * `saltBuckets` reducers, and the bounded price is the probe side
-    * growing saltBuckets-fold.
+    * growing saltBuckets-fold. When the probed data fits in memory the
+    * salted form can even WIN (SCALE hot-cell probe: 14 s vs 32 s) —
+    * AQE broadcasts the skinny code side and streams the fat ADC rows
+    * — but the hint regime remains the default because it shuffles
+    * zero corpus rows, the dominant cost once probed cells hold
+    * terabytes.
     *
     * Output: (query_id, vec_id, approx_d2, knn_rank), rank 1..k per
     * query by (approx_d2 asc, vec_id) — bit-identical per query to
@@ -948,12 +953,28 @@ object VectorStore {
             .parquet(delPaths: _*).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else base
+    // Regime choice, measured on the SCALE hot-cell probe (half the
+    // store in one cell, 2k drifted queries): the salted shuffle form
+    // ran ~2x FASTER there (14 s vs 32 s) because AQE, free to pick the
+    // build side, broadcast the SKINNY code rows and streamed the fat
+    // ADC probe rows — where the probe-broadcast hint forces the fat
+    // side into the build map. The hint regime is still the right
+    // DEFAULT: with a small query set it shuffles ZERO corpus rows
+    // (scan -> map -> bounded agg), which is what matters when the
+    // probed cells hold terabytes; the salted regime is the shape for
+    // query sets too big to broadcast, and its (cell, salt) key keeps a
+    // hot cell off a single reducer.
     val joined =
       if (broadcastProbes) scanned.join(broadcast(qprobe), Seq("cell"))
       else Skew.saltedJoin(scanned, qprobe, "cell", saltBuckets)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("approx_d2"), col("vec_id"))
+    // per-query top-k through the BOUNDED aggregator, not a row_number
+    // window: the window formulation shuffles and sorts EVERY scored
+    // candidate (queries x probed-cell rows — at production scale, the
+    // dominant data movement of the whole query), where the Aggregator
+    // prunes to k pairs per query MAP-SIDE and the shuffle carries only
+    // queries x k-sized buffers per partition. Ordering is the
+    // queryTopK contract — (approx_d2 asc, vec_id asc), boundary ties
+    // to the lower vec_id — so results stay bit-identical (spec-pinned).
     joined
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -961,7 +982,13 @@ object VectorStore {
           zip_with(col("codes"), col("adc"),
             (code, row) => element_at(row, code + 1)),
           lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
-      .withColumn("knn_rank", row_number().over(w).cast("long"))
-      .filter(col("knn_rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.Udafs.bottomK(
+        k, col("approx_d2"), col("vec_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"),
+        col("col.id").as("vec_id"),
+        col("col.score").as("approx_d2"),
+        (col("pos") + 1L).cast("long").as("knn_rank"))
   }
 }

@@ -20,6 +20,7 @@ object WriSuite {
     Q("wri_inventory", wriInventory, Some(wriInventorySql)),
     Q("wri_cog_pipeline", wriCog, Some(wriCogSql)),
     Q("wri_cog_window_stats", wriCogWindow, Some(wriCogWindowSql)),
+    Q("wri_cog_geo_window_stats", wriCogGeoWindow, Some(wriCogGeoWindowSql)),
     Q("wri_cog_overview_stats", wriCogOverview, Some(wriCogOverviewSql)),
     Q("wri_stac_items", wriStac, Some(wriStacSql))
   )
@@ -49,6 +50,55 @@ object WriSuite {
         col("vs_sum"), col("vs_min"), col("vs_max"))
       .orderBy(col("layer"))
   }
+
+  /** The GEOGRAPHIC form of the window query
+    * ([[CogQuery.windowStatsGeo]]): the window arrives as a CRS
+    * bounding box in the raster's own EPSG:5070 meters — how the
+    * reference's clients actually address the catalog — and the
+    * geotransform that places it on the pixel grid parses from the
+    * same single header prefix. The box below is built fractionally
+    * off the 90 m cell grid (x cells 25.4 .. 102.2, y cells 7.6 ..
+    * 58.3), so the pixel-is-area floor/ceil mapping must land exactly
+    * on cells x in [25, 103), y in [7, 59) — which is what the oracle
+    * replays; a wrong geotransform parse, axis flip, or rounding rule
+    * shifts the window and breaks the hash. */
+  private def wriCogGeoWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(s"$fixtureRoot/winq",
+      n = 4, w = 192, h = 128)
+    val cogDir = s"$fixtureRoot/winq_cogs"
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    // the fixture geotransform (Fixtures.writeCogInputs): 90 m cells
+    // anchored at the reference's CONUS extent corner
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    CogQuery.windowStatsGeo(s, cogDir, inputs.map(_._2),
+        minx = gx + 25.4 * 90.0, maxx = gx + 102.2 * 90.0,
+        miny = gy - 58.3 * 90.0, maxy = gy - 7.6 * 90.0)
+      .select(col("layer"), col("n_valid"), col("n_nan"),
+        col("vs_sum"), col("vs_min"), col("vs_max"))
+      .orderBy(col("layer"))
+  }
+
+  private val wriCogGeoWindowSql =
+    """WITH px AS (
+      |  SELECT i.range AS i,
+      |    (y.range * 192 + x.range) AS j
+      |  FROM range(0, 4) i, range(25, 103) x, range(7, 59) y),
+      |v AS (SELECT i,
+      |    CASE WHEN (j + i) % 13 = 0 THEN NULL
+      |      ELSE CAST(round(CAST(CAST((j * (i + 3)) % 101 AS REAL)
+      |             / CAST(7 AS REAL) AS DOUBLE) * 10000) AS BIGINT)
+      |    END AS vs
+      |  FROM px)
+      |SELECT 'layer_' || i || '.tif' AS layer,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v GROUP BY i ORDER BY layer""".stripMargin
 
   /** The ZOOM-OUT path ([[CogQuery.windowStats]] at level 1): a coarse
     * window answered from the 96x64 OVERVIEW tiles of

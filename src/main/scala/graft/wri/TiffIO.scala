@@ -356,6 +356,53 @@ object TiffIO {
     * Returns one layout per IFD in chain order (head = full image, last =
     * smallest overview). Throws if the prefix is too short, i.e. the file
     * violates header-first layout for this prefix size. */
+  /** (resX, resY, xmin, ymax) of the full-resolution image, parsed from
+    * the same single bounded header prefix as
+    * [[levelLayoutsFromPrefix]] — the geotransform that places a CRS
+    * window onto the pixel grid, so a geographic query costs no extra
+    * range request. Reads ModelPixelScale (33550) and ModelTiepoint
+    * (33922) from IFD0; throws if either is absent or the prefix does
+    * not cover their value arrays. */
+  def geoTransformFromPrefix(
+      prefix: Array[Byte]): (Double, Double, Double, Double) = {
+    val bb = ByteBuffer.wrap(prefix).order(ByteOrder.LITTLE_ENDIAN)
+    require((bb.get(0) & 0xff) == 0x49 && (bb.get(1) & 0xff) == 0x49,
+      "not a little-endian TIFF")
+    val big = bb.getShort(2).toInt == 43
+    val ifdOff =
+      if (big) bb.getLong(8) else bb.getInt(4).toLong & 0xffffffffL
+    val inlineMax = if (big) 8 else 4
+    val n =
+      if (big) bb.getLong(ifdOff.toInt).toInt
+      else bb.getShort(ifdOff.toInt).toInt & 0xffff
+    val entrySize = if (big) 20 else 12
+    val entryBase = ifdOff.toInt + (if (big) 8 else 2)
+    def doublesOf(tag: Int): Option[IndexedSeq[Double]] =
+      (0 until n).iterator.map { i =>
+        val base = entryBase + i * entrySize
+        (base,
+          bb.getShort(base).toInt & 0xffff,
+          bb.getShort(base + 2).toInt & 0xffff,
+          if (big) bb.getLong(base + 4).toInt else bb.getInt(base + 4))
+      }.collectFirst {
+        case (base, t, typ, count) if t == tag && typ == 12 =>
+          val valOff = base + (if (big) 12 else 8)
+          val start =
+            if (8 * count <= inlineMax) valOff
+            else if (big) bb.getLong(valOff).toInt else bb.getInt(valOff)
+          (0 until count).map(j => bb.getDouble(start + j * 8))
+      }
+    val scale = doublesOf(TModelPixelScale).getOrElse(
+      throw new IllegalArgumentException(
+        "no ModelPixelScale in header prefix — not a georeferenced TIFF"))
+    val tie = doublesOf(TModelTiepoint).getOrElse(
+      throw new IllegalArgumentException(
+        "no ModelTiepoint in header prefix — not a georeferenced TIFF"))
+    require(scale.length >= 2 && tie.length >= 5,
+      s"malformed geo tags: scale=${scale.length}, tiepoint=${tie.length}")
+    (scale(0), scale(1), tie(3), tie(4))
+  }
+
   def levelLayoutsFromPrefix(prefix: Array[Byte]): Seq[LevelLayout] = {
     val bb = ByteBuffer.wrap(prefix).order(ByteOrder.LITTLE_ENDIAN)
     require((bb.get(0) & 0xff) == 0x49 && (bb.get(1) & 0xff) == 0x49,

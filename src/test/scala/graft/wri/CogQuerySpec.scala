@@ -190,6 +190,62 @@ class CogQuerySpec extends SparkSpec {
     }
   }
 
+  test("geo window: a CRS bounding box maps to exactly the pixel window " +
+      "its cells intersect — identical to the pixel form") {
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    // box fractionally off the 90 m grid: cells x [70, 118), y [30, 78)
+    val geo = CogQuery.windowStatsGeo(spark, cogDir, inputs.map(_._2),
+        minx = gx + 70.2 * 90.0, maxx = gx + 117.9 * 90.0,
+        miny = gy - 77.5 * 90.0, maxy = gy - 30.7 * 90.0)
+      .collect().map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+    val px = CogQuery.windowStats(spark, cogDir, inputs.map(_._2),
+        x0 = 70, y0 = 30, winW = 48, winH = 48)
+      .collect().map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+    assert(geo == px, "geo box drifted from its pixel-window equivalent")
+  }
+
+  test("geo window: a box west/north of the raster clamps; one wholly " +
+      "outside reads zero tiles") {
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    // overhangs the top-left corner: clamps to cells [0, 3) x [0, 2)
+    val clamped = CogQuery.windowStatsGeo(spark, cogDir,
+        inputs.map(_._2).take(1),
+        minx = gx - 500.0, maxx = gx + 2.5 * 90.0,
+        miny = gy - 1.5 * 90.0, maxy = gy + 700.0)
+      .collect().head
+    assert(clamped.getAs[Long]("n_valid") + clamped.getAs[Long]("n_nan")
+      == 3L * 2L)
+    assert(clamped.getAs[Long]("tiles_read") == 1L)
+    // wholly south-east of the raster: nothing read, nothing counted
+    val outside = CogQuery.windowStatsGeo(spark, cogDir,
+        inputs.map(_._2).take(1),
+        minx = gx + 500.0 * 90.0, maxx = gx + 510.0 * 90.0,
+        miny = gy - 900.0 * 90.0, maxy = gy - 890.0 * 90.0)
+      .collect().head
+    assert(outside.getAs[Long]("tiles_read") == 0L &&
+      outside.getAs[Long]("n_valid") == 0L &&
+      outside.isNullAt(outside.fieldIndex("vs_min")))
+  }
+
+  test("geo window over HTTP matches local — the geotransform rides the " +
+      "same single prefix request") {
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    val local = CogQuery.windowStatsGeo(spark, cogDir, inputs.map(_._2),
+        minx = gx + 70.2 * 90.0, maxx = gx + 117.9 * 90.0,
+        miny = gy - 77.5 * 90.0, maxy = gy - 30.7 * 90.0)
+      .collect().map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+    withHttpServer(cogDir) { base =>
+      val viaHttp = CogQuery.windowStatsGeo(spark, base, inputs.map(_._2),
+          minx = gx + 70.2 * 90.0, maxx = gx + 117.9 * 90.0,
+          miny = gy - 77.5 * 90.0, maxy = gy - 30.7 * 90.0)
+        .collect().map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+      assert(viaHttp == local)
+    }
+  }
+
   test("edge clipping: a window past the raster edge stays in bounds") {
     val r = CogQuery.windowStats(spark, cogDir, inputs.map(_._2).take(1),
       x0 = 180, y0 = 120, winW = 100, winH = 100).collect().head

@@ -22,7 +22,8 @@ object WriSuite {
     Q("wri_cog_window_stats", wriCogWindow, Some(wriCogWindowSql)),
     Q("wri_cog_geo_window_stats", wriCogGeoWindow, Some(wriCogGeoWindowSql)),
     Q("wri_cog_overview_stats", wriCogOverview, Some(wriCogOverviewSql)),
-    Q("wri_stac_items", wriStac, Some(wriStacSql))
+    Q("wri_stac_items", wriStac, Some(wriStacSql)),
+    Q("wri_stac_query", wriStacQuery, Some(wriStacQuerySql))
   )
 
   /** The consumption end of the COG pipeline ([[CogQuery.windowStats]]):
@@ -318,4 +319,50 @@ object WriSuite {
       |  ('jobs_resistance_v1', false, 1300),
       |  ('water_resilience', false, 1288)
       |) t(item_id, is_hosted, json_len) ORDER BY item_id""".stripMargin
+
+  /** The catalog's CONSUMPTION end ([[Stac.readItems]]): the item
+    * documents written by stage 02 parse back — explicit schema, one
+    * flat row per item — and a STAC-style search (bbox intersection +
+    * domain predicate) runs as ordinary column filters. The oracle
+    * replays the expected catalog analytically: classification fields
+    * from the fixture tree's path conventions, the shared CONUS bbox
+    * west edge from the inverse-Albers golden (a wrong write, parse,
+    * flatten, or intersection rule changes the row set or a value and
+    * breaks the hash). The 'unknown'-domain final score is filtered
+    * out; a disjoint probe box proves the intersection test can say
+    * no. */
+  private def wriStacQuery(s: SparkSession, d: String): DataFrame = {
+    val dataDir = Fixtures.writeInventoryTree(fixtureRoot)
+    val consistent = Inventory.run(s, dataDir).consistent
+    val stacRoot = s"$fixtureRoot/stacq"
+    Stac.run(s, consistent, stacRoot)
+    val itemsDir = s"$stacRoot/collections/${graft.wri.Model.collectionId}/items"
+    val items = Stac.readItems(s, itemsDir)
+    val conus = items
+      .filter(Stac.bboxIntersects(-130.0, 25.0, -60.0, 50.0))
+      .filter(col("wri_domain") =!= "unknown")
+    val disjoint = items
+      .filter(Stac.bboxIntersects(-179.0, -60.0, -160.0, -50.0))
+    conus.join(disjoint.select(col("item_id")), Seq("item_id"),
+        "left_anti") // no-op: proves the disjoint box matched nothing
+      .select(col("item_id"), col("data_type"), col("wri_domain"),
+        col("wri_dimension"), col("is_hosted"), col("bbox_w"), col("href"))
+      .orderBy(col("item_id"))
+  }
+
+  private val wriStacQuerySql =
+    """SELECT item_id, data_type, wri_domain, wri_dimension, is_hosted,
+      |  CAST(bbox_w AS DOUBLE) AS bbox_w, href
+      |FROM (VALUES
+      |  ('air_quality_domain_score', 'aggregate', 'air_quality',
+      |    'domain_score', false, -146.2082,
+      |    '../cogs/air_quality_domain_score.tif'),
+      |  ('flow_recovery_v1', 'indicator', 'water', 'recovery', false,
+      |    -146.2082, '../cogs/flow_recovery_v1.tif'),
+      |  ('jobs_resistance_v1', 'indicator', 'livelihoods', 'resistance',
+      |    false, -146.2082, '../cogs/jobs_resistance_v1.tif'),
+      |  ('water_resilience', 'aggregate', 'water', 'resilience', false,
+      |    -146.2082, '../cogs/water_resilience.tif')
+      |) t(item_id, data_type, wri_domain, wri_dimension, is_hosted,
+      |    bbox_w, href) ORDER BY item_id""".stripMargin
 }

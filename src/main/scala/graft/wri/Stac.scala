@@ -202,6 +202,56 @@ object Stac {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  /** STAC item read-back — the catalog's QUERY surface (S9 extended
+    * from "list the ids" to "query the documents"): every item JSON
+    * under `itemsDir` parses into one FLAT row with an explicit schema
+    * (nothing inferred — the `02b:112-123` schema discipline), so a
+    * client filters the catalog by domain/dimension/extent/hosting with
+    * ordinary column predicates instead of walking JSON files. The
+    * documents are pretty-printed (one per file), hence multiLine; the
+    * read goes through whatever filesystem — or none: the JSON source
+    * is Spark's own — the path's scheme names, and at catalog scale the
+    * per-file parse fans out across executors like every other stage. */
+  def readItems(spark: SparkSession, itemsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("collection", StringType),
+      StructField("bbox", ArrayType(DoubleType)),
+      StructField("properties", StructType(Seq(
+        StructField("datetime", StringType),
+        StructField("data_type", StringType),
+        StructField("wri_domain", StringType),
+        StructField("wri_dimension", StringType),
+        StructField("is_hosted", BooleanType)))),
+      StructField("assets", StructType(Seq(
+        StructField("data", StructType(Seq(
+          StructField("href", StringType)))))))))
+    spark.read.schema(schema).option("multiLine", "true")
+      .json(s"$itemsDir/*.json")
+      .select(
+        col("id").as("item_id"),
+        col("collection"),
+        col("properties.datetime").as("datetime"),
+        col("properties.data_type").as("data_type"),
+        col("properties.wri_domain").as("wri_domain"),
+        col("properties.wri_dimension").as("wri_dimension"),
+        col("properties.is_hosted").as("is_hosted"),
+        col("bbox")(0).as("bbox_w"), col("bbox")(1).as("bbox_s"),
+        col("bbox")(2).as("bbox_e"), col("bbox")(3).as("bbox_n"),
+        col("assets.data.href").as("href"))
+  }
+
+  /** Catalog search over [[readItems]] rows: items whose bbox
+    * INTERSECTS [lonMin, lonMax] x [latMin, latMax] (the standard STAC
+    * bbox-overlap test: disjoint iff one box lies wholly past the
+    * other on either axis). A plain filter, so Catalyst pushes it into
+    * the item scan. */
+  def bboxIntersects(lonMin: Double, latMin: Double, lonMax: Double,
+      latMax: Double): org.apache.spark.sql.Column =
+    !(col("bbox_e") < lonMin || col("bbox_w") > lonMax ||
+      col("bbox_n") < latMin || col("bbox_s") > latMax)
+
   /** JSON-directory re-scan (S9): item ids from the files on disk —
     * whichever filesystem `itemsDir`'s scheme names. */
   def listItemIds(itemsDir: String,

@@ -14,6 +14,7 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every oracle key has a query") {
+    spark // oracle generation resolves SparkSession.active — create it
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 

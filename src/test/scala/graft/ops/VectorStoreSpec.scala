@@ -586,6 +586,47 @@ class VectorStoreSpec extends SparkSpec {
     assert(topk(d) == before)
   }
 
+  test("swap modes compose: pointer compact -> rename retrain -> " +
+      "pointer retrain on ONE store, results tracking a rename-only twin") {
+    val dA = java.nio.file.Files.createTempDirectory("vecstore_mix")
+      .toString
+    val dB = java.nio.file.Files.createTempDirectory("vecstore_mix_twin")
+      .toString
+    for (d <- Seq(dA, dB)) {
+      VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), d)
+      VectorStore.append(spark, d, emb.filter($"vec_id" % 2 === 1))
+      VectorStore.delete(spark, d,
+        emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    }
+    // mixed history on A, rename-only on B — every step must agree
+    VectorStore.compact(spark, dA, pointerSwap = true)
+    VectorStore.compact(spark, dB)
+    assert(topk(dA) == topk(dB), "after compact (pointer vs rename)")
+    // rename-mode retrain ON TOP of a pointer generation: staging dirs
+    // are base-named, the swap targets the @1 roots
+    VectorStore.retrain(spark, dA, emb)
+    VectorStore.retrain(spark, dB, emb)
+    assert(topk(dA) == topk(dB), "after retrain (rename on pointer store)")
+    // further verbs + a pointer retrain keep tracking
+    for (d <- Seq(dA, dB)) {
+      VectorStore.append(spark, d,
+        emb.filter($"vec_id" % 5 === 0)
+          .select(($"vec_id" + 30000L).as("vec_id"), $"embedding"))
+      VectorStore.delete(spark, d,
+        emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
+    }
+    assert(topk(dA) == topk(dB), "after post-retrain append/delete")
+    VectorStore.retrain(spark, dA, emb.unionByName(
+      emb.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + 30000L).as("vec_id"), $"embedding"),
+      allowMissingColumns = true), pointerSwap = true)
+    VectorStore.retrain(spark, dB, emb.unionByName(
+      emb.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + 30000L).as("vec_id"), $"embedding"),
+      allowMissingColumns = true))
+    assert(topk(dA) == topk(dB), "after second retrain (pointer vs rename)")
+  }
+
   test("retrain fails LOUDLY when the corpus is missing live vectors — " +
       "a filtered lake table cannot silently shrink the store") {
     val d = java.nio.file.Files.createTempDirectory("vecstore_guard")

@@ -23,7 +23,8 @@ object WriSuite {
     Q("wri_cog_geo_window_stats", wriCogGeoWindow, Some(wriCogGeoWindowSql)),
     Q("wri_cog_overview_stats", wriCogOverview, Some(wriCogOverviewSql)),
     Q("wri_stac_items", wriStac, Some(wriStacSql)),
-    Q("wri_stac_query", wriStacQuery, Some(wriStacQuerySql))
+    Q("wri_stac_query", wriStacQuery, Some(wriStacQuerySql)),
+    Q("wri_catalog_qa", wriCatalogQa, Some(wriCatalogQaSql))
   )
 
   /** The consumption end of the COG pipeline ([[CogQuery.windowStats]]):
@@ -349,6 +350,50 @@ object WriSuite {
         col("wri_dimension"), col("is_hosted"), col("bbox_w"), col("href"))
       .orderBy(col("item_id"))
   }
+
+  /** The reference's pre-upload quality gate (`README.md:331-335`) as a
+    * distributed sweep ([[Stac.validateAssets]]): a small catalog is
+    * staged — four real COGs + their item documents — and every asset
+    * must stream (one prefix read yields the whole pyramid), be tiled,
+    * carry overviews, and georeference. The oracle pins the exact
+    * pyramid geometry the writer must produce for 192x128 at 32 px
+    * blocks: 4 levels (downsample while max(w,h) > blockSize), 32 px
+    * tiles — a writer or prefix-parser drift changes a value and
+    * breaks the hash. The broken-asset path (error-as-data) is spec
+    * territory (RemoteIoSpec): DuckDB cannot truncate a file. */
+  private def wriCatalogQa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"$fixtureRoot/qa"
+    val inputs = Fixtures.writeCogInputs(root, n = 4, w = 192, h = 128)
+    val cid = graft.wri.Model.collectionId
+    val stacRoot = s"$root/stac"
+    val cogDir = s"$stacRoot/collections/$cid/cogs"
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    val consistent = inputs.map(_._2).toDF("cog_filename").select(
+      col("cog_filename"), lit(5070).as("crs_epsg"),
+      lit("indicator").as("data_type"), lit("water").as("wri_domain"),
+      lit("status").as("wri_dimension"),
+      lit(gx).as("extent_xmin"), lit(gx + 192 * 90.0).as("extent_xmax"),
+      lit(gy - 128 * 90.0).as("extent_ymin"), lit(gy).as("extent_ymax"))
+    val itemsDir = s"$stacRoot/collections/$cid/items"
+    Stac.writeItems(Stac.buildItems(s, consistent), itemsDir)
+    Stac.validateAssets(s, itemsDir)
+      .select(col("item_id"), col("ok"), col("levels"),
+        col("tile_width"), col("width"), col("height"))
+      .orderBy(col("item_id"))
+  }
+
+  private val wriCatalogQaSql =
+    """SELECT * FROM (VALUES
+      |  ('layer_0', true, 4, 32, 192, 128),
+      |  ('layer_1', true, 4, 32, 192, 128),
+      |  ('layer_2', true, 4, 32, 192, 128),
+      |  ('layer_3', true, 4, 32, 192, 128)
+      |) t(item_id, ok, levels, tile_width, width, height)
+      |ORDER BY item_id""".stripMargin
 
   private val wriStacQuerySql =
     """SELECT item_id, data_type, wri_domain, wri_dimension, is_hosted,

@@ -252,6 +252,70 @@ object Stac {
     !(col("bbox_e") < lonMin || col("bbox_w") > lonMax ||
       col("bbox_n") < latMin || col("bbox_s") > latMax)
 
+  case class AssetStatus(
+      item_id: String, href: String, ok: Boolean,
+      levels: Int, tile_width: Int, tile_height: Int,
+      width: Int, height: Int, cog_bytes: Long, error: Option[String])
+
+  /** The reference's pre-upload quality checks (`README.md:331-335`:
+    * overviews exist, block tiling is present, streaming access works)
+    * as ONE distributed catalog sweep: every item's data asset opens
+    * through [[RangeReader]] (local path, Hadoop scheme, or the hosted
+    * HTTP mode), a single bounded prefix must yield the complete
+    * pyramid layout — the streaming test: if the prefix can't locate
+    * every level's tiles, clients can't range-read the file — level 0
+    * must be tiled, the pyramid must actually carry overviews, and the
+    * geotransform must parse. Failures are DATA, not exceptions
+    * (first-failure-wins message, the P7 validation discipline), so one
+    * broken asset never kills the sweep of an 82-layer catalog.
+    *
+    * Relative hrefs (`../cogs/x.tif`) resolve against the item
+    * directory — or against `hrefBase` when given (e.g. the hosted
+    * serving root, to validate what CLIENTS will fetch rather than the
+    * local staging copy); absolute/scheme-qualified hrefs are used
+    * as-is. One task per item; items are independent. */
+  def validateAssets(spark: SparkSession, itemsDir: String,
+      hrefBase: Option[String] = None,
+      prefixBytes: Int = 16 * 1024): DataFrame = {
+    import spark.implicits._
+    val confBc = WriFs.confBroadcast(spark)
+    val base = hrefBase.getOrElse(itemsDir)
+    readItems(spark, itemsDir).select(col("item_id"), col("href"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { case (id, href) =>
+          val resolved =
+            if (href.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") ||
+              href.startsWith("/")) href
+            else java.net.URI.create(
+              base.replace(" ", "%20") + "/").resolve(href).toString
+          try {
+            val r = RangeReader.open(resolved, conf)
+            try {
+              val len = r.length
+              val pl = math.min(len, prefixBytes.toLong).toInt
+              val prefix = new Array[Byte](pl)
+              r.readFully(0L, prefix)
+              val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
+              val l0 = layouts.head
+              val err =
+                if (l0.tileWidth <= 0) Some("not tiled — not a COG")
+                else if (layouts.length < 2) Some("no overview pyramid")
+                else scala.util.Try(TiffIO.geoTransformFromPrefix(prefix))
+                  .failed.toOption.map(e => s"geotransform: ${e.getMessage}")
+              AssetStatus(id, href, err.isEmpty, layouts.length,
+                l0.tileWidth, l0.tileHeight, l0.width, l0.height, len, err)
+            } finally r.close()
+          } catch {
+            case e: Exception =>
+              AssetStatus(id, href, ok = false, 0, 0, 0, 0, 0, 0L,
+                Some(e.toString))
+          }
+        }
+      }.toDF()
+  }
+
   /** JSON-directory re-scan (S9): item ids from the files on disk —
     * whichever filesystem `itemsDir`'s scheme names. */
   def listItemIds(itemsDir: String,

@@ -162,6 +162,57 @@ class RemoteIoSpec extends SparkSpec {
     assert(coll.findValues("rel").asScala.exists(_.asText == "item"))
   }
 
+  test("catalog QA sweep: assets validate over HTTP via hrefBase, and a " +
+      "broken asset surfaces as data, not an exception") {
+    import spark.implicits._
+    val qaRoot = Files.createTempDirectory("wriqa").toString
+    val inputs = Fixtures.writeCogInputs(qaRoot, n = 3, w = 96, h = 64)
+    val cid = Model.collectionId
+    val stacRoot = s"$qaRoot/stac"
+    val cogDir = s"$stacRoot/collections/$cid/cogs"
+    Cog.run(spark, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    val consistent = inputs.map(_._2).toDF("cog_filename").select(
+      org.apache.spark.sql.functions.col("cog_filename"),
+      org.apache.spark.sql.functions.lit(5070).as("crs_epsg"),
+      org.apache.spark.sql.functions.lit("indicator").as("data_type"),
+      org.apache.spark.sql.functions.lit("water").as("wri_domain"),
+      org.apache.spark.sql.functions.lit("status").as("wri_dimension"),
+      org.apache.spark.sql.functions.lit(gx).as("extent_xmin"),
+      org.apache.spark.sql.functions.lit(gx + 96 * 90.0).as("extent_xmax"),
+      org.apache.spark.sql.functions.lit(gy - 64 * 90.0).as("extent_ymin"),
+      org.apache.spark.sql.functions.lit(gy).as("extent_ymax"))
+    val itemsDir = s"$stacRoot/collections/$cid/items"
+    Stac.writeItems(Stac.buildItems(spark, consistent), itemsDir)
+    // local sweep: everything streams, tiles, and georeferences
+    val local = Stac.validateAssets(spark, itemsDir).collect()
+      .map(r => r.getAs[String]("item_id") -> r).toMap
+    assert(local.size == 3 && local.values.forall(_.getAs[Boolean]("ok")),
+      local.values.map(_.toString).mkString("\n"))
+    // hosted sweep: relative hrefs resolve against the SERVED base —
+    // validating what clients will actually fetch
+    withHttpServer(stacRoot) { base =>
+      val hosted = Stac.validateAssets(spark, itemsDir,
+          hrefBase = Some(s"$base/collections/$cid/items")).collect()
+      assert(hosted.length == 3 && hosted.forall(_.getAs[Boolean]("ok")))
+      assert(hosted.forall(_.getAs[String]("href").startsWith("../cogs/")))
+    }
+    // a truncated asset (cannot stream) is an error ROW for that item;
+    // the sweep of the rest is unaffected
+    val victim = Paths.get(s"$cogDir/layer_1.tif")
+    val bytes = Files.readAllBytes(victim)
+    Files.write(victim, bytes.take(100))
+    val after = Stac.validateAssets(spark, itemsDir).collect()
+      .map(r => r.getAs[String]("item_id") -> r).toMap
+    assert(!after("layer_1").getAs[Boolean]("ok"))
+    assert(after("layer_1").getAs[String]("error") != null)
+    assert(after("layer_0").getAs[Boolean]("ok") &&
+      after("layer_2").getAs[Boolean]("ok"))
+    Files.write(victim, bytes) // restore for any later reuse
+  }
+
   // ---- HttpRangeReader robustness contract -----------------------------
 
   private lazy val cogFile = {

@@ -188,26 +188,39 @@ object CogQuery {
     * `x0 = floor((minx - gx) / resX)`, `xEnd = ceil((maxx - gx) /
     * resX)` (and the y axis mirrored from the top edge), clamped to the
     * raster. A box wholly outside the raster reads zero tiles and
-    * reports zero counts. Full-resolution only (the geotransform names
-    * the level-0 grid). */
+    * reports zero counts. `level` selects the pyramid level — the
+    * geographic ZOOM-OUT path: the geotransform names the level-0
+    * grid, so level L's cell size scales by `width0 / widthL` per axis
+    * (exact powers of two for the writer's own pyramids) and the same
+    * floor/ceil mapping runs on that coarser grid; a broad box at a
+    * deep level reads a handful of overview tiles and never touches
+    * full-res data. */
   def windowStatsGeo(spark: SparkSession, cogDir: String,
       layers: Seq[String],
       minx: Double, miny: Double, maxx: Double, maxy: Double,
-      scale: Long = 10000L, prefixBytes: Int = 16 * 1024): DataFrame = {
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
     import spark.implicits._
     require(maxx > minx && maxy > miny,
       s"box must be non-empty: x [$minx, $maxx], y [$miny, $maxy]")
     require(scale >= 1, s"scale must be >= 1: $scale")
+    require(level >= 0, s"level must be >= 0: $level")
     require(layers.nonEmpty, "no layers to query")
     withLayerReader(spark, cogDir, layers, prefixBytes) {
       (name, raf, fileLen, prefix) =>
-        val (resX, resY, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
+        val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
+        require(level < layouts.length,
+          s"$name has ${layouts.length} levels, requested $level")
+        val (resX0, resY0, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
+        val l0 = layouts.head
+        val lv = layouts(level)
+        val resX = resX0 * l0.width.toDouble / lv.width
+        val resY = resY0 * l0.height.toDouble / lv.height
         val x0 = math.floor((minx - gx) / resX).toInt
         val xEnd = math.ceil((maxx - gx) / resX).toInt
         val y0 = math.floor((gy - maxy) / resY).toInt
         val yEnd = math.ceil((gy - miny) / resY).toInt
-        statsOverWindow(name, raf, fileLen, prefix.length,
-          TiffIO.levelLayoutsFromPrefix(prefix), 0,
+        statsOverWindow(name, raf, fileLen, prefix.length, layouts, level,
           x0, y0, xEnd, yEnd, scale)
     }.toDF()
   }

@@ -229,6 +229,30 @@ class CogQuerySpec extends SparkSpec {
       outside.isNullAt(outside.fieldIndex("vs_min")))
   }
 
+  test("geo zoom-out: a CRS box at level 1 equals its pixel-window " +
+      "twin on the overview grid") {
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    val nnDir = {
+      val out = s"$root/nn_geo_cogs"
+      Cog.run(spark, inputs.toDF("filepath", "cog_filename"), out,
+        TiffWriter.CogOptions(blockSize = 32,
+          resampling = TiffIO.Nearest)).count()
+      out
+    }
+    // level-1 cells are 180 m; box fractionally off that grid maps to
+    // level-1 pixels x [10, 50), y [5, 30)
+    val geo = CogQuery.windowStatsGeo(spark, nnDir, inputs.map(_._2),
+        minx = gx + 10.3 * 180.0, maxx = gx + 49.8 * 180.0,
+        miny = gy - 29.1 * 180.0, maxy = gy - 5.2 * 180.0,
+        level = 1)
+      .collect().map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+    val px = CogQuery.windowStats(spark, nnDir, inputs.map(_._2),
+        x0 = 10, y0 = 5, winW = 40, winH = 25, level = 1)
+      .collect().map(r => r.getAs[String]("layer") -> r.toSeq).toMap
+    assert(geo == px, "geo level-1 box drifted from its pixel twin")
+  }
+
   test("geo window over HTTP matches local — the geotransform rides the " +
       "same single prefix request") {
     val gx = -5216639.6695348294

@@ -336,8 +336,10 @@ object WriSuite {
     val dataDir = Fixtures.writeInventoryTree(fixtureRoot)
     val consistent = Inventory.run(s, dataDir).consistent
     val stacRoot = s"$fixtureRoot/stacq"
-    Stac.run(s, consistent, stacRoot)
     val itemsDir = s"$stacRoot/collections/${graft.wri.Model.collectionId}/items"
+    // items only — the collection/catalog documents are stage-02 work
+    // the SEARCH doesn't need (they get their own golden checks)
+    Stac.writeItems(Stac.buildItems(s, consistent), itemsDir)
     val items = Stac.readItems(s, itemsDir)
     val conus = items
       .filter(Stac.bboxIntersects(-130.0, 25.0, -60.0, 50.0))

@@ -624,8 +624,13 @@ object VectorStore {
       rmTree(fs, s"$delRoot.claims")
     } else {
       // stale staging from an earlier crashed pointer attempt restarts
-      // from scratch (gens other than the serving one are never read)
+      // from scratch (gens other than the serving one are never read);
+      // rename-mode leftovers are garbage too once heal() ran above —
+      // clear them so a later rename-mode heal can't mistake a dead
+      // codes_compact for live staging
       gcGenerations(fs, dir, keep = gen)
+      rmTree(fs, s"$dir/codes_compact")
+      rmTree(fs, s"$dir/codes_old")
       val next = gen.getOrElse(0L) + 1
       val nextCodes = s"$dir/codes@$next"
       val nextDel = s"$dir/deletes@$next"
@@ -747,7 +752,13 @@ object VectorStore {
       fs.create(new Path(s"$dir/_retrain_ready"), true).close()
       finishRetrain(fs, dir, gen)
     } else {
+      // same leftover hygiene as pointer-mode compact: dead rename-mode
+      // staging (post-heal) must not linger as a future hazard
       gcGenerations(fs, dir, keep = gen)
+      rmTree(fs, s"$dir/_retrain_ready")
+      rmTree(fs, s"$dir/codes_retrain")
+      rmTree(fs, s"$dir/centroids_retrain")
+      rmTree(fs, s"$dir/codebooks_retrain")
       val next = gen.getOrElse(0L) + 1
       trainInto(spark, live, cells, m, codebookSize, kmeansIters,
         s"$dir/codes@$next", s"$dir/centroids@$next",

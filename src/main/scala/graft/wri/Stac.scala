@@ -214,6 +214,22 @@ object Stac {
     * per-file parse fans out across executors like every other stage. */
   def readItems(spark: SparkSession, itemsDir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val flatSchema = StructType(Seq(
+      StructField("item_id", StringType), StructField("collection", StringType),
+      StructField("datetime", StringType), StructField("data_type", StringType),
+      StructField("wri_domain", StringType),
+      StructField("wri_dimension", StringType),
+      StructField("is_hosted", BooleanType),
+      StructField("bbox_w", DoubleType), StructField("bbox_s", DoubleType),
+      StructField("bbox_e", DoubleType), StructField("bbox_n", DoubleType),
+      StructField("href", StringType)))
+    // an empty catalog is an empty result, not an unmatched-glob error
+    val hasItems = WriFs.listNames(itemsDir,
+      spark.sparkContext.hadoopConfiguration).exists(_.endsWith(".json"))
+    if (!hasItems)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        flatSchema)
     val schema = StructType(Seq(
       StructField("id", StringType),
       StructField("collection", StringType),

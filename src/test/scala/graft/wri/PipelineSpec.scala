@@ -150,6 +150,20 @@ class PipelineSpec extends SparkSpec {
     assert(Stac.listItemIds(s"$root/nonexistent").isEmpty)
   }
 
+  test("readItems parses the written catalog back; an empty catalog is " +
+      "an empty result, not an unmatched-glob error") {
+    val items = Stac.readItems(spark,
+      s"$root/stac/collections/wri_ignitR/items")
+    assert(items.count() == 5)
+    val wri = items.filter(
+      org.apache.spark.sql.functions.col("item_id") === "WRI_score").head()
+    assert(wri.getAs[String]("data_type") == "final_score" &&
+      wri.getAs[Boolean]("is_hosted") &&
+      math.abs(wri.getAs[Double]("bbox_w") - -146.2082) < 1e-9)
+    val empty = Stac.readItems(spark, s"$root/no_such_catalog")
+    assert(empty.count() == 0 && empty.columns.length == 12)
+  }
+
   test("settings grid is the full 48-config cartesian product") {
     val g = Cog.settingsGrid(spark)
     assert(g.count() == 48)

@@ -887,7 +887,7 @@ object VectorStore {
     * (regime-equivalence is spec-pinned), hot cells spread over
     * `saltBuckets` reducers, and the bounded price is the probe side
     * growing saltBuckets-fold. When the probed data fits in memory the
-    * salted form can even WIN (SCALE hot-cell probe: 14 s vs 32 s) —
+    * salted form can even WIN (SCALE hot-cell probe: ~2x faster) —
     * AQE broadcasts the skinny code side and streams the fat ADC rows
     * — but the hint regime remains the default because it shuffles
     * zero corpus rows, the dominant cost once probed cells hold
@@ -966,7 +966,7 @@ object VectorStore {
       else base
     // Regime choice, measured on the SCALE hot-cell probe (half the
     // store in one cell, 2k drifted queries): the salted shuffle form
-    // ran ~2x FASTER there (14 s vs 32 s) because AQE, free to pick the
+    // ran ~2x FASTER there because AQE, free to pick the
     // build side, broadcast the SKINNY code rows and streamed the fat
     // ADC probe rows — where the probe-broadcast hint forces the fat
     // side into the build map. The hint regime is still the right

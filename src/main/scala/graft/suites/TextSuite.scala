@@ -83,8 +83,210 @@ object TextSuite {
     Q("q141_pps_sample", q141, Some(q141Sql)),
     Q("q145_bpe_merges_batched", q145, None, Some(q145Oracle)),
     Q("q142_bigram_lm_score", q142, Some(q142Sql)),
-    Q("q143_nfc_normalize", q143, Some(q143Sql))
+    Q("q143_nfc_normalize", q143, Some(q143Sql)),
+    Q("q153_dedup_index_query", q153, Some(dedupIndexSql)),
+    Q("q154_dedup_index_ingest", q154, Some(dedupIndexSql)),
+    Q("q155_remove_repeated_spans", q155, Some(q155Sql))
   )
+
+  // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
+
+  /** The q90 nightly-batch construction: re-crawls (exact text under new
+    * ids), 20%-trimmed revisions, and genuinely fresh case-flipped docs. */
+  private def nightlyBatch(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val recrawl = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+    val trimmed = base.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 30000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          expr("size(split(text, ' ')) - size(split(text, ' ')) div 5")),
+          " ").as("text"))
+    val fresh = base.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 40000L).as("doc_id"),
+        upper(col("text")).as("text"))
+    recrawl.unionByName(trimmed).unionByName(fresh)
+  }
+
+  private val queryIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ingestIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Disk-backed MinHash-LSH index, read-only query
+    * ([[graft.ops.DedupIndex.queryPairs]]): the whole corpus is indexed
+    * once (signatures + band postings persisted, text never read again),
+    * then the nightly batch is scored against the stored postings. The
+    * oracle replays signatures, banding, the corpus-side stop-bucket
+    * guard, and the agreement scoring from the raw tables. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val dir = queryIndexDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("dedupidx_q").toString
+      graft.ops.DedupIndex.write(s, Tables.documents(s, d), out)
+      out
+    })
+    graft.ops.DedupIndex.queryPairs(s, dir, nightlyBatch(s, d))
+      .orderBy(col("batch_doc"), col("index_doc"))
+  }
+
+  /** Multi-batch accumulation ([[graft.ops.DedupIndex.ingest]]): the
+    * index starts from the even half, ingests the odd half as batch 1,
+    * then ingests the nightly batch as batch 2 — whose pairs must hit
+    * documents from BOTH the initial write and batch 1 (the committed
+    * index at that point is the full corpus, so the oracle is q153's).
+    * The verify path re-runs the batch-2 ingest each call: with an
+    * explicit batch id the replay excludes the batch's own committed
+    * rows and returns the original pairs — the idempotence contract. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = ingestIndexDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("dedupidx_i").toString
+      graft.ops.DedupIndex.write(s, docs.filter(col("doc_id") % 2 === 0), out)
+      graft.ops.DedupIndex.ingest(s, out, docs.filter(col("doc_id") % 2 === 1),
+        batchId = 1L)
+      out
+    })
+    graft.ops.DedupIndex.ingest(s, dir, nightlyBatch(s, d), batchId = 2L)
+      .orderBy(col("batch_doc"), col("index_doc"))
+  }
+
+  /** One oracle for both index queries: by the time the nightly batch is
+    * scored, the committed index holds the full documents table in both
+    * setups. Replays per-side signatures, banding, the CORPUS-side
+    * bucket-size cap, candidate generation, and agreement scoring. */
+  private val dedupIndexSql =
+    s"""WITH batch AS (
+       |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 30000,
+       |    array_to_string(list_slice(string_split(text, ' '), 1,
+       |      len(string_split(text, ' ')) - len(string_split(text, ' ')) // 5), ' ')
+       |  FROM documents WHERE doc_id % 10 = 5
+       |  UNION ALL
+       |  SELECT doc_id + 40000, upper(text) FROM documents WHERE doc_id % 10 = 7),
+       |bth AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(string_split(t, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+       |  FROM batch),
+       |cth AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(string_split(t, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+       |  FROM documents),
+       |bg AS (SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      list_transform(th, (x, i) ->
+       |        CASE WHEN i + 2 <= len(th)
+       |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+       |                  % 1000000007 END),
+       |      z -> z IS NOT NULL)) AS grams
+       |  FROM bth),
+       |cg AS (SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      list_transform(th, (x, i) ->
+       |        CASE WHEN i + 2 <= len(th)
+       |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+       |                  % 1000000007 END),
+       |      z -> z IS NOT NULL)) AS grams
+       |  FROM cth),
+       |bsig AS (SELECT doc_id, list_transform(range(0, 64), s ->
+       |    list_min(list_transform(grams, x ->
+       |      (($coefA)[s+1] * x + ($coefB)[s+1]) % 1000000007))) AS sig
+       |  FROM bg WHERE len(grams) > 0),
+       |csig AS (SELECT doc_id, list_transform(range(0, 64), s ->
+       |    list_min(list_transform(grams, x ->
+       |      (($coefA)[s+1] * x + ($coefB)[s+1]) % 1000000007))) AS sig
+       |  FROM cg WHERE len(grams) > 0),
+       |bband AS (SELECT doc_id, b.range AS band,
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |        sig[b.range*4+1 : b.range*4+4]),
+       |      (a, v) -> (a * 131 + v) % 1000000007) AS bucket
+       |  FROM bsig, range(0, 16) b),
+       |cband AS (SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, b.range AS band,
+       |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |          sig[b.range*4+1 : b.range*4+4]),
+       |        (a, v) -> (a * 131 + v) % 1000000007) AS bucket,
+       |      count(*) OVER (PARTITION BY b.range,
+       |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |            sig[b.range*4+1 : b.range*4+4]),
+       |          (a, v) -> (a * 131 + v) % 1000000007)) AS psz
+       |    FROM csig, range(0, 16) b) WHERE psz <= 50),
+       |pairs AS (SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS index_doc
+       |  FROM bband b JOIN cband c
+       |    ON b.band = c.band AND b.bucket = c.bucket)
+       |SELECT batch_doc, index_doc, est_jaccard FROM (
+       |  SELECT batch_doc, index_doc,
+       |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 64
+       |      AS est_jaccard
+       |  FROM pairs
+       |  JOIN bsig sa ON sa.doc_id = batch_doc
+       |  JOIN csig sb ON sb.doc_id = index_doc)
+       |WHERE est_jaccard >= 0.5 ORDER BY batch_doc, index_doc""".stripMargin
+
+  /** Corpus-level repeated-span removal ([[Dedup.removeRepeatedSpans]]):
+    * a 9-token footer injected into every third document guarantees
+    * cross-document 8-token repeats on top of the corpus's organic
+    * near-dups; the first occurrence in (doc_id, pos) order survives,
+    * every other occurrence is cut. The oracle replays fingerprints, the
+    * distinct-doc threshold, the keeper rule, and the token-coverage
+    * rewrite — a drifted keeper choice or off-by-one span end breaks the
+    * hash. */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val docs2 = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota"))
+          .otherwise(lit(""))).as("text"))
+    Dedup.removeRepeatedSpans(docs2, spanTokens = 8, minDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q155Sql =
+    """WITH d2 AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' alpha beta gamma delta epsilon zeta eta theta iota'
+      |         ELSE '' END AS text
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    list_transform(string_split(text, ' '), t ->
+      |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(string_split(t, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM d2),
+      |pg AS (SELECT doc_id, list_transform(th, (x, i) ->
+      |    CASE WHEN i + 7 <= len(th)
+      |         THEN list_reduce(th[i : i+7],
+      |           (a, b) -> (a * 131 + b) % 1000000007) END) AS pg
+      |  FROM t2),
+      |occ AS (SELECT doc_id, u['pos'] AS pos, u['g'] AS g FROM (
+      |  SELECT doc_id, unnest(list_filter(list_transform(pg, (g, i) ->
+      |      {'pos': i - 1, 'g': g}), s -> s['g'] IS NOT NULL)) AS u
+      |  FROM pg)),
+      |rep AS (SELECT g FROM (
+      |    SELECT g, count(DISTINCT doc_id) AS nd FROM occ GROUP BY g)
+      |  WHERE nd >= 2),
+      |cuts AS (SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |    FROM occ JOIN rep USING (g)) WHERE rn > 1),
+      |toks AS (SELECT doc_id, u['k'] AS k, u['t'] AS t FROM (
+      |  SELECT doc_id, unnest(list_transform(w, (t, k) ->
+      |      {'k': k - 1, 't': t})) AS u FROM t2)),
+      |cut_toks AS (SELECT DISTINCT t.doc_id, t.k FROM toks t JOIN cuts c
+      |  ON t.doc_id = c.doc_id AND t.k >= c.pos AND t.k < c.pos + 8),
+      |kept AS (SELECT t.doc_id, t.k, t.t FROM toks t LEFT JOIN cut_toks x
+      |  ON t.doc_id = x.doc_id AND t.k = x.k WHERE x.k IS NULL),
+      |keptagg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY k) AS clean_text,
+      |    count(*) AS nkept FROM kept GROUP BY doc_id)
+      |SELECT t2.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+      |  CAST(len(t2.w) - coalesce(ka.nkept, 0) AS INT) AS removed_tokens
+      |FROM t2 LEFT JOIN keptagg ka USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Systematic PPS sampling ([[Sampling.ppsSample]]): ~20 docs per
     * source with inclusion probability proportional to n_chars, selected

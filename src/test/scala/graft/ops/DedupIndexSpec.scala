@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+    .select(col("doc_id"), col("text"))
+
+  /** The q90-style nightly batch: re-crawls + revisions + fresh docs. */
+  private lazy val batch = {
+    val recrawl = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 20000L).as("doc_id"), $"text")
+    val fresh = docs.filter($"doc_id" % 10 === 7)
+      .select(($"doc_id" + 40000L).as("doc_id"), upper($"text").as("text"))
+    recrawl.unionByName(fresh)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private lazy val fullIndexDir: String = {
+    val d = tmp("didx_full")
+    DedupIndex.write(spark, docs, d)
+    d
+  }
+
+  test("uncapped index pairs equal the in-memory MinHash banding " +
+      "restricted to batch x corpus") {
+    // same family, same banding: with the bucket caps effectively off on
+    // both sides, the disk path must reproduce minHashCandidatePairs'
+    // cross-slice exactly (index docs < 20000 < batch docs, so doc_a is
+    // always the corpus side there)
+    val disk = pairSet(DedupIndex.queryPairs(spark, fullIndexDir, batch,
+      maxBucketSize = Int.MaxValue))
+    val mem = Dedup.minHashCandidatePairs(docs.unionByName(batch),
+        maxBucketSize = Int.MaxValue)
+      .filter($"doc_a" < 20000L && $"doc_b" >= 20000L)
+      .collect().map(r => (r.getDouble(2), r.getLong(0), r.getLong(1)))
+      .map { case (e, a, b) => (b, a, e) }.toSet
+    assert(disk == mem,
+      s"disk path drifted: ${disk.size} vs ${mem.size} pairs; " +
+        s"only-disk=${(disk -- mem).take(3)} only-mem=${(mem -- disk).take(3)}")
+  }
+
+  test("multi-batch accumulation: write(even) + append(odd) answers " +
+      "exactly like write(all)") {
+    val d = tmp("didx_inc")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 2 === 0), d)
+    DedupIndex.append(spark, d, docs.filter($"doc_id" % 2 === 1), batchId = 1L)
+    val inc = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    val full = pairSet(DedupIndex.queryPairs(spark, fullIndexDir, batch))
+    assert(inc == full, s"${inc.size} vs ${full.size} pairs")
+  }
+
+  test("ingest replay with an explicit batch id returns the original " +
+      "pairs and adds no postings") {
+    val d = tmp("didx_replay")
+    DedupIndex.write(spark, docs, d)
+    val first = pairSet(DedupIndex.ingest(spark, d, batch, batchId = 7L))
+    val rowsAfter = spark.read.parquet(s"$d/postings").count()
+    val replay = pairSet(DedupIndex.ingest(spark, d, batch, batchId = 7L))
+    assert(replay == first, "replayed ingest drifted from the original")
+    assert(spark.read.parquet(s"$d/postings").count() == rowsAfter,
+      "replayed ingest duplicated postings")
+  }
+
+  test("a half-written batch (no _SUCCESS) is invisible and the replay " +
+      "heals it") {
+    val d = tmp("didx_crash")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 2 === 0), d)
+    DedupIndex.append(spark, d, docs.filter($"doc_id" % 2 === 1), batchId = 1L)
+    val healthy = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    // simulate a crash mid-commit: the postings job marker vanishes
+    val marker = new java.io.File(s"$d/postings/batch=1/_SUCCESS")
+    assert(marker.exists()); marker.delete()
+    val degraded = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    val evenOnly = pairSet {
+      val d2 = tmp("didx_even")
+      DedupIndex.write(spark, docs.filter($"doc_id" % 2 === 0), d2)
+      DedupIndex.queryPairs(spark, d2, batch)
+    }
+    assert(degraded == evenOnly,
+      "uncommitted batch leaked into the query")
+    // the replay overwrites the torn directory and recommits
+    DedupIndex.append(spark, d, docs.filter($"doc_id" % 2 === 1), batchId = 1L)
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == healthy)
+  }
+
+  test("pruned IN-list regime and keyed-join regime are result-identical") {
+    val pruned = pairSet(DedupIndex.queryPairs(spark, fullIndexDir, batch))
+    val joined = pairSet(DedupIndex.queryPairs(spark, fullIndexDir, batch,
+      probeCap = 0))
+    assert(pruned == joined, s"${pruned.size} vs ${joined.size} pairs")
+  }
+
+  test("a small batch's postings scan prunes to its bucket shards at " +
+      "the directory level") {
+    val one = batch.orderBy($"doc_id").limit(1)
+    val q = DedupIndex.queryPairs(spark, fullIndexDir, one, eager = false)
+    q.collect() // the join plan is adaptive: stages exist only after exec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec => scans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val postingFiles = scans(q.queryExecution.executedPlan)
+      .flatMap(_.selectedPartitions.toPartitionArray.toSeq
+        .map(_.filePath.toString))
+      .filter(_.contains("/postings/"))
+    val shards = postingFiles.map(_.split("bbp=")(1).split("/")(0)).distinct
+    // one doc bands into <= 16 buckets -> <= 16 of the 64 shard dirs
+    assert(postingFiles.nonEmpty && shards.size <= 16,
+      s"scan touched ${shards.size} shard dirs: $shards")
+  }
+
+  test("hot buckets are stop-buckets: stored posting lists over the cap " +
+      "generate nothing") {
+    val d = tmp("didx_hot")
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val hot = (0L until 60L).map(i => (i, same)).toDF("doc_id", "text")
+    DedupIndex.write(spark, hot, d)
+    val probe = Seq((100L, same)).toDF("doc_id", "text")
+    // every band bucket holds all 60 stored docs: over a cap of 50
+    assert(DedupIndex.queryPairs(spark, d, probe, maxBucketSize = 50)
+      .isEmpty, "capped bucket still produced candidates")
+    val uncapped = DedupIndex.queryPairs(spark, d, probe,
+      maxBucketSize = 100)
+    assert(uncapped.count() == 60L &&
+      uncapped.agg(min($"est_jaccard")).head().getDouble(0) == 1.0)
+  }
+
+  test("an empty index answers empty with the right schema") {
+    val d = tmp("didx_empty")
+    DedupIndex.write(spark, docs.limit(0), d)
+    val out = DedupIndex.queryPairs(spark, d, batch)
+    assert(out.columns.toSeq ==
+      Seq("batch_doc", "index_doc", "est_jaccard") && out.isEmpty)
+  }
+}

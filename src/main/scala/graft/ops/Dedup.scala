@@ -611,74 +611,6 @@ object Dedup {
     * span-detect on representatives, reconstitute member pairs through
     * the membership table — the same collapse-first ordering as
     * [[collapsedNgramJaccardPairs]]. */
-  /** Corpus-level repeated-span REMOVAL — the rewrite stage behind
-    * "deduplicate exact substrings across the training corpus", beyond
-    * [[sharedSpanPairs]]'s pair detection: every `spanTokens`-token
-    * window whose fingerprint occurs in at least `minDocs` DISTINCT
-    * documents is a repeated span; its first occurrence in corpus order
-    * (smallest (doc_id, position)) is KEPT and every other occurrence is
-    * cut from its document — one copy of boilerplate/licence/quote
-    * blocks survives, the rest of the corpus stops re-teaching them.
-    *
-    * Deterministic and engine-portable end to end: fingerprints are the
-    * positional L-gram polynomial folds ([[TextAnalysis.hashedNgramOccurrences]],
-    * same family as every other hash here), the keeper is a total-order
-    * argmin, and a token is removed iff ANY removed occurrence covers
-    * it — so the DuckDB oracle replays the rewrite exactly.
-    *
-    * Intra-document repetition alone does NOT trigger removal
-    * (`minDocs` counts distinct docs; per-doc repetition is
-    * [[TextAnalysis.repetitionFeatures]]' domain) — but once a span IS
-    * corpus-repeated, all its non-keeper occurrences are cut, including
-    * extra copies inside the keeper's own document.
-    *
-    * Scale shape: the corpus tokenizes map-side; everything shuffled is
-    * 16-byte (fingerprint, doc, pos) rows keyed on the fingerprint, the
-    * keeper window runs only over REPEATED fingerprints' occurrences,
-    * and span starts rejoin documents keyed on doc_id — the text itself
-    * shuffles exactly once (that join). Nothing is quadratic; no
-    * driver-side state.
-    *
-    * Output: (doc_id, clean_text, removed_tokens) for EVERY input doc.
-    */
-  def removeRepeatedSpans(
-      docs: DataFrame,
-      spanTokens: Int = 8,
-      minDocs: Int = 2,
-      textCol: String = "text"): DataFrame = {
-    require(spanTokens >= 2, s"spanTokens=$spanTokens must be >= 2")
-    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (an intra-doc " +
-      "repeat is not corpus duplication)")
-    val L = spanTokens
-    val occ = docs.select(col("doc_id"),
-        posexplode(TextAnalysis.hashedNgramOccurrences(col(textCol), L))
-          .as(Seq("pos", "g")))
-      .filter(col("g").isNotNull)
-    val repeated = occ.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("g"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))
-    val cuts = occ.join(repeated, Seq("g"), "left_semi")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("pos")).as("cut_starts"))
-    docs.join(cuts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        split(col(textCol), " ").as("toks"),
-        coalesce(col("cut_starts"), array().cast("array<int>"))
-          .as("cuts"))
-      .select(col("doc_id"),
-        filter(col("toks"), (_, i) =>
-          !exists(col("cuts"), s => s <= i && i < s + lit(L))).as("kept"),
-        size(col("toks")).as("ntok"))
-      .select(col("doc_id"),
-        array_join(col("kept"), " ").as("clean_text"),
-        (col("ntok") - size(col("kept"))).as("removed_tokens"))
-  }
-
   def sharedSpanPairs(
       docs: DataFrame,
       minSpanTokens: Int = 5,
@@ -723,5 +655,93 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("span_tokens")).as("max_span_tokens"),
         count(lit(1)).as("n_spans"))
+  }
+
+  /** Corpus-level repeated-span REMOVAL — the rewrite stage behind
+    * "deduplicate exact substrings across the training corpus", beyond
+    * [[sharedSpanPairs]]'s pair detection: every `spanTokens`-token
+    * window whose fingerprint occurs in at least `minDocs` DISTINCT
+    * documents is a repeated span; its first occurrence in corpus order
+    * (smallest (doc_id, position)) is KEPT and every other occurrence is
+    * cut from its document — one copy of boilerplate/licence/quote
+    * blocks survives, the rest of the corpus stops re-teaching them.
+    *
+    * Deterministic and engine-portable end to end: fingerprints are the
+    * positional L-gram polynomial folds ([[TextAnalysis.hashedNgramOccurrences]],
+    * same family as every other hash here), the keeper is a total-order
+    * argmin, and a token is removed iff ANY removed occurrence covers
+    * it — so the DuckDB oracle replays the rewrite exactly.
+    *
+    * Intra-document repetition alone does NOT trigger removal
+    * (`minDocs` counts distinct docs; per-doc repetition is
+    * [[TextAnalysis.repetitionFeatures]]' domain) — but once a span IS
+    * corpus-repeated, all its non-keeper occurrences are cut, including
+    * extra copies inside the keeper's own document.
+    *
+    * Scale shape: the corpus tokenizes map-side; everything shuffled is
+    * 16-byte (fingerprint, doc, pos) rows keyed on the fingerprint, the
+    * keeper window runs only over REPEATED fingerprints' occurrences,
+    * and span starts rejoin documents keyed on doc_id — the text itself
+    * shuffles exactly once (that join). The per-document rewrite first
+    * MERGES the sorted cut starts into disjoint [s, e) intervals (one
+    * fold), so the per-token coverage test scans intervals, not raw cut
+    * positions: a fully-boilerplate document has ~tokens cut starts but
+    * ONE merged interval — without the merge that row's rewrite is
+    * O(tokens x cuts). Nothing is quadratic; no driver-side state.
+    *
+    * Output: (doc_id, clean_text, removed_tokens) for EVERY input doc.
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      spanTokens: Int = 8,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens=$spanTokens must be >= 2")
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (an intra-doc " +
+      "repeat is not corpus duplication)")
+    val L = spanTokens
+    val occ = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.hashedNgramOccurrences(col(textCol), L))
+          .as(Seq("pos", "g")))
+      .filter(col("g").isNotNull)
+    val repeated = occ.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))
+    val cuts = occ.join(repeated, Seq("g"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("cut_starts"))
+    // merge the sorted cut starts into disjoint [s, e) intervals: starts
+    // arrive ascending, so each either extends the last interval
+    // (s <= last.e — overlap/adjacency) or opens a new one
+    val mergedIvs = aggregate(
+      sort_array(col("cuts")),
+      expr("cast(array() as array<struct<s:int,e:int>>)"),
+      (acc, c) => {
+        val last = get(acc, size(acc) - 1)
+        when(size(acc) > 0 && last.getField("e") >= c,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"), (c + lit(L)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(c.as("s"), (c + lit(L)).as("e")))))
+      })
+    docs.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        split(col(textCol), " ").as("toks"),
+        coalesce(col("cut_starts"), array().cast("array<int>"))
+          .as("cuts"))
+      .select(col("doc_id"), col("toks"), mergedIvs.as("ivs"))
+      .select(col("doc_id"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("ivs"), v =>
+            v.getField("s") <= i && i < v.getField("e"))).as("kept"),
+        size(col("toks")).as("ntok"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (col("ntok") - size(col("kept"))).as("removed_tokens"))
   }
 }

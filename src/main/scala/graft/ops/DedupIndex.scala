@@ -204,8 +204,13 @@ object DedupIndex {
   }
 
   /** Near-dup pairs of `batch` against the index's committed batches
-    * (minus `excludeBatchId`, used by [[ingest]] for replay stability) —
-    * READ-ONLY: nothing is written.
+    * with id < `beforeBatchId` — READ-ONLY: nothing is written.
+    * [[ingest]] passes its own batch id here so a REPLAY scores against
+    * exactly the index the original run saw, even after later batches
+    * commit (batch ids are monotone: default allocation is
+    * max(committed)+1, and explicit ids — the stream discipline — must
+    * be assigned in commit order for "id <" to mean "committed
+    * before").
     *
     * Output: (batch_doc, index_doc, est_jaccard >= minEstJaccard).
     *
@@ -223,14 +228,29 @@ object DedupIndex {
   def queryPairs(spark: SparkSession, dir: String, batch: DataFrame,
       textCol: String = "text", minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 50, probeCap: Int = 4096,
-      excludeBatchId: Long = -1L, eager: Boolean = true): DataFrame = {
-    val fs = fsOf(spark, dir)
+      beforeBatchId: Long = Long.MaxValue, eager: Boolean = true)
+      : DataFrame = {
     val p = readParams(spark, dir)
-    val ids = committedBatches(fs, dir).filter(_ != excludeBatchId)
+    val (bSigs, bBanded) = sigAndBand(batch, textCol, p)
+    val out = queryPairsImpl(spark, dir, p, bSigs, bBanded, minEstJaccard,
+      maxBucketSize, probeCap, beforeBatchId, eager)
+    if (eager) bSigs.unpersist()
+    out
+  }
+
+  /** The scoring core shared by [[queryPairs]] and [[ingest]] (which
+    * computes the batch's signatures ONCE and reuses them for the append
+    * write). Does not unpersist its inputs; with `eager` the bounded
+    * pair result is materialized and the internal candidate cache
+    * released. */
+  private def queryPairsImpl(spark: SparkSession, dir: String, p: Params,
+      bSigs: DataFrame, bBanded0: DataFrame, minEstJaccard: Double,
+      maxBucketSize: Int, probeCap: Int, beforeBatchId: Long,
+      eager: Boolean): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val ids = committedBatches(fs, dir).filter(_ < beforeBatchId)
       .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))
-    val (bSigs, bBanded0) = sigAndBand(batch, textCol, p)
     if (ids.isEmpty) {
-      bSigs.unpersist()
       import spark.implicits._
       return Seq.empty[(Long, Long, Double)]
         .toDF("batch_doc", "index_doc", "est_jaccard")
@@ -245,7 +265,10 @@ object DedupIndex {
       .collect().map(_.getLong(0))
     val probed =
       if (batchBuckets.length <= probeCap) {
-        val shards = batchBuckets.map(_ % p.bucketShards).distinct
+        // floorMod, matching the pmod the write side partitions by —
+        // Java % follows the sign and would silently miss negative keys
+        val shards = batchBuckets.map(Math.floorMod(_, p.bucketShards.toLong))
+          .distinct
         postings
           .filter(col("bbp").isin(shards.toSeq: _*) &&
             col("bb").isin(batchBuckets.toSeq: _*))
@@ -280,7 +303,8 @@ object DedupIndex {
       .parquet(ids.map(i => s"${sigsRoot(dir)}/batch=$i"): _*)
     val idxSigs =
       if (candIds.length <= probeCap) {
-        val shards = candIds.map(_ % p.bucketShards).distinct
+        val shards = candIds.map(Math.floorMod(_, p.bucketShards.toLong))
+          .distinct
         sigScan.filter(col("idp").isin(shards.toSeq: _*) &&
           col("doc_id").isin(candIds.toSeq: _*))
       } else sigScan.join(
@@ -300,28 +324,34 @@ object DedupIndex {
     if (!eager) scored
     else {
       val out = scored.localCheckpoint(true)
-      bSigs.unpersist(); bBanded.unpersist(); cand.unpersist()
+      bBanded.unpersist(); cand.unpersist()
       out
     }
   }
 
   /** The nightly verb: score `batch` against everything committed BEFORE
-    * it, then land its postings/sigs under `batchId`. With an explicit
-    * `batchId`, a replay returns the SAME pairs (the batch's own rows are
-    * excluded from the scored index) and re-lands the same files — fully
-    * idempotent. Default ids allocate max(committed)+1 and must not be
-    * replayed (they would land under a fresh id, like the vector store's
-    * batch-mode appends). */
+    * it (ids < `batchId`), then land its postings/sigs under `batchId`.
+    * With an explicit `batchId`, a replay returns the SAME pairs even
+    * after later batches commit — the scored index is exactly the
+    * original run's — and re-lands the same files: fully idempotent.
+    * The batch's signatures are computed ONCE and shared by the scoring
+    * and the append write. Default ids allocate max(committed)+1 and
+    * must not be replayed (a replay would land under a fresh id, like
+    * the vector store's batch-mode appends). */
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long = -1L, textCol: String = "text",
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 50,
       probeCap: Int = 4096): DataFrame = {
     val fs = fsOf(spark, dir)
+    val committed = committedBatches(fs, dir)
     val id = if (batchId >= 0) batchId
-      else committedBatches(fs, dir).lastOption.map(_ + 1L).getOrElse(0L)
-    val pairs = queryPairs(spark, dir, batch, textCol, minEstJaccard,
-      maxBucketSize, probeCap, excludeBatchId = id)
-    append(spark, dir, batch, id, textCol)
+      else committed.lastOption.map(_ + 1L).getOrElse(0L)
+    val p = readParams(spark, dir)
+    val (sigs, banded) = sigAndBand(batch, textCol, p)
+    val pairs = queryPairsImpl(spark, dir, p, sigs, banded, minEstJaccard,
+      maxBucketSize, probeCap, beforeBatchId = id, eager = true)
+    if (!committed.contains(id)) writeBatch(spark, dir, id, sigs, banded, p)
+    sigs.unpersist()
     pairs
   }
 }

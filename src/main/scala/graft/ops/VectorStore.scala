@@ -153,9 +153,15 @@ object VectorStore {
 
   /** Remove every pointer-mode generation artifact except `keep`:
     * component directories `<name>@<gen>` and their sidecar
-    * ledgers/claims. Called only from OFFLINE verbs (write / compact /
-    * retrain — the single maintenance process), never from serving
-    * verbs, so it cannot race an in-flight staging. */
+    * ledgers/claims. When `keep` names a LIVE generation (a `_current`
+    * pointer exists), the BARE-named components are dead too — the
+    * pre-pointer base layout stops being referenced the moment the
+    * first flip lands, but a crash between that flip and its rmTree
+    * sweep would otherwise strand the entire pre-compact tree forever
+    * (nothing else ever deletes bare names except a full [[write]]).
+    * Called only from OFFLINE verbs (write / compact / retrain — the
+    * single maintenance process), never from serving verbs, so it
+    * cannot race an in-flight staging. */
   private def gcGenerations(fs: FileSystem, dir: String,
       keep: Option[Long]): Unit = {
     val rootP = new Path(dir)
@@ -167,6 +173,16 @@ object VectorStore {
         case GenName(g) if !keep.contains(g.toLong) =>
           fs.delete(st.getPath, true)
         case _ => ()
+      }
+    }
+    if (keep.isDefined) {
+      Seq("codes", "deletes", "centroids", "codebooks").foreach { n =>
+        rmTree(fs, s"$dir/$n")
+      }
+      Seq("codes", "deletes").foreach { n =>
+        rmTree(fs, s"$dir/$n.ledger")
+        rmTree(fs, s"$dir/$n.ledger.tmp")
+        rmTree(fs, s"$dir/$n.claims")
       }
     }
   }

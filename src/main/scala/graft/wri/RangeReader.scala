@@ -64,9 +64,11 @@ final class HadoopRangeReader(url: String, conf: Configuration)
   *     the redirect target instead of a bare 3xx;
   *   - a 206's `Content-Range` offsets are validated against the
   *     requested range before any byte is trusted;
-  *   - transient `IOException`s (reset connections, mid-body EOF) are
-  *     retried with backoff up to `maxAttempts` per request; contract
-  *     violations (wrong status, bad offsets) never retry. */
+  *   - transient failures are retried with backoff up to `maxAttempts`
+  *     per request: `IOException`s (reset connections, mid-body EOF)
+  *     AND throttle/server-side statuses (429, 5xx — the canonical
+  *     CDN/object-store SlowDown answers); contract violations (Range
+  *     ignored, bad offsets, 4xx other than 429) never retry. */
 final class HttpRangeReader(url: String, maxAttempts: Int = 3)
     extends RangeReader {
   require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
@@ -98,6 +100,15 @@ final class HttpRangeReader(url: String, maxAttempts: Int = 3)
           "(cross-protocol redirects are not followed)")
     }
 
+  /** Throttle and server-side statuses are transient by nature — a 503
+    * SlowDown mid-sweep must not fail a 64-layer catalog job. Raise
+    * them as `IOException` so [[withRetries]] treats them exactly like
+    * a reset connection; every other unexpected status stays a
+    * non-retried contract violation. */
+  private def rejectTransient(code: Int, what: String): Unit =
+    if (code == 429 || (code >= 500 && code < 600))
+      throw new java.io.IOException(s"$what $url -> $code (transient)")
+
   /** Run `attempt` up to [[maxAttempts]] times, retrying ONLY transient
     * I/O failures; contract violations surface immediately. */
   private def withRetries[T](attempt: () => T): T = {
@@ -119,6 +130,7 @@ final class HttpRangeReader(url: String, maxAttempts: Int = 3)
     try {
       val code = c.getResponseCode
       rejectRedirect(code, c, "HEAD")
+      rejectTransient(code, "HEAD")
       require(code == 200, s"HEAD $url -> $code")
       val len = c.getContentLengthLong
       require(len >= 0, s"HEAD $url returned no Content-Length")
@@ -133,6 +145,7 @@ final class HttpRangeReader(url: String, maxAttempts: Int = 3)
       try {
         val code = c.getResponseCode
         rejectRedirect(code, c, "GET")
+        rejectTransient(code, "GET")
         // a 200 is acceptable ONLY when the requested range is the whole
         // object — then "the full body" and "the range" are the same
         // bytes; anywhere else it means Range was ignored

@@ -400,7 +400,13 @@ object TiffIO {
         "no ModelTiepoint in header prefix — not a georeferenced TIFF"))
     require(scale.length >= 2 && tie.length >= 5,
       s"malformed geo tags: scale=${scale.length}, tiepoint=${tie.length}")
-    (scale(0), scale(1), tie(3), tie(4))
+    // A ModelTiepoint anchors raster cell (i, j) at model (x, y) — the
+    // anchored PIXEL is not necessarily (0, 0) (legal GeoTIFF; GDAL
+    // writes (0,0) but external producers may not). Back the tiepoint
+    // out to the raster's top-left corner through the pixel scale:
+    // xmin = x - i*resX, ymax = y + j*resY (y grows downward in pixels).
+    val (i, j, x, y) = (tie(0), tie(1), tie(3), tie(4))
+    (scale(0), scale(1), x - i * scale(0), y + j * scale(1))
   }
 
   def levelLayoutsFromPrefix(prefix: Array[Byte]): Seq[LevelLayout] = {

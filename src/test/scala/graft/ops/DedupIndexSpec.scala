@@ -60,7 +60,7 @@ class DedupIndexSpec extends SparkSpec {
   }
 
   test("ingest replay with an explicit batch id returns the original " +
-      "pairs and adds no postings") {
+      "pairs and adds no postings — even after a LATER batch commits") {
     val d = tmp("didx_replay")
     DedupIndex.write(spark, docs, d)
     val first = pairSet(DedupIndex.ingest(spark, d, batch, batchId = 7L))
@@ -69,6 +69,15 @@ class DedupIndexSpec extends SparkSpec {
     assert(replay == first, "replayed ingest drifted from the original")
     assert(spark.read.parquet(s"$d/postings").count() == rowsAfter,
       "replayed ingest duplicated postings")
+    // a later batch lands, then batch 7 is replayed (a retried nightly
+    // job): it must still score against the index AS OF its own id —
+    // pairs against batch 8's docs would be novel output the original
+    // run never produced
+    DedupIndex.ingest(spark, d, batch.select($"doc_id" + 100000L as "doc_id",
+      $"text"), batchId = 8L)
+    val lateReplay = pairSet(DedupIndex.ingest(spark, d, batch, batchId = 7L))
+    assert(lateReplay == first,
+      "replay after a later commit leaked post-hoc pairs")
   }
 
   test("a half-written batch (no _SUCCESS) is invisible and the replay " +
@@ -138,6 +147,25 @@ class DedupIndexSpec extends SparkSpec {
       maxBucketSize = 100)
     assert(uncapped.count() == 60L &&
       uncapped.agg(min($"est_jaccard")).head().getDouble(0) == 1.0)
+  }
+
+  test("negative doc_ids (hash-keyed corpora) shard-prune correctly in " +
+      "BOTH regimes") {
+    // write-side partitioning uses pmod; a sign-following % on the probe
+    // side would silently miss every negative key's shard
+    val d = tmp("didx_neg")
+    val neg = docs.limit(50)
+      .select((-col("doc_id") - 1L).as("doc_id"), $"text")
+    DedupIndex.write(spark, neg, d)
+    val probe = docs.limit(50)
+      .select((col("doc_id") + 90000L).as("doc_id"), $"text")
+    val pruned = pairSet(DedupIndex.queryPairs(spark, d, probe))
+    val joined = pairSet(DedupIndex.queryPairs(spark, d, probe,
+      probeCap = 0))
+    assert(pruned == joined, s"${pruned.size} vs ${joined.size} pairs")
+    // every probe doc re-finds its negative-id twin at est 1.0
+    assert(pruned.size >= 50 &&
+      pruned.count(_._3 == 1.0) >= 50, s"${pruned.size} pairs")
   }
 
   test("an empty index answers empty with the right schema") {

@@ -533,6 +533,31 @@ class VectorStoreSpec extends SparkSpec {
       !new java.io.File(s"$d/codes@1").exists())
   }
 
+  test("a crash between the first pointer flip and its rmTree sweep " +
+      "strands the bare-name layout — the next offline verb collects it") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_gc").toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.compact(spark, d, pointerSwap = true)
+    val before = topk(d)
+    // simulate the crash window's leftovers: the pre-flip base layout
+    // re-materializes at bare names (dead the moment _current exists)
+    new java.io.File(s"$d/codes/batch=0").mkdirs()
+    new java.io.File(s"$d/deletes").mkdirs()
+    new java.io.File(s"$d/centroids").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/codes.ledger"), "#0\n")
+    // serving verbs resolve the generation and ignore the garbage
+    assert(topk(d) == before)
+    // the next offline pointer-mode verb sweeps the bare names
+    VectorStore.compact(spark, d, pointerSwap = true)
+    assert(topk(d) == before)
+    assert(!new java.io.File(s"$d/codes").exists() &&
+      !new java.io.File(s"$d/deletes").exists() &&
+      !new java.io.File(s"$d/centroids").exists() &&
+      !new java.io.File(s"$d/codes.ledger").exists(),
+      "stranded bare-name generation survived the offline sweep")
+  }
+
   test("pointer-mode retrain equals rename-mode retrain bit-for-bit; " +
       "tombstones die with the old incarnation") {
     val dP = java.nio.file.Files.createTempDirectory("vecstore_ptr_rt")

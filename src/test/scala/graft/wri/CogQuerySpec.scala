@@ -17,6 +17,33 @@ class CogQuerySpec extends SparkSpec {
     dir
   }
 
+  test("a ModelTiepoint anchoring a non-(0,0) pixel backs out to the " +
+      "same raster origin — external GeoTIFFs are legal GeoTIFFs") {
+    val cog = s"$cogDir/${inputs.head._2}"
+    val prefix = {
+      val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cog))
+      java.util.Arrays.copyOf(all, math.min(all.length, 16 * 1024))
+    }
+    val (resX, resY, xmin, ymax) = TiffIO.geoTransformFromPrefix(prefix)
+    // locate the tiepoint value array by its x ordinate, then re-anchor
+    // it at pixel (i=2, j=3): a correct reader must back the moved
+    // tiepoint out to the SAME top-left corner
+    val bb = java.nio.ByteBuffer.wrap(prefix)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val xOff = (0 until prefix.length - 8).find(o =>
+      bb.getDouble(o) == xmin).get
+    val tieStart = xOff - 24 // (i, j, k) precede (x, y, z)
+    assert(bb.getDouble(tieStart) == 0.0 && bb.getDouble(tieStart + 8) == 0.0)
+    bb.putDouble(tieStart, 2.0)
+    bb.putDouble(tieStart + 8, 3.0)
+    bb.putDouble(xOff, xmin + 2.0 * resX)
+    bb.putDouble(xOff + 8, ymax - 3.0 * resY)
+    val (resX2, resY2, xmin2, ymax2) = TiffIO.geoTransformFromPrefix(prefix)
+    assert(resX2 == resX && resY2 == resY &&
+      xmin2 == xmin && ymax2 == ymax,
+      s"re-anchored tiepoint drifted: ($xmin2, $ymax2) vs ($xmin, $ymax)")
+  }
+
   test("window stats equal a full-raster decode of the same window") {
     val out = CogQuery.windowStats(spark, cogDir, inputs.map(_._2),
         x0 = 70, y0 = 30, winW = 48, winH = 48)

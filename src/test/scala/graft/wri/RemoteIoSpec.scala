@@ -22,6 +22,7 @@ class RemoteIoSpec extends SparkSpec {
   private def withHttpServer[T](dir: String,
       ignoreRange: Boolean = false,
       failFirstN: Int = 0,
+      throttleFirstN: Int = 0,
       contentRangeSkew: Long = 0L,
       redirectTo: Option[String] = None,
       requested: Option[java.util.concurrent.ConcurrentLinkedQueue[String]] =
@@ -29,10 +30,15 @@ class RemoteIoSpec extends SparkSpec {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val failures = new AtomicInteger(failFirstN)
+    val throttles = new AtomicInteger(throttleFirstN)
     server.createContext("/", { exchange =>
       requested.foreach(_.add(exchange.getRequestURI.getPath))
       if (failures.getAndDecrement() > 0) {
         // die without a response: the client sees a transient IOException
+        exchange.close()
+      } else if (throttles.getAndDecrement() > 0) {
+        // the CDN/object-store throttle answer — transient by contract
+        exchange.sendResponseHeaders(503, -1)
         exchange.close()
       } else if (redirectTo.isDefined) {
         exchange.getResponseHeaders.set("Location",
@@ -229,6 +235,18 @@ class RemoteIoSpec extends SparkSpec {
         val buf = new Array[Byte](16)
         r.readFully(0, buf)
         assert((buf(0) & 0xff) == 0x49 && (buf(1) & 0xff) == 0x49)
+    }
+  }
+
+  test("throttle statuses (503) are retried like dead connections — " +
+      "one SlowDown, then success") {
+    withHttpServer(Paths.get(cogFile).getParent.toString,
+        throttleFirstN = 1) { base =>
+      val r = new HttpRangeReader(
+        s"$base/${Paths.get(cogFile).getFileName}", maxAttempts = 3)
+      val buf = new Array[Byte](16)
+      r.readFully(0, buf)
+      assert((buf(0) & 0xff) == 0x49 && (buf(1) & 0xff) == 0x49)
     }
   }
 

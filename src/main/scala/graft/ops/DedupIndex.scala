@@ -34,6 +34,13 @@ import org.apache.spark.storage.StorageLevel
   *   sigs/batch=<b>/idp=<s>/      (doc_id, sig) — signatures partitioned
   *                      by doc_id mod bucket_shards, so the verify join
   *                      back prunes to the candidates' shards.
+  *   _folded            [[compact]]'s marker: `<foldId> <coveredUpTo> #`
+  *                      — fold batches (ids >= [[FoldBase]]) hold the
+  *                      folded content of every batch <= coveredUpTo
+  *                      and are invisible until this marker names them.
+  *   pairs/batch=<b>/   [[ingestStream]]'s pair log — one idempotent
+  *                      directory per micro-batch.
+  *   _stream_checkpoint [[ingestStream]]'s default checkpoint.
   *
   * Ingest idempotence is COMMIT-based, exactly as the vector store's: a
   * batch id counts as committed only when BOTH its postings and sigs
@@ -111,6 +118,50 @@ object DedupIndex {
       .sorted
   }
 
+  /** Stream micro-batch ids map to `StreamBatchBase + id`; batch-mode
+    * ingests allocate below the base — the pools can never collide
+    * (the [[VectorStore]] discipline). */
+  val StreamBatchBase = 1000000L
+
+  /** Fold batches ([[compact]]'s output) live ABOVE every normal and
+    * stream id: a staged fold is invisible until the `_folded` marker
+    * references it, and `id < beforeBatchId` replay filtering never
+    * applies to folds (a fold only ever covers ids <= its marker's
+    * coveredUpTo, which is below any replayable id). */
+  val FoldBase = 2000000000L
+
+  /** (foldId, coveredUpTo) from the `_folded` marker: fold `foldId`
+    * holds the folded content of every batch with id <= coveredUpTo.
+    * The marker is one small file written LAST — its write IS the
+    * fold's commit. */
+  private def foldInfo(fs: FileSystem, dir: String): Option[(Long, Long)] = {
+    val p = new Path(s"$dir/_folded")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0L, bytes)
+      new String(bytes, "UTF-8").trim
+    } finally in.close()
+    text.split(" ").toSeq match {
+      case Seq(f, c, "#") => Some((f.toLong, c.toLong))
+      case _ => throw new IllegalStateException(
+        s"$dir/_folded is torn or malformed: '$text'")
+    }
+  }
+
+  /** The SERVING batch set: with no fold, every committed non-fold
+    * batch (a staged, unreferenced fold is invisible); with a fold,
+    * the fold itself plus every batch committed after its coverage. */
+  private def activeBatches(fs: FileSystem, dir: String): Seq[Long] = {
+    val committed = committedBatches(fs, dir)
+    foldInfo(fs, dir) match {
+      case None => committed.filter(_ < FoldBase)
+      case Some((f, c)) =>
+        committed.filter(b => b == f || (b < FoldBase && b > c))
+    }
+  }
+
   /** Frozen signature-family parameters, written once by [[write]]. */
   final case class Params(n: Int, numHashes: Int, numBands: Int,
       bucketShards: Int)
@@ -186,16 +237,33 @@ object DedupIndex {
     ()
   }
 
-  /** Add `batch` under `batchId` (default: max(committed)+1) without
-    * querying. Replaying a COMMITTED explicit id is a no-op. Returns the
-    * id used. */
+  /** Next default batch id: one past everything ever ingested — the
+    * max of the live non-fold ids and the fold's coverage (GC'd folded
+    * ids must never be reallocated: a reallocation would false-positive
+    * the replay no-op check and swallow new data). */
+  private def nextBatchId(fs: FileSystem, dir: String): Long = {
+    val nonFold = committedBatches(fs, dir).filter(_ < FoldBase)
+    val covered = foldInfo(fs, dir).map(_._2).getOrElse(-1L)
+    math.max(nonFold.lastOption.getOrElse(-1L), covered) + 1L
+  }
+
+  /** A batch id counts as ingested when its directories committed OR a
+    * fold covers it (its directories were GC'd but its content lives in
+    * the fold). */
+  private def alreadyIngested(fs: FileSystem, dir: String,
+      id: Long): Boolean =
+    committedBatches(fs, dir).contains(id) ||
+      foldInfo(fs, dir).exists(id <= _._2)
+
+  /** Add `batch` under `batchId` (default: one past everything ever
+    * ingested) without querying. Replaying an ingested explicit id —
+    * committed or already folded by [[compact]] — is a no-op. Returns
+    * the id used. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long = -1L, textCol: String = "text"): Long = {
     val fs = fsOf(spark, dir)
-    val committed = committedBatches(fs, dir)
-    val id = if (batchId >= 0) batchId
-      else committed.lastOption.map(_ + 1L).getOrElse(0L)
-    if (committed.contains(id)) return id // committed replay: no-op
+    val id = if (batchId >= 0) batchId else nextBatchId(fs, dir)
+    if (alreadyIngested(fs, dir, id)) return id
     val p = readParams(spark, dir)
     val (sigs, banded) = sigAndBand(batch, textCol, p)
     writeBatch(spark, dir, id, sigs, banded, p)
@@ -248,7 +316,12 @@ object DedupIndex {
       maxBucketSize: Int, probeCap: Int, beforeBatchId: Long,
       eager: Boolean): DataFrame = {
     val fs = fsOf(spark, dir)
-    val ids = committedBatches(fs, dir).filter(_ < beforeBatchId)
+    // folds always participate: they cover only ids <= the marker's
+    // coveredUpTo, and replay of folded-era batches is forfeited by
+    // compact (documented there) — so for every replayable id the fold
+    // is legitimately "committed before"
+    val ids = activeBatches(fs, dir)
+      .filter(b => b >= FoldBase || b < beforeBatchId)
       .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))
     if (ids.isEmpty) {
       import spark.implicits._
@@ -343,15 +416,100 @@ object DedupIndex {
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 50,
       probeCap: Int = 4096): DataFrame = {
     val fs = fsOf(spark, dir)
-    val committed = committedBatches(fs, dir)
-    val id = if (batchId >= 0) batchId
-      else committed.lastOption.map(_ + 1L).getOrElse(0L)
+    val id = if (batchId >= 0) batchId else nextBatchId(fs, dir)
     val p = readParams(spark, dir)
     val (sigs, banded) = sigAndBand(batch, textCol, p)
     val pairs = queryPairsImpl(spark, dir, p, sigs, banded, minEstJaccard,
       maxBucketSize, probeCap, beforeBatchId = id, eager = true)
-    if (!committed.contains(id)) writeBatch(spark, dir, id, sigs, banded, p)
+    if (!alreadyIngested(fs, dir, id))
+      writeBatch(spark, dir, id, sigs, banded, p)
     sigs.unpersist()
     pairs
+  }
+
+  /** Streaming ingest: every micro-batch of a document stream scores
+    * against the index and lands under `batchBase + id` — a
+    * crashed-and-replayed micro-batch whose directories committed (or
+    * were folded) skips the write, and its pairs recompute identically
+    * (the [[ingest]] replay contract), so the pair log under
+    * `dir/pairs/batch=<id>` is overwritten with the same rows: no pair
+    * is lost or doubled. The checkpoint lives INSIDE the index by
+    * default, for the same reason [[VectorStore.appendStream]]'s does —
+    * a temp checkpoint would restart micro-batch numbering at 0 and
+    * every already-committed id would silently swallow new data.
+    * Returns the started query; one active stream per index. */
+  def ingestStream(spark: SparkSession, dir: String,
+      docStream: DataFrame, textCol: String = "text",
+      minEstJaccard: Double = 0.5, maxBucketSize: Int = 50,
+      batchBase: Long = StreamBatchBase,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(batchBase >= StreamBatchBase && batchBase < FoldBase,
+      s"batchBase must be in [$StreamBatchBase, $FoldBase): $batchBase")
+    docStream.writeStream
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$dir/_stream_checkpoint"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val pairs = ingest(spark, dir, df, batchId = batchBase + id,
+          textCol = textCol, minEstJaccard = minEstJaccard,
+          maxBucketSize = maxBucketSize)
+        pairs.write.mode("overwrite")
+          .parquet(s"$dir/pairs/batch=${batchBase + id}")
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+  }
+
+  /** Offline fold: rewrite the SERVING batch set as ONE fold batch and
+    * retire the inputs — a year of nightly ingests is hundreds of batch
+    * directories whose commit probes and small files tax every query;
+    * after compact the index is one folded batch plus whatever arrived
+    * since.
+    *
+    * Protocol (object-store safe — no renames): the folded postings and
+    * signatures land under a FRESH fold id (above [[FoldBase]], so an
+    * unreferenced staging is invisible to every reader), then the
+    * `_folded` marker — one small file naming (foldId, coveredUpTo) —
+    * commits the swap, then the retired directories are deleted. A
+    * crash before the marker leaves invisible staging the next compact
+    * overwrites; a crash after it leaves covered directories every
+    * reader already ignores and the next compact sweeps.
+    *
+    * Replay forfeiture: ingest replays of batches at or below
+    * `coveredUpTo` see only the post-fold index (their "committed
+    * before" view was folded away) — run compact when no replays of
+    * old batches are pending, the [[VectorStore.compact]] discipline.
+    * Result-invisible for every query and every future ingest:
+    * spec-pinned. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = readParams(spark, dir)
+    val active = activeBatches(fs, dir)
+      .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))
+    if (active.isEmpty) return
+    val prev = foldInfo(fs, dir)
+    val newFold = math.max(FoldBase, prev.map(_._1 + 1L).getOrElse(FoldBase))
+    val covered = math.max(prev.map(_._2).getOrElse(-1L),
+      active.filter(_ < FoldBase).lastOption.getOrElse(-1L))
+    val banded = spark.read
+      .option("basePath", postingsRoot(dir))
+      .parquet(active.map(i => s"${postingsRoot(dir)}/batch=$i"): _*)
+      .select(col("doc_id"), col("bb"))
+    val sigs = spark.read
+      .option("basePath", sigsRoot(dir))
+      .parquet(active.map(i => s"${sigsRoot(dir)}/batch=$i"): _*)
+      .select(col("doc_id"), col("sig"))
+    writeBatch(spark, dir, newFold, sigs, banded, p)
+    // THE COMMIT: readers switch to the fold the moment this lands
+    graft.wri.WriFs.writeString(s"$dir/_folded", s"$newFold $covered #\n",
+      spark.sparkContext.hadoopConfiguration)
+    // GC: everything the marker retired — covered normal/stream batches
+    // and superseded folds
+    committedBatches(fs, dir)
+      .filter(b => b != newFold && (b >= FoldBase || b <= covered))
+      .foreach { b =>
+        fs.delete(new Path(s"${postingsRoot(dir)}/batch=$b"), true)
+        fs.delete(new Path(s"${sigsRoot(dir)}/batch=$b"), true)
+      }
   }
 }

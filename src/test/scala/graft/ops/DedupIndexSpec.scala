@@ -168,6 +168,85 @@ class DedupIndexSpec extends SparkSpec {
       pruned.count(_._3 == 1.0) >= 50, s"${pruned.size} pairs")
   }
 
+  test("compact folds the serving set into one batch — result-invisible " +
+      "for queries and future ingests, crash windows covered") {
+    val d = tmp("didx_cpt")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 3 === 0), d)
+    DedupIndex.ingest(spark, d, docs.filter($"doc_id" % 3 === 1),
+      batchId = 1L)
+    DedupIndex.ingest(spark, d, docs.filter($"doc_id" % 3 === 2),
+      batchId = 2L)
+    val before = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    // crash window A: a STAGED fold without its marker is invisible —
+    // fake one by duplicating batch 0 under a fold id
+    def cp(src: String, dst: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(s).iterator().asScala.foreach { f =>
+        val t = java.nio.file.Paths.get(dst, s.relativize(f).toString)
+        if (java.nio.file.Files.isDirectory(f))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(f, t)
+      }
+    }
+    cp(s"$d/postings/batch=0", s"$d/postings/batch=2000000000")
+    cp(s"$d/sigs/batch=0", s"$d/sigs/batch=2000000000")
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == before,
+      "an unreferenced staged fold leaked into the query")
+    // the real compact: one fold batch serves, retired dirs are gone
+    DedupIndex.compact(spark, d)
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == before,
+      "compaction changed query results")
+    val batchDirs = new java.io.File(s"$d/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(batchDirs.size == 1 && batchDirs.head != "batch=0",
+      s"expected one fold dir, got $batchDirs")
+    // crash window B: a covered directory resurrected after the marker
+    // is ignored, and the next compact sweeps it
+    cp(s"$d/postings/${batchDirs.head}", s"$d/postings/batch=1")
+    cp(s"$d/sigs/${batchDirs.head}", s"$d/sigs/batch=1")
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == before,
+      "a covered resurrected batch leaked into the query")
+    DedupIndex.compact(spark, d)
+    assert(!new java.io.File(s"$d/postings/batch=1").exists(),
+      "the next compact did not sweep the covered leftover")
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == before)
+    // post-compact ingest: a NEW batch scores against the fold exactly
+    // as it would have against the unfolded set, and lands normally
+    val d2 = tmp("didx_cpt2")
+    DedupIndex.write(spark, docs, d2)
+    val expect = pairSet(DedupIndex.ingest(spark, d2, batch, batchId = 5L))
+    val got = pairSet(DedupIndex.ingest(spark, d, batch, batchId = 5L))
+    assert(got == expect, "post-compact ingest drifted from unfolded twin")
+    // default id allocation continues past the folded ids
+    assert(DedupIndex.append(spark, d,
+      docs.limit(1).select($"doc_id" + 777000L as "doc_id", $"text")) == 6L)
+  }
+
+  test("streaming ingest equals its batch twin and logs replay-stable " +
+      "pairs per micro-batch") {
+    val d = tmp("didx_stream")
+    DedupIndex.write(spark, docs, d)
+    val src = tmp("didx_stream_src")
+    batch.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = DedupIndex.ingestStream(spark, d,
+      spark.readStream.schema(schema).parquet(src))
+    try q.processAllAvailable() finally q.stop()
+    val logged = new java.io.File(s"$d/pairs").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(logged.nonEmpty, "no pair log written")
+    val streamed = logged.map(b => pairSet(
+      spark.read.parquet(s"$d/pairs/$b"))).reduce(_ ++ _)
+    val twinDir = tmp("didx_twin")
+    DedupIndex.write(spark, docs, twinDir)
+    val twin = pairSet(DedupIndex.queryPairs(spark, twinDir, batch))
+    assert(streamed == twin, s"${streamed.size} vs ${twin.size} pairs")
+    // the streamed batch landed under the stream id pool and committed
+    assert(new java.io.File(
+      s"$d/postings/batch=${DedupIndex.StreamBatchBase}/_SUCCESS").exists())
+  }
+
   test("an empty index answers empty with the right schema") {
     val d = tmp("didx_empty")
     DedupIndex.write(spark, docs.limit(0), d)

@@ -1018,4 +1018,43 @@ object VectorStore {
         col("col.score").as("approx_d2"),
         (col("pos") + 1L).cast("long").as("knn_rank"))
   }
+
+  /** Incremental SEMANTIC dedup against the persisted store — the
+    * nightly composition of the two retrieval layers this library
+    * maintains: a batch of fresh embeddings asks the store for each
+    * row's nearest stored neighbor ([[queryTopKBatch]], k = 1 — ONE
+    * distributed job for the whole batch) and a row whose approximate
+    * distance lands at or under `maxApproxD2` is flagged a duplicate of
+    * that neighbor. [[Similarity.semanticDedup]] is the in-memory
+    * corpus-wide pass; this is its INGEST-TIME shape: the corpus is
+    * never re-embedded or re-scanned — only the probed cells' code
+    * rows are read, and the batch never compares against itself
+    * (batch-internal semantic dedup is the in-memory operator's job,
+    * run it on the survivors).
+    *
+    * The threshold speaks ADC units: approximate SQUARED L2 in the
+    * store's quantized space (exactly [[queryTopK]]'s approx_d2), so
+    * calibrate it against the store's own distance distribution — an
+    * exact re-ingest lands at pure quantization error, far below any
+    * genuine neighbor.
+    *
+    * Output: one row PER BATCH ROW — (vec_id, is_dup, near_id,
+    * approx_d2); rows with no stored candidate in their probed cells
+    * come back is_dup = false with NULL neighbor. Downstream keeps
+    * `!is_dup` rows (and typically [[append]]s them). */
+  def semanticDedupBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, maxApproxD2: Double, nprobe: Int = 2,
+      broadcastProbes: Boolean = true,
+      saltBuckets: Int = 16): DataFrame = {
+    val nn = queryTopKBatch(spark, dir, batch, k = 1, nprobe,
+        broadcastProbes, saltBuckets)
+      .filter(col("knn_rank") === 1L)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("near_id"),
+        col("approx_d2"))
+    batch.select(col("vec_id"))
+      .join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("approx_d2") <= maxApproxD2, lit(false)).as("is_dup"),
+        col("near_id"), col("approx_d2"))
+  }
 }

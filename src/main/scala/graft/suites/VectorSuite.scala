@@ -32,8 +32,94 @@ object VectorSuite {
     Q("q149_ann_recall", q149, Some(q149Sql)),
     Q("q150_vector_store_delete", q150, None, Some(q150Oracle)),
     Q("q151_vector_store_batch_topk", q151, None, Some(q151Oracle)),
-    Q("q152_vector_store_retrain", q152, None, Some(q152Oracle))
+    Q("q152_vector_store_retrain", q152, None, Some(q152Oracle)),
+    Q("q156_semantic_dedup_store", q156, None, Some(q156Oracle))
   )
+
+  /** Ingest-time semantic dedup against the persisted store
+    * ([[graft.ops.VectorStore.semanticDedupBatch]]): a batch of exact
+    * re-ingests (every 25th corpus vector under fresh ids) and
+    * genuinely novel vectors (+4.0 per dimension) asks the q147 store
+    * for nearest stored neighbors in ONE job; re-ingests land at pure
+    * quantization error (measured ~0.15-0.67 at sf0.001) and must flag
+    * as duplicates under the 100.0 threshold, the shifted cluster
+    * (~1000) must not. The oracle replays the whole batch's k=1 ADC
+    * scoring and the threshold decision row for row. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = q147Store(s, d)
+    val copies = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val shifted = emb.filter(col("vec_id") % 25 === 7)
+      .select((col("vec_id") + 300000L).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(4.0f)).cast("float"))
+          .as("embedding"))
+    graft.ops.VectorStore.semanticDedupBatch(s, dir,
+        copies.unionByName(shifted), maxApproxD2 = 100.0)
+      .orderBy(col("vec_id"))
+  }
+
+  private def q156Oracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val embSel = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val coarse = Similarity.kMeansCentroids(embSel, k = 8, iters = 3)
+    val cs = coarse
+    val resDf = embSel.as[(Long, Array[Float])].map { case (id, v) =>
+      val c = Similarity.nearestCentroid(v, cs)
+      (id, Array.tabulate(v.length)(i => (v(i) - cs(c)(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = graft.ops.Pq.trainCodebooks(resDf, m = 8, codebookSize = 16,
+      kmeansIters = 3)
+    val sub = books.head.head.length
+    val vecs = collectVecs(s, d)
+    val assigned = vecs.map { case (id, v) =>
+      (id, v, Similarity.nearestCentroid(v, coarse))
+    }
+    val qs =
+      vecs.filter(_._1 % 25 == 0).map { case (id, v) => (id + 200000L, v) } ++
+      vecs.filter(_._1 % 25 == 7).map { case (id, v) =>
+        (id + 300000L, v.map(x => x + 4.0f))
+      }
+    val rows = qs.sortBy(_._1).map { case (qid, qv) =>
+      val probed = coarse.indices
+        .sortBy(c => sliceD2(coarse(c), qv, 0)).take(2)
+      def adc(c: Int, j: Int, code: Int): Double = {
+        var dd = 0.0; var i = 0
+        val cent = books(j)(code)
+        while (i < sub) {
+          val qr = (qv(j * sub + i) - coarse(c)(j * sub + i)).toFloat
+          val diff = qr - cent(i); dd += diff * diff; i += 1
+        }
+        dd
+      }
+      val best = assigned.iterator
+        .filter { case (_, _, c) => probed.contains(c) }
+        .map { case (id, v, c) =>
+          val res =
+            Array.tabulate(v.length)(i => (v(i) - coarse(c)(i)).toFloat)
+          var approx = 0.0
+          var j = 0
+          while (j < books.length) {
+            val code = argminCode(books(j), res, j * sub)
+            approx += adc(c, j, code)
+            j += 1
+          }
+          (id, round6(approx))
+        }
+        .toSeq.sortBy { case (id, dd) => (dd, id) }.headOption
+      best match {
+        case Some((nid, dd)) =>
+          s"  (CAST($qid AS BIGINT), ${dd <= 100.0}, " +
+            s"CAST($nid AS BIGINT), CAST($dd AS DOUBLE))"
+        case None =>
+          s"  (CAST($qid AS BIGINT), false, " +
+            "CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE))"
+      }
+    }
+    rows.mkString("SELECT * FROM (VALUES\n", ",\n",
+      "\n) t(vec_id, is_dup, near_id, approx_d2) ORDER BY vec_id")
+  }
 
   /** Retrained store ([[graft.ops.VectorStore.retrain]]): the full
     * lifecycle — write on the even half, append the odd half against

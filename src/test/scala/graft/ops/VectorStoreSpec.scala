@@ -558,6 +558,30 @@ class VectorStoreSpec extends SparkSpec {
       "stranded bare-name generation survived the offline sweep")
   }
 
+  test("semanticDedupBatch flags exact re-ingests against the store, " +
+      "passes novel vectors, and both join regimes agree") {
+    val batchDf = emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 50000L).as("vec_id"), $"embedding")
+      .unionByName(emb.filter($"vec_id" % 50 === 13)
+        .select(($"vec_id" + 60000L).as("vec_id"),
+          transform($"embedding", x => (x + lit(4.0f)).cast("float"))
+            .as("embedding")))
+    def decisions(bcast: Boolean) =
+      VectorStore.semanticDedupBatch(spark, dir, batchDf,
+          maxApproxD2 = 100.0, broadcastProbes = bcast)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), Option(r.get(2)))).toMap
+    val a = decisions(true)
+    assert(a == decisions(false), "join regimes disagree")
+    val (copies, novel) = a.partition(_._1 < 60000L)
+    assert(copies.nonEmpty && copies.values.forall(_._1),
+      s"an exact re-ingest escaped the dup flag: $copies")
+    assert(novel.nonEmpty && novel.values.forall(!_._1),
+      s"a novel vector was falsely flagged: $novel")
+    // every row came back exactly once
+    assert(a.size == batchDf.count())
+  }
+
   test("pointer-mode retrain equals rename-mode retrain bit-for-bit; " +
       "tombstones die with the old incarnation") {
     val dP = java.nio.file.Files.createTempDirectory("vecstore_ptr_rt")

@@ -34,12 +34,19 @@ import org.apache.spark.storage.StorageLevel
   *   sigs/batch=<b>/idp=<s>/      (doc_id, sig) — signatures partitioned
   *                      by doc_id mod bucket_shards, so the verify join
   *                      back prunes to the candidates' shards.
-  *   _folded            [[compact]]'s marker: `<foldId> <coveredUpTo> #`
-  *                      — fold batches (ids >= [[FoldBase]]) hold the
-  *                      folded content of every batch <= coveredUpTo
-  *                      and are invisible until this marker names them.
+  *   _folded            [[compact]]'s marker:
+  *                      `<foldId> <coveredBatch> <coveredStream> #` —
+  *                      fold batches (ids >= [[FoldBase]]) hold the
+  *                      folded content of every BATCH-pool id <=
+  *                      coveredBatch and every STREAM-pool id <=
+  *                      coveredStream (coverage is tracked PER POOL —
+  *                      a single scalar would let a folded stream id
+  *                      mark every smaller batch-pool id as ingested
+  *                      and silently swallow its data), and folds are
+  *                      invisible until this marker names them.
   *   pairs/batch=<b>/   [[ingestStream]]'s pair log — one idempotent
-  *                      directory per micro-batch.
+  *                      directory per micro-batch, written ONCE (a
+  *                      committed log is never overwritten).
   *   _stream_checkpoint [[ingestStream]]'s default checkpoint.
   *
   * Ingest idempotence is COMMIT-based, exactly as the vector store's: a
@@ -49,9 +56,14 @@ import org.apache.spark.storage.StorageLevel
   * [[ingest]] scores the batch against the batches committed BEFORE it —
   * so a replayed ingest with an explicit batch id returns the SAME pairs
   * as the original run and re-lands the same files (mode overwrite):
-  * fully idempotent. Default-allocated ids take max(committed)+1;
-  * concurrent default-id ingests need external serialization (explicit
-  * ids — the stream discipline — do not).
+  * fully idempotent WITHIN a pool ("id <" means "committed before" only
+  * among ids assigned in commit order; a batch-pool ingest interleaved
+  * between a stream micro-batch's run and its replay is the cross-pool
+  * exception — [[ingestStream]]'s once-only pair log is what shields the
+  * log's consumers from it). Default-allocated ids take one past the
+  * batch pool's high-water mark; concurrent default-id ingests need
+  * external serialization (explicit ids — the stream discipline — do
+  * not).
   *
   * Candidate semantics (all replayed by the DuckDB oracle):
   *   - batch docs pair only with INDEXED docs (batch-internal pairs are
@@ -72,7 +84,10 @@ import org.apache.spark.storage.StorageLevel
   * `bucket_shards` directories per committed batch), the signature scan
   * is pruned to the candidates' shards, and the corpus TEXT is never
   * read at all. Every join is a keyed equi-join on bb / doc_id — nothing
-  * quadratic, no broadcast of anything corpus-sized.
+  * quadratic, no broadcast of anything corpus-sized. Control-plane
+  * metadata (the committed-batch listing + the fold marker) is read ONCE
+  * per verb and threaded through — an ingest against hundreds of nightly
+  * batch directories costs one listing, not one per helper.
   *
   * FILESYSTEM CONTRACT: control-plane touches (commit probes, batch
   * listing, the params read) resolve the Hadoop [[FileSystem]] from the
@@ -106,35 +121,63 @@ object DedupIndex {
     }
   }
 
-  /** Committed batch ids: both components' `_SUCCESS` present. */
-  private def committedBatches(fs: FileSystem, dir: String): Seq[Long] = {
-    val root = new Path(postingsRoot(dir))
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
+  /** Batch ids with a directory under `root` — committed or not. */
+  private def listBatchDirs(fs: FileSystem, root: String): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
-      .filter(batchCommitted(fs, dir, _))
-      .sorted
   }
 
+  /** Committed batch ids: both components' `_SUCCESS` present. */
+  private def committedBatches(fs: FileSystem, dir: String): Seq[Long] =
+    listBatchDirs(fs, postingsRoot(dir))
+      .filter(batchCommitted(fs, dir, _))
+      .sorted
+
   /** Stream micro-batch ids map to `StreamBatchBase + id`; batch-mode
-    * ingests allocate below the base — the pools can never collide
-    * (the [[VectorStore]] discipline). */
+    * default ids allocate from the BATCH pool only (ids below the base),
+    * so the pools never collide — a stream commit does not advance the
+    * batch pool's high-water mark (the [[VectorStore]] discipline). */
   val StreamBatchBase = 1000000L
 
   /** Fold batches ([[compact]]'s output) live ABOVE every normal and
     * stream id: a staged fold is invisible until the `_folded` marker
     * references it, and `id < beforeBatchId` replay filtering never
-    * applies to folds (a fold only ever covers ids <= its marker's
-    * coveredUpTo, which is below any replayable id). */
+    * applies to folds (a fold only ever covers ids at or below its
+    * marker's per-pool coverage, which is below any replayable id).
+    * Explicit ingest ids must stay below this base — [[append]] and
+    * [[ingest]] reject ids in the fold range, which [[activeBatches]]
+    * would never serve and [[compact]]'s GC would delete. */
   val FoldBase = 2000000000L
 
-  /** (foldId, coveredUpTo) from the `_folded` marker: fold `foldId`
-    * holds the folded content of every batch with id <= coveredUpTo.
-    * The marker is one small file written LAST — its write IS the
-    * fold's commit. */
-  private def foldInfo(fs: FileSystem, dir: String): Option[(Long, Long)] = {
+  private def isStreamId(b: Long): Boolean =
+    b >= StreamBatchBase && b < FoldBase
+
+  /** The `_folded` marker's content: fold `id` holds the folded content
+    * of every batch-pool id <= coveredBatch and every stream-pool id <=
+    * coveredStream. Coverage is PER POOL: ids are allocated
+    * independently in each pool, so one scalar cannot order them. */
+  private final case class Fold(id: Long, coveredBatch: Long,
+      coveredStream: Long) {
+    def covers(b: Long): Boolean =
+      if (b < StreamBatchBase) b <= coveredBatch
+      else if (b < FoldBase) b <= coveredStream
+      else false
+  }
+
+  /** One control-plane read per verb: the committed-batch listing plus
+    * the fold marker, threaded through every helper below. */
+  private final case class State(committed: Seq[Long], fold: Option[Fold])
+
+  private def readState(fs: FileSystem, dir: String): State =
+    State(committedBatches(fs, dir), foldInfo(fs, dir))
+
+  /** The `_folded` marker, written LAST by [[compact]] — its write IS
+    * the fold's commit. */
+  private def foldInfo(fs: FileSystem, dir: String): Option[Fold] = {
     val p = new Path(s"$dir/_folded")
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -144,7 +187,7 @@ object DedupIndex {
       new String(bytes, "UTF-8").trim
     } finally in.close()
     text.split(" ").toSeq match {
-      case Seq(f, c, "#") => Some((f.toLong, c.toLong))
+      case Seq(f, cb, cs, "#") => Some(Fold(f.toLong, cb.toLong, cs.toLong))
       case _ => throw new IllegalStateException(
         s"$dir/_folded is torn or malformed: '$text'")
     }
@@ -152,15 +195,34 @@ object DedupIndex {
 
   /** The SERVING batch set: with no fold, every committed non-fold
     * batch (a staged, unreferenced fold is invisible); with a fold,
-    * the fold itself plus every batch committed after its coverage. */
-  private def activeBatches(fs: FileSystem, dir: String): Seq[Long] = {
-    val committed = committedBatches(fs, dir)
-    foldInfo(fs, dir) match {
-      case None => committed.filter(_ < FoldBase)
-      case Some((f, c)) =>
-        committed.filter(b => b == f || (b < FoldBase && b > c))
+    * the fold itself plus every batch committed past its per-pool
+    * coverage. */
+  private def activeBatches(st: State): Seq[Long] =
+    st.fold match {
+      case None => st.committed.filter(_ < FoldBase)
+      case Some(f) =>
+        st.committed.filter(b => b == f.id || (b < FoldBase && !f.covers(b)))
     }
+
+  /** Next default batch id: one past the BATCH pool's high-water mark —
+    * the max of the live batch-pool ids and the fold's batch-pool
+    * coverage. Stream-pool ids never advance it (a default append after
+    * a streaming ingest must not land inside the stream pool, where the
+    * stream's next micro-batch would see it committed and silently skip
+    * its own write), and GC'd folded ids are never reallocated (a
+    * reallocation would false-positive the replay no-op check and
+    * swallow new data). */
+  private def nextBatchId(st: State): Long = {
+    val pool = st.committed.filter(_ < StreamBatchBase)
+    val covered = st.fold.map(_.coveredBatch).getOrElse(-1L)
+    math.max(pool.lastOption.getOrElse(-1L), covered) + 1L
   }
+
+  /** A batch id counts as ingested when its directories committed OR a
+    * fold covers it (its directories were GC'd but its content lives in
+    * the fold). */
+  private def alreadyIngested(st: State, id: Long): Boolean =
+    st.committed.contains(id) || st.fold.exists(_.covers(id))
 
   /** Frozen signature-family parameters, written once by [[write]]. */
   final case class Params(n: Int, numHashes: Int, numBands: Int,
@@ -237,33 +299,23 @@ object DedupIndex {
     ()
   }
 
-  /** Next default batch id: one past everything ever ingested — the
-    * max of the live non-fold ids and the fold's coverage (GC'd folded
-    * ids must never be reallocated: a reallocation would false-positive
-    * the replay no-op check and swallow new data). */
-  private def nextBatchId(fs: FileSystem, dir: String): Long = {
-    val nonFold = committedBatches(fs, dir).filter(_ < FoldBase)
-    val covered = foldInfo(fs, dir).map(_._2).getOrElse(-1L)
-    math.max(nonFold.lastOption.getOrElse(-1L), covered) + 1L
-  }
+  private def requireIngestId(id: Long): Unit =
+    require(id < FoldBase,
+      s"explicit batch ids must stay below FoldBase=$FoldBase " +
+        s"(fold-range directories are never served and the next " +
+        s"compact's GC deletes them): $id")
 
-  /** A batch id counts as ingested when its directories committed OR a
-    * fold covers it (its directories were GC'd but its content lives in
-    * the fold). */
-  private def alreadyIngested(fs: FileSystem, dir: String,
-      id: Long): Boolean =
-    committedBatches(fs, dir).contains(id) ||
-      foldInfo(fs, dir).exists(id <= _._2)
-
-  /** Add `batch` under `batchId` (default: one past everything ever
-    * ingested) without querying. Replaying an ingested explicit id —
-    * committed or already folded by [[compact]] — is a no-op. Returns
-    * the id used. */
+  /** Add `batch` under `batchId` (default: one past the batch pool's
+    * high-water mark) without querying. Replaying an ingested explicit
+    * id — committed or already folded by [[compact]] — is a no-op.
+    * Returns the id used. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long = -1L, textCol: String = "text"): Long = {
     val fs = fsOf(spark, dir)
-    val id = if (batchId >= 0) batchId else nextBatchId(fs, dir)
-    if (alreadyIngested(fs, dir, id)) return id
+    val st = readState(fs, dir)
+    if (batchId >= 0) requireIngestId(batchId)
+    val id = if (batchId >= 0) batchId else nextBatchId(st)
+    if (alreadyIngested(st, id)) return id
     val p = readParams(spark, dir)
     val (sigs, banded) = sigAndBand(batch, textCol, p)
     writeBatch(spark, dir, id, sigs, banded, p)
@@ -275,10 +327,10 @@ object DedupIndex {
     * with id < `beforeBatchId` — READ-ONLY: nothing is written.
     * [[ingest]] passes its own batch id here so a REPLAY scores against
     * exactly the index the original run saw, even after later batches
-    * commit (batch ids are monotone: default allocation is
-    * max(committed)+1, and explicit ids — the stream discipline — must
-    * be assigned in commit order for "id <" to mean "committed
-    * before").
+    * commit (batch ids are monotone within a pool: default allocation
+    * is the pool's high-water mark + 1, and explicit ids — the stream
+    * discipline — must be assigned in commit order for "id <" to mean
+    * "committed before").
     *
     * Output: (batch_doc, index_doc, est_jaccard >= minEstJaccard).
     *
@@ -298,29 +350,31 @@ object DedupIndex {
       maxBucketSize: Int = 50, probeCap: Int = 4096,
       beforeBatchId: Long = Long.MaxValue, eager: Boolean = true)
       : DataFrame = {
+    val fs = fsOf(spark, dir)
+    val st = readState(fs, dir)
     val p = readParams(spark, dir)
     val (bSigs, bBanded) = sigAndBand(batch, textCol, p)
-    val out = queryPairsImpl(spark, dir, p, bSigs, bBanded, minEstJaccard,
-      maxBucketSize, probeCap, beforeBatchId, eager)
+    val out = queryPairsImpl(spark, dir, fs, st, p, bSigs, bBanded,
+      minEstJaccard, maxBucketSize, probeCap, beforeBatchId, eager)
     if (eager) bSigs.unpersist()
     out
   }
 
-  /** The scoring core shared by [[queryPairs]] and [[ingest]] (which
-    * computes the batch's signatures ONCE and reuses them for the append
-    * write). Does not unpersist its inputs; with `eager` the bounded
-    * pair result is materialized and the internal candidate cache
-    * released. */
-  private def queryPairsImpl(spark: SparkSession, dir: String, p: Params,
+  /** The scoring core shared by [[queryPairs]], [[ingest]] and
+    * [[ingestStream]] (which compute the batch's signatures ONCE and
+    * reuse them for the append write). Does not unpersist its inputs;
+    * with `eager` the bounded pair result is materialized and the
+    * internal candidate cache released. */
+  private def queryPairsImpl(spark: SparkSession, dir: String,
+      fs: FileSystem, st: State, p: Params,
       bSigs: DataFrame, bBanded0: DataFrame, minEstJaccard: Double,
       maxBucketSize: Int, probeCap: Int, beforeBatchId: Long,
       eager: Boolean): DataFrame = {
-    val fs = fsOf(spark, dir)
-    // folds always participate: they cover only ids <= the marker's
-    // coveredUpTo, and replay of folded-era batches is forfeited by
-    // compact (documented there) — so for every replayable id the fold
-    // is legitimately "committed before"
-    val ids = activeBatches(fs, dir)
+    // folds always participate: they cover only ids at or below the
+    // marker's per-pool coverage, and replay of folded-era batches is
+    // forfeited by compact (documented there) — so for every replayable
+    // id the fold is legitimately "committed before"
+    val ids = activeBatches(st)
       .filter(b => b >= FoldBase || b < beforeBatchId)
       .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))
     if (ids.isEmpty) {
@@ -405,39 +459,51 @@ object DedupIndex {
   /** The nightly verb: score `batch` against everything committed BEFORE
     * it (ids < `batchId`), then land its postings/sigs under `batchId`.
     * With an explicit `batchId`, a replay returns the SAME pairs even
-    * after later batches commit — the scored index is exactly the
-    * original run's — and re-lands the same files: fully idempotent.
+    * after later same-pool batches commit — the scored index is exactly
+    * the original run's — and re-lands the same files: fully idempotent.
     * The batch's signatures are computed ONCE and shared by the scoring
-    * and the append write. Default ids allocate max(committed)+1 and
-    * must not be replayed (a replay would land under a fresh id, like
-    * the vector store's batch-mode appends). */
+    * and the append write. Default ids allocate one past the batch
+    * pool's high-water mark and must not be replayed (a replay would
+    * land under a fresh id, like the vector store's batch-mode
+    * appends). */
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long = -1L, textCol: String = "text",
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 50,
       probeCap: Int = 4096): DataFrame = {
     val fs = fsOf(spark, dir)
-    val id = if (batchId >= 0) batchId else nextBatchId(fs, dir)
+    val st = readState(fs, dir)
+    if (batchId >= 0) requireIngestId(batchId)
+    val id = if (batchId >= 0) batchId else nextBatchId(st)
     val p = readParams(spark, dir)
     val (sigs, banded) = sigAndBand(batch, textCol, p)
-    val pairs = queryPairsImpl(spark, dir, p, sigs, banded, minEstJaccard,
-      maxBucketSize, probeCap, beforeBatchId = id, eager = true)
-    if (!alreadyIngested(fs, dir, id))
+    val pairs = queryPairsImpl(spark, dir, fs, st, p, sigs, banded,
+      minEstJaccard, maxBucketSize, probeCap, beforeBatchId = id,
+      eager = true)
+    if (!alreadyIngested(st, id))
       writeBatch(spark, dir, id, sigs, banded, p)
     sigs.unpersist()
     pairs
   }
 
   /** Streaming ingest: every micro-batch of a document stream scores
-    * against the index and lands under `batchBase + id` — a
-    * crashed-and-replayed micro-batch whose directories committed (or
-    * were folded) skips the write, and its pairs recompute identically
-    * (the [[ingest]] replay contract), so the pair log under
-    * `dir/pairs/batch=<id>` is overwritten with the same rows: no pair
-    * is lost or doubled. The checkpoint lives INSIDE the index by
-    * default, for the same reason [[VectorStore.appendStream]]'s does —
-    * a temp checkpoint would restart micro-batch numbering at 0 and
-    * every already-committed id would silently swallow new data.
-    * Returns the started query; one active stream per index. */
+    * against the index, logs its pairs under `dir/pairs/batch=<id>`,
+    * and lands its postings/sigs under `batchBase + id`.
+    *
+    * Replay discipline: the pair log is written ONCE — a replayed
+    * micro-batch whose log already committed (its `_SUCCESS` is
+    * present) never rewrites it, so a consumer that read the log sees
+    * the same rows forever, even if a batch-pool ingest committed
+    * between the original run and the replay (recomputing would fold
+    * that interleaved batch into the replayed score — the cross-pool
+    * "committed before" gap [[ingest]] documents). The index write
+    * replays through the usual commit check. A fully-done micro-batch
+    * (log + index both committed) skips all work.
+    *
+    * The checkpoint lives INSIDE the index by default, for the same
+    * reason [[VectorStore.appendStream]]'s does — a temp checkpoint
+    * would restart micro-batch numbering at 0 and every
+    * already-committed id would silently swallow new data. Returns the
+    * started query; one active stream per index. */
   def ingestStream(spark: SparkSession, dir: String,
       docStream: DataFrame, textCol: String = "text",
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 50,
@@ -449,48 +515,93 @@ object DedupIndex {
     docStream.writeStream
       .option("checkpointLocation",
         checkpointLocation.getOrElse(s"$dir/_stream_checkpoint"))
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        val pairs = ingest(spark, dir, df, batchId = batchBase + id,
-          textCol = textCol, minEstJaccard = minEstJaccard,
-          maxBucketSize = maxBucketSize)
-        pairs.write.mode("overwrite")
-          .parquet(s"$dir/pairs/batch=${batchBase + id}")
+      .foreachBatch { (df: DataFrame, mb: Long) =>
+        val id = batchBase + mb
+        val fs = fsOf(spark, dir)
+        val st = readState(fs, dir)
+        val logDone =
+          fs.exists(new Path(s"$dir/pairs/batch=$id/_SUCCESS"))
+        val batchDone = alreadyIngested(st, id)
+        if (!logDone || !batchDone) {
+          val p = readParams(spark, dir)
+          val (sigs, banded) = sigAndBand(df, textCol, p)
+          if (!logDone) {
+            val pairs = queryPairsImpl(spark, dir, fs, st, p, sigs,
+              banded, minEstJaccard, maxBucketSize, probeCap = 4096,
+              beforeBatchId = id, eager = true)
+            pairs.write.mode("overwrite")
+              .parquet(s"$dir/pairs/batch=$id")
+          }
+          if (!batchDone) writeBatch(spark, dir, id, sigs, banded, p)
+          sigs.unpersist()
+        }
+        ()
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
+  }
+
+  /** GC of everything a fold marker retired — covered normal/stream
+    * batches and superseded folds. Sweeps the UNION of directories
+    * present under either root, committed or not: a crash between a
+    * batch's postings delete and its sigs delete knocks it out of the
+    * committed set, and a committed-only sweep would orphan the
+    * surviving half forever. */
+  private def gcRetired(fs: FileSystem, dir: String, f: Fold): Unit = {
+    val present = (listBatchDirs(fs, postingsRoot(dir)) ++
+      listBatchDirs(fs, sigsRoot(dir))).distinct
+    present
+      .filter(b => b != f.id && (b >= FoldBase || f.covers(b)))
+      .foreach { b =>
+        fs.delete(new Path(s"${postingsRoot(dir)}/batch=$b"), true)
+        fs.delete(new Path(s"${sigsRoot(dir)}/batch=$b"), true)
+      }
   }
 
   /** Offline fold: rewrite the SERVING batch set as ONE fold batch and
     * retire the inputs — a year of nightly ingests is hundreds of batch
     * directories whose commit probes and small files tax every query;
     * after compact the index is one folded batch plus whatever arrived
-    * since.
+    * since. A compact with NOTHING new since the last fold skips the
+    * corpus-sized rewrite entirely (it only re-sweeps retired leftovers
+    * — a crashed predecessor's half-deleted directories).
     *
     * Protocol (object-store safe — no renames): the folded postings and
     * signatures land under a FRESH fold id (above [[FoldBase]], so an
     * unreferenced staging is invisible to every reader), then the
-    * `_folded` marker — one small file naming (foldId, coveredUpTo) —
-    * commits the swap, then the retired directories are deleted. A
-    * crash before the marker leaves invisible staging the next compact
-    * overwrites; a crash after it leaves covered directories every
-    * reader already ignores and the next compact sweeps.
+    * `_folded` marker — one small file naming the fold id and the
+    * PER-POOL coverage (coveredBatch, coveredStream) — commits the
+    * swap, then the retired directories are deleted. A crash before the
+    * marker leaves invisible staging the next compact overwrites; a
+    * crash anywhere in the deletes leaves directories every reader
+    * already ignores and the next compact sweeps (the sweep lists raw
+    * directories, not committed batches, so even a half-deleted batch
+    * is found).
     *
-    * Replay forfeiture: ingest replays of batches at or below
-    * `coveredUpTo` see only the post-fold index (their "committed
-    * before" view was folded away) — run compact when no replays of
-    * old batches are pending, the [[VectorStore.compact]] discipline.
-    * Result-invisible for every query and every future ingest:
-    * spec-pinned. */
+    * Replay forfeiture: ingest replays of batches covered by the marker
+    * see only the post-fold index (their "committed before" view was
+    * folded away) — run compact when no replays of old batches are
+    * pending, the [[VectorStore.compact]] discipline. Result-invisible
+    * for every query and every future ingest: spec-pinned. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
-    val p = readParams(spark, dir)
-    val active = activeBatches(fs, dir)
+    val st = readState(fs, dir)
+    val active = activeBatches(st)
       .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))
-    if (active.isEmpty) return
-    val prev = foldInfo(fs, dir)
-    val newFold = math.max(FoldBase, prev.map(_._1 + 1L).getOrElse(FoldBase))
-    val covered = math.max(prev.map(_._2).getOrElse(-1L),
-      active.filter(_ < FoldBase).lastOption.getOrElse(-1L))
+    val unfolded = active.filter(_ < FoldBase)
+    if (unfolded.isEmpty) {
+      // nothing new since the last fold: the corpus-sized rewrite would
+      // reproduce the existing fold under a fresh id for zero benefit
+      st.fold.foreach(gcRetired(fs, dir, _))
+      return
+    }
+    val p = readParams(spark, dir)
+    val newFold = Fold(
+      math.max(FoldBase, st.fold.map(_.id + 1L).getOrElse(FoldBase)),
+      math.max(st.fold.map(_.coveredBatch).getOrElse(-1L),
+        unfolded.filter(_ < StreamBatchBase).lastOption.getOrElse(-1L)),
+      math.max(st.fold.map(_.coveredStream).getOrElse(-1L),
+        unfolded.filter(isStreamId).lastOption.getOrElse(-1L)))
     val banded = spark.read
       .option("basePath", postingsRoot(dir))
       .parquet(active.map(i => s"${postingsRoot(dir)}/batch=$i"): _*)
@@ -499,17 +610,11 @@ object DedupIndex {
       .option("basePath", sigsRoot(dir))
       .parquet(active.map(i => s"${sigsRoot(dir)}/batch=$i"): _*)
       .select(col("doc_id"), col("sig"))
-    writeBatch(spark, dir, newFold, sigs, banded, p)
+    writeBatch(spark, dir, newFold.id, sigs, banded, p)
     // THE COMMIT: readers switch to the fold the moment this lands
-    graft.wri.WriFs.writeString(s"$dir/_folded", s"$newFold $covered #\n",
+    graft.wri.WriFs.writeString(s"$dir/_folded",
+      s"${newFold.id} ${newFold.coveredBatch} ${newFold.coveredStream} #\n",
       spark.sparkContext.hadoopConfiguration)
-    // GC: everything the marker retired — covered normal/stream batches
-    // and superseded folds
-    committedBatches(fs, dir)
-      .filter(b => b != newFold && (b >= FoldBase || b <= covered))
-      .foreach { b =>
-        fs.delete(new Path(s"${postingsRoot(dir)}/batch=$b"), true)
-        fs.delete(new Path(s"${sigsRoot(dir)}/batch=$b"), true)
-      }
+    gcRetired(fs, dir, newFold)
   }
 }

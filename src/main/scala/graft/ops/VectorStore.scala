@@ -911,12 +911,17 @@ object VectorStore {
     *
     * Output: (query_id, vec_id, approx_d2, knn_rank), rank 1..k per
     * query by (approx_d2 asc, vec_id) — bit-identical per query to
-    * [[queryTopK]] with the same parameters (spec-pinned). A query row
-    * whose vec_id also exists in the store never matches itself. */
+    * [[queryTopK]] with the same parameters (spec-pinned). By default a
+    * query row whose vec_id also exists in the store never matches
+    * itself (the recall-eval contract, where the stored self is a
+    * trivial rank-1 hit); `excludeSelf = false` keeps self-matches —
+    * what [[semanticDedupBatch]] needs, where a re-delivered stable id
+    * matching its stored copy IS the duplicate being hunted. */
   def queryTopKBatch(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 2,
       broadcastProbes: Boolean = true,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
@@ -1002,8 +1007,10 @@ object VectorStore {
     // queries x k-sized buffers per partition. Ordering is the
     // queryTopK contract — (approx_d2 asc, vec_id asc), boundary ties
     // to the lower vec_id — so results stay bit-identical (spec-pinned).
-    joined
-      .filter(col("vec_id") =!= col("query_id"))
+    val nonSelf =
+      if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
+      else joined
+    nonSelf
       .select(col("query_id"), col("vec_id"),
         round(aggregate(
           zip_with(col("codes"), col("adc"),
@@ -1036,7 +1043,10 @@ object VectorStore {
     * store's quantized space (exactly [[queryTopK]]'s approx_d2), so
     * calibrate it against the store's own distance distribution — an
     * exact re-ingest lands at pure quantization error, far below any
-    * genuine neighbor.
+    * genuine neighbor. Self-matches COUNT: a source with stable ids
+    * that re-delivers a vec_id already in the store matches its stored
+    * copy (`excludeSelf = false` underneath) — precisely the duplicate
+    * this operator exists to catch.
     *
     * Output: one row PER BATCH ROW — (vec_id, is_dup, near_id,
     * approx_d2); rows with no stored candidate in their probed cells
@@ -1047,7 +1057,7 @@ object VectorStore {
       broadcastProbes: Boolean = true,
       saltBuckets: Int = 16): DataFrame = {
     val nn = queryTopKBatch(spark, dir, batch, k = 1, nprobe,
-        broadcastProbes, saltBuckets)
+        broadcastProbes, saltBuckets, excludeSelf = false)
       .filter(col("knn_rank") === 1L)
       .select(col("query_id").as("vec_id"), col("vec_id").as("near_id"),
         col("approx_d2"))

@@ -247,6 +247,122 @@ class DedupIndexSpec extends SparkSpec {
       s"$d/postings/batch=${DedupIndex.StreamBatchBase}/_SUCCESS").exists())
   }
 
+  test("stream and batch id pools never collide: after a streaming " +
+      "ingest, default ids still allocate from the batch pool") {
+    val d = tmp("didx_pools")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 2 === 0), d)
+    val src = tmp("didx_pools_src")
+    batch.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = DedupIndex.ingestStream(spark, d,
+      spark.readStream.schema(schema).parquet(src))
+    try q.processAllAvailable() finally q.stop()
+    assert(new java.io.File(
+      s"$d/postings/batch=${DedupIndex.StreamBatchBase}/_SUCCESS").exists())
+    // the stream commit must NOT advance the batch pool: a default
+    // append inside the stream pool would be seen as already committed
+    // by the stream's next micro-batch, which would silently skip its
+    // own write
+    val id = DedupIndex.append(spark, d,
+      docs.filter($"doc_id" % 2 === 1))
+    assert(id == 1L, s"default id allocated in the stream pool: $id")
+  }
+
+  test("compact with stream batches does not mark future batch-pool " +
+      "ingests as already done (per-pool fold coverage)") {
+    val d = tmp("didx_poolfold")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 3 === 0), d)
+    val src = tmp("didx_poolfold_src")
+    docs.filter($"doc_id" % 3 === 1).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = DedupIndex.ingestStream(spark, d,
+      spark.readStream.schema(schema).parquet(src))
+    try q.processAllAvailable() finally q.stop()
+    DedupIndex.compact(spark, d) // folds batch 0 + stream 1000000
+    // a fresh batch-pool ingest (id 1: above the batch pool's coverage
+    // of 0, numerically below the folded stream id) must still WRITE —
+    // a single-scalar coverage would see 1 <= 1000000 and skip it
+    DedupIndex.ingest(spark, d, docs.filter($"doc_id" % 3 === 2),
+      batchId = 1L)
+    assert(new java.io.File(s"$d/postings/batch=1/_SUCCESS").exists(),
+      "batch-pool ingest was swallowed by the folded stream coverage")
+    val got = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    val full = pairSet(DedupIndex.queryPairs(spark, fullIndexDir, batch))
+    assert(got == full, s"${got.size} vs ${full.size} pairs")
+    // and the default allocator continues the batch pool, not the stream
+    assert(DedupIndex.append(spark, d,
+      docs.limit(1).select($"doc_id" + 888000L as "doc_id", $"text")) == 2L)
+  }
+
+  test("explicit ids in the fold range are rejected loudly") {
+    // a committed fold-range batch would never be served and the next
+    // compact's GC would delete it — data loss, so the verbs refuse
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(spark, fullIndexDir, batch,
+        batchId = DedupIndex.FoldBase)
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.ingest(spark, fullIndexDir, batch,
+        batchId = DedupIndex.FoldBase + 5L)
+    }
+  }
+
+  test("compact with nothing new since the last fold skips the " +
+      "corpus rewrite") {
+    val d = tmp("didx_noop")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 2 === 0), d)
+    DedupIndex.ingest(spark, d, docs.filter($"doc_id" % 2 === 1),
+      batchId = 1L)
+    DedupIndex.compact(spark, d)
+    def foldDirs() = new java.io.File(s"$d/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    val after = foldDirs()
+    val marker = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d/_folded"))
+    // a quiet weekly compact: no new batches -> the fold must NOT be
+    // rewritten under a fresh id (at corpus scale that rewrite is the
+    // whole index's I/O bill, spent for zero benefit)
+    DedupIndex.compact(spark, d)
+    assert(foldDirs() == after, "no-op compact rewrote the fold")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d/_folded")) == marker,
+      "no-op compact advanced the fold marker")
+  }
+
+  test("a committed micro-batch pair log survives a checkpoint replay " +
+      "unchanged, even after an interleaved batch-pool ingest") {
+    val d = tmp("didx_logstable")
+    DedupIndex.write(spark, docs, d)
+    val src = tmp("didx_logstable_src")
+    batch.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run() = {
+      val q = DedupIndex.ingestStream(spark, d,
+        spark.readStream.schema(schema).parquet(src))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val logPath = s"$d/pairs/batch=${DedupIndex.StreamBatchBase}"
+    val original = pairSet(spark.read.parquet(logPath))
+    // an interleaved nightly ingest lands near-dups of the stream batch
+    // under a batch-pool id — numerically below the stream id, so a
+    // RECOMPUTED replay score would wrongly include it
+    DedupIndex.ingest(spark, d,
+      batch.select($"doc_id" + 500000L as "doc_id", $"text"), batchId = 1L)
+    // force a replay of micro-batch 0: drop its commit record (the
+    // offsets survive), restart the stream over the same checkpoint
+    val commit = new java.io.File(s"$d/_stream_checkpoint/commits/0")
+    assert(commit.exists()); commit.delete()
+    // the local ChecksumFs keeps a .crc sidecar; a leftover one blocks
+    // the replayed commit's rename
+    new java.io.File(s"$d/_stream_checkpoint/commits/.0.crc").delete()
+    run()
+    val replayed = pairSet(spark.read.parquet(logPath))
+    assert(replayed == original,
+      s"replay rewrote a committed pair log: ${replayed.size} vs " +
+        s"${original.size} rows (consumers would see doubled pairs)")
+  }
+
   test("an empty index answers empty with the right schema") {
     val d = tmp("didx_empty")
     DedupIndex.write(spark, docs.limit(0), d)

@@ -582,6 +582,23 @@ class VectorStoreSpec extends SparkSpec {
     assert(a.size == batchDf.count())
   }
 
+  test("semanticDedupBatch flags a re-delivery under a STABLE id: the " +
+      "stored self is a match, not excluded") {
+    // a source with stable ids re-delivers rows the store already holds
+    // — under queryTopKBatch's default self-exclusion the stored copy
+    // (the true nearest neighbor, at pure quantization error) would be
+    // filtered out and the exact duplicate could escape the flag
+    val redelivered = emb.filter($"vec_id" % 40 === 0)
+      .select($"vec_id", $"embedding")
+    val out = VectorStore.semanticDedupBatch(spark, dir, redelivered,
+        maxApproxD2 = 100.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)))).toMap
+    assert(out.nonEmpty && out.forall { case (id, (dup, near)) =>
+      dup && near.contains(id)
+    }, s"a stable-id re-delivery escaped the dup flag: ${out.take(5)}")
+  }
+
   test("pointer-mode retrain equals rename-mode retrain bit-for-bit; " +
       "tombstones die with the old incarnation") {
     val dP = java.nio.file.Files.createTempDirectory("vecstore_ptr_rt")

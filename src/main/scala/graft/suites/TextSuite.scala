@@ -1,7 +1,7 @@
 package graft.suites
 
 import graft.{Q, Tables}
-import graft.ops.{Bpe, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
+import graft.ops.{Assembly, Bpe, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -86,7 +86,10 @@ object TextSuite {
     Q("q143_nfc_normalize", q143, Some(q143Sql)),
     Q("q153_dedup_index_query", q153, Some(dedupIndexSql)),
     Q("q154_dedup_index_ingest", q154, Some(dedupIndexSql)),
-    Q("q155_remove_repeated_spans", q155, Some(q155Sql))
+    Q("q155_remove_repeated_spans", q155, Some(q155Sql)),
+    Q("q157_deterministic_shuffle", q157, Some(q157Sql)),
+    Q("q158_leakage_safe_split", q158, Some(q158Sql)),
+    Q("q159_token_budget_shards", q159, Some(q159Sql))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -1747,4 +1750,105 @@ object TextSuite {
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
        |FROM documents d JOIN r ON d.lang = r.lang
        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
+  /** Oracle-SQL fragment: the three-round portable avalanche hash of
+    * expression `in` as a CTE chain named `$prefix` reading from `$from`,
+    * carrying columns `keep` alongside (mirrors Sketches.portableHash —
+    * the same literals as the q117 HLL replay). */
+  private def hashCtes(prefix: String, from: String, in: String,
+      keep: String): String =
+    s"""${prefix}0 AS (SELECT $keep,
+       |    ((($in) % 1000000007) * 2654435761) % 1000000007 AS h
+       |  FROM $from),
+       |${prefix}1 AS (SELECT $keep,
+       |    ((h + h // 8192) * 972663749) % 1000000007 AS h FROM ${prefix}0),
+       |$prefix AS (SELECT $keep,
+       |    ((h + h // 8192) * 468703703) % 1000000007 AS h FROM ${prefix}1)"""
+      .stripMargin
+
+  /** Deterministic global shuffle ([[Assembly.deterministicShuffle]]):
+    * shuffle_pos = exact global rank by (portableHash(doc_id + seed),
+    * doc_id), assigned by range-repartition + count-and-offset — never a
+    * single-partition sort. The oracle is the definitional row_number
+    * over the same hash. */
+  private def q157(s: SparkSession, d: String): DataFrame =
+    Assembly.deterministicShuffle(Tables.documents(s, d), "doc_id",
+        seed = 42L)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy(col("doc_id"))
+
+  private val q157Sql =
+    s"""WITH ${hashCtes("sh", "documents", "doc_id + 42", "doc_id")}
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+       |    AS shuffle_pos
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Leakage-safe split ([[Assembly.leakageSafeSplit]]): the assignment
+    * unit is the q53 near-dup cluster — every member hashes its cluster
+    * representative, so near-dups can never straddle train/eval (the
+    * leak q49's per-doc hash split cannot rule out). The oracle replays
+    * the full clustering chain, then the hash + integer cutoffs. */
+  private def q158(s: SparkSession, d: String): DataFrame =
+    Assembly.leakageSafeSplit(Tables.documents(s, d), seed = 7L)
+      .orderBy(col("doc_id"))
+
+  private val q158Cuts = Assembly.splitCutoffs(
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  private val q158Sql =
+    s"""WITH RECURSIVE ${mat(thCte)},
+       |${mat(gramsCte)},
+       |${mat(sigCte)},
+       |$minhashBandCtes,
+       |$candCte,
+       |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
+       |      UNION ALL SELECT doc_b, doc_a FROM cand),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |walk(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.a, w.lbl FROM e JOIN walk w ON w.id = e.b),
+       |labels AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+       |rep AS (SELECT d.doc_id,
+       |    coalesce(l.cluster_id, d.doc_id) AS cluster_rep
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+       |${hashCtes("sp", "rep", "cluster_rep + 7", "doc_id, cluster_rep")}
+       |SELECT doc_id, cluster_rep,
+       |  CASE WHEN h < ${q158Cuts(0)._2} THEN '${q158Cuts(0)._1}'
+       |       WHEN h < ${q158Cuts(1)._2} THEN '${q158Cuts(1)._1}'
+       |       ELSE '${q158Cuts(2)._1}' END AS split
+       |FROM sp ORDER BY doc_id""".stripMargin
+
+  /** Token-budget shard manifest ([[Assembly.tokenBudgetShards]] +
+    * [[Assembly.shardManifest]]): contiguous ~2k-token shards in
+    * deterministic-shuffle order, summarized as (n_docs, n_tokens,
+    * xor-of-hashes membership checksum). The running token sum is a
+    * two-phase scan in Spark; the oracle is the definitional single
+    * cumulative window. */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+    val sharded = Assembly.tokenBudgetShards(docs, "doc_id", "tok",
+      budget = 2000L, seed = 42L)
+    Assembly.shardManifest(sharded, "doc_id", "tok")
+      .orderBy(col("shard_id"))
+  }
+
+  private val q159Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |${hashCtes("sh", "t", "doc_id + 42", "doc_id, tok")},
+       |c AS (SELECT doc_id, tok,
+       |    sum(tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+       |      AS cum
+       |  FROM sh),
+       |s AS (SELECT doc_id, tok,
+       |    CAST((cum - tok) // 2000 AS BIGINT) AS shard_id FROM c),
+       |${hashCtes("hc", "s", "doc_id", "shard_id, tok")}
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  bit_xor(h) AS checksum
+       |FROM hc GROUP BY shard_id ORDER BY shard_id""".stripMargin
 }

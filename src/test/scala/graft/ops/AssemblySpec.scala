@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("deterministicShuffle is a permutation: positions are 0..N-1") {
+    val out = Assembly.deterministicShuffle(docs, "doc_id", seed = 1L)
+    val n = docs.count()
+    assert(out.count() == n)
+    val posStats = out.agg(min("shuffle_pos"), max("shuffle_pos"),
+      countDistinct("shuffle_pos")).head
+    assert(posStats.getLong(0) == 0L)
+    assert(posStats.getLong(1) == n - 1)
+    assert(posStats.getLong(2) == n)
+  }
+
+  test("deterministicShuffle is invariant to input partitioning") {
+    val a = Assembly.deterministicShuffle(docs, "doc_id", seed = 9L)
+      .select("doc_id", "shuffle_pos").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toMap
+    val b = Assembly.deterministicShuffle(docs.repartition(7), "doc_id",
+        seed = 9L)
+      .select("doc_id", "shuffle_pos").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b, "positions must not depend on the input's partitioning")
+  }
+
+  test("deterministicShuffle: a different seed permutes the order") {
+    val a = Assembly.deterministicShuffle(docs, "doc_id", seed = 1L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val b = Assembly.deterministicShuffle(docs, "doc_id", seed = 2L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a != b, "two seeds giving the identical permutation is ~impossible")
+    assert(a.keySet == b.keySet)
+  }
+
+  test("splitCutoffs rejects bad fractions and covers [0, P)") {
+    intercept[IllegalArgumentException] {
+      Assembly.splitCutoffs(Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] { Assembly.splitCutoffs(Nil) }
+    val cuts = Assembly.splitCutoffs(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(cuts.map(_._1) == Seq("train", "val", "test"))
+    assert(cuts.last._2 == 1000000007L, "last cutoff must be P itself")
+    assert(cuts == cuts.sortBy(_._2), "cutoffs must be nondecreasing")
+  }
+
+  test("leakageSafeSplit: every near-dup cluster lands in ONE split") {
+    val split = Assembly.leakageSafeSplit(docs, seed = 3L)
+    val straddlers = split.groupBy("cluster_rep")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddlers == 0L, "a cluster straddling splits is the leak")
+    // and the clusters are the q53 clusters, not singletons-only: at
+    // least one cluster_rep is shared by 2+ docs in this fixture
+    assert(split.groupBy("cluster_rep").count().filter(col("count") > 1)
+      .count() > 0, "fixture must exercise a real multi-doc cluster")
+  }
+
+  test("leakageSafeSplit fractions are roughly honored") {
+    val n = docs.count().toDouble
+    val bySplit = Assembly.leakageSafeSplit(docs, seed = 3L)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // hash assignment at fixture size: generous tolerance, the point is
+    // "roughly the requested shape", exactness is the oracle's job
+    assert(bySplit("train") / n > 0.6 && bySplit("train") / n < 0.95,
+      s"train fraction off: $bySplit")
+  }
+
+  test("tokenBudgetShards: shards are contiguous in shuffle order and " +
+      "bounded by budget + one straddling doc") {
+    val budget = 5000L
+    val d = docs.withColumn("tok",
+      size(split(col("text"), " ")).cast("long"))
+    val sharded = Assembly.tokenBudgetShards(d, "doc_id", "tok",
+      budget, seed = 42L)
+    assert(sharded.count() == d.count())
+    val stats = sharded.groupBy("shard_id")
+      .agg(sum("tok").as("n_tokens"), max("tok").as("max_tok"))
+    // shard s holds the docs whose START offset falls in
+    // [s*budget, (s+1)*budget) => its token sum < budget + its last doc
+    val overfull = stats
+      .filter(col("n_tokens") >= lit(budget) + col("max_tok")).count()
+    assert(overfull == 0L, "a shard exceeded budget + one straddler")
+    // contiguity: shard ids are dense 0..max (no holes — every window of
+    // `budget` token offsets contains at least one doc start here,
+    // because budget > max single doc)
+    val ids = sharded.select("shard_id").distinct()
+      .as[Long].collect().sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1,
+      s"shard ids not dense: ${ids.take(10).mkString(",")}...")
+  }
+
+  test("tokenBudgetShards is invariant to input partitioning") {
+    val d = docs.withColumn("tok",
+      size(split(col("text"), " ")).cast("long"))
+    val a = Assembly.tokenBudgetShards(d, "doc_id", "tok", 5000L, 42L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    val b = Assembly.tokenBudgetShards(d.repartition(5), "doc_id", "tok",
+        5000L, 42L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("writeShards round-trips: manifest matches a recompute from the " +
+      "written shards, and shard directories prune") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val d = docs.withColumn("tok",
+      size(split(col("text"), " ")).cast("long"))
+    val manifest = Assembly.writeShards(d, "doc_id", "tok",
+      budget = 5000L, seed = 42L, outDir = out)
+    val readBack = spark.read.parquet(s"$out/shards")
+    // partitionBy writes shard_id as a directory key; recompute the
+    // manifest from what actually landed on disk
+    val recomputed = Assembly.shardManifest(
+      readBack.withColumn("shard_id", col("shard_id").cast("long")),
+      "doc_id", "tok")
+    val m1 = manifest.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val m2 = recomputed.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m1 == m2, "manifest must match the written data exactly")
+    assert(m1.values.map(_._1).sum == d.count())
+    // a single-shard read prunes to that shard's directory
+    val one = spark.read.parquet(s"$out/shards")
+      .filter(col("shard_id") === 0)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(shard_id"),
+      s"shard_id filter must prune partitions:\n$scan")
+  }
+
+  test("writeShards rerun (overwrite) is idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("shards2").toString
+    val d = docs.limit(50).withColumn("tok",
+      size(split(col("text"), " ")).cast("long"))
+    val m1 = Assembly.writeShards(d, "doc_id", "tok", 5000L, 1L, out)
+      .collect().map(_.toSeq).toSet
+    val m2 = Assembly.writeShards(d, "doc_id", "tok", 5000L, 1L, out)
+      .collect().map(_.toSeq).toSet
+    assert(m1 == m2)
+  }
+}

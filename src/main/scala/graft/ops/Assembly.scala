@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -18,14 +19,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * given (ids, seed) — two runs, or two engines, produce the same
   * shuffle order, splits, and shards — and (b) SQL-expressible, so the
   * DuckDB oracle replays the exact assignment, not a statistical
-  * neighborhood of it.
+  * neighborhood of it. Determinism requires `idCol` to be UNIQUE (a
+  * tie in the sort key would be ordered run-dependently); the prefix
+  * scan verifies that for free and fails loudly on a duplicate.
   *
-  * Scale shape: no stage concentrates the data. The global shuffle order
-  * is a range-repartition + within-partition sort (no single-partition
-  * window anywhere — see [[Ids]]); the cumulative token sum that drives
-  * sharding is the classic two-phase scan (per-partition subtotals, a
-  * #partitions-row prefix sum, broadcast offsets back); the split
-  * assignment is one hash per cluster representative.
+  * Scale shape: no stage concentrates the data, and the corpus rows move
+  * through exactly ONE shuffle (the range repartition). The global order
+  * and the running token sum both come from a two-job pass over the same
+  * shuffled RDD — per-partition subtotals (a #partitions-long collect),
+  * prefix-summed into broadcast offsets, then a per-partition scan. A
+  * declarative `Window.partitionBy(partition_id)` would plan a SECOND
+  * full-data hash exchange on top of the range shuffle; the imperative
+  * pass is the [[Ids.assignIds]] idiom. Offsets come from the actual
+  * partition contents, so results are independent of where the sampled
+  * range boundaries land.
   */
 object Assembly {
 
@@ -36,26 +43,84 @@ object Assembly {
   private def shuffleHash(id: Column, seed: Long): Column =
     Sketches.portableHash(id + lit(seed))
 
+  /** The scratch names every entry point reserves: a caller column with
+    * one of these names would be silently clobbered and dropped, so the
+    * guard fails fast instead (same discipline as the output-name
+    * requires). */
+  private def requireScratchFree(df: DataFrame, names: String*): Unit =
+    names.foreach { n =>
+      require(!df.columns.contains(n),
+        s"input already has a column named the reserved scratch name $n")
+    }
+
+  /** Range-partitioned, within-partition-sorted view of `df` in the
+    * deterministic order (portableHash(id + seed), id). Equal ids land
+    * in one partition, adjacent — which makes the prefix scan's
+    * duplicate check complete. */
+  private def hashOrdered(df: DataFrame, idCol: String,
+      seed: Long): DataFrame =
+    df.withColumn("__h", shuffleHash(col(idCol), seed))
+      .repartitionByRange(col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+
+  /** Two jobs over ONE shuffled RDD (the second reuses the first's
+    * shuffle files): per-partition (metric total, duplicate-id flag),
+    * then each row's running prefix of `metric` mapped through `value`
+    * into `outCol`. The duplicate check costs nothing extra and is
+    * complete (equal ids are adjacent in one partition — see
+    * [[hashOrdered]]); a duplicate would make the "same (ids, seed) →
+    * same output" contract silently false, so it fails loudly here. */
+  private def prefixScan(parted: DataFrame, idCol: String, outCol: String,
+      metric: Row => Long)(value: Long => Long): DataFrame = {
+    val spark = parted.sparkSession
+    val idIdx = parted.schema.fieldIndex(idCol)
+    val rdd = parted.rdd
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      var dup = false
+      var first = true
+      var prev: Any = null
+      it.foreach { r =>
+        val id = r.get(idIdx)
+        if (!first && id == prev) dup = true
+        prev = id
+        first = false
+        s += metric(r)
+      }
+      Iterator((i, s, dup))
+    }.collect().sortBy(_._1)
+    require(!perPart.exists(_._3),
+      s"$idCol is not unique — a tied sort key would make the " +
+        "deterministic order run-dependent")
+    val offsets = spark.sparkContext.broadcast(
+      perPart.map(_._2).scanLeft(0L)(_ + _))
+    val schema = StructType(parted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets.value(i)
+      it.map { r =>
+        val start = cum
+        cum += metric(r)
+        Row.fromSeq(r.toSeq :+ value(start))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Deterministic global shuffle: original columns plus `shuffle_pos` =
     * the row's 0-based rank by (portableHash(id + seed), id). Changing
     * the seed permutes the corpus; keeping it reproduces the exact
     * training order byte-for-byte — the property that makes a training
-    * run resumable and a data ablation comparable.
-    *
-    * Positions come from [[Ids.assignIds]] (range repartition + count-
-    * and-offset), so the "global sort" never lands on one task.
-    */
+    * run resumable and a data ablation comparable. Fails loudly if
+    * `idCol` has duplicates (rank ties would be run-dependent). */
   def deterministicShuffle(df: DataFrame, idCol: String,
       seed: Long): DataFrame = {
     require(!df.columns.contains("shuffle_pos"),
       "input already has a shuffle_pos column")
-    require(!df.columns.contains("id") && idCol != "id",
-      "deterministicShuffle reserves the column name 'id' (Ids.assignIds)")
-    val h = "__shuffle_h"
-    Ids.assignIds(
-        df.withColumn(h, shuffleHash(col(idCol), seed)), Seq(h, idCol))
-      .withColumnRenamed("id", "shuffle_pos")
-      .drop(h)
+    requireScratchFree(df, "__h")
+    prefixScan(hashOrdered(df, idCol, seed), idCol, "shuffle_pos",
+      _ => 1L)(identity)
+      .drop("__h")
   }
 
   /** Cumulative-fraction hash cutoffs in [0, P): a row whose hash lands
@@ -90,6 +155,7 @@ object Assembly {
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       minEstJaccard: Double = 0.5): DataFrame = {
+    requireScratchFree(docs, "__h", "cluster_rep", "split")
     val cuts = splitCutoffs(fractions)
     val clusters = Dedup.duplicateClusters(docs, textCol, minEstJaccard)
       .select(col("doc_id"), col("cluster_id"))
@@ -112,53 +178,30 @@ object Assembly {
     * boundary-straddling document. This is the "write N roughly-equal
     * training files" step, with the shard boundary a pure function of
     * (ids, token counts, seed) — reproducible and oracle-replayable.
-    *
-    * The exact global running sum is the [[Ids.assignIds]] shape: ONE
-    * range-repartition shuffle, then two jobs over the SAME shuffled RDD
-    * (shuffle files are reused) — per-partition token subtotals (a
-    * #partitions-long collect), prefix-summed into broadcast offsets,
-    * then a per-partition running sum. A declarative
-    * `Window.partitionBy(partition_id)` would plan a SECOND full-data
-    * hash exchange on top of the range shuffle; the imperative pass
-    * keeps the data moving exactly once. Offsets come from the actual
-    * partition contents, so the result is independent of where the
-    * sampled range boundaries land.
+    * Token counts must be non-null and non-negative (a NULL would NPE
+    * deep in the scan, a negative would silently break contiguity and
+    * diverge from the oracle's floor division) — both fail loudly, named.
     */
   def tokenBudgetShards(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, seed: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(!df.columns.contains("shard_id"),
       "input already has a shard_id column")
-    val spark = df.sparkSession
-    val parted = df
-      .withColumn("__h", shuffleHash(col(idCol), seed))
-      .withColumn("__tok", col(tokensCol).cast("long"))
-      .repartitionByRange(col("__h"), col(idCol))
-      .sortWithinPartitions(col("__h"), col(idCol))
+    requireScratchFree(df, "__h", "__tok")
+    val parted = hashOrdered(
+      df.withColumn("__tok", col(tokensCol).cast("long")), idCol, seed)
     val tokIdx = parted.schema.fieldIndex("__tok")
-    val partedRdd = parted.rdd
-    // job 1: per-partition subtotals — the collect is #partitions longs
-    val subtotals = partedRdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(s += _.getLong(tokIdx))
-      Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(
-      subtotals.scanLeft(0L)(_ + _))
-    // job 2 (reuses job 1's shuffle output): running sum from the
-    // partition's offset; shard = starting-offset div budget, exact
-    // integer arithmetic (a double floor would wobble past 2^53 tokens)
-    val schema = StructType(parted.schema.fields :+
-      StructField("shard_id", LongType, nullable = false))
-    val rows = partedRdd.mapPartitionsWithIndex { (i, it) =>
-      var cum = offsets.value(i)
-      it.map { r =>
-        val start = cum
-        cum += r.getLong(tokIdx)
-        Row.fromSeq(r.toSeq :+ start / budget)
-      }
+    val tok: Row => Long = { r =>
+      require(!r.isNullAt(tokIdx),
+        s"NULL $tokensCol — token counts must be non-null")
+      val t = r.getLong(tokIdx)
+      require(t >= 0, s"negative $tokensCol ($t) — token counts must be >= 0")
+      t
     }
-    spark.createDataFrame(rows, schema).drop("__h", "__tok")
+    // start offset of the row → integer div (exact past 2^53, where a
+    // double floor would wobble)
+    prefixScan(parted, idCol, "shard_id", tok)(_ / budget)
+      .drop("__h", "__tok")
   }
 
   /** Per-shard manifest: (shard_id, n_docs, n_tokens, checksum) with an
@@ -177,17 +220,48 @@ object Assembly {
         expr("bit_xor(__hid)").as("checksum"))
 
   /** Materialize the shards: parquet partitioned by `shard_id` under
-    * `outDir/shards/` plus the manifest at `outDir/manifest/`, both
-    * through whatever filesystem the URI's scheme resolves to (local,
-    * hdfs://, s3a://). Readers get directory-pruned access to any shard
-    * subset; the returned manifest is what was written. */
+    * `outDir/shards/`, the manifest at `outDir/manifest/`, and a
+    * `_committed` marker written LAST — all through whatever filesystem
+    * the URI's scheme resolves to (local, hdfs://, s3a://).
+    *
+    * Commit discipline: the marker is DELETED first, so a rerun that
+    * dies between the two data writes leaves no marker — a torn state
+    * (new shards + stale manifest) is detectable instead of silently
+    * trusted; [[readManifest]] enforces it. The manifest is computed
+    * from a read-back of the files just written (one column-pruned
+    * scan), not from a second evaluation of the sharding lineage — it
+    * describes what is actually on disk, and the shard assignment
+    * itself runs once. */
   def writeShards(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, seed: Long, outDir: String): DataFrame = {
-    val sharded = tokenBudgetShards(df, idCol, tokensCol, budget, seed)
-    sharded.write.mode("overwrite").partitionBy("shard_id")
+    val spark = df.sparkSession
+    val fs = graft.wri.WriFs.fs(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(outDir, "_committed")
+    fs.delete(marker, false)
+    tokenBudgetShards(df, idCol, tokensCol, budget, seed)
+      .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$outDir/shards")
-    val manifest = shardManifest(sharded, idCol, tokensCol)
-    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
-    df.sparkSession.read.parquet(s"$outDir/manifest")
+    val written = spark.read.parquet(s"$outDir/shards")
+      .select(col("shard_id").cast("long").as("shard_id"),
+        col(idCol), col(tokensCol))
+    shardManifest(written, idCol, tokensCol)
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    fs.create(marker, true).close()
+    spark.read.parquet(s"$outDir/manifest")
+  }
+
+  /** The manifest of a completed [[writeShards]] run. Refuses a
+    * directory without the `_committed` marker — a missing marker means
+    * a torn write (or a foreign directory), and training on shards the
+    * manifest does not describe is exactly the failure the marker
+    * exists to catch. */
+  def readManifest(spark: SparkSession, outDir: String): DataFrame = {
+    val fs = graft.wri.WriFs.fs(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(outDir, "_committed")),
+      s"$outDir has no _committed marker — the last writeShards run did " +
+        "not complete; its shards and manifest may disagree")
+    spark.read.parquet(s"$outDir/manifest")
   }
 }

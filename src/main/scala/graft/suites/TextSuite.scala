@@ -1754,11 +1754,15 @@ object TextSuite {
   /** Oracle-SQL fragment: the three-round portable avalanche hash of
     * expression `in` as a CTE chain named `$prefix` reading from `$from`,
     * carrying columns `keep` alongside (mirrors Sketches.portableHash —
-    * the same literals as the q117 HLL replay). */
+    * the same literals as the q117 HLL replay). The first round folds
+    * through `(x % P + P) % P` because DuckDB's % is sign-preserving
+    * where Spark's pmod is not — a negative id must land in [0, P) on
+    * both engines; later rounds only ever see non-negatives. */
   private def hashCtes(prefix: String, from: String, in: String,
       keep: String): String =
     s"""${prefix}0 AS (SELECT $keep,
-       |    ((($in) % 1000000007) * 2654435761) % 1000000007 AS h
+       |    (((($in) % 1000000007 + 1000000007) % 1000000007)
+       |      * 2654435761) % 1000000007 AS h
        |  FROM $from),
        |${prefix}1 AS (SELECT $keep,
        |    ((h + h // 8192) * 972663749) % 1000000007 AS h FROM ${prefix}0),

@@ -136,6 +136,69 @@ class AssemblySpec extends SparkSpec {
       s"shard_id filter must prune partitions:\n$scan")
   }
 
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("duplicate ids fail loudly — a tied sort key would make the " +
+      "deterministic order run-dependent") {
+    val dup = docs.limit(20).unionByName(docs.limit(5))
+    val e1 = intercept[Exception] {
+      Assembly.deterministicShuffle(dup, "doc_id", seed = 1L).count()
+    }
+    assert(causeChain(e1).contains("not unique"))
+    val e2 = intercept[Exception] {
+      Assembly.tokenBudgetShards(dup.withColumn("tok", lit(3L)),
+        "doc_id", "tok", budget = 100L, seed = 1L).count()
+    }
+    assert(causeChain(e2).contains("not unique"))
+  }
+
+  test("NULL and negative token counts fail loudly, naming the column") {
+    val withNull = docs.limit(10).withColumn("tok",
+      when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(lit(3L)))
+    val e1 = intercept[Exception] {
+      Assembly.tokenBudgetShards(withNull, "doc_id", "tok", 100L, 1L)
+        .count()
+    }
+    assert(causeChain(e1).contains("non-null"), causeChain(e1))
+    val withNeg = docs.limit(10).withColumn("tok",
+      when(col("doc_id") % 5 === 0, lit(-2L)).otherwise(lit(3L)))
+    val e2 = intercept[Exception] {
+      Assembly.tokenBudgetShards(withNeg, "doc_id", "tok", 100L, 1L)
+        .count()
+    }
+    assert(causeChain(e2).contains(">= 0"), causeChain(e2))
+  }
+
+  test("reserved scratch / output column names are rejected up front") {
+    intercept[IllegalArgumentException] {
+      Assembly.deterministicShuffle(docs.withColumn("__h", lit(1)),
+        "doc_id", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Assembly.tokenBudgetShards(docs.withColumn("shard_id", lit(1))
+        .withColumn("tok", lit(1L)), "doc_id", "tok", 100L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Assembly.leakageSafeSplit(docs.withColumn("split", lit("x")))
+    }
+  }
+
+  test("readManifest requires the _committed marker (torn-write guard)") {
+    val out = java.nio.file.Files.createTempDirectory("shards3").toString
+    val d = docs.limit(50).withColumn("tok",
+      size(split(col("text"), " ")).cast("long"))
+    Assembly.writeShards(d, "doc_id", "tok", 5000L, 1L, out)
+    assert(Assembly.readManifest(spark, out).count() > 0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_committed"))
+    val e = intercept[IllegalArgumentException] {
+      Assembly.readManifest(spark, out)
+    }
+    assert(e.getMessage.contains("_committed"))
+  }
+
   test("writeShards rerun (overwrite) is idempotent") {
     val out = java.nio.file.Files.createTempDirectory("shards2").toString
     val d = docs.limit(50).withColumn("tok",

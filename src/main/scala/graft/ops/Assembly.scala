@@ -251,6 +251,72 @@ object Assembly {
     spark.read.parquet(s"$outDir/manifest")
   }
 
+  /** Per-source data recipe toward a total token budget — the
+    * UP-sampling counterpart of [[Sampling.mixtureResample]]'s
+    * downsampling: each weighted source gets
+    * `target_tokens = budget * weight div sum(weights)`, met by
+    * `epochs = target div available` FULL repeats of the source plus a
+    * partial epoch sampled at `keep_ppm` parts-per-million (the exact
+    * integer-arithmetic recipe a multi-epoch training mix needs when a
+    * small high-quality source must repeat and a large one must not).
+    * Everything is integer division on longs — the oracle replays it
+    * literally. One narrow aggregate over the corpus plus a broadcast
+    * of the weights; sources with zero available tokens plan zero
+    * epochs rather than dividing by zero (the unmet target stays
+    * visible in `rem_tokens`). Requires `sum(n_tokens) * 1e6 < 2^63`
+    * (ppm scaling headroom — holds to ~9e12 tokens per source).
+    *
+    * Output: (source, n_docs, n_tokens, weight, target_tokens, epochs,
+    * rem_tokens, keep_ppm), one row per WEIGHTED source. */
+  def epochPlan(docs: DataFrame, sourceCol: String, tokensCol: String,
+      weights: Seq[(String, Int)], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val wSum = weights.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(sourceCol, "weight")
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("n_tokens"))
+      .join(broadcast(w), Seq(sourceCol))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * weight) div $wSum"))
+      .withColumn("epochs", when(col("n_tokens") > 0,
+        expr("target_tokens div n_tokens")).otherwise(lit(0L)))
+      .withColumn("rem_tokens",
+        col("target_tokens") - col("epochs") * col("n_tokens"))
+      .withColumn("keep_ppm", when(col("n_tokens") > 0,
+        expr("(rem_tokens * 1000000L) div n_tokens")).otherwise(lit(0L)))
+  }
+
+  /** Materialized data recipe: one output row per (document, epoch) —
+    * every weighted doc appears in epochs 0..epochs-1, plus epoch
+    * `epochs` iff its portable hash lands under the source's partial-
+    * epoch `keep_ppm`. Deterministic in (ids, weights, budget, seed);
+    * per-doc totals are exactly `epochs` or `epochs + 1`. The plan
+    * aggregate broadcasts back onto the corpus and the repeat is a
+    * map-side `explode(sequence(...))` — the corpus rows themselves
+    * never shuffle. Compose with [[deterministicShuffle]] on a
+    * composite id (e.g. `id * (max_epochs + 1) + epoch`) for the final
+    * training order. */
+  def expandEpochs(docs: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, weights: Seq[(String, Int)], budgetTokens: Long,
+      seed: Long): DataFrame = {
+    requireScratchFree(docs, "epoch", "__maxe", "epochs", "keep_ppm")
+    val plan = epochPlan(docs, sourceCol, tokensCol, weights, budgetTokens)
+      .select(col(sourceCol), col("epochs"), col("keep_ppm"))
+    docs.join(broadcast(plan), Seq(sourceCol))
+      .withColumn("__maxe",
+        when(pmod(Sketches.portableHash(col(idCol) + lit(seed)),
+            lit(1000000L)) < col("keep_ppm"), col("epochs"))
+          .otherwise(col("epochs") - 1))
+      .filter(col("__maxe") >= 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__maxe"))))
+      .select(col(idCol), col(sourceCol), col("epoch"))
+  }
+
   /** The manifest of a completed [[writeShards]] run. Refuses a
     * directory without the `_committed` marker — a missing marker means
     * a torn write (or a foreign directory), and training on shards the

@@ -89,7 +89,9 @@ object TextSuite {
     Q("q155_remove_repeated_spans", q155, Some(q155Sql)),
     Q("q157_deterministic_shuffle", q157, Some(q157Sql)),
     Q("q158_leakage_safe_split", q158, Some(q158Sql)),
-    Q("q159_token_budget_shards", q159, Some(q159Sql))
+    Q("q159_token_budget_shards", q159, Some(q159Sql)),
+    Q("q160_epoch_plan", q160, Some(q160Sql)),
+    Q("q161_epoch_expand", q161, Some(q161Sql))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -1855,4 +1857,77 @@ object TextSuite {
        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
        |  bit_xor(h) AS checksum
        |FROM hc GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
+  /** The q160/q161 data recipe: src0..src3 weighted 40/30/20/10 toward
+    * a 12k-token budget — at the fixture's ~1.3-1.6k tokens per source
+    * that plans 3/2/1/0 full epochs, so every branch (multi-repeat,
+    * single-pass, partial-only) is exercised. */
+  private val epochWeights = Seq("src0" -> 40, "src1" -> 30,
+    "src2" -> 20, "src3" -> 10)
+  private val epochBudget = 12000L
+
+  private val epochWeightValues = epochWeights
+    .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+  /** Shared oracle CTE chain ending in `plan` = one row per weighted
+    * source with (n_docs, n_tokens, weight, target_tokens, epochs,
+    * rem_tokens, keep_ppm) — the literal integer-division replay of
+    * [[Assembly.epochPlan]]. */
+  private val epochPlanCtes =
+    s"""tk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w(source, weight) AS (VALUES $epochWeightValues),
+       |tg AS (SELECT source, n_docs, n_tokens, weight,
+       |    (CAST($epochBudget AS BIGINT) * weight)
+       |      // ${epochWeights.map(_._2).sum} AS target_tokens
+       |  FROM tk JOIN w USING (source)),
+       |ep AS (SELECT *, CASE WHEN n_tokens > 0
+       |      THEN target_tokens // n_tokens ELSE 0 END AS epochs FROM tg),
+       |plan AS (SELECT *, target_tokens - epochs * n_tokens AS rem_tokens,
+       |    CASE WHEN n_tokens > 0
+       |      THEN ((target_tokens - epochs * n_tokens) * 1000000)
+       |           // n_tokens
+       |      ELSE 0 END AS keep_ppm
+       |  FROM ep)""".stripMargin
+
+  /** Multi-epoch data recipe ([[Assembly.epochPlan]]): per-source full
+    * repeats + partial-epoch ppm toward a weighted token budget — pure
+    * integer arithmetic, replayed literally by the oracle. */
+  private def q160(s: SparkSession, d: String): DataFrame =
+    Assembly.epochPlan(
+      Tables.documents(s, d)
+        .withColumn("tok", size(split(col("text"), " ")).cast("long")),
+      "source", "tok", epochWeights, epochBudget)
+      .orderBy(col("source"))
+
+  private val q160Sql =
+    s"""WITH $epochPlanCtes
+       |SELECT source, n_docs, n_tokens, weight, target_tokens, epochs,
+       |  rem_tokens, keep_ppm
+       |FROM plan ORDER BY source""".stripMargin
+
+  /** Materialized recipe ([[Assembly.expandEpochs]]): one row per
+    * (doc, epoch) — full repeats plus the hash-sampled partial epoch.
+    * The oracle unnests generate_series(0, maxe), which is empty for
+    * maxe = -1 exactly as the Spark filter drops those rows. */
+  private def q161(s: SparkSession, d: String): DataFrame =
+    Assembly.expandEpochs(
+      Tables.documents(s, d)
+        .withColumn("tok", size(split(col("text"), " ")).cast("long")),
+      "source", "doc_id", "tok", epochWeights, epochBudget, seed = 11L)
+      .orderBy(col("doc_id"), col("epoch"))
+
+  private val q161Sql =
+    s"""WITH $epochPlanCtes,
+       |dj AS (SELECT doc_id, d0.source, epochs, keep_ppm
+       |  FROM documents d0 JOIN plan USING (source)),
+       |${hashCtes("eh", "dj", "doc_id + 11",
+         "doc_id, source, epochs, keep_ppm")},
+       |mx AS (SELECT doc_id, source,
+       |    CASE WHEN h % 1000000 < keep_ppm THEN epochs
+       |         ELSE epochs - 1 END AS maxe
+       |  FROM eh)
+       |SELECT doc_id, source,
+       |  unnest(generate_series(0, maxe)) AS epoch
+       |FROM mx ORDER BY doc_id, epoch""".stripMargin
 }

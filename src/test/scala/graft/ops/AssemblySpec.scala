@@ -209,4 +209,63 @@ class AssemblySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(m1 == m2)
   }
+
+  private val epochWeights = Seq("src0" -> 40, "src1" -> 30,
+    "src2" -> 20, "src3" -> 10)
+
+  private def tokDocs = docs.withColumn("tok",
+    size(split(col("text"), " ")).cast("long"))
+
+  test("epochPlan: integer recipe invariants hold on every row") {
+    val plan = Assembly.epochPlan(tokDocs, "source", "tok",
+      epochWeights, budgetTokens = 12000L).collect()
+    assert(plan.length == epochWeights.length)
+    plan.foreach { r =>
+      val (nTok, target, epochs, rem, ppm) = (r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(epochs * nTok + rem == target, s"recipe must be exact: $r")
+      assert(rem >= 0 && (nTok == 0 || rem < nTok))
+      assert(ppm >= 0 && ppm < 1000000L)
+    }
+    // the fixture's ~1.3-1.6k tokens/source under 40/30/20/10 of 12k
+    // exercises multi-repeat AND partial-only branches
+    val byEpochs = plan.map(_.getLong(5)).toSet
+    assert(byEpochs.exists(_ >= 2) && byEpochs.contains(0L),
+      s"fixture should cover repeats and partial-only: $byEpochs")
+  }
+
+  test("expandEpochs: every doc appears exactly epochs or epochs+1 " +
+      "times, and per-source totals stay within one epoch of target") {
+    val plan = Assembly.epochPlan(tokDocs, "source", "tok",
+      epochWeights, 12000L).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4),
+        r.getLong(5))).toMap
+    val out = Assembly.expandEpochs(tokDocs, "source", "doc_id", "tok",
+      epochWeights, 12000L, seed = 11L)
+    val perDoc = out.groupBy("doc_id", "source").count().collect()
+    perDoc.foreach { r =>
+      val epochs = plan(r.getString(1))._3
+      assert(r.getLong(2) == epochs || r.getLong(2) == epochs + 1,
+        s"doc ${r.getLong(0)}: ${r.getLong(2)} copies vs epochs $epochs")
+    }
+    // expanded token mass per source is bounded by the full-epoch floor
+    // and ceiling — the partial epoch can only add, at most one epoch
+    val mass = out.join(tokDocs.select("doc_id", "tok"), "doc_id")
+      .groupBy("source").agg(sum("tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (src, (nTok, _, epochs)) =>
+      val t = mass.getOrElse(src, 0L)
+      assert(t >= epochs * nTok && t <= (epochs + 1) * nTok,
+        s"$src: expanded $t outside [$epochs, ${epochs + 1}] epochs")
+    }
+  }
+
+  test("expandEpochs is deterministic in the seed") {
+    val a = Assembly.expandEpochs(tokDocs, "source", "doc_id", "tok",
+      epochWeights, 12000L, 11L).collect().map(_.toSeq).toSet
+    val b = Assembly.expandEpochs(tokDocs.repartition(7), "source",
+      "doc_id", "tok", epochWeights, 12000L, 11L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

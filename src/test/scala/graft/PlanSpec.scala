@@ -549,4 +549,53 @@ class PlanSpec extends SparkSpec {
     assert(factWindows >= 1, s"fact window not bin-partitioned in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
+
+  test("q157/q159: assembly order and shards move the data through ONE " +
+      "range exchange — no window, no second exchange") {
+    for (name <- Seq("q157_deterministic_shuffle",
+        "q159_token_budget_shards")) {
+      // plan of the op itself (the registered query adds an orderBy for
+      // the oracle dump, which is its own legitimate exchange)
+      val df = name match {
+        case "q157_deterministic_shuffle" =>
+          graft.ops.Assembly.deterministicShuffle(
+            graft.Tables.documents(spark, sfDir), "doc_id", 42L)
+        case _ =>
+          graft.ops.Assembly.tokenBudgetShards(
+            graft.Tables.documents(spark, sfDir)
+              .withColumn("tok",
+                org.apache.spark.sql.functions.size(
+                  org.apache.spark.sql.functions.split(
+                    org.apache.spark.sql.functions.col("text"), " "))
+                  .cast("long")),
+            "doc_id", "tok", 2000L, 42L)
+      }
+      // the result is assembled over an RDD, so the shuffle shows in the
+      // RDD lineage, not the Catalyst plan: exactly ONE shuffle boundary
+      // (the range repartition) — a window-based running sum would add a
+      // second ShuffledRowRDD
+      val lineage = df.rdd.toDebugString
+      assert("ShuffledRowRDD".r.findAllIn(lineage).length == 1,
+        s"$name: expected exactly one shuffle in the lineage:\n$lineage")
+    }
+  }
+
+  test("q158/q161: split and epoch assignments broadcast their per-" +
+      "cluster / per-source tables back onto the corpus") {
+    val p158 = plan("q158_leakage_safe_split")
+    // the cluster table re-joins as an equi-join (broadcast when small,
+    // SMJ acceptable at scale) — never a nested-loop/cartesian
+    assert(p158.contains("BroadcastHashJoin") ||
+      p158.contains("SortMergeJoin"),
+      s"q158: cluster join shape unexpected:\n$p158")
+    assert(!p158.contains("CartesianProduct") &&
+      !p158.contains("BroadcastNestedLoopJoin"),
+      s"q158: non-equi join crept into:\n$p158")
+    val p161 = plan("q161_epoch_expand")
+    assert(p161.contains("BroadcastHashJoin"),
+      s"q161: the plan join must broadcast in:\n$p161")
+    assert(p161.contains("Generate") || p161.contains("explode"),
+      s"q161: expansion must be a map-side explode in:\n$p161")
+    assert(!p161.contains("CartesianProduct"), s"cartesian in:\n$p161")
+  }
 }

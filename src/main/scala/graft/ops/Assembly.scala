@@ -219,26 +219,70 @@ object Assembly {
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
         expr("bit_xor(__hid)").as("checksum"))
 
+  private val MarkerPrefix = "_committed_v"
+
+  /** Highest committed manifest version: `max N` over the
+    * `_committed_vN` marker files. Markers are created AFTER their
+    * `manifest_vN` is fully written, so the max always names a complete
+    * manifest — a crash at any point leaves the previous marker (and
+    * thus the previous consistent view) in place. */
+  private def committedVersion(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String): Option[Long] = {
+    val dir = new Path(outDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix).toLong)
+      .maxOption
+  }
+
+  /** (budget, seed) pinned at write time so appends cannot silently
+    * shard with different parameters. */
+  private def writeParams(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String, budget: Long, seed: Long): Unit = {
+    val out = fs.create(new Path(outDir, "_params"), true)
+    out.write(s"budget=$budget\nseed=$seed\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readParams(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String): (Long, Long) = {
+    val in = fs.open(new Path(outDir, "_params"))
+    val text = new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.toLong }.toMap
+    (kv("budget"), kv("seed"))
+  }
+
   /** Materialize the shards: parquet partitioned by `shard_id` under
-    * `outDir/shards/`, the manifest at `outDir/manifest/`, and a
-    * `_committed` marker written LAST — all through whatever filesystem
-    * the URI's scheme resolves to (local, hdfs://, s3a://).
+    * `outDir/shards/`, a VERSIONED manifest at `outDir/manifest_vN/`,
+    * and a `_committed_vN` marker created LAST — all through whatever
+    * filesystem the URI's scheme resolves to (local, hdfs://, s3a://).
     *
-    * Commit discipline: the marker is DELETED first, so a rerun that
-    * dies between the two data writes leaves no marker — a torn state
-    * (new shards + stale manifest) is detectable instead of silently
-    * trusted; [[readManifest]] enforces it. The manifest is computed
-    * from a read-back of the files just written (one column-pruned
-    * scan), not from a second evaluation of the sharding lineage — it
-    * describes what is actually on disk, and the shard assignment
-    * itself runs once. */
+    * Commit discipline (the [[VectorStore]] pointer pattern): readers
+    * resolve the max `_committed_vN` marker to its manifest, and the
+    * marker for a version is created only after that manifest is fully
+    * written — one small exclusive file creation is the entire commit,
+    * atomic on HDFS and object stores alike. A full rebuild first drops
+    * the old markers (it is destroying the old shards anyway), writes
+    * everything, then commits `maxOldVersion + 1`; a crash mid-way
+    * leaves no marker, which [[readManifest]] and [[appendShards]]
+    * refuse loudly. The manifest is computed from a read-back of the
+    * files just written (one column-pruned scan), not from a second
+    * evaluation of the sharding lineage — it describes what is actually
+    * on disk. */
   def writeShards(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, seed: Long, outDir: String): DataFrame = {
     val spark = df.sparkSession
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(outDir, "_committed")
-    fs.delete(marker, false)
+    val v = committedVersion(fs, outDir).map(_ + 1L).getOrElse(0L)
+    // full rebuild: old committed views die with the old shard files
+    (0L until v).foreach(i =>
+      fs.delete(new Path(outDir, s"$MarkerPrefix$i"), false))
     tokenBudgetShards(df, idCol, tokensCol, budget, seed)
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$outDir/shards")
@@ -246,9 +290,86 @@ object Assembly {
       .select(col("shard_id").cast("long").as("shard_id"),
         col(idCol), col(tokensCol))
     shardManifest(written, idCol, tokensCol)
-      .write.mode("overwrite").parquet(s"$outDir/manifest")
-    fs.create(marker, true).close()
-    spark.read.parquet(s"$outDir/manifest")
+      .write.mode("overwrite").parquet(s"$outDir/manifest_v$v")
+    writeParams(fs, outDir, budget, seed)
+    fs.create(new Path(outDir, s"$MarkerPrefix$v"), true).close()
+    // GC stale manifest versions (post-commit; a crash here is harmless)
+    fs.listStatus(new Path(outDir)).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith("manifest_v") &&
+        p.getName != s"manifest_v$v")
+      .foreach(p => fs.delete(p, true))
+    spark.read.parquet(s"$outDir/manifest_v$v")
+  }
+
+  /** Incremental export: a NEW batch (a nightly crawl after dedup) lands
+    * as NEW shards — the batch is sharded among itself with the
+    * directory's pinned (budget, seed) and its shard ids continue after
+    * the committed maximum, so previously written shard files are never
+    * rewritten (a trainer mid-run can keep streaming them) and the
+    * manifest grows by the new rows.
+    *
+    * Safety: refuses a directory with no committed version (a torn
+    * writeShards must be repaired by re-running writeShards, not
+    * appended onto); refuses batch ids already COMMITTED (one
+    * partition-pruned semi-join against shards `<=` the committed max —
+    * a re-delivered batch would otherwise double tokens silently, while
+    * a crashed append's own uncommitted shard dirs are invisible to the
+    * check). The data write is a dynamic partition overwrite, so
+    * replaying a crashed append overwrites exactly its own new shard
+    * directories; the commit is the `_committed_v(N+1)` marker created
+    * after `manifest_v(N+1)` lands, and readers keep resolving version N
+    * until that instant. Post-commit, version N's marker and manifest
+    * are GC'd. */
+  def appendShards(dfNew: DataFrame, idCol: String, tokensCol: String,
+      outDir: String): DataFrame = {
+    val spark = dfNew.sparkSession
+    val fs = graft.wri.WriFs.fs(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    val v = committedVersion(fs, outDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir has no committed version — not a completed shard " +
+          "directory; appendShards refuses to extend a torn state"))
+    val (budget, seed) = readParams(fs, outDir)
+    val old = spark.read.parquet(s"$outDir/manifest_v$v")
+    val oldRows = old.collect().toSeq
+    val nextShard = oldRows.map(_.getLong(0)).maxOption.map(_ + 1L)
+      .getOrElse(0L)
+    // heal: drop uncommitted shard dirs a crashed append left behind
+    // (ids at/after the committed max — one directory listing), so even
+    // a crashed append of a DIFFERENT batch cannot leak rows into this
+    // append's manifest read-back
+    val shardsRoot = new Path(s"$outDir/shards")
+    if (fs.exists(shardsRoot))
+      fs.listStatus(shardsRoot).iterator.map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("shard_id=") &&
+            p.getName.stripPrefix("shard_id=").toLong >= nextShard
+        }
+        .foreach(p => fs.delete(p, true))
+    // committed ids only: the filter prunes to committed shard dirs, so
+    // a crashed append's leftover uncommitted dirs cannot block replay
+    val stored = spark.read.parquet(s"$outDir/shards")
+      .filter(col("shard_id") < nextShard).select(col(idCol))
+    require(dfNew.select(col(idCol)).join(stored, Seq(idCol), "left_semi")
+        .isEmpty,
+      s"append batch contains $idCol values already stored in $outDir")
+    tokenBudgetShards(dfNew, idCol, tokensCol, budget, seed)
+      .withColumn("shard_id", col("shard_id") + lit(nextShard))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard_id").parquet(s"$outDir/shards")
+    val writtenNew = spark.read.parquet(s"$outDir/shards")
+      .filter(col("shard_id") >= nextShard)
+      .select(col("shard_id").cast("long").as("shard_id"),
+        col(idCol), col(tokensCol))
+    val oldDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(oldRows), old.schema)
+    shardManifest(writtenNew, idCol, tokensCol).unionByName(oldDf)
+      .write.mode("overwrite").parquet(s"$outDir/manifest_v${v + 1}")
+    fs.create(new Path(outDir, s"$MarkerPrefix${v + 1}"), true).close()
+    fs.delete(new Path(outDir, s"$MarkerPrefix$v"), false)
+    fs.delete(new Path(s"$outDir/manifest_v$v"), true)
+    spark.read.parquet(s"$outDir/manifest_v${v + 1}")
   }
 
   /** Per-source data recipe toward a total token budget — the
@@ -317,17 +438,19 @@ object Assembly {
       .select(col(idCol), col(sourceCol), col("epoch"))
   }
 
-  /** The manifest of a completed [[writeShards]] run. Refuses a
-    * directory without the `_committed` marker — a missing marker means
-    * a torn write (or a foreign directory), and training on shards the
-    * manifest does not describe is exactly the failure the marker
-    * exists to catch. */
+  /** The manifest of the highest COMMITTED version. Refuses a directory
+    * with no `_committed_vN` marker — no version ever committed (or a
+    * torn full rebuild), and training on shards no manifest describes is
+    * exactly the failure the marker exists to catch. A mid-append crash
+    * is invisible here: the previous marker still resolves the previous
+    * consistent manifest. */
   def readManifest(spark: SparkSession, outDir: String): DataFrame = {
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(outDir, "_committed")),
-      s"$outDir has no _committed marker — the last writeShards run did " +
-        "not complete; its shards and manifest may disagree")
-    spark.read.parquet(s"$outDir/manifest")
+    val v = committedVersion(fs, outDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir has no _committed_vN marker — no completed " +
+          "writeShards/appendShards run; any shards present are torn"))
+    spark.read.parquet(s"$outDir/manifest_v$v")
   }
 }

@@ -91,7 +91,8 @@ object TextSuite {
     Q("q158_leakage_safe_split", q158, Some(q158Sql)),
     Q("q159_token_budget_shards", q159, Some(q159Sql)),
     Q("q160_epoch_plan", q160, Some(q160Sql)),
-    Q("q161_epoch_expand", q161, Some(q161Sql))
+    Q("q161_epoch_expand", q161, Some(q161Sql)),
+    Q("q162_shard_append", q162, Some(q162Sql))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -1930,4 +1931,44 @@ object TextSuite {
        |SELECT doc_id, source,
        |  unnest(generate_series(0, maxe)) AS epoch
        |FROM mx ORDER BY doc_id, epoch""".stripMargin
+
+  /** Incremental sharded export ([[Assembly.writeShards]] then
+    * [[Assembly.appendShards]]): batch A (docs with doc_id % 3 <> 0)
+    * lands first, batch B appends as NEW shards continuing after A's
+    * maximum — the full lifecycle runs inside the query against a temp
+    * directory, and the oracle replays both phases' shard cuts and the
+    * merged manifest. */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+    val out = java.nio.file.Files.createTempDirectory("shappend").toString
+    Assembly.writeShards(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "tok", budget = 2000L, seed = 42L, outDir = out)
+    Assembly.appendShards(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "tok", out)
+    Assembly.readManifest(s, out).orderBy(col("shard_id"))
+  }
+
+  private val q162Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |${hashCtes("sh", "t", "doc_id + 42", "doc_id, tok")},
+       |bt AS (SELECT doc_id, tok, h,
+       |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS grp FROM sh),
+       |c AS (SELECT doc_id, tok, grp,
+       |    sum(tok) OVER (PARTITION BY grp ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM bt),
+       |s0 AS (SELECT doc_id, tok, grp,
+       |    CAST((cum - tok) // 2000 AS BIGINT) AS sid FROM c),
+       |ma AS (SELECT max(sid) AS m FROM s0 WHERE grp = 0),
+       |sj AS (SELECT doc_id, tok,
+       |    CASE WHEN grp = 0 THEN sid ELSE sid + m + 1 END AS shard_id
+       |  FROM s0 CROSS JOIN ma),
+       |${hashCtes("hc", "sj", "doc_id", "shard_id, tok")}
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  bit_xor(h) AS checksum
+       |FROM hc GROUP BY shard_id ORDER BY shard_id""".stripMargin
 }

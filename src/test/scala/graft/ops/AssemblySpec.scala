@@ -186,13 +186,15 @@ class AssemblySpec extends SparkSpec {
     }
   }
 
-  test("readManifest requires the _committed marker (torn-write guard)") {
+  test("readManifest requires a committed version marker (torn-write " +
+      "guard)") {
     val out = java.nio.file.Files.createTempDirectory("shards3").toString
     val d = docs.limit(50).withColumn("tok",
       size(split(col("text"), " ")).cast("long"))
     Assembly.writeShards(d, "doc_id", "tok", 5000L, 1L, out)
     assert(Assembly.readManifest(spark, out).count() > 0)
-    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_committed"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(out, "_committed_v0"))
     val e = intercept[IllegalArgumentException] {
       Assembly.readManifest(spark, out)
     }
@@ -258,6 +260,80 @@ class AssemblySpec extends SparkSpec {
       assert(t >= epochs * nTok && t <= (epochs + 1) * nTok,
         s"$src: expanded $t outside [$epochs, ${epochs + 1}] epochs")
     }
+  }
+
+  test("appendShards: old shard files are byte-untouched, ids continue, " +
+      "manifest grows; re-delivered ids and torn dirs are refused") {
+    val out = java.nio.file.Files.createTempDirectory("shapp").toString
+    val a = tokDocs.filter(col("doc_id") % 3 =!= 0)
+    val b = tokDocs.filter(col("doc_id") % 3 === 0)
+    val mA = Assembly.writeShards(a, "doc_id", "tok", 2000L, 42L, out)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // fingerprint the stored files before the append
+    def files(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/shards"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+    }
+    val before = files()
+    val merged = Assembly.appendShards(b, "doc_id", "tok", out)
+    val after = files()
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-existing file changed: $p")
+    }
+    val m = merged.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m.size > mA.size, "manifest must grow")
+    mA.foreach { case (sid, ck) =>
+      assert(m(sid)._3 == ck, s"old manifest row changed for shard $sid")
+    }
+    assert(m.keySet.max > mA.keySet.max, "new shard ids must continue")
+    // total docs across the merged manifest = full corpus
+    assert(m.values.map(_._1).sum == tokDocs.count())
+    // a re-delivered batch is refused before anything is written
+    val e = intercept[IllegalArgumentException] {
+      Assembly.appendShards(b.limit(3), "doc_id", "tok", out)
+    }
+    assert(e.getMessage.contains("already stored"))
+    // a torn directory (no committed version) is refused
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(out, "_committed_v1"))
+    val e2 = intercept[IllegalArgumentException] {
+      Assembly.appendShards(b, "doc_id", "tok", out)
+    }
+    assert(e2.getMessage.contains("no committed version"))
+  }
+
+  test("a crashed append leaves readers on the old committed view, and " +
+      "replaying the append converges to the clean-room result") {
+    val out = java.nio.file.Files.createTempDirectory("shapp2").toString
+    val a = tokDocs.filter(col("doc_id") % 3 =!= 0)
+    val b = tokDocs.filter(col("doc_id") % 3 === 0)
+    val mA = Assembly.writeShards(a, "doc_id", "tok", 2000L, 42L, out)
+      .collect().map(_.toSeq).toSet
+    val nextShard = mA.map(_.head.asInstanceOf[Long]).max + 1
+    // simulate an append that died after its data write: stray shard
+    // dirs exist (here: a partial 5-doc prefix of the batch), but no
+    // manifest_v1 and no marker flip
+    Assembly.tokenBudgetShards(b.limit(5), "doc_id", "tok", 2000L, 42L)
+      .withColumn("shard_id", col("shard_id") + lit(nextShard))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard_id").parquet(s"$out/shards")
+    // readers still resolve the committed batch-A-only view
+    assert(Assembly.readManifest(spark, out).collect().map(_.toSeq).toSet
+      == mA, "a mid-append crash must not change the committed view")
+    // the replay succeeds (committed-id pruning ignores the stray dirs)
+    // and commits exactly the clean-room manifest
+    val m1 = Assembly.appendShards(b, "doc_id", "tok", out)
+      .collect().map(_.toSeq).toSet
+    val clean = java.nio.file.Files.createTempDirectory("shapp3").toString
+    Assembly.writeShards(a, "doc_id", "tok", 2000L, 42L, clean)
+    val m2 = Assembly.appendShards(b, "doc_id", "tok", clean)
+      .collect().map(_.toSeq).toSet
+    assert(m1 == m2, "replayed append must converge to the same manifest")
   }
 
   test("expandEpochs is deterministic in the seed") {

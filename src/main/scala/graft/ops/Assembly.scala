@@ -227,13 +227,22 @@ object Assembly {
     * manifest — a crash at any point leaves the previous marker (and
     * thus the previous consistent view) in place. */
   private def committedVersion(fs: org.apache.hadoop.fs.FileSystem,
-      outDir: String): Option[Long] = {
+      outDir: String): Option[Long] =
+    markerVersions(fs, outDir).maxOption
+
+  /** All numeric `_committed_vN` versions present. Non-numeric suffixes
+    * (a tool's `._COPYING_` temp, an editor backup) are ignored rather
+    * than crashing every entry point with a parse error. */
+  private def markerVersions(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String): Seq[Long] = {
     val dir = new Path(outDir)
-    if (!fs.exists(dir)) None
+    if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).iterator.map(_.getPath.getName)
       .filter(_.startsWith(MarkerPrefix))
-      .map(_.stripPrefix(MarkerPrefix).toLong)
-      .maxOption
+      .map(_.stripPrefix(MarkerPrefix))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .toSeq
   }
 
   /** (budget, seed) pinned at write time so appends cannot silently
@@ -279,12 +288,19 @@ object Assembly {
     val spark = df.sparkSession
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
-    val v = committedVersion(fs, outDir).map(_ + 1L).getOrElse(0L)
-    // full rebuild: old committed views die with the old shard files
-    (0L until v).foreach(i =>
+    val existing = markerVersions(fs, outDir)
+    val v = existing.maxOption.map(_ + 1L).getOrElse(0L)
+    // full rebuild: old committed views die with the old shard files —
+    // drop exactly the markers present (one listing, not 0..v deletes)
+    existing.foreach(i =>
       fs.delete(new Path(outDir, s"$MarkerPrefix$i"), false))
     tokenBudgetShards(df, idCol, tokensCol, budget, seed)
-      .write.mode("overwrite").partitionBy("shard_id")
+      .write.mode("overwrite")
+      // pin STATIC overwrite: under a session default of dynamic, a
+      // rebuild to fewer shards would leave the old higher-numbered
+      // shard dirs alive and commit them into the new manifest
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard_id")
       .parquet(s"$outDir/shards")
     val written = spark.read.parquet(s"$outDir/shards")
       .select(col("shard_id").cast("long").as("shard_id"),
@@ -318,8 +334,10 @@ object Assembly {
     * replaying a crashed append overwrites exactly its own new shard
     * directories; the commit is the `_committed_v(N+1)` marker created
     * after `manifest_v(N+1)` lands, and readers keep resolving version N
-    * until that instant. Post-commit, version N's marker and manifest
-    * are GC'd. */
+    * until that instant. Post-commit, versions BEFORE N are GC'd —
+    * version N itself is retained for one more append, so a reader that
+    * resolved N just before the commit still finds `manifest_vN` on disk
+    * (no read-after-resolve race). */
   def appendShards(dfNew: DataFrame, idCol: String, tokensCol: String,
       outDir: String): DataFrame = {
     val spark = dfNew.sparkSession
@@ -367,8 +385,14 @@ object Assembly {
     shardManifest(writtenNew, idCol, tokensCol).unionByName(oldDf)
       .write.mode("overwrite").parquet(s"$outDir/manifest_v${v + 1}")
     fs.create(new Path(outDir, s"$MarkerPrefix${v + 1}"), true).close()
-    fs.delete(new Path(outDir, s"$MarkerPrefix$v"), false)
-    fs.delete(new Path(s"$outDir/manifest_v$v"), true)
+    // GC versions BEFORE v; v itself survives one more round so a
+    // reader that resolved v a moment before this commit can still
+    // open manifest_v$v (committedVersion takes the max, so the stale
+    // marker never wins)
+    markerVersions(fs, outDir).filter(_ < v).foreach { i =>
+      fs.delete(new Path(outDir, s"$MarkerPrefix$i"), false)
+      fs.delete(new Path(s"$outDir/manifest_v$i"), true)
+    }
     spark.read.parquet(s"$outDir/manifest_v${v + 1}")
   }
 
@@ -394,14 +418,31 @@ object Assembly {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be non-empty and positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate source keys in weights: ${weights.map(_._1)
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+        .mkString(", ")}")
     val wSum = weights.map(_._2).sum
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toDF(sourceCol, "weight")
-    docs.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col(tokensCol).cast("long")).as("n_tokens"))
-      .join(broadcast(w), Seq(sourceCol))
+    // LEFT join FROM the weights: a weighted source with no corpus rows
+    // must stay visible as a plan row (n=0, epochs=0, its whole target
+    // in rem_tokens) — an inner join would silently vanish that share
+    // of the budget. NULL token sums (all-NULL tokensCol) read as 0 for
+    // the same reason.
+    // the literal IN over the weighted keys pushes into the scan, and
+    // bounds the aggregate (and its broadcast) to #weights rows even
+    // when the corpus has unboundedly many unweighted sources
+    w.join(broadcast(docs
+        .filter(col(sourceCol).isin(weights.map(_._1): _*))
+        .groupBy(col(sourceCol))
+        .agg(count(lit(1)).as("__nd"),
+          sum(col(tokensCol).cast("long")).as("__nt"))),
+        Seq(sourceCol), "left")
+      .withColumn("n_docs", coalesce(col("__nd"), lit(0L)))
+      .withColumn("n_tokens", coalesce(col("__nt"), lit(0L)))
+      .drop("__nd", "__nt")
       .withColumn("target_tokens",
         expr(s"(${budgetTokens}L * weight) div $wSum"))
       .withColumn("epochs", when(col("n_tokens") > 0,
@@ -410,6 +451,9 @@ object Assembly {
         col("target_tokens") - col("epochs") * col("n_tokens"))
       .withColumn("keep_ppm", when(col("n_tokens") > 0,
         expr("(rem_tokens * 1000000L) div n_tokens")).otherwise(lit(0L)))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("weight"), col("target_tokens"), col("epochs"),
+        col("rem_tokens"), col("keep_ppm"))
   }
 
   /** Materialized data recipe: one output row per (document, epoch) —
@@ -417,17 +461,37 @@ object Assembly {
     * `epochs` iff its portable hash lands under the source's partial-
     * epoch `keep_ppm`. Deterministic in (ids, weights, budget, seed);
     * per-doc totals are exactly `epochs` or `epochs + 1`. The plan
-    * aggregate broadcasts back onto the corpus and the repeat is a
-    * map-side `explode(sequence(...))` — the corpus rows themselves
-    * never shuffle. Compose with [[deterministicShuffle]] on a
-    * composite id (e.g. `id * (max_epochs + 1) + epoch`) for the final
-    * training order. */
+    * (collected: one tiny row per weight) broadcasts back onto the
+    * corpus and the repeat is a map-side `explode(sequence(...))` — the
+    * corpus rows themselves never shuffle. `maxEpochs` bounds the
+    * per-row repeat array the explode materializes: a mis-sized budget
+    * against a tiny source would otherwise build multi-million-element
+    * arrays per input row and OOM the executors — that is a config
+    * error, failed loudly on the driver before any expansion runs.
+    * Compose with [[deterministicShuffle]] on a composite id (e.g.
+    * `id * (max_epochs + 1) + epoch`) for the final training order. */
   def expandEpochs(docs: DataFrame, sourceCol: String, idCol: String,
       tokensCol: String, weights: Seq[(String, Int)], budgetTokens: Long,
-      seed: Long): DataFrame = {
+      seed: Long, maxEpochs: Long = 1000L): DataFrame = {
     requireScratchFree(docs, "epoch", "__maxe", "epochs", "keep_ppm")
-    val plan = epochPlan(docs, sourceCol, tokensCol, weights, budgetTokens)
-      .select(col(sourceCol), col("epochs"), col("keep_ppm"))
+    val planRows = epochPlan(docs, sourceCol, tokensCol, weights,
+      budgetTokens).select(col(sourceCol), col("epochs"), col("keep_ppm"))
+      .collect().toSeq
+    planRows.foreach { r =>
+      require(r.getLong(1) <= maxEpochs,
+        s"source ${r.getString(0)} plans ${r.getLong(1)} epochs " +
+          s"(> maxEpochs=$maxEpochs) — the budget/weight asks a tiny " +
+          "source to repeat that many times; raise maxEpochs only if " +
+          "you really mean it")
+    }
+    val spark = docs.sparkSession
+    val plan = spark.createDataFrame(
+      spark.sparkContext.parallelize(planRows),
+      org.apache.spark.sql.types.StructType(Seq(
+        StructField(sourceCol,
+          org.apache.spark.sql.types.StringType, nullable = true),
+        StructField("epochs", LongType, nullable = true),
+        StructField("keep_ppm", LongType, nullable = true))))
     docs.join(broadcast(plan), Seq(sourceCol))
       .withColumn("__maxe",
         when(pmod(Sketches.portableHash(col(idCol) + lit(seed)),

@@ -297,13 +297,40 @@ class AssemblySpec extends SparkSpec {
       Assembly.appendShards(b.limit(3), "doc_id", "tok", out)
     }
     assert(e.getMessage.contains("already stored"))
-    // a torn directory (no committed version) is refused
-    java.nio.file.Files.delete(
-      java.nio.file.Paths.get(out, "_committed_v1"))
+    // deleting only the NEWEST marker is a rollback by design (max
+    // committed version wins, and the previous manifest is retained) —
+    // a TORN directory is one with no marker at all
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_committed_v"))
+      .toList.foreach(java.nio.file.Files.delete)
     val e2 = intercept[IllegalArgumentException] {
       Assembly.appendShards(b, "doc_id", "tok", out)
     }
     assert(e2.getMessage.contains("no committed version"))
+  }
+
+  test("epoch recipe guards: a weighted source missing from the corpus " +
+      "stays visible; duplicate weight keys and runaway epochs fail " +
+      "loudly") {
+    val plan = Assembly.epochPlan(tokDocs, "source", "tok",
+      epochWeights :+ ("src_missing" -> 10), 12000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ghost = plan("src_missing")
+    assert(ghost.getLong(1) == 0L && ghost.getLong(2) == 0L)
+    assert(ghost.getLong(5) == 0L, "no epochs for an absent source")
+    assert(ghost.getLong(6) == ghost.getLong(4),
+      "the absent source's whole target must surface in rem_tokens")
+    intercept[IllegalArgumentException] {
+      Assembly.epochPlan(tokDocs, "source", "tok",
+        Seq("src0" -> 30, "src0" -> 70), 12000L)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Assembly.expandEpochs(tokDocs, "source", "doc_id", "tok",
+        epochWeights, 12000L, seed = 1L, maxEpochs = 1L)
+    }
+    assert(e.getMessage.contains("maxEpochs"))
   }
 
   test("a crashed append leaves readers on the old committed view, and " +

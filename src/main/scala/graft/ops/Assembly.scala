@@ -502,6 +502,28 @@ object Assembly {
       .select(col(idCol), col(sourceCol), col("epoch"))
   }
 
+  /** The final training order — the composition the whole module exists
+    * for: [[expandEpochs]] materializes the per-source repeat recipe,
+    * each (doc, epoch) copy gets the collision-free composite
+    * `sample_id = id * (maxEpochs + 1) + epoch` (epoch <= maxEpochs by
+    * the expansion's own guard), and [[deterministicShuffle]] ranks the
+    * samples globally — so two copies of the same document land in
+    * unrelated positions (the hash avalanches the epoch), and the whole
+    * stream is reproducible from (ids, weights, budget, seed). Output:
+    * (id, source, epoch, shuffle_pos); feed ranges of shuffle_pos to
+    * [[tokenBudgetShards]]-style consumers or stream it directly. */
+  def trainingOrder(docs: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, weights: Seq[(String, Int)], budgetTokens: Long,
+      seed: Long, maxEpochs: Long = 1000L): DataFrame = {
+    val expanded = expandEpochs(docs, sourceCol, idCol, tokensCol,
+        weights, budgetTokens, seed, maxEpochs)
+      .withColumn("sample_id",
+        col(idCol) * lit(maxEpochs + 1L) + col("epoch"))
+    deterministicShuffle(expanded, "sample_id", seed)
+      .select(col(idCol), col(sourceCol), col("epoch"),
+        col("shuffle_pos"))
+  }
+
   /** The manifest of the highest COMMITTED version. Refuses a directory
     * with no `_committed_vN` marker — no version ever committed (or a
     * torn full rebuild), and training on shards no manifest describes is

@@ -92,7 +92,8 @@ object TextSuite {
     Q("q159_token_budget_shards", q159, Some(q159Sql)),
     Q("q160_epoch_plan", q160, Some(q160Sql)),
     Q("q161_epoch_expand", q161, Some(q161Sql)),
-    Q("q162_shard_append", q162, Some(q162Sql))
+    Q("q162_shard_append", q162, Some(q162Sql)),
+    Q("q163_training_order", q163, Some(q163Sql))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -1971,4 +1972,37 @@ object TextSuite {
        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
        |  bit_xor(h) AS checksum
        |FROM hc GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
+  /** The full last-mile composition ([[Assembly.trainingOrder]]): the
+    * q160 recipe expanded to (doc, epoch) copies, each ranked globally
+    * by the portable hash of its composite sample id — the exact,
+    * reproducible stream a trainer consumes. The oracle replays recipe,
+    * expansion, composite ids, and the global rank. */
+  private def q163(s: SparkSession, d: String): DataFrame =
+    Assembly.trainingOrder(
+      Tables.documents(s, d)
+        .withColumn("tok", size(split(col("text"), " ")).cast("long")),
+      "source", "doc_id", "tok", epochWeights, epochBudget, seed = 11L)
+      .orderBy(col("doc_id"), col("epoch"))
+
+  private val q163Sql =
+    s"""WITH $epochPlanCtes,
+       |dj AS (SELECT doc_id, d0.source, epochs, keep_ppm
+       |  FROM documents d0 JOIN plan USING (source)),
+       |${hashCtes("eh", "dj", "doc_id + 11",
+         "doc_id, source, epochs, keep_ppm")},
+       |mx AS (SELECT doc_id, source,
+       |    CASE WHEN h % 1000000 < keep_ppm THEN epochs
+       |         ELSE epochs - 1 END AS maxe
+       |  FROM eh),
+       |ex AS (SELECT doc_id, source,
+       |    unnest(generate_series(0, maxe)) AS epoch FROM mx),
+       |sm AS (SELECT doc_id, source, epoch,
+       |    doc_id * 1001 + epoch AS sample_id FROM ex),
+       |${hashCtes("oh", "sm", "sample_id + 11",
+         "doc_id, source, epoch, sample_id")}
+       |SELECT doc_id, source, epoch,
+       |  CAST(row_number() OVER (ORDER BY h, sample_id) - 1 AS BIGINT)
+       |    AS shuffle_pos
+       |FROM oh ORDER BY doc_id, epoch""".stripMargin
 }

@@ -363,6 +363,31 @@ class AssemblySpec extends SparkSpec {
     assert(m1 == m2, "replayed append must converge to the same manifest")
   }
 
+  test("trainingOrder: a permutation of the expanded corpus, with " +
+      "copies of the same doc scattered, reproducible from the seed") {
+    val out = Assembly.trainingOrder(tokDocs, "source", "doc_id", "tok",
+      epochWeights, 12000L, seed = 11L)
+    val n = Assembly.expandEpochs(tokDocs, "source", "doc_id", "tok",
+      epochWeights, 12000L, seed = 11L).count()
+    val rows = out.collect()
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(3)).sorted.toSeq == (0L until n),
+      "shuffle_pos must be the dense 0..N-1 permutation")
+    // multi-epoch copies of one doc must not sit adjacent: the hash
+    // avalanches the epoch, so the MAX observed adjacency run of one
+    // doc_id should be 1 (allow 2 for freak collisions)
+    val byPos = rows.sortBy(_.getLong(3)).map(_.getLong(0))
+    val maxRun = byPos.foldLeft((0, -1L, 0)) { case ((best, prev, run), id) =>
+      val r = if (id == prev) run + 1 else 1
+      (math.max(best, r), id, r)
+    }._1
+    assert(maxRun <= 2, s"copies of one doc clustered (run $maxRun)")
+    val again = Assembly.trainingOrder(tokDocs.repartition(9), "source",
+      "doc_id", "tok", epochWeights, 12000L, seed = 11L)
+      .collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+  }
+
   test("expandEpochs is deterministic in the seed") {
     val a = Assembly.expandEpochs(tokDocs, "source", "doc_id", "tok",
       epochWeights, 12000L, 11L).collect().map(_.toSeq).toSet

@@ -502,6 +502,61 @@ object Assembly {
       .select(col(idCol), col(sourceCol), col("epoch"))
   }
 
+  /** Exactly-once micro-batch append: classifies the batch against the
+    * COMMITTED ids in one aggregate — ALL already committed means a
+    * checkpoint replay of a batch whose commit landed, and no-ops
+    * (returning the committed manifest); NONE committed appends; a
+    * PARTIAL overlap is not a replay but a corrupted delivery (half a
+    * batch re-keyed, or two producers sharing ids) and fails loudly.
+    * This is what makes [[appendShardsStream]] exactly-once across
+    * restarts: a crash BEFORE the version flip replays into the
+    * all-new branch (the uncommitted dirs heal), a crash AFTER the flip
+    * replays into the no-op branch. */
+  def appendShardsExactlyOnce(dfNew: DataFrame, idCol: String,
+      tokensCol: String, outDir: String): DataFrame = {
+    val spark = dfNew.sparkSession
+    val fs = graft.wri.WriFs.fs(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    val v = committedVersion(fs, outDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir has no committed version — run writeShards first"))
+    val nextShard = spark.read.parquet(s"$outDir/manifest_v$v")
+      .agg(max(col("shard_id"))).head.getLong(0) + 1L
+    val stored = spark.read.parquet(s"$outDir/shards")
+      .filter(col("shard_id") < nextShard)
+      .select(col(idCol)).withColumn("__in", lit(1))
+    val counts = dfNew.select(col(idCol)).distinct()
+      .join(stored, Seq(idCol), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("__in"), lit(0))).as("m")).head
+    val (n, m) = (counts.getLong(0),
+      Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    if (n > 0 && m == n) readManifest(spark, outDir) // committed replay
+    else if (m == 0) appendShards(dfNew, idCol, tokensCol, outDir)
+    else throw new IllegalArgumentException(
+      s"batch overlaps the committed store on $m of $n ids — neither a " +
+        "replay nor new data; refusing to guess")
+  }
+
+  /** Streaming twin of the incremental export: each micro-batch of the
+    * doc stream lands as new shards through [[appendShardsExactlyOnce]],
+    * with the checkpoint pinned UNDER the shard directory by default so
+    * a restarted stream resumes instead of renumbering. Combined with
+    * the versioned-manifest commit this is exactly-once end to end:
+    * re-delivered micro-batches no-op, crashed ones heal and replay. */
+  def appendShardsStream(stream: DataFrame, idCol: String,
+      tokensCol: String, outDir: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$outDir/_stream_checkpoint"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        appendShardsExactlyOnce(df, idCol, tokensCol, outDir): Unit
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+
   /** The final training order — the composition the whole module exists
     * for: [[expandEpochs]] materializes the per-source repeat recipe,
     * each (doc, epoch) copy gets the collision-free composite

@@ -339,7 +339,16 @@ object Assembly {
     * resolved N just before the commit still finds `manifest_vN` on disk
     * (no read-after-resolve race). */
   def appendShards(dfNew: DataFrame, idCol: String, tokensCol: String,
-      outDir: String): DataFrame = {
+      outDir: String): DataFrame =
+    appendImpl(dfNew, idCol, tokensCol, outDir, checkOverlap = true)
+
+  /** [[appendShards]] body; `checkOverlap = false` skips the committed-
+    * id scan when the caller ([[appendShardsExactlyOnce]]) has already
+    * proven zero overlap — the scan is the append path's one full read
+    * of the store and must not run twice per micro-batch. */
+  private def appendImpl(dfNew: DataFrame, idCol: String,
+      tokensCol: String, outDir: String,
+      checkOverlap: Boolean): DataFrame = {
     val spark = dfNew.sparkSession
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
@@ -366,11 +375,13 @@ object Assembly {
         .foreach(p => fs.delete(p, true))
     // committed ids only: the filter prunes to committed shard dirs, so
     // a crashed append's leftover uncommitted dirs cannot block replay
-    val stored = spark.read.parquet(s"$outDir/shards")
-      .filter(col("shard_id") < nextShard).select(col(idCol))
-    require(dfNew.select(col(idCol)).join(stored, Seq(idCol), "left_semi")
-        .isEmpty,
-      s"append batch contains $idCol values already stored in $outDir")
+    if (checkOverlap) {
+      val stored = spark.read.parquet(s"$outDir/shards")
+        .filter(col("shard_id") < nextShard).select(col(idCol))
+      require(dfNew.select(col(idCol))
+          .join(stored, Seq(idCol), "left_semi").isEmpty,
+        s"append batch contains $idCol values already stored in $outDir")
+    }
     tokenBudgetShards(dfNew, idCol, tokensCol, budget, seed)
       .withColumn("shard_id", col("shard_id") + lit(nextShard))
       .write.mode("overwrite")
@@ -514,6 +525,8 @@ object Assembly {
     * replays into the no-op branch. */
   def appendShardsExactlyOnce(dfNew: DataFrame, idCol: String,
       tokensCol: String, outDir: String): DataFrame = {
+    require(idCol != "__in", "idCol may not be the reserved name __in")
+    requireScratchFree(dfNew, "__in")
     val spark = dfNew.sparkSession
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
@@ -531,8 +544,11 @@ object Assembly {
         sum(coalesce(col("__in"), lit(0))).as("m")).head
     val (n, m) = (counts.getLong(0),
       Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
-    if (n > 0 && m == n) readManifest(spark, outDir) // committed replay
-    else if (m == 0) appendShards(dfNew, idCol, tokensCol, outDir)
+    if (n == 0) readManifest(spark, outDir) // empty batch: no version churn
+    else if (m == n) readManifest(spark, outDir) // committed replay
+    else if (m == 0)
+      // overlap just proven zero — the internal path skips re-proving it
+      appendImpl(dfNew, idCol, tokensCol, outDir, checkOverlap = false)
     else throw new IllegalArgumentException(
       s"batch overlaps the committed store on $m of $n ids — neither a " +
         "replay nor new data; refusing to guess")
@@ -570,6 +586,7 @@ object Assembly {
   def trainingOrder(docs: DataFrame, sourceCol: String, idCol: String,
       tokensCol: String, weights: Seq[(String, Int)], budgetTokens: Long,
       seed: Long, maxEpochs: Long = 1000L): DataFrame = {
+    requireScratchFree(docs, "sample_id")
     val expanded = expandEpochs(docs, sourceCol, idCol, tokensCol,
         weights, budgetTokens, seed, maxEpochs)
       .withColumn("sample_id",

@@ -573,6 +573,41 @@ object Assembly {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
 
+  /** Shard-store QA sweep — the "verify a delivered dataset" workflow
+    * the manifest exists for: recompute every committed shard's
+    * (n_docs, n_tokens, xor-checksum) from the FILES in one distributed
+    * column-pruned scan and compare to the committed manifest. Failures
+    * are error-as-data rows (the P7 discipline — one corrupted shard
+    * must not kill the sweep of a million): `ok=false` with a named
+    * reason (`missing files` when nothing readable remains under the
+    * shard's directory, `content mismatch` when counts or checksum
+    * drifted). Uncommitted dirs above the committed max are a legal
+    * pending append and are not scanned. */
+  def validateShards(spark: SparkSession, outDir: String, idCol: String,
+      tokensCol: String): DataFrame = {
+    val manifest = readManifest(spark, outDir)
+    val maxShard = manifest.agg(max(col("shard_id"))).head.getLong(0)
+    val recomputed = shardManifest(
+      spark.read.parquet(s"$outDir/shards")
+        .filter(col("shard_id") <= maxShard)
+        .select(col("shard_id").cast("long").as("shard_id"),
+          col(idCol), col(tokensCol)),
+      idCol, tokensCol)
+      .select(col("shard_id"), col("n_docs").as("__rd"),
+        col("n_tokens").as("__rt"), col("checksum").as("__rc"))
+    manifest.join(recomputed, Seq("shard_id"), "left")
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        when(col("__rd").isNull, lit(false))
+          .otherwise(col("__rd") === col("n_docs") &&
+            col("__rt") === col("n_tokens") &&
+            col("__rc") === col("checksum")).as("ok"),
+        when(col("__rd").isNull, lit("missing files"))
+          .when(col("__rd") === col("n_docs") &&
+            col("__rt") === col("n_tokens") &&
+            col("__rc") === col("checksum"), lit("ok"))
+          .otherwise(lit("content mismatch")).as("reason"))
+  }
+
   /** The final training order — the composition the whole module exists
     * for: [[expandEpochs]] materializes the per-source repeat recipe,
     * each (doc, epoch) copy gets the collision-free composite

@@ -93,7 +93,8 @@ object TextSuite {
     Q("q160_epoch_plan", q160, Some(q160Sql)),
     Q("q161_epoch_expand", q161, Some(q161Sql)),
     Q("q162_shard_append", q162, Some(q162Sql)),
-    Q("q163_training_order", q163, Some(q163Sql))
+    Q("q163_training_order", q163, Some(q163Sql)),
+    Q("q164_validate_shards", q164, Some(q164Sql))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -2005,4 +2006,44 @@ object TextSuite {
        |  CAST(row_number() OVER (ORDER BY h, sample_id) - 1 AS BIGINT)
        |    AS shuffle_pos
        |FROM oh ORDER BY doc_id, epoch""".stripMargin
+
+  /** Shard-store QA sweep ([[Assembly.validateShards]]): a fresh
+    * write+append store must validate clean — and the oracle
+    * independently derives WHICH shard rows must exist (the full q162
+    * two-phase manifest replay), so the check is not vacuous: a shard
+    * the sweep missed, or a phantom row, hash-mismatches. Corruption
+    * paths (missing files, drifted content) are spec-pinned. */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+    val out = java.nio.file.Files.createTempDirectory("shqa").toString
+    Assembly.writeShards(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "tok", budget = 2000L, seed = 42L, outDir = out)
+    Assembly.appendShards(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "tok", out)
+    Assembly.validateShards(s, out, "doc_id", "tok")
+      .orderBy(col("shard_id"))
+  }
+
+  private val q164Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |${hashCtes("sh", "t", "doc_id + 42", "doc_id, tok")},
+       |bt AS (SELECT doc_id, tok, h,
+       |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS grp FROM sh),
+       |c AS (SELECT doc_id, tok, grp,
+       |    sum(tok) OVER (PARTITION BY grp ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM bt),
+       |s0 AS (SELECT doc_id, tok, grp,
+       |    CAST((cum - tok) // 2000 AS BIGINT) AS sid FROM c),
+       |ma AS (SELECT max(sid) AS m FROM s0 WHERE grp = 0),
+       |sj AS (SELECT doc_id, tok,
+       |    CASE WHEN grp = 0 THEN sid ELSE sid + m + 1 END AS shard_id
+       |  FROM s0 CROSS JOIN ma)
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  TRUE AS ok, 'ok' AS reason
+       |FROM sj GROUP BY shard_id ORDER BY shard_id""".stripMargin
 }

@@ -428,6 +428,36 @@ class AssemblySpec extends SparkSpec {
     assert(e.getMessage.contains("overlaps"))
   }
 
+  test("validateShards: clean store validates ok; missing files and " +
+      "drifted content flag as error-as-data rows") {
+    val out = java.nio.file.Files.createTempDirectory("shqa").toString
+    val d = tokDocs.select(col("doc_id"), col("tok"))
+    Assembly.writeShards(d, "doc_id", "tok", 2000L, 42L, out)
+    val clean = Assembly.validateShards(spark, out, "doc_id", "tok")
+    assert(clean.filter(!col("ok")).count() == 0)
+    val nShards = clean.count()
+    // corrupt shard 0: duplicate one of its part files (doubles docs)
+    import scala.jdk.CollectionConverters._
+    val dir0 = java.nio.file.Paths.get(s"$out/shards/shard_id=0")
+    val part = java.nio.file.Files.list(dir0).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.head
+    java.nio.file.Files.copy(part,
+      dir0.resolve("part-dup.c000.snappy.parquet"))
+    // vaporize shard 1's files entirely
+    val dir1 = java.nio.file.Paths.get(s"$out/shards/shard_id=1")
+    java.nio.file.Files.list(dir1).iterator().asScala.toList
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.delete(dir1)
+    val swept = Assembly.validateShards(spark, out, "doc_id", "tok")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(3), r.getString(4))).toMap
+    assert(swept.size == nShards, "every manifest row must be swept")
+    assert(swept(0L) == (false, "content mismatch"), s"${swept(0L)}")
+    assert(swept(1L) == (false, "missing files"), s"${swept(1L)}")
+    assert(swept.count(_._2._1) == nShards - 2,
+      "the other shards must keep validating ok")
+  }
+
   test("expandEpochs is deterministic in the seed") {
     val a = Assembly.expandEpochs(tokDocs, "source", "doc_id", "tok",
       epochWeights, 12000L, 11L).collect().map(_.toSeq).toSet

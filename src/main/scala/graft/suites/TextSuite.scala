@@ -1934,22 +1934,32 @@ object TextSuite {
        |  unnest(generate_series(0, maxe)) AS epoch
        |FROM mx ORDER BY doc_id, epoch""".stripMargin
 
+  /** One committed write+append shard store per SF dir (the
+    * ingestIndexDirs discipline): q162 pins its manifest, q164 sweeps
+    * it — the lifecycle runs once, not once per query. */
+  private val assemblyStoreDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def assemblyStore(s: SparkSession, d: String): String =
+    assemblyStoreDirs.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      val out = java.nio.file.Files.createTempDirectory("shappend")
+        .toString
+      Assembly.writeShards(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "tok", budget = 2000L, seed = 42L, outDir = out)
+      Assembly.appendShards(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "tok", out)
+      out
+    })
+
   /** Incremental sharded export ([[Assembly.writeShards]] then
     * [[Assembly.appendShards]]): batch A (docs with doc_id % 3 <> 0)
     * lands first, batch B appends as NEW shards continuing after A's
-    * maximum — the full lifecycle runs inside the query against a temp
-    * directory, and the oracle replays both phases' shard cuts and the
-    * merged manifest. */
-  private def q162(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
-    val out = java.nio.file.Files.createTempDirectory("shappend").toString
-    Assembly.writeShards(docs.filter(col("doc_id") % 3 =!= 0),
-      "doc_id", "tok", budget = 2000L, seed = 42L, outDir = out)
-    Assembly.appendShards(docs.filter(col("doc_id") % 3 === 0),
-      "doc_id", "tok", out)
-    Assembly.readManifest(s, out).orderBy(col("shard_id"))
-  }
+    * maximum — the full lifecycle runs against a temp directory, and
+    * the oracle replays both phases' shard cuts and the merged
+    * manifest. */
+  private def q162(s: SparkSession, d: String): DataFrame =
+    Assembly.readManifest(s, assemblyStore(s, d)).orderBy(col("shard_id"))
 
   private val q162Sql =
     s"""WITH t AS (SELECT doc_id,
@@ -2013,17 +2023,9 @@ object TextSuite {
     * two-phase manifest replay), so the check is not vacuous: a shard
     * the sweep missed, or a phantom row, hash-mismatches. Corruption
     * paths (missing files, drifted content) are spec-pinned. */
-  private def q164(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
-    val out = java.nio.file.Files.createTempDirectory("shqa").toString
-    Assembly.writeShards(docs.filter(col("doc_id") % 3 =!= 0),
-      "doc_id", "tok", budget = 2000L, seed = 42L, outDir = out)
-    Assembly.appendShards(docs.filter(col("doc_id") % 3 === 0),
-      "doc_id", "tok", out)
-    Assembly.validateShards(s, out, "doc_id", "tok")
+  private def q164(s: SparkSession, d: String): DataFrame =
+    Assembly.validateShards(s, assemblyStore(s, d), "doc_id", "tok")
       .orderBy(col("shard_id"))
-  }
 
   private val q164Sql =
     s"""WITH t AS (SELECT doc_id,

@@ -587,24 +587,41 @@ object Assembly {
       tokensCol: String): DataFrame = {
     val manifest = readManifest(spark, outDir)
     val maxShard = manifest.agg(max(col("shard_id"))).head.getLong(0)
-    val recomputed = shardManifest(
-      spark.read.parquet(s"$outDir/shards")
-        .filter(col("shard_id") <= maxShard)
-        .select(col("shard_id").cast("long").as("shard_id"),
-          col(idCol), col(tokensCol)),
-      idCol, tokensCol)
-      .select(col("shard_id"), col("n_docs").as("__rd"),
-        col("n_tokens").as("__rt"), col("checksum").as("__rc"))
+    val fs = graft.wri.WriFs.fs(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    val shardsRoot = new Path(s"$outDir/shards")
+    // error-as-data all the way down: a store whose shards/ vanished
+    // ENTIRELY (the total-loss case the sweep exists for) must report
+    // every row missing, not die in the parquet reader
+    val anyShards = fs.exists(shardsRoot) &&
+      fs.listStatus(shardsRoot).exists(
+        _.getPath.getName.startsWith("shard_id="))
+    val recomputed =
+      if (!anyShards)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("shard_id", LongType, nullable = true),
+            StructField("__rd", LongType, nullable = true),
+            StructField("__rt", LongType, nullable = true),
+            StructField("__rc", LongType, nullable = true))))
+      else shardManifest(
+        spark.read.parquet(s"$outDir/shards")
+          .filter(col("shard_id") <= maxShard)
+          .select(col("shard_id").cast("long").as("shard_id"),
+            col(idCol), col(tokensCol)),
+        idCol, tokensCol)
+        .select(col("shard_id"), col("n_docs").as("__rd"),
+          col("n_tokens").as("__rt"), col("checksum").as("__rc"))
     manifest.join(recomputed, Seq("shard_id"), "left")
+      .withColumn("__match",
+        col("__rd") === col("n_docs") && col("__rt") === col("n_tokens")
+          && col("__rc") === col("checksum"))
       .select(col("shard_id"), col("n_docs"), col("n_tokens"),
-        when(col("__rd").isNull, lit(false))
-          .otherwise(col("__rd") === col("n_docs") &&
-            col("__rt") === col("n_tokens") &&
-            col("__rc") === col("checksum")).as("ok"),
+        when(col("__rd").isNull, lit(false)).otherwise(col("__match"))
+          .as("ok"),
         when(col("__rd").isNull, lit("missing files"))
-          .when(col("__rd") === col("n_docs") &&
-            col("__rt") === col("n_tokens") &&
-            col("__rc") === col("checksum"), lit("ok"))
+          .when(col("__match"), lit("ok"))
           .otherwise(lit("content mismatch")).as("reason"))
   }
 

@@ -1961,8 +1961,13 @@ object TextSuite {
   private def q162(s: SparkSession, d: String): DataFrame =
     Assembly.readManifest(s, assemblyStore(s, d)).orderBy(col("shard_id"))
 
-  private val q162Sql =
-    s"""WITH t AS (SELECT doc_id,
+  /** Shared oracle CTE chain for the q162/q164 shard-store lifecycle:
+    * batch A (doc_id % 3 <> 0) sharded at budget 2000 / seed 42, batch B
+    * appended with ids continuing after A's max — ends in `sj` =
+    * (doc_id, tok, shard_id). The budget/seed literals live HERE and in
+    * [[assemblyStore]] only. */
+  private val shardLifecycleCtes =
+    s"""t AS (SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
        |  FROM documents),
        |${hashCtes("sh", "t", "doc_id + 42", "doc_id, tok")},
@@ -1977,7 +1982,10 @@ object TextSuite {
        |ma AS (SELECT max(sid) AS m FROM s0 WHERE grp = 0),
        |sj AS (SELECT doc_id, tok,
        |    CASE WHEN grp = 0 THEN sid ELSE sid + m + 1 END AS shard_id
-       |  FROM s0 CROSS JOIN ma),
+       |  FROM s0 CROSS JOIN ma)""".stripMargin
+
+  private val q162Sql =
+    s"""WITH $shardLifecycleCtes,
        |${hashCtes("hc", "sj", "doc_id", "shard_id, tok")}
        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
@@ -2028,22 +2036,7 @@ object TextSuite {
       .orderBy(col("shard_id"))
 
   private val q164Sql =
-    s"""WITH t AS (SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-       |  FROM documents),
-       |${hashCtes("sh", "t", "doc_id + 42", "doc_id, tok")},
-       |bt AS (SELECT doc_id, tok, h,
-       |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS grp FROM sh),
-       |c AS (SELECT doc_id, tok, grp,
-       |    sum(tok) OVER (PARTITION BY grp ORDER BY h, doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM bt),
-       |s0 AS (SELECT doc_id, tok, grp,
-       |    CAST((cum - tok) // 2000 AS BIGINT) AS sid FROM c),
-       |ma AS (SELECT max(sid) AS m FROM s0 WHERE grp = 0),
-       |sj AS (SELECT doc_id, tok,
-       |    CASE WHEN grp = 0 THEN sid ELSE sid + m + 1 END AS shard_id
-       |  FROM s0 CROSS JOIN ma)
+    s"""WITH $shardLifecycleCtes
        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
        |  TRUE AS ok, 'ok' AS reason

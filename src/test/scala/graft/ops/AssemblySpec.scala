@@ -456,6 +456,17 @@ class AssemblySpec extends SparkSpec {
     assert(swept(1L) == (false, "missing files"), s"${swept(1L)}")
     assert(swept.count(_._2._1) == nShards - 2,
       "the other shards must keep validating ok")
+    // total loss: the whole shards/ tree gone — every row must report
+    // missing files as DATA, not kill the sweep in the parquet reader
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/shards"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.toList.foreach(java.nio.file.Files.delete)
+    val total = Assembly.validateShards(spark, out, "doc_id", "tok")
+      .collect()
+    assert(total.length == nShards)
+    assert(total.forall(r => !r.getBoolean(3)
+      && r.getString(4) == "missing files"),
+      "total loss must surface as all-missing rows")
   }
 
   test("expandEpochs is deterministic in the seed") {

@@ -290,6 +290,13 @@ object Assembly {
       spark.sparkContext.hadoopConfiguration)
     val existing = markerVersions(fs, outDir)
     val v = existing.maxOption.map(_ + 1L).getOrElse(0L)
+    // fail BEFORE the old markers die: a rebuild from an accidentally-
+    // empty frame would otherwise destroy the committed view and then
+    // crash on the empty read-back — a torn store where there was a
+    // healthy one
+    require(!df.isEmpty,
+      s"writeShards: input is empty — refusing to replace the committed " +
+        s"view at $outDir with an empty rebuild")
     // full rebuild: old committed views die with the old shard files —
     // drop exactly the markers present (one listing, not 0..v deletes)
     existing.foreach(i =>
@@ -346,6 +353,14 @@ object Assembly {
     * id scan when the caller ([[appendShardsExactlyOnce]]) has already
     * proven zero overlap — the scan is the append path's one full read
     * of the store and must not run twice per micro-batch. */
+  /** Max committed shard id as an Option — null-safe against an empty
+    * manifest (agg(max) over zero rows yields one null row; a bare
+    * getLong would NPE). One 1-row aggregate, never a manifest
+    * collect. */
+  private def maxShardId(manifest: DataFrame): Option[Long] =
+    Option(manifest.agg(max(col("shard_id"))).head.get(0))
+      .map(_.asInstanceOf[Long])
+
   private def appendImpl(dfNew: DataFrame, idCol: String,
       tokensCol: String, outDir: String,
       checkOverlap: Boolean): DataFrame = {
@@ -357,10 +372,13 @@ object Assembly {
         s"$outDir has no committed version — not a completed shard " +
           "directory; appendShards refuses to extend a torn state"))
     val (budget, seed) = readParams(fs, outDir)
+    // the committed manifest stays a LAZY scan end to end: its row count
+    // grows linearly with corpus tokens (100 T tokens / 100 M budget =
+    // 10^6 rows), so it is unioned below as a DataFrame, never
+    // round-tripped through the driver; the only driver-side value is
+    // the 1-row max aggregate
     val old = spark.read.parquet(s"$outDir/manifest_v$v")
-    val oldRows = old.collect().toSeq
-    val nextShard = oldRows.map(_.getLong(0)).maxOption.map(_ + 1L)
-      .getOrElse(0L)
+    val nextShard = maxShardId(old).map(_ + 1L).getOrElse(0L)
     // heal: drop uncommitted shard dirs a crashed append left behind
     // (ids at/after the committed max — one directory listing), so even
     // a crashed append of a DIFFERENT batch cannot leak rows into this
@@ -391,9 +409,9 @@ object Assembly {
       .filter(col("shard_id") >= nextShard)
       .select(col("shard_id").cast("long").as("shard_id"),
         col(idCol), col(tokensCol))
-    val oldDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(oldRows), old.schema)
-    shardManifest(writtenNew, idCol, tokensCol).unionByName(oldDf)
+    // safe to read manifest_v$v lazily while writing v+1: versions are
+    // immutable once committed and v itself is retained by the GC below
+    shardManifest(writtenNew, idCol, tokensCol).unionByName(old)
       .write.mode("overwrite").parquet(s"$outDir/manifest_v${v + 1}")
     fs.create(new Path(outDir, s"$MarkerPrefix${v + 1}"), true).close()
     // GC versions BEFORE v; v itself survives one more round so a
@@ -533,8 +551,8 @@ object Assembly {
     val v = committedVersion(fs, outDir).getOrElse(
       throw new IllegalArgumentException(
         s"$outDir has no committed version — run writeShards first"))
-    val nextShard = spark.read.parquet(s"$outDir/manifest_v$v")
-      .agg(max(col("shard_id"))).head.getLong(0) + 1L
+    val nextShard = maxShardId(spark.read.parquet(s"$outDir/manifest_v$v"))
+      .map(_ + 1L).getOrElse(0L)
     val stored = spark.read.parquet(s"$outDir/shards")
       .filter(col("shard_id") < nextShard)
       .select(col(idCol)).withColumn("__in", lit(1))
@@ -639,6 +657,20 @@ object Assembly {
       tokensCol: String, weights: Seq[(String, Int)], budgetTokens: Long,
       seed: Long, maxEpochs: Long = 1000L): DataFrame = {
     requireScratchFree(docs, "sample_id")
+    // the composite `id * (maxEpochs + 1) + epoch` silently wraps on
+    // Long overflow (and the wrapped ids can collide — surfacing as a
+    // baffling "shuffle_pos not unique" far downstream): validate the
+    // id range up front with one column-pruned min/max agg and fail
+    // with the overflow named
+    val lim = Long.MaxValue / (maxEpochs + 1L)
+    val mm = docs.agg(min(col(idCol)), max(col(idCol))).head
+    Seq(0, 1).foreach { i =>
+      Option(mm.get(i)).map(_.asInstanceOf[Long]).foreach(id =>
+        require(id > -lim && id < lim,
+          s"trainingOrder: $idCol=$id overflows the composite " +
+            s"sample_id = id * ${maxEpochs + 1} + epoch (|id| must stay " +
+            s"below ${lim}); renumber ids or lower maxEpochs"))
+    }
     val expanded = expandEpochs(docs, sourceCol, idCol, tokensCol,
         weights, budgetTokens, seed, maxEpochs)
       .withColumn("sample_id",

@@ -108,30 +108,14 @@ object VectorStore {
     } finally in.close()
   }
 
-  /** Replace `path` with `content` ATOMICALLY: full write to a sibling
-    * tmp, then a FileContext overwrite-rename — atomic on HDFS and
-    * local filesystems, so a reader sees the old complete file or the
-    * new complete file, never a missing or torn one (the plain
-    * FileSystem.rename cannot overwrite, and delete-then-rename opens
-    * exactly the unsafe gap this helper exists to close). Filesystems
-    * with no FileContext binding fall back to a direct create-overwrite
-    * — a single PUT, which object stores make atomic themselves. */
+  /** Replace `path` with `content` ATOMICALLY — scheme-aware: object
+    * stores get the direct single-PUT (their rename is copy+delete, the
+    * one thing `pointerSwap = true` exists to avoid), everything else a
+    * tmp + FileContext overwrite-rename. See
+    * [[graft.wri.WriFs.atomicWriteString]]. */
   private def atomicWriteString(fs: FileSystem, path: Path,
-      content: String): Unit = {
-    val tmp = new Path(path.getParent, path.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, fs.getConf)
-      fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        val direct = fs.create(path, true)
-        try direct.write(content.getBytes("UTF-8")) finally direct.close()
-        fs.delete(tmp, false)
-    }
-  }
+      content: String): Unit =
+    graft.wri.WriFs.atomicWriteString(fs, path, content)
 
   // ---- incarnation pointer ----------------------------------------------
 

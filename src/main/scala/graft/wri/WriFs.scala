@@ -67,4 +67,50 @@ object WriFs {
     val out = create(p, conf)
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
+
+  /** Schemes whose rename is a non-atomic copy+delete but whose
+    * single-PUT create-overwrite IS atomic — object stores.
+    * [[atomicWriteString]] must not take the FileContext rename path on
+    * these: Hadoop ships AbstractFileSystem bindings for several of them
+    * (e.g. `org.apache.hadoop.fs.s3a.S3A`), so an
+    * UnsupportedFileSystemException fallback alone would route exactly
+    * the stores the rename is unsafe on THROUGH the rename. */
+  private val ObjectStoreSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "cosn", "swift", "o3fs", "ofs")
+
+  /** Replace `path` with `content` ATOMICALLY under the target
+    * filesystem's own semantics, so a concurrent reader sees the old
+    * complete file or the new complete file — never a missing or torn
+    * one. Object-store schemes write the file directly (one PUT, which
+    * those stores make atomic; their rename is copy+delete and must be
+    * avoided). Everything else writes a sibling tmp then a FileContext
+    * overwrite-rename — atomic on HDFS and local filesystems (the plain
+    * FileSystem.rename cannot overwrite, and delete-then-rename opens
+    * exactly the unsafe gap this helper exists to close). Filesystems
+    * with no FileContext binding fall back to the direct
+    * create-overwrite, the strongest primitive such a filesystem
+    * offers. */
+  def atomicWriteString(fs: FileSystem, path: Path, content: String): Unit = {
+    def put(): Unit = {
+      val out = fs.create(path, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    val scheme = Option(fs.getUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
+    if (ObjectStoreSchemes.contains(scheme)) put()
+    else {
+      val tmp = new Path(path.getParent, path.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, fs.getConf)
+        fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          put(); fs.delete(tmp, false); ()
+      }
+    }
+  }
 }

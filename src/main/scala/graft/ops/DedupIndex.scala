@@ -34,16 +34,25 @@ import org.apache.spark.storage.StorageLevel
   *   sigs/batch=<b>/idp=<s>/      (doc_id, sig) — signatures partitioned
   *                      by doc_id mod bucket_shards, so the verify join
   *                      back prunes to the candidates' shards.
+  *   deletes/batch=<d>/ (doc_id) tombstones — [[delete]]'s takedown
+  *                      verb; committed dirs mask their doc_ids out of
+  *                      every query (before candidate generation AND
+  *                      the stop-bucket sizing) until [[compact]]
+  *                      physically drops the rows and GC's the dirs.
   *   _folded            [[compact]]'s marker:
-  *                      `<foldId> <coveredBatch> <coveredStream> #` —
-  *                      fold batches (ids >= [[FoldBase]]) hold the
-  *                      folded content of every BATCH-pool id <=
-  *                      coveredBatch and every STREAM-pool id <=
-  *                      coveredStream (coverage is tracked PER POOL —
-  *                      a single scalar would let a folded stream id
-  *                      mark every smaller batch-pool id as ingested
-  *                      and silently swallow its data), and folds are
-  *                      invisible until this marker names them.
+  *                      `<foldId> <coveredBatch> <coveredStream>
+  *                      <coveredDelete> #` — fold batches (ids >=
+  *                      [[FoldBase]]) hold the folded content of every
+  *                      BATCH-pool id <= coveredBatch and every
+  *                      STREAM-pool id <= coveredStream (coverage is
+  *                      tracked PER POOL — a single scalar would let a
+  *                      folded stream id mark every smaller batch-pool
+  *                      id as ingested and silently swallow its data),
+  *                      with every DELETE-pool id <= coveredDelete
+  *                      already applied; folds are invisible until this
+  *                      marker names them. Written atomically (replace,
+  *                      not create-overwrite) — a reader sees the old
+  *                      or the new marker, never a torn one.
   *   pairs/batch=<b>/   [[ingestStream]]'s pair log — one idempotent
   *                      directory per micro-batch, written ONCE (a
   *                      committed log is never overwritten).
@@ -103,6 +112,7 @@ object DedupIndex {
 
   private def postingsRoot(dir: String) = s"$dir/postings"
   private def sigsRoot(dir: String) = s"$dir/sigs"
+  private def deletesRoot(dir: String) = s"$dir/deletes"
 
   private def batchCommitted(fs: FileSystem, dir: String, id: Long): Boolean =
     fs.exists(new Path(s"${postingsRoot(dir)}/batch=$id/_SUCCESS")) &&
@@ -158,22 +168,34 @@ object DedupIndex {
 
   /** The `_folded` marker's content: fold `id` holds the folded content
     * of every batch-pool id <= coveredBatch and every stream-pool id <=
-    * coveredStream. Coverage is PER POOL: ids are allocated
-    * independently in each pool, so one scalar cannot order them. */
+    * coveredStream, with every delete-pool id <= coveredDelete already
+    * APPLIED (their doc_ids physically dropped, their tombstone dirs
+    * GC'd). Coverage is PER POOL: ids are allocated independently in
+    * each pool, so one scalar cannot order them. */
   private final case class Fold(id: Long, coveredBatch: Long,
-      coveredStream: Long) {
+      coveredStream: Long, coveredDelete: Long) {
     def covers(b: Long): Boolean =
       if (b < StreamBatchBase) b <= coveredBatch
       else if (b < FoldBase) b <= coveredStream
       else false
   }
 
-  /** One control-plane read per verb: the committed-batch listing plus
-    * the fold marker, threaded through every helper below. */
-  private final case class State(committed: Seq[Long], fold: Option[Fold])
+  /** One control-plane read per verb: the committed-batch and
+    * committed-tombstone listings plus the fold marker, threaded through
+    * every helper below. */
+  private final case class State(committed: Seq[Long], fold: Option[Fold],
+      deletes: Seq[Long])
 
   private def readState(fs: FileSystem, dir: String): State =
-    State(committedBatches(fs, dir), foldInfo(fs, dir))
+    State(committedBatches(fs, dir), foldInfo(fs, dir),
+      committedDeletes(fs, dir))
+
+  /** Committed tombstone batch ids: the delete dir's own `_SUCCESS`. */
+  private def committedDeletes(fs: FileSystem, dir: String): Seq[Long] =
+    listBatchDirs(fs, deletesRoot(dir))
+      .filter(b =>
+        fs.exists(new Path(s"${deletesRoot(dir)}/batch=$b/_SUCCESS")))
+      .sorted
 
   /** The `_folded` marker, written LAST by [[compact]] — its write IS
     * the fold's commit. */
@@ -187,7 +209,11 @@ object DedupIndex {
       new String(bytes, "UTF-8").trim
     } finally in.close()
     text.split(" ").toSeq match {
-      case Seq(f, cb, cs, "#") => Some(Fold(f.toLong, cb.toLong, cs.toLong))
+      // pre-delete-era markers carry no delete coverage: nothing folded
+      case Seq(f, cb, cs, "#") =>
+        Some(Fold(f.toLong, cb.toLong, cs.toLong, -1L))
+      case Seq(f, cb, cs, cd, "#") =>
+        Some(Fold(f.toLong, cb.toLong, cs.toLong, cd.toLong))
       case _ => throw new IllegalStateException(
         s"$dir/_folded is torn or malformed: '$text'")
     }
@@ -223,6 +249,72 @@ object DedupIndex {
     * the fold). */
   private def alreadyIngested(st: State, id: Long): Boolean =
     st.committed.contains(id) || st.fold.exists(_.covers(id))
+
+  /** A tombstone id counts as landed when its directory committed OR a
+    * fold already applied it (its doc_ids were physically dropped and
+    * the tombstone dir GC'd) — so a delete replay stays a no-op across
+    * a compact instead of re-masking ids the fold removed. */
+  private def deleteLanded(st: State, id: Long): Boolean =
+    st.deletes.contains(id) || st.fold.exists(_.coveredDelete >= id)
+
+  /** Next default tombstone id: one past the delete pool's high-water
+    * mark — live committed ids and the fold's applied coverage, so a
+    * GC'd folded id is never reallocated (a reallocation would
+    * false-positive the replay no-op check and silently drop a new
+    * takedown). */
+  private def nextDeleteId(st: State): Long =
+    math.max(st.deletes.lastOption.getOrElse(-1L),
+      st.fold.map(_.coveredDelete).getOrElse(-1L)) + 1L
+
+  /** The committed tombstone set as one distinct doc_id frame, or None
+    * when no tombstones exist — callers skip the anti-join entirely
+    * then, so a delete-free index keeps its exact pre-delete plan. */
+  private def deletedDocs(spark: SparkSession, fs: FileSystem,
+      dir: String, st: State): Option[DataFrame] = {
+    val withData = st.deletes
+      .filter(i => hasData(fs, s"${deletesRoot(dir)}/batch=$i"))
+    if (withData.isEmpty) None
+    else Some(spark.read.option("basePath", deletesRoot(dir))
+      .parquet(withData.map(i => s"${deletesRoot(dir)}/batch=$i"): _*)
+      .select(col("doc_id")).distinct())
+  }
+
+  /** Tombstone takedowns — the lifecycle verb that lets the index FORGET
+    * a document (license revocation, takedown, a dedup collapse): the
+    * doc_ids land as an idempotent `deletes/batch=<id>` directory (the
+    * [[VectorStore.delete]] discipline — commit = the parquet
+    * `_SUCCESS`) and every query anti-joins them out of the stored
+    * postings BEFORE candidate generation AND before the stop-bucket
+    * sizing, so a masked doc neither pairs nor counts toward any
+    * bucket's size — exactly the result of never having indexed it,
+    * and exactly what [[compact]]'s physical drop later makes true on
+    * disk (compact must be result-invisible).
+    *
+    * A tombstone is FINAL for its doc_id: it masks every stored row
+    * with that id, past and future ingests alike — re-ingest revived
+    * content under a fresh doc_id. Space is reclaimed offline by
+    * [[compact]] (postings and signatures dropped, tombstones GC'd,
+    * the applied coverage recorded in the `_folded` marker so replays
+    * stay no-ops); the serving path never rewrites data files.
+    *
+    * Replaying a landed explicit id — committed or already applied by a
+    * fold — is a no-op. Default ids take one past the delete pool's
+    * high-water mark; like the other pools, concurrent DEFAULT-id
+    * deletes need external serialization (explicit ids do not).
+    * Returns the id used. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      batchId: Long = -1L): Long = {
+    val fs = fsOf(spark, dir)
+    val st = readState(fs, dir)
+    if (batchId >= 0) require(batchId < StreamBatchBase,
+      s"explicit tombstone ids live in [0, $StreamBatchBase): $batchId")
+    val id = if (batchId >= 0) batchId else nextDeleteId(st)
+    if (deleteLanded(st, id)) return id
+    ids.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"${deletesRoot(dir)}/batch=$id")
+    id
+  }
 
   /** Frozen signature-family parameters, written once by [[write]]. */
   final case class Params(n: Int, numHashes: Int, numBands: Int,
@@ -403,10 +495,17 @@ object DedupIndex {
         bBanded.select(col("bb"), pmod(col("bb"),
           lit(p.bucketShards.toLong)).as("bbp")).distinct(),
         Seq("bbp", "bb"), "left_semi")
+    // tombstone mask BEFORE sizing and candidate generation: a deleted
+    // doc must neither pair nor count toward any bucket's stop-bucket
+    // size — the exact semantics compact's physical drop later makes
+    // true on disk (compact stays result-invisible). Keyed anti-join,
+    // skipped entirely when no tombstones exist (plan unchanged).
+    val live = deletedDocs(spark, fs, dir, st)
+      .fold(probed)(d => probed.join(d, Seq("doc_id"), "left_anti"))
     // stop-bucket guard on STORED posting counts: the filter above keeps
     // every stored row of each matched bucket, so the windowed count IS
     // the bucket's true stored size
-    val sized = probed
+    val sized = live
       .withColumn("psz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("bb"))))
@@ -556,6 +655,13 @@ object DedupIndex {
         fs.delete(new Path(s"${postingsRoot(dir)}/batch=$b"), true)
         fs.delete(new Path(s"${sigsRoot(dir)}/batch=$b"), true)
       }
+    // tombstones the fold APPLIED (doc_ids physically dropped) are spent
+    // — the marker's coveredDelete keeps their replays no-ops after the
+    // dirs are gone
+    listBatchDirs(fs, deletesRoot(dir))
+      .filter(_ <= f.coveredDelete)
+      .foreach(b =>
+        fs.delete(new Path(s"${deletesRoot(dir)}/batch=$b"), true))
   }
 
   /** Offline fold: rewrite the SERVING batch set as ONE fold batch and
@@ -589,9 +695,12 @@ object DedupIndex {
     val active = activeBatches(st)
       .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))
     val unfolded = active.filter(_ < FoldBase)
-    if (unfolded.isEmpty) {
-      // nothing new since the last fold: the corpus-sized rewrite would
-      // reproduce the existing fold under a fresh id for zero benefit
+    if (active.isEmpty || (unfolded.isEmpty && st.deletes.isEmpty)) {
+      // nothing new since the last fold AND no pending takedowns: the
+      // corpus-sized rewrite would reproduce the existing fold under a
+      // fresh id for zero benefit (an empty index additionally has
+      // nothing a tombstone could drop — its tombstones already mask
+      // nothing and stay until content exists to fold)
       st.fold.foreach(gcRetired(fs, dir, _))
       return
     }
@@ -601,20 +710,36 @@ object DedupIndex {
       math.max(st.fold.map(_.coveredBatch).getOrElse(-1L),
         unfolded.filter(_ < StreamBatchBase).lastOption.getOrElse(-1L)),
       math.max(st.fold.map(_.coveredStream).getOrElse(-1L),
-        unfolded.filter(isStreamId).lastOption.getOrElse(-1L)))
-    val banded = spark.read
+        unfolded.filter(isStreamId).lastOption.getOrElse(-1L)),
+      math.max(st.fold.map(_.coveredDelete).getOrElse(-1L),
+        st.deletes.lastOption.getOrElse(-1L)))
+    // the physical half of the tombstone contract: the fold is written
+    // with every tombstoned doc's postings AND signatures dropped —
+    // after the marker lands the serving path needs no anti-join for
+    // the applied ids, and the bytes are actually gone
+    val dead = deletedDocs(spark, fs, dir, st)
+    val banded0 = spark.read
       .option("basePath", postingsRoot(dir))
       .parquet(active.map(i => s"${postingsRoot(dir)}/batch=$i"): _*)
       .select(col("doc_id"), col("bb"))
-    val sigs = spark.read
+    val sigs0 = spark.read
       .option("basePath", sigsRoot(dir))
       .parquet(active.map(i => s"${sigsRoot(dir)}/batch=$i"): _*)
       .select(col("doc_id"), col("sig"))
+    val banded = dead.fold(banded0)(d =>
+      banded0.join(d, Seq("doc_id"), "left_anti"))
+    val sigs = dead.fold(sigs0)(d =>
+      sigs0.join(d, Seq("doc_id"), "left_anti"))
     writeBatch(spark, dir, newFold.id, sigs, banded, p)
-    // THE COMMIT: readers switch to the fold the moment this lands
-    graft.wri.WriFs.writeString(s"$dir/_folded",
-      s"${newFold.id} ${newFold.coveredBatch} ${newFold.coveredStream} #\n",
-      spark.sparkContext.hadoopConfiguration)
+    // THE COMMIT: readers switch to the fold the moment this lands.
+    // Atomic replace (tmp + overwrite-rename, or a single PUT on object
+    // stores): a second compact OVERWRITES the previous fold's marker,
+    // and a plain create-overwrite crashing mid-write would leave a
+    // torn marker that wedges every verb — with the retired inputs
+    // already GC'd, the coverage could not be reconstructed.
+    graft.wri.WriFs.atomicWriteString(fs, new Path(s"$dir/_folded"),
+      s"${newFold.id} ${newFold.coveredBatch} ${newFold.coveredStream} " +
+        s"${newFold.coveredDelete} #\n")
     gcRetired(fs, dir, newFold)
   }
 }

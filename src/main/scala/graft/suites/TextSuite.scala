@@ -86,6 +86,7 @@ object TextSuite {
     Q("q143_nfc_normalize", q143, Some(q143Sql)),
     Q("q153_dedup_index_query", q153, Some(dedupIndexSql)),
     Q("q154_dedup_index_ingest", q154, Some(dedupIndexSql)),
+    Q("q165_dedup_index_delete", q165, Some(dedupIndexDeleteSql)),
     Q("q155_remove_repeated_spans", q155, Some(q155Sql)),
     Q("q157_deterministic_shuffle", q157, Some(q157Sql)),
     Q("q158_leakage_safe_split", q158, Some(q158Sql)),
@@ -158,11 +159,39 @@ object TextSuite {
       .orderBy(col("batch_doc"), col("index_doc"))
   }
 
-  /** One oracle for both index queries: by the time the nightly batch is
-    * scored, the committed index holds the full documents table in both
-    * setups. Replays per-side signatures, banding, the CORPUS-side
+  private val deleteIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Takedown lifecycle ([[graft.ops.DedupIndex.delete]]): the whole
+    * corpus is indexed once, then every doc_id % 7 == 3 is tombstoned;
+    * the nightly batch scores against the MASKED index — a tombstoned
+    * doc neither pairs nor counts toward any bucket's stop-bucket size,
+    * exactly as if it had never been indexed. The oracle replays the
+    * full q153 pipeline with the tombstoned docs filtered out of the
+    * corpus side before banding, sizing, and scoring. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val dir = deleteIndexDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("dedupidx_d").toString
+      graft.ops.DedupIndex.write(s, Tables.documents(s, d), out)
+      graft.ops.DedupIndex.delete(s, out,
+        Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id")), batchId = 0L)
+      out
+    })
+    graft.ops.DedupIndex.queryPairs(s, dir, nightlyBatch(s, d))
+      .orderBy(col("batch_doc"), col("index_doc"))
+  }
+
+  /** One oracle for the index queries: by the time the nightly batch is
+    * scored, the committed index holds the full documents table (q153
+    * and q154), or the full table minus the tombstoned docs (q165 —
+    * `corpusWhere` filters the corpus side BEFORE banding, stop-bucket
+    * sizing, and scoring, replaying the mask-before-everything
+    * contract). Replays per-side signatures, banding, the CORPUS-side
     * bucket-size cap, candidate generation, and agreement scoring. */
-  private val dedupIndexSql =
+  private val dedupIndexSql = dedupIndexSqlWhere("TRUE")
+  private val dedupIndexDeleteSql = dedupIndexSqlWhere("doc_id % 7 <> 3")
+  private def dedupIndexSqlWhere(corpusWhere: String): String =
     s"""WITH batch AS (
        |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
        |  UNION ALL
@@ -183,7 +212,7 @@ object TextSuite {
        |      list_transform(string_split(t, ''),
        |        c -> CAST(unicode(c) AS BIGINT))),
        |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
-       |  FROM documents),
+       |  FROM documents WHERE $corpusWhere),
        |bg AS (SELECT doc_id,
        |    list_distinct(list_filter(
        |      list_transform(th, (x, i) ->

@@ -370,4 +370,111 @@ class DedupIndexSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("batch_doc", "index_doc", "est_jaccard") && out.isEmpty)
   }
+
+  // ---- takedown tombstones (DedupIndex.delete) --------------------------
+
+  private lazy val takedownIds =
+    docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+
+  test("delete masks tombstoned docs out of queries AND ingests — " +
+      "exactly as if they were never indexed") {
+    val d = tmp("didx_del")
+    DedupIndex.write(spark, docs, d)
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    val masked = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    val twinDir = tmp("didx_del_twin")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 7 =!= 3), twinDir)
+    val twin = pairSet(DedupIndex.queryPairs(spark, twinDir, batch))
+    assert(masked == twin,
+      s"masked query drifted from the never-indexed twin: " +
+        s"${masked.size} vs ${twin.size} pairs")
+    assert(masked != pairSet(DedupIndex.queryPairs(spark, fullIndexDir,
+      batch)), "the takedown set produced no maskable pairs — test inert")
+    // ingest shares the masked scoring core
+    val ing = pairSet(DedupIndex.ingest(spark, d, batch, batchId = 1L))
+    assert(ing == twin, "ingest paired against tombstoned docs")
+  }
+
+  test("a stop-bucket drops back under the cap when deletes shrink its " +
+      "stored size (mask happens BEFORE sizing)") {
+    val d = tmp("didx_del_hot")
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val hot = (0L until 51L).map(i => (i, same)).toDF("doc_id", "text")
+    DedupIndex.write(spark, hot, d)
+    val probe = Seq((100L, same)).toDF("doc_id", "text")
+    // 51 stored > cap 50: stop-bucket, nothing pairs
+    assert(DedupIndex.queryPairs(spark, d, probe).isEmpty)
+    DedupIndex.delete(spark, d, Seq(0L).toDF("doc_id"))
+    // 50 LIVE rows: the bucket serves again — a mask applied after the
+    // sizing would still count 51 and keep the bucket stopped
+    assert(DedupIndex.queryPairs(spark, d, probe).count() == 50L,
+      "deleted rows still counted toward the stop-bucket size")
+  }
+
+  test("delete replays are no-ops for explicit ids; default ids " +
+      "allocate past the pool") {
+    val d = tmp("didx_del_replay")
+    DedupIndex.write(spark, docs, d)
+    assert(DedupIndex.delete(spark, d, takedownIds, batchId = 0L) == 0L)
+    val before = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    val dirs0 = new java.io.File(s"$d/deletes").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(DedupIndex.delete(spark, d, takedownIds, batchId = 0L) == 0L)
+    assert(new java.io.File(s"$d/deletes").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq == dirs0,
+      "replayed delete landed a second tombstone dir")
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == before)
+    // default id continues the delete pool
+    assert(DedupIndex.delete(spark, d,
+      docs.limit(1).select($"doc_id")) == 1L)
+  }
+
+  test("compact physically drops tombstoned docs, clears spent " +
+      "tombstones, and keeps results + replay no-ops") {
+    val d = tmp("didx_del_cpt")
+    DedupIndex.write(spark, docs, d)
+    DedupIndex.ingest(spark, d, batch, batchId = 1L)
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    val probe = batch.select($"doc_id" + 300000L as "doc_id", $"text")
+    val before = pairSet(DedupIndex.queryPairs(spark, d, probe))
+    DedupIndex.compact(spark, d)
+    assert(pairSet(DedupIndex.queryPairs(spark, d, probe)) == before,
+      "compact with tombstones changed query results")
+    // PHYSICAL drop: the folded layout holds no tombstoned doc anywhere
+    assert(spark.read.parquet(s"$d/sigs")
+      .filter($"doc_id" % 7 === 3 && $"doc_id" < 20000L).isEmpty,
+      "tombstoned signatures survived the fold")
+    assert(spark.read.parquet(s"$d/postings")
+      .filter($"doc_id" % 7 === 3 && $"doc_id" < 20000L).isEmpty,
+      "tombstoned postings survived the fold")
+    // spent tombstone dirs are GC'd...
+    val delDirs = Option(new java.io.File(s"$d/deletes").listFiles())
+      .map(_.map(_.getName).filter(_.startsWith("batch=")).toSeq)
+      .getOrElse(Seq.empty)
+    assert(delDirs.isEmpty, s"spent tombstones survived compact: $delDirs")
+    // ...and a replayed delete of an APPLIED id stays a no-op (the
+    // marker's coveredDelete), so it cannot re-mask a re-ingested world
+    assert(DedupIndex.delete(spark, d, takedownIds, batchId = 0L) == 0L)
+    assert(Option(new java.io.File(s"$d/deletes").listFiles())
+      .forall(_.isEmpty), "applied delete id was re-landed after compact")
+    // default delete ids continue past the applied coverage
+    assert(DedupIndex.delete(spark, d,
+      docs.limit(1).select($"doc_id")) == 1L)
+  }
+
+  test("a compact with ONLY pending takedowns (no new batches since the " +
+      "fold) still applies them") {
+    val d = tmp("didx_del_only")
+    DedupIndex.write(spark, docs, d)
+    DedupIndex.compact(spark, d)
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    DedupIndex.compact(spark, d)
+    assert(spark.read.parquet(s"$d/sigs")
+      .filter($"doc_id" % 7 === 3).isEmpty,
+      "takedown-only compact skipped the fold rewrite")
+    val twinDir = tmp("didx_del_only_twin")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 7 =!= 3), twinDir)
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) ==
+      pairSet(DedupIndex.queryPairs(spark, twinDir, batch)))
+  }
 }

@@ -15,19 +15,19 @@ object Bucketing {
     * buckets, so joins can merge without sorting either). Drops any
     * previous table AND its orphaned location first — a location left by
     * another session isn't in this catalog, and overwrite alone fails
-    * with LOCATION_ALREADY_EXISTS. */
+    * with LOCATION_ALREADY_EXISTS. The orphan sweep goes through the
+    * warehouse path's OWN Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * (the WriFs seam), so an `hdfs://` or object-store warehouse works
+    * the same as a local one. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = java.nio.file.Paths.get(warehouse, table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val loc = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/" + table
+    val fs = graft.wri.WriFs.fs(loc,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(loc), true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -29,25 +29,37 @@ object Skew {
       .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
 
   /** Salted equi-join for a skewed big side: each big-side row gets a
-    * deterministic salt in [0, buckets); the small side replicates
-    * `buckets` times (one copy per salt) so the join key becomes
-    * (key, salt) and a hot key's rows spread over `buckets` reducers
-    * instead of melting one. Result-identical to
-    * `big.join(small, keyCol)` — replication only multiplies the
-    * SMALL side, every big-side row still matches exactly its key's
-    * copies.
+    * salt in [0, buckets); the small side replicates `buckets` times
+    * (one copy per salt) so the join key becomes (key, salt) and a hot
+    * key's rows spread over `buckets` reducers instead of melting one.
+    * Result-identical to `big.join(small, keyCol)` — replication only
+    * multiplies the SMALL side, every big-side row still matches
+    * exactly its key's copies.
+    *
+    * SALT CONTRACT: correctness never depends on WHICH salt a row gets
+    * (every value in [0, buckets) meets a small-side copy), only the
+    * spread does — so the default salt is the cheapest uniform one, a
+    * per-partition-seeded `rand`, NOT a hash of the whole row
+    * (big-side rows often carry wide payloads — text, code arrays —
+    * and hashing the payload per row buys nothing over a random
+    * spread). Pass `saltFrom` to pin the salt to named columns instead
+    * when a deterministic row→salt mapping matters (replaying a
+    * specific distribution, or salting consistently across two
+    * frames).
     *
     * This is the manual form of AQE's skew-join split, for the cases
     * AQE cannot see (skew introduced after the last stats boundary) or
     * when the small side is mid-sized: salting composes with a shuffle
     * join, not just broadcast. The `explode` replication is map work;
-    * the small side grows buckets-fold, which is the explicit,
-    * bounded price of the spread. */
+    * the small side grows buckets-fold, which is the explicit, bounded
+    * price of the spread. */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16, saltFrom: Seq[String] = Seq.empty): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    val saltedBig = big.withColumn("_salt",
-      salt(buckets, big.columns.map(col).toIndexedSeq: _*))
+    val saltExpr =
+      if (saltFrom.nonEmpty) salt(buckets, saltFrom.map(col): _*)
+      else floor(rand(0x5a17edL) * buckets).cast("int")
+    val saltedBig = big.withColumn("_salt", saltExpr)
     val replicated = small.withColumn("_salt",
       explode(array((0 until buckets).map(lit(_)): _*)))
     saltedBig.join(replicated, Seq(keyCol, "_salt")).drop("_salt")

@@ -47,6 +47,7 @@ object Relational {
     Q("q120_table_checksum", q120, Some(q120Sql)),
     Q("q131_orc_roundtrip", q131, Some(q131Sql)),
     Q("q137_salted_join", q137, Some(q137Sql)),
+    Q("q166_bucketed_join", q166, Some(q137Sql)),
     Q("q138_join_cardinality", q138, Some(q138Sql)),
     Q("q139_column_profile", q139, Some(q139Sql)),
     Q("q146_column_profile_approx", q146, Some(q146Sql))
@@ -170,6 +171,41 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val bucketedTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Bucketed co-located fact-fact join ([[graft.ops.Bucketing]]): the
+    * two fact slices are each written ONCE per corpus as bucketed
+    * managed tables on the join key (8 buckets, sorted within buckets),
+    * and every subsequent equi-join reads co-located buckets with NO
+    * shuffle exchange on either side (asserted in BucketingSpec /
+    * PlanSpec) — the pre-shuffle-once pattern for repeated fact-fact
+    * joins at 100 TB. Same aggregate and same PLAIN-join oracle as
+    * q137: the physical layout must be result-invisible, and the two
+    * queries cross-check each other against one oracle. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val (to, tl) = bucketedTables.getOrElseUpdate(d, {
+      val sfx = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val ot = s"g_bkt_orders_$sfx"
+      val lt = s"g_bkt_lineitem_$sfx"
+      graft.ops.Bucketing.writeBucketed(
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+        ot, "okey", 8)
+      graft.ops.Bucketing.writeBucketed(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_quantity")),
+        lt, "okey", 8)
+      (ot, lt)
+    })
+    graft.ops.Bucketing.bucketedJoin(s, to, tl, "okey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** ORC sink + source round-trip (SURVEY §2.1 interchange formats
     * beyond parquet/CSV/JSON): a lineitem slice is written to ORC, read

@@ -469,6 +469,39 @@ class AssemblySpec extends SparkSpec {
       "total loss must surface as all-missing rows")
   }
 
+  test("an empty writeShards input refuses BEFORE destroying the " +
+      "committed view") {
+    val out = java.nio.file.Files.createTempDirectory("shempty").toString
+    val d = tokDocs.select(col("doc_id"), col("tok"))
+    // fresh dir: plain refusal
+    intercept[IllegalArgumentException] {
+      Assembly.writeShards(d.limit(0), "doc_id", "tok", 2000L, 42L, out)
+    }
+    // committed dir: the refusal must fire before the markers die — a
+    // rebuild from an accidentally-empty frame (a broken upstream
+    // filter) must leave the store readable
+    val m1 = Assembly.writeShards(d, "doc_id", "tok", 2000L, 42L, out)
+      .collect().map(_.toSeq).toSet
+    intercept[IllegalArgumentException] {
+      Assembly.writeShards(d.limit(0), "doc_id", "tok", 2000L, 42L, out)
+    }
+    assert(Assembly.readManifest(spark, out)
+      .collect().map(_.toSeq).toSet == m1,
+      "refused empty rebuild still destroyed the committed view")
+  }
+
+  test("trainingOrder fails loudly when the id range would overflow the " +
+      "composite sample_id") {
+    val wide = tokDocs.withColumn("doc_id",
+      col("doc_id") + lit(Long.MaxValue / 10L))
+    val e = intercept[IllegalArgumentException] {
+      Assembly.trainingOrder(wide, "source", "doc_id", "tok",
+        epochWeights, 12000L, seed = 11L, maxEpochs = 1000L)
+    }
+    assert(e.getMessage.contains("overflows"),
+      s"overflow must be named, got: ${e.getMessage}")
+  }
+
   test("expandEpochs is deterministic in the seed") {
     val a = Assembly.expandEpochs(tokDocs, "source", "doc_id", "tok",
       epochWeights, 12000L, 11L).collect().map(_.toSeq).toSet

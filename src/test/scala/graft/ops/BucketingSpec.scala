@@ -26,4 +26,21 @@ class BucketingSpec extends SparkSpec {
     assert(Bucketing.isShuffleFree(agg),
       s"agg shuffled:\n${agg.queryExecution.executedPlan}")
   }
+
+  test("writeBucketed sweeps an orphaned table location through the " +
+      "warehouse path's own filesystem (the WriFs seam)") {
+    // a location left by another session is not in this catalog; the
+    // sweep must go through the warehouse's Hadoop FileSystem, not
+    // java.nio (an hdfs:// warehouse would throw on Paths.get)
+    val loc = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/orphan_b"
+    val fs = graft.wri.WriFs.fs(loc,
+      spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS orphan_b")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$loc/junk"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity").limit(10)
+    Bucketing.writeBucketed(li, "orphan_b", "l_orderkey", 4)
+    assert(spark.table("orphan_b").count() == 10)
+  }
 }

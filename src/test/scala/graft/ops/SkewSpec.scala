@@ -39,10 +39,29 @@ class SkewSpec extends SparkSpec {
     val j = Skew.saltedJoin(big, small, "key", buckets = 8)
     val p = j.queryExecution.executedPlan.toString
     assert(p.contains("_salt"), s"join did not include the salt key:\n$p")
-    // spread witness: the hot key's big rows land in several salt buckets
+    // spread witness on the DEFAULT salt (per-partition-seeded rand —
+    // the payload is never hashed): the hot key's rows land in several
+    // of the 8 buckets
     val spread = big.filter(col("key") === 1L)
-      .withColumn("s", Skew.salt(8, big.columns.map(col).toIndexedSeq: _*))
+      .withColumn("s", floor(rand(0x5a17edL) * 8).cast("int"))
       .select("s").distinct().count()
     assert(spread > 4, s"hot key only used $spread of 8 buckets")
+  }
+
+  test("saltFrom pins the salt to named columns, deterministically, and " +
+      "stays result-identical") {
+    val plain = big.join(small, Seq("key")).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val salted = Skew.saltedJoin(big, small, "key", buckets = 8,
+        saltFrom = Seq("v")).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain, "pinned salt must stay result-invisible")
+    // deterministic: the pinned salt is a pure function of the named
+    // column, stable across runs and repartitionings
+    val a = big.withColumn("s", Skew.salt(8, col("v")))
+      .select("v", "s").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = big.repartition(5).withColumn("s", Skew.salt(8, col("v")))
+      .select("v", "s").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b, "saltFrom salt must not depend on partitioning")
   }
 }

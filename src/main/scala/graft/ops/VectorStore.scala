@@ -280,6 +280,38 @@ object VectorStore {
     }
   }
 
+  /** The READ-ONLY twin of [[heal]] for pure-reader deployments (an
+    * analyst cluster holding read-only credentials must not fail its
+    * first query after a crashed retrain — and must never WRITE from a
+    * query): classifies pending maintenance instead of completing it.
+    *
+    *  - Nothing pending → nothing to do (the overwhelmingly common
+    *    case; identical to what heal's probes find).
+    *  - A crashed RENAME-mode retrain whose swap has not moved anything
+    *    yet (`_retrain_ready` present, all three staged components
+    *    still in staging, the serving codes root intact) → WARN and
+    *    serve the OLD incarnation: it is complete and self-consistent,
+    *    merely stale until a read-write verb completes the swap.
+    *  - Anything else (a swap that moved SOME components, or a compact
+    *    whose codes root is renamed aside) → fail LOUDLY: the store is
+    *    mid-flight and serving it read-only could mix incarnations. */
+  private def readOnlyHeal(fs: FileSystem, dir: String,
+      gen: Option[Long]): Unit = {
+    val marker = fs.exists(new Path(s"$dir/_retrain_ready"))
+    val codesOk = fs.exists(new Path(componentRoot(dir, "codes", gen)))
+    if (!marker && codesOk) return
+    val stagingIntact = Seq("codes", "centroids", "codebooks")
+      .forall(c => fs.exists(new Path(s"$dir/${c}_retrain")))
+    if (marker && stagingIntact && codesOk) {
+      System.err.println(s"WARN graft.VectorStore: $dir has a completed " +
+        "but unswapped retrain; serving the PREVIOUS incarnation " +
+        "(read-only session cannot heal — run any read-write verb once)")
+    } else throw new IllegalStateException(
+      s"$dir has pending maintenance a read-only session cannot " +
+        "complete (a compact/retrain swap is mid-flight); run any " +
+        "read-write verb once to heal, then retry")
+  }
+
   /** The swap half of RENAME-mode [[retrain]], idempotent so a crash
     * ANYWHERE inside it re-runs to completion from [[heal]]: once the
     * `_retrain_ready` marker exists, every staged component still
@@ -787,11 +819,12 @@ object VectorStore {
     * then one TakeOrderedAndProject. */
   def queryTopK(spark: SparkSession, dir: String, queryVec: Array[Float],
       k: Int, nprobe: Int = 2,
-      excludeVecId: Option[Long] = None): DataFrame = {
+      excludeVecId: Option[Long] = None,
+      readOnly: Boolean = false): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
     val fs = fsOf(spark, dir)
     val gen = currentGen(fs, dir)
-    heal(fs, dir, gen)
+    if (readOnly) readOnlyHeal(fs, dir, gen) else heal(fs, dir, gen)
     val (coarse, books) = readMeta(spark, dir, gen)
     val m = books.length
     val codebookSize = books.head.length
@@ -905,13 +938,14 @@ object VectorStore {
       k: Int, nprobe: Int = 2,
       broadcastProbes: Boolean = true,
       saltBuckets: Int = 16,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      readOnly: Boolean = false): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nprobe >= 1, s"need k >= 1 and nprobe >= 1: $k/$nprobe")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
     val fs = fsOf(spark, dir)
     val gen = currentGen(fs, dir)
-    heal(fs, dir, gen)
+    if (readOnly) readOnlyHeal(fs, dir, gen) else heal(fs, dir, gen)
     val (coarse, books) = readMeta(spark, dir, gen)
     val m = books.length
     val codebookSize = books.head.length

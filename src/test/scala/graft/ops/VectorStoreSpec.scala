@@ -472,6 +472,57 @@ class VectorStoreSpec extends SparkSpec {
       !new java.io.File(s"$dA/codes_retrain").exists())
   }
 
+  test("readOnly queries never heal: a staged-but-unswapped retrain " +
+      "serves the OLD incarnation; a mid-swap store refuses loudly") {
+    def rmr(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val dA = java.nio.file.Files.createTempDirectory("vecstore_ro").toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), dA)
+    def q(readOnly: Boolean) = VectorStore.queryTopK(spark, dA, queryVec,
+        k = 10, nprobe = 2, excludeVecId = Some(0L), readOnly = readOnly)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // clean store: readOnly answers exactly like the normal path
+    val old = q(readOnly = false)
+    assert(q(readOnly = true) == old)
+    // fabricate the crashed-retrain window: a NEW incarnation fully
+    // staged, marker down, nothing moved (the vecstore_rtcrash shape)
+    val dB = java.nio.file.Files.createTempDirectory("vecstore_ro_new")
+      .toString
+    VectorStore.write(spark, emb, dB)
+    val expect = VectorStore.queryTopK(spark, dB, queryVec, k = 10,
+      nprobe = 2, excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Seq("codes", "centroids", "codebooks").foreach { c =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dB/$c"),
+        java.nio.file.Paths.get(s"$dA/${c}_retrain"))
+    }
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dA/_retrain_ready"))
+    // readOnly: serves the OLD incarnation and mutates NOTHING
+    assert(q(readOnly = true) == old,
+      "readOnly query did not serve the intact old incarnation")
+    assert(new java.io.File(s"$dA/_retrain_ready").exists() &&
+      new java.io.File(s"$dA/codes_retrain").exists(),
+      "readOnly query wrote to the store")
+    // mid-swap (a crashed heal moved codes but not the rest): readOnly
+    // must refuse — serving would mix incarnations
+    rmr(s"$dA/codes")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dA/codes_retrain"),
+      java.nio.file.Paths.get(s"$dA/codes"))
+    intercept[IllegalStateException] { q(readOnly = true) }
+    // a read-write query completes the swap and serves the NEW store
+    assert(q(readOnly = false) == expect,
+      "read-write heal did not finish the mid-swap retrain")
+    assert(q(readOnly = true) == expect)
+  }
+
   test("nprobe widening only adds candidates — top-1 from full probe " +
       "is at least as close") {
     val narrow = VectorStore.queryTopK(spark, dir, queryVec, k = 1,

@@ -349,10 +349,6 @@ object Assembly {
       outDir: String): DataFrame =
     appendImpl(dfNew, idCol, tokensCol, outDir, checkOverlap = true)
 
-  /** [[appendShards]] body; `checkOverlap = false` skips the committed-
-    * id scan when the caller ([[appendShardsExactlyOnce]]) has already
-    * proven zero overlap — the scan is the append path's one full read
-    * of the store and must not run twice per micro-batch. */
   /** Max committed shard id as an Option — null-safe against an empty
     * manifest (agg(max) over zero rows yields one null row; a bare
     * getLong would NPE). One 1-row aggregate, never a manifest
@@ -361,6 +357,10 @@ object Assembly {
     Option(manifest.agg(max(col("shard_id"))).head.get(0))
       .map(_.asInstanceOf[Long])
 
+  /** [[appendShards]] body; `checkOverlap = false` skips the committed-
+    * id scan when the caller ([[appendShardsExactlyOnce]]) has already
+    * proven zero overlap — the scan is the append path's one full read
+    * of the store and must not run twice per micro-batch. */
   private def appendImpl(dfNew: DataFrame, idCol: String,
       tokensCol: String, outDir: String,
       checkOverlap: Boolean): DataFrame = {
@@ -663,7 +663,10 @@ object Assembly {
     // id range up front with one column-pruned min/max agg and fail
     // with the overflow named
     val lim = Long.MaxValue / (maxEpochs + 1L)
-    val mm = docs.agg(min(col(idCol)), max(col(idCol))).head
+    // cast first: an integer-typed id column would otherwise come back
+    // as a boxed Int here and CCE before the useful message
+    val mm = docs.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head
     Seq(0, 1).foreach { i =>
       Option(mm.get(i)).map(_.asInstanceOf[Long]).foreach(id =>
         require(id > -lim && id < lim,

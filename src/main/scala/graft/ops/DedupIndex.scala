@@ -253,9 +253,20 @@ object DedupIndex {
   /** A tombstone id counts as landed when its directory committed OR a
     * fold already applied it (its doc_ids were physically dropped and
     * the tombstone dir GC'd) — so a delete replay stays a no-op across
-    * a compact instead of re-masking ids the fold removed. */
-  private def deleteLanded(st: State, id: Long): Boolean =
-    st.deletes.contains(id) || st.fold.exists(_.coveredDelete >= id)
+    * a compact instead of re-masking ids the fold removed. A directory
+    * PRESENT but uncommitted is a crashed half-write and does NOT count
+    * even under the fold's coverage: [[gcRetired]] only sweeps
+    * COMMITTED tombstones, so the torn dir survives the compact and the
+    * replay legitimately overwrites it — without this, a crashed
+    * delete(batchId=k) followed by a compact that covered a LATER id
+    * would silently no-op k's replay and lose the takedown forever.
+    * (As in the ingest pools, explicit tombstone ids must be issued in
+    * increasing order for the coverage scalar to mean "applied".) */
+  private def deleteLanded(fs: FileSystem, dir: String, st: State,
+      id: Long): Boolean =
+    st.deletes.contains(id) ||
+      (st.fold.exists(_.coveredDelete >= id) &&
+        !fs.exists(new Path(s"${deletesRoot(dir)}/batch=$id")))
 
   /** Next default tombstone id: one past the delete pool's high-water
     * mark — live committed ids and the fold's applied coverage, so a
@@ -290,18 +301,26 @@ object DedupIndex {
     * and exactly what [[compact]]'s physical drop later makes true on
     * disk (compact must be result-invisible).
     *
-    * A tombstone is FINAL for its doc_id: it masks every stored row
-    * with that id, past and future ingests alike — re-ingest revived
-    * content under a fresh doc_id. Space is reclaimed offline by
-    * [[compact]] (postings and signatures dropped, tombstones GC'd,
-    * the applied coverage recorded in the `_folded` marker so replays
-    * stay no-ops); the serving path never rewrites data files.
+    * Tombstone lifetime: while LIVE (committed, not yet folded) it
+    * masks every stored row with its doc_id — past ingests and any
+    * ingest that lands while it stands. [[compact]] then makes the
+    * drop physical and RETIRES the tombstone (dir GC'd, the applied
+    * coverage recorded in the `_folded` marker so replays stay
+    * no-ops). A doc_id re-delivered AFTER that compact is a NEW
+    * document and will serve — a takedown that must also block future
+    * re-delivery of the same id needs an ingest-side guard (filter the
+    * nightly batch against the takedown list), not a tombstone; within
+    * one tombstone's lifetime, re-ingest revived content under a fresh
+    * doc_id. The serving path never rewrites data files.
     *
-    * Replaying a landed explicit id — committed or already applied by a
-    * fold — is a no-op. Default ids take one past the delete pool's
-    * high-water mark; like the other pools, concurrent DEFAULT-id
-    * deletes need external serialization (explicit ids do not).
-    * Returns the id used. */
+    * Replaying a landed explicit id — committed, or applied by a fold
+    * with no torn dir left behind — is a no-op; a crashed half-write
+    * survives even a covering compact precisely so its replay can land
+    * (see deleteLanded). Explicit ids must be issued in increasing
+    * order (the pools' discipline). Default ids take one past the
+    * delete pool's high-water mark; like the other pools, concurrent
+    * DEFAULT-id deletes need external serialization (explicit ids do
+    * not). Returns the id used. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       batchId: Long = -1L): Long = {
     val fs = fsOf(spark, dir)
@@ -309,7 +328,7 @@ object DedupIndex {
     if (batchId >= 0) require(batchId < StreamBatchBase,
       s"explicit tombstone ids live in [0, $StreamBatchBase): $batchId")
     val id = if (batchId >= 0) batchId else nextDeleteId(st)
-    if (deleteLanded(st, id)) return id
+    if (deleteLanded(fs, dir, st, id)) return id
     ids.select(col("doc_id").cast("long").as("doc_id"))
       .write.mode("overwrite")
       .parquet(s"${deletesRoot(dir)}/batch=$id")
@@ -560,6 +579,12 @@ object DedupIndex {
     * With an explicit `batchId`, a replay returns the SAME pairs even
     * after later same-pool batches commit — the scored index is exactly
     * the original run's — and re-lands the same files: fully idempotent.
+    * One deliberate exception: TOMBSTONES are not replay-scoped — a
+    * [[delete]] committed between the original run and the replay masks
+    * its docs out of the replayed score too (a takedown outranks replay
+    * stability; a consumer that must see the original pairs verbatim
+    * reads a persisted log — [[ingestStream]]'s once-only pair log is
+    * exactly that shield).
     * The batch's signatures are computed ONCE and shared by the scoring
     * and the append write. Default ids allocate one past the batch
     * pool's high-water mark and must not be replayed (a replay would
@@ -657,9 +682,12 @@ object DedupIndex {
       }
     // tombstones the fold APPLIED (doc_ids physically dropped) are spent
     // — the marker's coveredDelete keeps their replays no-ops after the
-    // dirs are gone
+    // dirs are gone. COMMITTED dirs only: a crashed delete's torn dir
+    // must survive so its replay can overwrite it instead of no-oping
+    // under the coverage scalar (see deleteLanded)
     listBatchDirs(fs, deletesRoot(dir))
-      .filter(_ <= f.coveredDelete)
+      .filter(b => b <= f.coveredDelete &&
+        fs.exists(new Path(s"${deletesRoot(dir)}/batch=$b/_SUCCESS")))
       .foreach(b =>
         fs.delete(new Path(s"${deletesRoot(dir)}/batch=$b"), true))
   }

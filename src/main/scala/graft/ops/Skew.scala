@@ -36,16 +36,22 @@ object Skew {
     * multiplies the SMALL side, every big-side row still matches
     * exactly its key's copies.
     *
-    * SALT CONTRACT: correctness never depends on WHICH salt a row gets
-    * (every value in [0, buckets) meets a small-side copy), only the
-    * spread does — so the default salt is the cheapest uniform one, a
-    * per-partition-seeded `rand`, NOT a hash of the whole row
-    * (big-side rows often carry wide payloads — text, code arrays —
-    * and hashing the payload per row buys nothing over a random
-    * spread). Pass `saltFrom` to pin the salt to named columns instead
-    * when a deterministic row→salt mapping matters (replaying a
-    * specific distribution, or salting consistently across two
-    * frames).
+    * SALT CONTRACT: result-wise, any salt value in [0, buckets) meets a
+    * small-side copy — but the salt must still be DETERMINISTIC UNDER
+    * TASK RETRY, because it is a shuffle-join key: a recomputed map
+    * task that re-drew different salts (rand, monotonically increasing
+    * ids — both re-draw when an upstream shuffle replays rows in a
+    * different fetch order) would route rows to reduce partitions that
+    * other reducers already fetched, silently duplicating or dropping
+    * them (the SPARK-23207 failure class). The default salt is
+    * therefore `hash(key, spark_partition_id())` — both inputs are
+    * recompute-stable, the row payload is never hashed (big-side rows
+    * often carry wide text/code arrays), and a hot key spreads as long
+    * as it spans input partitions, which any scanned or post-shuffle
+    * frame gives. Pass `saltFrom` to pin the salt to named columns
+    * instead when a row-level deterministic mapping matters (replaying
+    * a specific distribution, or a hot key confined to few input
+    * partitions).
     *
     * This is the manual form of AQE's skew-join split, for the cases
     * AQE cannot see (skew introduced after the last stats boundary) or
@@ -58,7 +64,7 @@ object Skew {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val saltExpr =
       if (saltFrom.nonEmpty) salt(buckets, saltFrom.map(col): _*)
-      else floor(rand(0x5a17edL) * buckets).cast("int")
+      else salt(buckets, col(keyCol), spark_partition_id())
     val saltedBig = big.withColumn("_salt", saltExpr)
     val replicated = small.withColumn("_salt",
       explode(array((0 until buckets).map(lit(_)): _*)))

@@ -302,7 +302,22 @@ object VectorStore {
     if (!marker && codesOk) return
     val stagingIntact = Seq("codes", "centroids", "codebooks")
       .forall(c => fs.exists(new Path(s"$dir/${c}_retrain")))
-    if (marker && stagingIntact && codesOk) {
+    // the pre-swap window only: finishRetrain rmTree's each serving
+    // target BEFORE renaming staging in, so "staging intact" alone does
+    // not prove the old incarnation is — a crash between a target's
+    // rmTree and its rename leaves staging present with that serving
+    // root gone (or half-gone). Require every serving root present AND
+    // still carrying its parquet job-commit marker (the small
+    // centroids/codebooks dirs delete markers-last often enough for
+    // this to catch a partial rmTree; a marker that survived a partial
+    // delete is the residual risk, and the read-write heal remains the
+    // real repair).
+    val servingIntact = Seq("codes", "centroids", "codebooks").forall { c =>
+      val root = componentRoot(dir, c, gen)
+      fs.exists(new Path(root)) &&
+        fs.exists(new Path(s"$root/_SUCCESS"))
+    }
+    if (marker && stagingIntact && servingIntact) {
       System.err.println(s"WARN graft.VectorStore: $dir has a completed " +
         "but unswapped retrain; serving the PREVIOUS incarnation " +
         "(read-only session cannot heal — run any read-write verb once)")

@@ -186,7 +186,12 @@ object Relational {
     * queries cross-check each other against one oracle. */
   private def q166(s: SparkSession, d: String): DataFrame = {
     val (to, tl) = bucketedTables.getOrElseUpdate(d, {
-      val sfx = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      // table names must be identifier-safe AND collision-free per
+      // corpus dir (String.hashCode collisions would silently repoint
+      // one corpus's cached tables at another's data): digest the dir
+      val sfx = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(d.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString
       val ot = s"g_bkt_orders_$sfx"
       val lt = s"g_bkt_lineitem_$sfx"
       graft.ops.Bucketing.writeBucketed(

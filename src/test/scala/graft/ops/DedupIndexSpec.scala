@@ -462,6 +462,34 @@ class DedupIndexSpec extends SparkSpec {
       docs.limit(1).select($"doc_id")) == 1L)
   }
 
+  test("a crashed (uncommitted) tombstone survives a covering compact, " +
+      "masks nothing meanwhile, and its replay still lands the takedown") {
+    val d = tmp("didx_del_torn")
+    DedupIndex.write(spark, docs, d)
+    // crashed delete of explicit id 0: data landed, commit marker gone
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    val m = new java.io.File(s"$d/deletes/batch=0/_SUCCESS")
+    assert(m.exists()); m.delete()
+    // a LATER delete commits and a compact applies it — its coverage
+    // (coveredDelete = 1) numerically spans the torn id 0
+    DedupIndex.delete(spark, d,
+      docs.filter($"doc_id" % 11 === 5).select($"doc_id"), batchId = 1L)
+    DedupIndex.compact(spark, d)
+    assert(new java.io.File(s"$d/deletes/batch=0").exists(),
+      "compact GC'd a torn tombstone — its replay would no-op forever")
+    val pre = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    // the replay of the crashed delete must LAND, not no-op under the
+    // fold's coverage scalar
+    assert(DedupIndex.delete(spark, d, takedownIds, batchId = 0L) == 0L)
+    val post = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    assert(post != pre, "replayed crashed tombstone did not mask anything")
+    val twinDir = tmp("didx_del_torn_twin")
+    DedupIndex.write(spark,
+      docs.filter($"doc_id" % 7 =!= 3 && $"doc_id" % 11 =!= 5), twinDir)
+    assert(post == pairSet(DedupIndex.queryPairs(spark, twinDir, batch)),
+      "post-replay mask drifted from the never-indexed twin")
+  }
+
   test("a compact with ONLY pending takedowns (no new batches since the " +
       "fold) still applies them") {
     val d = tmp("didx_del_only")

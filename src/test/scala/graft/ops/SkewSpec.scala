@@ -39,11 +39,13 @@ class SkewSpec extends SparkSpec {
     val j = Skew.saltedJoin(big, small, "key", buckets = 8)
     val p = j.queryExecution.executedPlan.toString
     assert(p.contains("_salt"), s"join did not include the salt key:\n$p")
-    // spread witness on the DEFAULT salt (per-partition-seeded rand —
-    // the payload is never hashed): the hot key's rows land in several
-    // of the 8 buckets
-    val spread = big.filter(col("key") === 1L)
-      .withColumn("s", floor(rand(0x5a17edL) * 8).cast("int"))
+    // spread witness on the DEFAULT salt (hash of key + partition id —
+    // recompute-stable, payload never hashed): the documented contract
+    // is that a hot key spreads WHEN it spans input partitions, the
+    // shape every scanned/post-shuffle frame has — a single-partition
+    // local relation is exactly the case saltFrom exists for
+    val spread = big.repartition(16).filter(col("key") === 1L)
+      .withColumn("s", Skew.salt(8, col("key"), spark_partition_id()))
       .select("s").distinct().count()
     assert(spread > 4, s"hot key only used $spread of 8 buckets")
   }

@@ -663,7 +663,21 @@ object Assembly {
     // id range up front with one column-pruned min/max agg and fail
     // with the overflow named
     val lim = Long.MaxValue / (maxEpochs + 1L)
-    // cast first: an integer-typed id column would otherwise come back
+    // integral ids only — a string or fractional id column would slip
+    // through a blind long-cast (nulls / truncation) and mute exactly
+    // the guard below, then build garbage composites downstream
+    val idType = docs.schema(idCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(integral,
+      s"trainingOrder: $idCol must be an integral column for the " +
+        s"composite sample_id arithmetic; got $idType")
+    // cast (now lossless): an IntegerType id would otherwise come back
     // as a boxed Int here and CCE before the useful message
     val mm = docs.agg(min(col(idCol).cast("long")),
       max(col(idCol).cast("long"))).head

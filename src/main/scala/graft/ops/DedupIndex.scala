@@ -671,7 +671,8 @@ object DedupIndex {
     * batch's postings delete and its sigs delete knocks it out of the
     * committed set, and a committed-only sweep would orphan the
     * surviving half forever. */
-  private def gcRetired(fs: FileSystem, dir: String, f: Fold): Unit = {
+  private def gcRetired(fs: FileSystem, dir: String, f: Fold,
+      deletesApplied: Seq[Long]): Unit = {
     val present = (listBatchDirs(fs, postingsRoot(dir)) ++
       listBatchDirs(fs, sigsRoot(dir))).distinct
     present
@@ -680,16 +681,28 @@ object DedupIndex {
         fs.delete(new Path(s"${postingsRoot(dir)}/batch=$b"), true)
         fs.delete(new Path(s"${sigsRoot(dir)}/batch=$b"), true)
       }
-    // tombstones the fold APPLIED (doc_ids physically dropped) are spent
-    // — the marker's coveredDelete keeps their replays no-ops after the
-    // dirs are gone. COMMITTED dirs only: a crashed delete's torn dir
-    // must survive so its replay can overwrite it instead of no-oping
-    // under the coverage scalar (see deleteLanded)
-    listBatchDirs(fs, deletesRoot(dir))
-      .filter(b => b <= f.coveredDelete &&
-        fs.exists(new Path(s"${deletesRoot(dir)}/batch=$b/_SUCCESS")))
-      .foreach(b =>
-        fs.delete(new Path(s"${deletesRoot(dir)}/batch=$b"), true))
+    // tombstones the fold APPLIED (doc_ids physically dropped) are
+    // spent — the marker's coveredDelete keeps their replays no-ops
+    // after the dirs are gone. Sweep ONLY ids from the caller's
+    // committed-at-capture snapshot, never a fresh filesystem probe: a
+    // crashed delete's torn dir must survive the compact (its replay
+    // still has to land — see deleteLanded), and that must hold even
+    // if the replay COMMITS while this compact runs (a re-probe would
+    // see it committed-and-covered and sweep a tombstone the fold
+    // never folded). And delete the commit marker LAST: a crash
+    // mid-sweep then leaves a still-committed remnant the next compact
+    // re-sweeps, instead of a torn dir indistinguishable from a
+    // never-landed delete.
+    deletesApplied.filter(_ <= f.coveredDelete).foreach { b =>
+      val p = new Path(s"${deletesRoot(dir)}/batch=$b")
+      if (fs.exists(p)) {
+        fs.listStatus(p)
+          .filter(_.getPath.getName != "_SUCCESS")
+          .foreach(s => fs.delete(s.getPath, true))
+        fs.delete(new Path(p, "_SUCCESS"), false)
+        fs.delete(p, true)
+      }
+    }
   }
 
   /** Offline fold: rewrite the SERVING batch set as ONE fold batch and
@@ -728,8 +741,12 @@ object DedupIndex {
       // corpus-sized rewrite would reproduce the existing fold under a
       // fresh id for zero benefit (an empty index additionally has
       // nothing a tombstone could drop — its tombstones already mask
-      // nothing and stay until content exists to fold)
-      st.fold.foreach(gcRetired(fs, dir, _))
+      // nothing and stay until content exists to fold). Tombstone dirs
+      // are never swept here — only the path that actually folded them
+      // may retire them (a committed tombstone under the old coverage
+      // could be a replay that landed after its torn dir survived a
+      // prior compact; its content still needs a fold).
+      st.fold.foreach(gcRetired(fs, dir, _, Seq.empty))
       return
     }
     val p = readParams(spark, dir)
@@ -768,6 +785,6 @@ object DedupIndex {
     graft.wri.WriFs.atomicWriteString(fs, new Path(s"$dir/_folded"),
       s"${newFold.id} ${newFold.coveredBatch} ${newFold.coveredStream} " +
         s"${newFold.coveredDelete} #\n")
-    gcRetired(fs, dir, newFold)
+    gcRetired(fs, dir, newFold, st.deletes)
   }
 }

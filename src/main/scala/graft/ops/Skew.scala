@@ -45,13 +45,15 @@ object Skew {
     * other reducers already fetched, silently duplicating or dropping
     * them (the SPARK-23207 failure class). The default salt is
     * therefore `hash(key, spark_partition_id())` — both inputs are
-    * recompute-stable, the row payload is never hashed (big-side rows
-    * often carry wide text/code arrays), and a hot key spreads as long
-    * as it spans input partitions, which any scanned or post-shuffle
-    * frame gives. Pass `saltFrom` to pin the salt to named columns
-    * instead when a row-level deterministic mapping matters (replaying
-    * a specific distribution, or a hot key confined to few input
-    * partitions).
+    * recompute-stable and the row payload is never hashed (big-side
+    * rows often carry wide text/code arrays). Its spread limit: a hot
+    * key spreads only across the input partitions it spans, so a frame
+    * PARTITIONED BY the join key (a groupBy/dedup output, an explicit
+    * repartition on the key) collapses each key to one salt and gets
+    * no spread at all. For those frames — or whenever a per-ROW
+    * deterministic spread is wanted — pass `saltFrom` naming one or
+    * more cheap high-cardinality columns (a unique id column is ideal:
+    * full spread, recompute-stable, payload still untouched).
     *
     * This is the manual form of AQE's skew-join split, for the cases
     * AQE cannot see (skew introduced after the last stats boundary) or

@@ -1031,7 +1031,12 @@ object VectorStore {
     // hot cell off a single reducer.
     val joined =
       if (broadcastProbes) scanned.join(broadcast(qprobe), Seq("cell"))
-      else Skew.saltedJoin(scanned, qprobe, "cell", saltBuckets)
+      // saltFrom = vec_id: per-ROW deterministic spread regardless of
+      // how the code rows are partitioned (the scan reads cell=
+      // directories, so a hot cell's rows could otherwise share the few
+      // partition ids of its splits), payload (codes) never hashed
+      else Skew.saltedJoin(scanned, qprobe, "cell", saltBuckets,
+        saltFrom = Seq("vec_id"))
     // per-query top-k through the BOUNDED aggregator, not a row_number
     // window: the window formulation shuffles and sorts EVERY scored
     // candidate (queries x probed-cell rows — at production scale, the

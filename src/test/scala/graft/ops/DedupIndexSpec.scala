@@ -490,6 +490,26 @@ class DedupIndexSpec extends SparkSpec {
       "post-replay mask drifted from the never-indexed twin")
   }
 
+  test("a crashed tombstone-GC remnant (marker-last sweep: still " +
+      "committed) is result-invisible, keeps replays no-ops, and is " +
+      "re-swept by the next compact") {
+    val d = tmp("didx_del_gcrem")
+    DedupIndex.write(spark, docs, d)
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    DedupIndex.compact(spark, d)
+    val before = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    // fabricate the crash window the marker-last sweep leaves: the
+    // applied tombstone's dir back on disk WITH its commit marker
+    takedownIds.write.mode("overwrite").parquet(s"$d/deletes/batch=0")
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == before,
+      "a committed remnant of an applied tombstone changed results")
+    assert(DedupIndex.delete(spark, d, takedownIds, batchId = 0L) == 0L)
+    DedupIndex.compact(spark, d)
+    assert(!new java.io.File(s"$d/deletes/batch=0").exists(),
+      "the next compact did not re-sweep the remnant")
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == before)
+  }
+
   test("a compact with ONLY pending takedowns (no new batches since the " +
       "fold) still applies them") {
     val d = tmp("didx_del_only")

@@ -35,19 +35,31 @@ class SkewSpec extends SparkSpec {
     assert(Skew.saltedJoin(big, dupSmall, "key", buckets = 4).count() == plain)
   }
 
-  test("saltedJoin joins on (key, salt): the hot key spreads") {
+  test("saltedJoin joins on (key, salt); the default salt spreads a " +
+      "hot key across the partitions it spans, collapses on a " +
+      "key-partitioned frame, and saltFrom restores full spread") {
     val j = Skew.saltedJoin(big, small, "key", buckets = 8)
     val p = j.queryExecution.executedPlan.toString
     assert(p.contains("_salt"), s"join did not include the salt key:\n$p")
-    // spread witness on the DEFAULT salt (hash of key + partition id —
-    // recompute-stable, payload never hashed): the documented contract
-    // is that a hot key spreads WHEN it spans input partitions, the
-    // shape every scanned/post-shuffle frame has — a single-partition
-    // local relation is exactly the case saltFrom exists for
-    val spread = big.repartition(16).filter(col("key") === 1L)
-      .withColumn("s", Skew.salt(8, col("key"), spark_partition_id()))
-      .select("s").distinct().count()
-    assert(spread > 4, s"hot key only used $spread of 8 buckets")
+    // the DEFAULT salt expression (hash of key + partition id —
+    // recompute-stable, payload never hashed) measured on the exact
+    // input shapes the docstring names
+    def spreadOf(df: org.apache.spark.sql.DataFrame,
+        s: org.apache.spark.sql.Column): Long =
+      df.filter(col("key") === 1L).withColumn("s", s)
+        .select("s").distinct().count()
+    val defaultSalt = Skew.salt(8, col("key"), spark_partition_id())
+    assert(spreadOf(big.repartition(16), defaultSalt) > 4,
+      "hot key spanning 16 partitions did not spread")
+    // the documented degradation: partitioned BY the key, one salt —
+    // the shape callers must hand to saltFrom instead
+    assert(spreadOf(big.repartition(col("key")), defaultSalt) == 1L)
+    assert(spreadOf(big.repartition(col("key")),
+      Skew.salt(8, col("v"))) > 4, "saltFrom did not restore the spread")
+    // and the degraded shape still joins result-correctly
+    val plain = big.join(small, Seq("key")).count()
+    assert(Skew.saltedJoin(big.repartition(col("key")), small, "key",
+      buckets = 8).count() == plain)
   }
 
   test("saltFrom pins the salt to named columns, deterministically, and " +

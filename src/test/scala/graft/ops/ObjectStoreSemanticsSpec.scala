@@ -113,6 +113,33 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       "stub recorded no renames at all — the tracking is inert")
   }
 
+  test("shard-store lifecycle on copy+delete-rename semantics: the " +
+      "_committed_vN exclusive-create commit and the exactly-once " +
+      "append hold") {
+    val localRoot = java.nio.file.Files
+      .createTempDirectory("objstub_shards").toString
+    val d = s"objstub://$localRoot"
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("tok", size(split($"text", " ")).cast("long"))
+      .select($"doc_id", $"tok")
+    Assembly.writeShards(toks.filter($"doc_id" % 3 === 0),
+      "doc_id", "tok", 4000L, 42L, d)
+    val b = toks.filter($"doc_id" % 3 === 1)
+    val m1 = Assembly.appendShardsExactlyOnce(b, "doc_id", "tok", d)
+      .collect().map(_.toSeq).toSet
+    // committed re-delivery no-ops on the object-store filesystem too
+    val m2 = Assembly.appendShardsExactlyOnce(b, "doc_id", "tok", d)
+      .collect().map(_.toSeq).toSet
+    assert(m2 == m1, "re-delivered batch was not a no-op on objstub")
+    // QA sweep green, totals definitional
+    assert(Assembly.validateShards(spark, d, "doc_id", "tok")
+      .filter(!$"ok").isEmpty)
+    val total = Assembly.readManifest(spark, d)
+      .agg(org.apache.spark.sql.functions.sum($"n_docs")).head.getLong(0)
+    assert(total ==
+      toks.filter($"doc_id" % 3 === 0 || $"doc_id" % 3 === 1).count())
+  }
+
   test("dedup-index lifecycle on copy+delete-rename semantics: the " +
       "atomic _folded marker rides the PUT fallback") {
     val localRoot = java.nio.file.Files

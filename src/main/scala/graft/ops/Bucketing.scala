@@ -28,7 +28,18 @@ object Bucketing {
     val fs = graft.wri.WriFs.fs(loc,
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(loc), true)
-    df.write.mode("overwrite")
+    // repartition on the key into exactly `buckets` partitions: the
+    // repartition hash IS the bucket hash (Murmur3 pmod buckets), so
+    // each task holds exactly one bucket and writes ONE file for it.
+    // One file per bucket is what lets the scan report the sortBy
+    // ordering back to the planner (Spark refuses to claim sorted
+    // output over multiple files per bucket) — without it every
+    // bucketed join re-sorts both sides and half the layout's dividend
+    // is lost. At 100 TB this means sizing `buckets` so a single
+    // bucket file stays manageable (e.g. 1-4 GB), which the layout
+    // wants anyway.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
@@ -36,12 +47,38 @@ object Bucketing {
   }
 
   /** Equi-join two bucketed tables on their bucket key. With matching
-    * bucket counts Spark plans a shuffle-free SortMergeJoin. */
+    * bucket counts Spark plans a shuffle-free SortMergeJoin; with
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (and the
+    * one-file-per-bucket layout [[writeBucketed]] produces) the
+    * pre-sorted bucket files also elide both Sort nodes — the full
+    * co-located shape BucketingSpec pins. */
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
-  /** True when the executed plan contains no shuffle exchange. */
+  /** True when the executed plan contains no `Exchange` of ANY kind —
+    * shuffle (hash OR range partitioning), broadcast, or a reused one.
+    * Grepping only `Exchange hashpartitioning` passes trivially on a
+    * broadcast join even over unbucketed tables, so it pins nothing. */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Matches a standalone `Sort` plan node (tree prefix + optional
+    * codegen `*(n)` marker), but never `SortMergeJoin` — letters are
+    * excluded from the prefix class and the literal needs `Sort [`. */
+  private val SortNode = """(?m)^[\s:+\-*()\d]*Sort \[""".r
+
+  /** True when `df` plans (and, under AQE, STAYS at runtime) the
+    * co-located bucketed merge join this module exists to produce: a
+    * `SortMergeJoin` with ZERO `Exchange` nodes — no shuffle of either
+    * side, no broadcast — and ZERO `Sort` nodes above the scans (the
+    * `sortBy` dividend: bucket files are pre-sorted, so the merge reads
+    * them as-is). Runs the frame first so the inspected adaptive plan is
+    * the FINAL one, not the initial proposal AQE may still rewrite. */
+  def isColocatedMergeJoin(df: DataFrame): Boolean = {
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("SortMergeJoin") && !plan.contains("Exchange") &&
+      SortNode.findFirstIn(plan).isEmpty
+  }
 }

@@ -273,6 +273,19 @@ object Dev {
           ops.DedupIndex.write(spark, docs32x, out)
           out
         }
+        // the takedown serving shape: the same 32x index with ~14% of the
+        // corpus tombstoned (LIVE tombstones, not yet compacted) — the
+        // q165 serving path, whose cost question is "is the mask ~free?"
+        // vs the tombstone-free probe above
+        lazy val dedupIdx32xMasked = {
+          val out = java.nio.file.Files.createTempDirectory("didx32xm")
+            .toString
+          ops.DedupIndex.write(spark, docs32x, out)
+          ops.DedupIndex.delete(spark, out,
+            docs32x.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+            batchId = 0L)
+          out
+        }
         // a shard store grown by 200 tiny exactly-once appends — the
         // nightly-for-seven-months shape: the QA sweep must stay one
         // distributed scan of the shard files no matter how many
@@ -307,6 +320,27 @@ object Dev {
           ("dedup_index_query_32x", "32x-doc index, same 1x batch (~flat in corpus)",
             () => ops.DedupIndex.queryPairs(spark, dedupIdx32x, nightly1x,
               maxBucketSize = 1600).count()),
+          ("dedup_index_query_masked_32x", "32x index, ~14% tombstoned, same 1x batch (mask cost vs the row above)",
+            () => ops.DedupIndex.queryPairs(spark, dedupIdx32xMasked,
+              nightly1x, maxBucketSize = 1600).count()),
+          ("dedup_index_write_32x", "fresh 32x index write each pass (control for the compact probe)",
+            () => {
+              val out = java.nio.file.Files
+                .createTempDirectory("didx32xw").toString
+              ops.DedupIndex.write(spark, docs32x, out)
+              spark.read.parquet(s"$out/sigs").count()
+            }),
+          ("dedup_index_compact_postdelete_32x", "fresh 32x write + 14% takedown + compact each pass (compact marginal = this minus the write control)",
+            () => {
+              val out = java.nio.file.Files
+                .createTempDirectory("didx32xc").toString
+              ops.DedupIndex.write(spark, docs32x, out)
+              ops.DedupIndex.delete(spark, out,
+                docs32x.filter(col("doc_id") % 7 === 0)
+                  .select(col("doc_id")), batchId = 0L)
+              ops.DedupIndex.compact(spark, out)
+              spark.read.parquet(s"$out/sigs").count()
+            }),
           ("incremental_rescan_32x", "32x corpus re-shingled, same 1x batch (linear)",
             () => ops.Dedup.incrementalNearDups(docs32x, nightly1x).count()),
           ("remove_repeated_spans", "8x dup docs",
@@ -834,6 +868,19 @@ object Dev {
             .foreach(_.unpersist(blocking = true))
           time(s"q128 isolated (pass $pass)")(
             SparkEntry.queries("q128_tpch_potential_promotion")(spark, sfDir)
+              .count())
+        }
+      case "q40iso" =>
+        // the multimodal decode path's isolated number (round-10 bench
+        // showed a 1.47x drift on untouched code — the ambient class).
+        // Steady state = passes 2-3. Historical isolated steady state on
+        // this box: ~0.25-0.35 s at sf0.1 (recorded round 11).
+        (1 to 3).foreach { pass =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          time(s"q40 isolated (pass $pass)")(
+            SparkEntry.queries("q40_multimodal_features")(spark, sfDir)
               .count())
         }
       case "q23" =>

@@ -228,22 +228,13 @@ object Assembly {
     * thus the previous consistent view) in place. */
   private def committedVersion(fs: org.apache.hadoop.fs.FileSystem,
       outDir: String): Option[Long] =
-    markerVersions(fs, outDir).maxOption
+    Commit.maxVersion(fs, outDir, MarkerPrefix)
 
-  /** All numeric `_committed_vN` versions present. Non-numeric suffixes
-    * (a tool's `._COPYING_` temp, an editor backup) are ignored rather
-    * than crashing every entry point with a parse error. */
+  /** All numeric `_committed_vN` versions present (non-numeric suffixes
+    * ignored — see [[Commit.versions]]). */
   private def markerVersions(fs: org.apache.hadoop.fs.FileSystem,
-      outDir: String): Seq[Long] = {
-    val dir = new Path(outDir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .filter(_.startsWith(MarkerPrefix))
-      .map(_.stripPrefix(MarkerPrefix))
-      .filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong)
-      .toSeq
-  }
+      outDir: String): Seq[Long] =
+    Commit.versions(fs, outDir, MarkerPrefix)
 
   /** (budget, seed) pinned at write time so appends cannot silently
     * shard with different parameters. */

@@ -35,28 +35,44 @@ import org.apache.spark.storage.StorageLevel
   *                      by doc_id mod bucket_shards, so the verify join
   *                      back prunes to the candidates' shards.
   *   deletes/batch=<d>/ (doc_id) tombstones — [[delete]]'s takedown
-  *                      verb; committed dirs mask their doc_ids out of
-  *                      every query (before candidate generation AND
-  *                      the stop-bucket sizing) until [[compact]]
-  *                      physically drops the rows and GC's the dirs.
+  *                      verb ([[deleteStream]] lands micro-batches the
+  *                      same way under the delete-STREAM pool);
+  *                      committed dirs mask their doc_ids out of every
+  *                      query (before candidate generation AND the
+  *                      stop-bucket sizing) until [[compact]] physically
+  *                      drops the rows and GC's the dirs.
+  *   deletes/_landing_<d>  the tombstone's FIRST durable action: a
+  *                      [[delete]] that crashes before any parquet lands
+  *                      still leaves this probe-able witness, so a later
+  *                      compact advancing the pool's coverage past `d`
+  *                      can never turn `d`'s replay into a silent no-op
+  *                      (the takedown would be lost forever). Removed by
+  *                      the GC that retires the applied tombstone.
   *   _folded            [[compact]]'s marker:
   *                      `<foldId> <coveredBatch> <coveredStream>
-  *                      <coveredDelete> #` — fold batches (ids >=
-  *                      [[FoldBase]]) hold the folded content of every
-  *                      BATCH-pool id <= coveredBatch and every
-  *                      STREAM-pool id <= coveredStream (coverage is
-  *                      tracked PER POOL — a single scalar would let a
-  *                      folded stream id mark every smaller batch-pool
-  *                      id as ingested and silently swallow its data),
-  *                      with every DELETE-pool id <= coveredDelete
-  *                      already applied; folds are invisible until this
-  *                      marker names them. Written atomically (replace,
-  *                      not create-overwrite) — a reader sees the old
-  *                      or the new marker, never a torn one.
+  *                      <coveredDelete> <coveredDeleteStream> #` — fold
+  *                      batches (ids >= [[FoldBase]]) hold the folded
+  *                      content of every BATCH-pool id <= coveredBatch
+  *                      and every STREAM-pool id <= coveredStream
+  *                      (coverage is tracked PER POOL — a single scalar
+  *                      would let a folded stream id mark every smaller
+  *                      batch-pool id as ingested and silently swallow
+  *                      its data), with every batch-pool tombstone <=
+  *                      coveredDelete and every stream-pool tombstone <=
+  *                      coveredDeleteStream already applied (same
+  *                      per-pool reasoning); folds are invisible until
+  *                      this marker names them. Written atomically
+  *                      (replace, not create-overwrite) — a reader sees
+  *                      the old or the new marker, never a torn one; a
+  *                      filesystem that broke even that contract is
+  *                      classified (heal / read-only serve / refuse) by
+  *                      [[Commit.read]]'s tmp recovery.
   *   pairs/batch=<b>/   [[ingestStream]]'s pair log — one idempotent
   *                      directory per micro-batch, written ONCE (a
   *                      committed log is never overwritten).
-  *   _stream_checkpoint [[ingestStream]]'s default checkpoint.
+  *   _stream_checkpoint [[ingestStream]]'s default checkpoint
+  *                      (`_delete_stream_checkpoint` is
+  *                      [[deleteStream]]'s).
   *
   * Ingest idempotence is COMMIT-based, exactly as the vector store's: a
   * batch id counts as committed only when BOTH its postings and sigs
@@ -168,15 +184,24 @@ object DedupIndex {
 
   /** The `_folded` marker's content: fold `id` holds the folded content
     * of every batch-pool id <= coveredBatch and every stream-pool id <=
-    * coveredStream, with every delete-pool id <= coveredDelete already
-    * APPLIED (their doc_ids physically dropped, their tombstone dirs
-    * GC'd). Coverage is PER POOL: ids are allocated independently in
-    * each pool, so one scalar cannot order them. */
+    * coveredStream, with every batch-pool tombstone <= coveredDelete and
+    * every stream-pool tombstone <= coveredDeleteStream already APPLIED
+    * (their doc_ids physically dropped, their tombstone dirs GC'd).
+    * Coverage is PER POOL everywhere: ids are allocated independently in
+    * each pool, so one scalar cannot order them — for deletes too, or a
+    * folded [[deleteStream]] micro-batch (ids at StreamBatchBase+) would
+    * mark every smaller batch-pool tombstone as applied and silently
+    * drop a crashed takedown's replay. */
   private final case class Fold(id: Long, coveredBatch: Long,
-      coveredStream: Long, coveredDelete: Long) {
+      coveredStream: Long, coveredDelete: Long, coveredDeleteStream: Long) {
     def covers(b: Long): Boolean =
       if (b < StreamBatchBase) b <= coveredBatch
       else if (b < FoldBase) b <= coveredStream
+      else false
+    /** Applied coverage for a tombstone id, routed by ITS pool. */
+    def coversDelete(d: Long): Boolean =
+      if (d < StreamBatchBase) d <= coveredDelete
+      else if (d < FoldBase) d <= coveredDeleteStream
       else false
   }
 
@@ -186,8 +211,9 @@ object DedupIndex {
   private final case class State(committed: Seq[Long], fold: Option[Fold],
       deletes: Seq[Long])
 
-  private def readState(fs: FileSystem, dir: String): State =
-    State(committedBatches(fs, dir), foldInfo(fs, dir),
+  private def readState(fs: FileSystem, dir: String,
+      readOnly: Boolean = false): State =
+    State(committedBatches(fs, dir), foldInfo(fs, dir, readOnly),
       committedDeletes(fs, dir))
 
   /** Committed tombstone batch ids: the delete dir's own `_SUCCESS`. */
@@ -197,25 +223,52 @@ object DedupIndex {
         fs.exists(new Path(s"${deletesRoot(dir)}/batch=$b/_SUCCESS")))
       .sorted
 
-  /** The `_folded` marker, written LAST by [[compact]] — its write IS
-    * the fold's commit. */
-  private def foldInfo(fs: FileSystem, dir: String): Option[Fold] = {
-    val p = new Path(s"$dir/_folded")
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try {
-      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(0L, bytes)
-      new String(bytes, "UTF-8").trim
-    } finally in.close()
-    text.split(" ").toSeq match {
-      // pre-delete-era markers carry no delete coverage: nothing folded
+  /** Parse a complete `_folded` marker; None = torn or malformed.
+    * Earlier-era markers (3 or 4 fields) carry no delete / no
+    * stream-delete coverage: nothing of that pool folded yet. */
+  private def parseFold(text: String): Option[Fold] =
+    scala.util.Try(text.trim.split(" ").toSeq match {
       case Seq(f, cb, cs, "#") =>
-        Some(Fold(f.toLong, cb.toLong, cs.toLong, -1L))
+        Some(Fold(f.toLong, cb.toLong, cs.toLong, -1L, -1L))
       case Seq(f, cb, cs, cd, "#") =>
-        Some(Fold(f.toLong, cb.toLong, cs.toLong, cd.toLong))
-      case _ => throw new IllegalStateException(
-        s"$dir/_folded is torn or malformed: '$text'")
+        Some(Fold(f.toLong, cb.toLong, cs.toLong, cd.toLong, -1L))
+      case Seq(f, cb, cs, cd, cds, "#") =>
+        Some(Fold(f.toLong, cb.toLong, cs.toLong, cd.toLong, cds.toLong))
+      case _ => None
+    }).toOption.flatten
+
+  /** The `_folded` marker, written LAST by [[compact]] — its write IS
+    * the fold's commit. A TORN marker (a filesystem that broke the
+    * atomic-replace contract, e.g. a crash inside the create-overwrite
+    * fallback) is classified instead of wedging every verb
+    * ([[Commit.read]]): when the replace's sibling tmp holds the
+    * complete intended content — and it always does on the fallback
+    * path, which writes the tmp first — the default (read-write) mode
+    * HEALS by re-replacing the marker (the fold content itself
+    * committed before the marker write began, so the recovered marker
+    * is simply the commit completing), while `readOnly` mode — a
+    * pure-reader session that must not write — WARNs and serves the
+    * recovered fold view without touching disk. With no recoverable
+    * tmp both modes refuse loudly: the old marker was overwritten and
+    * its retired inputs may be GC'd, so no consistent coverage can be
+    * reconstructed. */
+  private def foldInfo(fs: FileSystem, dir: String,
+      readOnly: Boolean = false): Option[Fold] = {
+    val p = new Path(s"$dir/_folded")
+    Commit.read(fs, p, t => parseFold(t).isDefined) match {
+      case Commit.Absent => None
+      case Commit.Intact(t) => parseFold(t)
+      case Commit.Recovered(t) =>
+        if (readOnly)
+          System.err.println(s"WARN graft.DedupIndex: $dir/_folded is " +
+            "torn; serving the fold recovered from its sibling tmp " +
+            "(read-only session cannot heal — run any read-write verb " +
+            "once)")
+        else Commit.replace(fs, p, t)
+        parseFold(t)
+      case Commit.Lost => throw new IllegalStateException(
+        s"$dir/_folded is torn and unrecoverable (no complete sibling " +
+          "tmp); the fold coverage cannot be reconstructed")
     }
   }
 
@@ -250,32 +303,57 @@ object DedupIndex {
   private def alreadyIngested(st: State, id: Long): Boolean =
     st.committed.contains(id) || st.fold.exists(_.covers(id))
 
+  /** The tombstone's landing witness — see the layout doc. A FILE (not
+    * a `batch=` directory), so the batch listings never see it. */
+  private def landingMarker(dir: String, id: Long): Path =
+    new Path(s"${deletesRoot(dir)}/_landing_$id")
+
   /** A tombstone id counts as landed when its directory committed OR a
     * fold already applied it (its doc_ids were physically dropped and
     * the tombstone dir GC'd) — so a delete replay stays a no-op across
-    * a compact instead of re-masking ids the fold removed. A directory
-    * PRESENT but uncommitted is a crashed half-write and does NOT count
-    * even under the fold's coverage: [[gcRetired]] only sweeps
-    * COMMITTED tombstones, so the torn dir survives the compact and the
-    * replay legitimately overwrites it — without this, a crashed
-    * delete(batchId=k) followed by a compact that covered a LATER id
-    * would silently no-op k's replay and lose the takedown forever.
+    * a compact instead of re-masking ids the fold removed. Two witnesses
+    * rebut "applied" under a covering fold:
+    *  - a directory PRESENT but uncommitted is a crashed half-write
+    *    ([[gcRetired]] only sweeps COMMITTED tombstones, so the torn dir
+    *    survives the compact) and the replay legitimately overwrites it;
+    *  - a `_landing_<id>` marker with NO directory at all is a delete
+    *    that crashed before any parquet landed — common on object
+    *    stores, where an empty "directory" leaves no object. [[delete]]
+    *    writes the marker as its FIRST durable action precisely so this
+    *    window is probe-able; without it, a crashed delete(batchId=k)
+    *    followed by a compact covering a LATER id would silently no-op
+    *    k's replay and lose the takedown forever.
     * (As in the ingest pools, explicit tombstone ids must be issued in
     * increasing order for the coverage scalar to mean "applied".) */
   private def deleteLanded(fs: FileSystem, dir: String, st: State,
       id: Long): Boolean =
     st.deletes.contains(id) ||
-      (st.fold.exists(_.coveredDelete >= id) &&
-        !fs.exists(new Path(s"${deletesRoot(dir)}/batch=$id")))
+      (st.fold.exists(_.coversDelete(id)) &&
+        !fs.exists(new Path(s"${deletesRoot(dir)}/batch=$id")) &&
+        !fs.exists(landingMarker(dir, id)))
 
-  /** Next default tombstone id: one past the delete pool's high-water
-    * mark — live committed ids and the fold's applied coverage, so a
-    * GC'd folded id is never reallocated (a reallocation would
-    * false-positive the replay no-op check and silently drop a new
-    * takedown). */
+  /** Next default tombstone id: one past the delete BATCH pool's
+    * high-water mark — live committed ids and the fold's applied
+    * coverage, so a GC'd folded id is never reallocated (a reallocation
+    * would false-positive the replay no-op check and silently drop a
+    * new takedown). Stream-pool tombstone ids never advance it (the
+    * ingest pools' discipline). */
   private def nextDeleteId(st: State): Long =
-    math.max(st.deletes.lastOption.getOrElse(-1L),
+    math.max(
+      st.deletes.filter(_ < StreamBatchBase).lastOption.getOrElse(-1L),
       st.fold.map(_.coveredDelete).getOrElse(-1L)) + 1L
+
+  /** Land tombstone `id`: the landing marker FIRST (the durable witness
+    * that keeps a crashed delete replayable across covering compacts —
+    * see [[deleteLanded]]), then the doc_ids as one parquet directory
+    * whose `_SUCCESS` is the commit. */
+  private def landTombstone(fs: FileSystem, dir: String, ids: DataFrame,
+      id: Long): Unit = {
+    Commit.replace(fs, landingMarker(dir, id), s"$id\n")
+    ids.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"${deletesRoot(dir)}/batch=$id")
+  }
 
   /** The committed tombstone set as one distinct doc_id frame, or None
     * when no tombstones exist — callers skip the anti-join entirely
@@ -308,19 +386,27 @@ object DedupIndex {
     * coverage recorded in the `_folded` marker so replays stay
     * no-ops). A doc_id re-delivered AFTER that compact is a NEW
     * document and will serve — a takedown that must also block future
-    * re-delivery of the same id needs an ingest-side guard (filter the
-    * nightly batch against the takedown list), not a tombstone; within
-    * one tombstone's lifetime, re-ingest revived content under a fresh
-    * doc_id. The serving path never rewrites data files.
+    * re-delivery of the same id needs the ingest-side STANDING guard
+    * ([[ingest]]/[[append]]'s `takedownIds` filter), not a tombstone;
+    * within one tombstone's lifetime, re-ingest revived content under a
+    * fresh doc_id. The serving path never rewrites data files.
+    * One crash-window exception to "re-delivered after the compact
+    * serves": a compact whose GC crashed mid-sweep can leave a
+    * committed tombstone remnant, and its surviving doc_ids stay
+    * masked until the NEXT compact re-sweeps it — a re-delivered id
+    * may be over-masked in that window, never under-masked.
     *
     * Replaying a landed explicit id — committed, or applied by a fold
-    * with no torn dir left behind — is a no-op; a crashed half-write
-    * survives even a covering compact precisely so its replay can land
-    * (see deleteLanded). Explicit ids must be issued in increasing
-    * order (the pools' discipline). Default ids take one past the
-    * delete pool's high-water mark; like the other pools, concurrent
-    * DEFAULT-id deletes need external serialization (explicit ids do
-    * not). Returns the id used. */
+    * with no witness left behind — is a no-op; a crashed half-write
+    * survives even a covering compact precisely so its replay can land,
+    * whether the crash left a torn directory or NO directory at all
+    * (the `_landing_<id>` marker is the first durable action here and
+    * is what makes the no-dir crash probe-able — see [[deleteLanded]]).
+    * Explicit ids must be issued in increasing order (the pools'
+    * discipline). Default ids take one past the delete pool's
+    * high-water mark; like the other pools, concurrent DEFAULT-id
+    * deletes need external serialization (explicit ids do not).
+    * Returns the id used. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       batchId: Long = -1L): Long = {
     val fs = fsOf(spark, dir)
@@ -329,10 +415,45 @@ object DedupIndex {
       s"explicit tombstone ids live in [0, $StreamBatchBase): $batchId")
     val id = if (batchId >= 0) batchId else nextDeleteId(st)
     if (deleteLanded(fs, dir, st, id)) return id
-    ids.select(col("doc_id").cast("long").as("doc_id"))
-      .write.mode("overwrite")
-      .parquet(s"${deletesRoot(dir)}/batch=$id")
+    landTombstone(fs, dir, ids, id)
     id
+  }
+
+  /** Streaming takedowns — [[delete]]'s foreachBatch twin, mirroring
+    * [[ingestStream]]'s discipline: every micro-batch of a doc_id
+    * stream lands as one idempotent tombstone directory under the
+    * delete-STREAM pool (`batchBase + microBatchId`, ids in
+    * `[StreamBatchBase, FoldBase)` like the ingest stream's), so a
+    * replayed micro-batch no-ops through the usual landed check — across
+    * covering compacts too, because fold coverage is PER POOL (the
+    * marker's fifth field) and a folded stream tombstone never marks
+    * smaller batch-pool tombstones as applied. Each landing writes the
+    * `_landing_<id>` witness first, so a micro-batch that crashes before
+    * any parquet lands replays instead of being silently swallowed.
+    *
+    * The checkpoint lives INSIDE the index by default for the same
+    * reason [[ingestStream]]'s does — a temp checkpoint would restart
+    * micro-batch numbering at 0 and every already-landed id would
+    * silently swallow new takedowns. Returns the started query; one
+    * active delete stream per index. */
+  def deleteStream(spark: SparkSession, dir: String, idStream: DataFrame,
+      batchBase: Long = StreamBatchBase,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(batchBase >= StreamBatchBase && batchBase < FoldBase,
+      s"batchBase must be in [$StreamBatchBase, $FoldBase): $batchBase")
+    idStream.writeStream
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$dir/_delete_stream_checkpoint"))
+      .foreachBatch { (df: DataFrame, mb: Long) =>
+        val id = batchBase + mb
+        val fs = fsOf(spark, dir)
+        val st = readState(fs, dir)
+        if (!deleteLanded(fs, dir, st, id)) landTombstone(fs, dir, df, id)
+        ()
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
   }
 
   /** Frozen signature-family parameters, written once by [[write]]. */
@@ -416,19 +537,37 @@ object DedupIndex {
         s"(fold-range directories are never served and the next " +
         s"compact's GC deletes them): $id")
 
+  /** The ingest-side STANDING takedown guard: a tombstone only masks
+    * rows stored within its lifetime — a doc_id re-delivered AFTER the
+    * compact that applied its tombstone is a NEW document by contract
+    * and will index and serve. A compliance pipeline that must block
+    * future re-delivery of a taken-down id keeps a standing takedown
+    * list and passes it here: the batch is anti-joined on `doc_id`
+    * BEFORE signing, so a blocked doc never produces postings,
+    * signatures or pairs (one keyed anti-join against a list that is
+    * tiny relative to the batch — broadcast in practice). */
+  private def guardTakedowns(batch: DataFrame,
+      takedownIds: Option[DataFrame]): DataFrame =
+    takedownIds.fold(batch)(t =>
+      batch.join(t.select(col("doc_id").cast("long").as("doc_id")),
+        Seq("doc_id"), "left_anti"))
+
   /** Add `batch` under `batchId` (default: one past the batch pool's
     * high-water mark) without querying. Replaying an ingested explicit
     * id — committed or already folded by [[compact]] — is a no-op.
+    * `takedownIds` is the standing guard (see [[guardTakedowns]]).
     * Returns the id used. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-      batchId: Long = -1L, textCol: String = "text"): Long = {
+      batchId: Long = -1L, textCol: String = "text",
+      takedownIds: Option[DataFrame] = None): Long = {
     val fs = fsOf(spark, dir)
     val st = readState(fs, dir)
     if (batchId >= 0) requireIngestId(batchId)
     val id = if (batchId >= 0) batchId else nextBatchId(st)
     if (alreadyIngested(st, id)) return id
     val p = readParams(spark, dir)
-    val (sigs, banded) = sigAndBand(batch, textCol, p)
+    val (sigs, banded) = sigAndBand(guardTakedowns(batch, takedownIds),
+      textCol, p)
     writeBatch(spark, dir, id, sigs, banded, p)
     sigs.unpersist()
     id
@@ -455,14 +594,21 @@ object DedupIndex {
     *
     * Eager contract as [[Dedup.minHashCandidatePairs]]: the default
     * materializes the bounded pair result and releases the batch-sized
-    * signature cache; `eager = false` keeps the plan inspectable. */
+    * signature cache; `eager = false` keeps the plan inspectable.
+    *
+    * `readOnly = true` is the pure-reader session (the
+    * [[VectorStore.queryTopK]] discipline): this verb never writes data,
+    * but the default mode would HEAL a torn `_folded` marker by
+    * re-replacing it — read-only classifies instead (WARN and serve the
+    * recovered fold, refuse loudly only when genuinely unrecoverable;
+    * see [[foldInfo]]). */
   def queryPairs(spark: SparkSession, dir: String, batch: DataFrame,
       textCol: String = "text", minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 50, probeCap: Int = 4096,
-      beforeBatchId: Long = Long.MaxValue, eager: Boolean = true)
-      : DataFrame = {
+      beforeBatchId: Long = Long.MaxValue, eager: Boolean = true,
+      readOnly: Boolean = false): DataFrame = {
     val fs = fsOf(spark, dir)
-    val st = readState(fs, dir)
+    val st = readState(fs, dir, readOnly)
     val p = readParams(spark, dir)
     val (bSigs, bBanded) = sigAndBand(batch, textCol, p)
     val out = queryPairsImpl(spark, dir, fs, st, p, bSigs, bBanded,
@@ -589,17 +735,21 @@ object DedupIndex {
     * and the append write. Default ids allocate one past the batch
     * pool's high-water mark and must not be replayed (a replay would
     * land under a fresh id, like the vector store's batch-mode
-    * appends). */
+    * appends). `takedownIds` is the standing guard (see
+    * [[guardTakedowns]]): blocked docs are dropped BEFORE signing, so
+    * they neither pair nor land. */
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long = -1L, textCol: String = "text",
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 50,
-      probeCap: Int = 4096): DataFrame = {
+      probeCap: Int = 4096, takedownIds: Option[DataFrame] = None)
+      : DataFrame = {
     val fs = fsOf(spark, dir)
     val st = readState(fs, dir)
     if (batchId >= 0) requireIngestId(batchId)
     val id = if (batchId >= 0) batchId else nextBatchId(st)
     val p = readParams(spark, dir)
-    val (sigs, banded) = sigAndBand(batch, textCol, p)
+    val (sigs, banded) = sigAndBand(guardTakedowns(batch, takedownIds),
+      textCol, p)
     val pairs = queryPairsImpl(spark, dir, fs, st, p, sigs, banded,
       minEstJaccard, maxBucketSize, probeCap, beforeBatchId = id,
       eager = true)
@@ -632,7 +782,8 @@ object DedupIndex {
       docStream: DataFrame, textCol: String = "text",
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 50,
       batchBase: Long = StreamBatchBase,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      takedownIds: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(batchBase >= StreamBatchBase && batchBase < FoldBase,
       s"batchBase must be in [$StreamBatchBase, $FoldBase): $batchBase")
@@ -648,7 +799,8 @@ object DedupIndex {
         val batchDone = alreadyIngested(st, id)
         if (!logDone || !batchDone) {
           val p = readParams(spark, dir)
-          val (sigs, banded) = sigAndBand(df, textCol, p)
+          val (sigs, banded) =
+            sigAndBand(guardTakedowns(df, takedownIds), textCol, p)
           if (!logDone) {
             val pairs = queryPairsImpl(spark, dir, fs, st, p, sigs,
               banded, minEstJaccard, maxBucketSize, probeCap = 4096,
@@ -682,18 +834,23 @@ object DedupIndex {
         fs.delete(new Path(s"${sigsRoot(dir)}/batch=$b"), true)
       }
     // tombstones the fold APPLIED (doc_ids physically dropped) are
-    // spent — the marker's coveredDelete keeps their replays no-ops
-    // after the dirs are gone. Sweep ONLY ids from the caller's
+    // spent — the marker's per-pool delete coverage keeps their replays
+    // no-ops after the dirs are gone. Sweep ONLY ids from the caller's
     // committed-at-capture snapshot, never a fresh filesystem probe: a
     // crashed delete's torn dir must survive the compact (its replay
     // still has to land — see deleteLanded), and that must hold even
     // if the replay COMMITS while this compact runs (a re-probe would
     // see it committed-and-covered and sweep a tombstone the fold
-    // never folded). And delete the commit marker LAST: a crash
-    // mid-sweep then leaves a still-committed remnant the next compact
-    // re-sweeps, instead of a torn dir indistinguishable from a
-    // never-landed delete.
-    deletesApplied.filter(_ <= f.coveredDelete).foreach { b =>
+    // never folded). Order inside the sweep: the _landing_ witness
+    // FIRST (a crash right after leaves a committed, witness-less dir —
+    // replays no-op off the commit, and the next compact re-sweeps it),
+    // then data files, then the commit marker LAST: a crash mid-sweep
+    // leaves a still-committed remnant the next compact re-sweeps,
+    // instead of a torn dir indistinguishable from a never-landed
+    // delete. (The delete() docstring documents the remnant's
+    // over-masking window.)
+    deletesApplied.filter(f.coversDelete).foreach { b =>
+      fs.delete(landingMarker(dir, b), false)
       val p = new Path(s"${deletesRoot(dir)}/batch=$b")
       if (fs.exists(p)) {
         fs.listStatus(p)
@@ -757,7 +914,9 @@ object DedupIndex {
       math.max(st.fold.map(_.coveredStream).getOrElse(-1L),
         unfolded.filter(isStreamId).lastOption.getOrElse(-1L)),
       math.max(st.fold.map(_.coveredDelete).getOrElse(-1L),
-        st.deletes.lastOption.getOrElse(-1L)))
+        st.deletes.filter(_ < StreamBatchBase).lastOption.getOrElse(-1L)),
+      math.max(st.fold.map(_.coveredDeleteStream).getOrElse(-1L),
+        st.deletes.filter(isStreamId).lastOption.getOrElse(-1L)))
     // the physical half of the tombstone contract: the fold is written
     // with every tombstoned doc's postings AND signatures dropped —
     // after the marker lands the serving path needs no anti-join for
@@ -782,9 +941,9 @@ object DedupIndex {
     // and a plain create-overwrite crashing mid-write would leave a
     // torn marker that wedges every verb — with the retired inputs
     // already GC'd, the coverage could not be reconstructed.
-    graft.wri.WriFs.atomicWriteString(fs, new Path(s"$dir/_folded"),
+    Commit.replace(fs, new Path(s"$dir/_folded"),
       s"${newFold.id} ${newFold.coveredBatch} ${newFold.coveredStream} " +
-        s"${newFold.coveredDelete} #\n")
+        s"${newFold.coveredDelete} ${newFold.coveredDeleteStream} #\n")
     gcRetired(fs, dir, newFold, st.deletes)
   }
 }

@@ -99,14 +99,8 @@ object VectorStore {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  private def readSmallFile(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(0L, bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-  }
+  private def readSmallFile(fs: FileSystem, p: Path): String =
+    Commit.readSmall(fs, p)
 
   /** Replace `path` with `content` ATOMICALLY — scheme-aware: object
     * stores get the direct single-PUT (their rename is copy+delete, the
@@ -182,22 +176,12 @@ object VectorStore {
     * truncated trailing id as a smaller, wrong id — which would falsely
     * mark that batch committed and silently no-op its legitimate
     * replay. */
-  private def readLedger(fs: FileSystem, root: String): Set[Long] = {
-    val main = ledgerOf(root)
-    if (!fs.exists(main)) return Set.empty
-    val lines = readSmallFile(fs, main).split("\n").filter(_.nonEmpty)
-    val ids = lines.takeWhile(!_.startsWith("#")).map(_.toLong).toSet
-    require(lines.lastOption.contains(s"#${ids.size}"),
-      s"corrupt ledger $main: missing or mismatched '#<count>' sentinel")
-    ids
-  }
+  private def readLedger(fs: FileSystem, root: String): Set[Long] =
+    Commit.readSealedIds(fs, ledgerOf(root))
 
   private def writeLedger(fs: FileSystem, root: String,
-      ids: Set[Long]): Unit = {
-    val all = ids.toSeq.sorted
-    atomicWriteString(fs, ledgerOf(root),
-      all.map(_.toString).mkString("", "\n", "\n") + s"#${all.size}\n")
-  }
+      ids: Set[Long]): Unit =
+    Commit.writeSealedIds(fs, ledgerOf(root), ids)
 
   /** Replace the ledger with `old ∪ ids` (atomic, see
     * [[atomicWriteString]]). */

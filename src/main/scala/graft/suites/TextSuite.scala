@@ -95,7 +95,8 @@ object TextSuite {
     Q("q161_epoch_expand", q161, Some(q161Sql)),
     Q("q162_shard_append", q162, Some(q162Sql)),
     Q("q163_training_order", q163, Some(q163Sql)),
-    Q("q164_validate_shards", q164, Some(q164Sql))
+    Q("q164_validate_shards", q164, Some(q164Sql)),
+    Q("q167_takedown_compliance", q167, None, Some(q167Oracle))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -264,6 +265,90 @@ object TextSuite {
        |  JOIN bsig sa ON sa.doc_id = batch_doc
        |  JOIN csig sb ON sb.doc_id = index_doc)
        |WHERE est_jaccard >= 0.5 ORDER BY batch_doc, index_doc""".stripMargin
+
+  // ---- end-to-end takedown compliance (both retrieval stores) ----------
+
+  private val complianceDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** The auditor's composition, end to end across BOTH disk-backed
+    * retrieval layers: ingest the corpus into the dedup index AND the
+    * vector store, take down a document set in each
+    * ([[graft.ops.DedupIndex.delete]] / [[graft.ops.VectorStore.delete]]),
+    * serve MASKED, reclaim physically ([[graft.ops.DedupIndex.compact]] /
+    * [[graft.ops.VectorStore.compact]]), and prove nothing resurfaces:
+    * the build asserts masked serving == post-reclaim serving in both
+    * stores and that no taken-down id appears, then the query returns
+    * the post-reclaim serving of both layers as one audit table. Each
+    * half is oracled on its own (q165, q150); THIS query pins the
+    * composition — the oracle replays the dedup half corpus-filtered
+    * before banding/sizing/scoring and the vector half with tombstoned
+    * ids dropped from the candidate universe. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    def dedupServe(di: String): DataFrame =
+      graft.ops.DedupIndex.queryPairs(s, di, nightlyBatch(s, d))
+    def vecServe(vd: String): DataFrame = {
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).as[Array[Float]].head()
+      graft.ops.VectorStore.queryTopK(s, vd, qv, k = 10, nprobe = 2,
+        excludeVecId = Some(0L))
+    }
+    val (di, vd) = complianceDirs.getOrElseUpdate(d, {
+      val di0 = java.nio.file.Files
+        .createTempDirectory("takedown_didx").toString
+      graft.ops.DedupIndex.write(s, docs, di0)
+      graft.ops.DedupIndex.delete(s, di0,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        batchId = 0L)
+      val vd0 = java.nio.file.Files
+        .createTempDirectory("takedown_vstore").toString
+      graft.ops.VectorStore.write(s, emb, vd0)
+      graft.ops.VectorStore.delete(s, vd0,
+        emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")))
+      // masked serving, audited BEFORE the physical reclaim
+      val dPre = dedupServe(di0).collect().map(_.toSeq).toSet
+      val vPre = vecServe(vd0).collect().map(_.toSeq).toSet
+      graft.ops.DedupIndex.compact(s, di0)
+      graft.ops.VectorStore.compact(s, vd0)
+      val dPost = dedupServe(di0).collect().map(_.toSeq).toSet
+      val vPost = vecServe(vd0).collect().map(_.toSeq).toSet
+      require(dPost == dPre,
+        "takedown audit: dedup-index serving changed across the reclaim")
+      require(vPost == vPre,
+        "takedown audit: vector-store serving changed across the reclaim")
+      require(dPost.forall(r => r(1).asInstanceOf[Long] % 7 != 3),
+        "takedown audit: a taken-down doc_id resurfaced in dedup pairs")
+      require(vPost.forall(r => r.head.asInstanceOf[Long] % 10 != 3),
+        "takedown audit: a taken-down vec_id resurfaced in the top-k")
+      (di0, vd0)
+    })
+    dedupServe(di).select(
+        lit("dedup_index").as("store"), col("batch_doc").as("probe_id"),
+        col("index_doc").as("hit_id"), col("est_jaccard").as("score"))
+      .unionByName(vecServe(vd).select(
+        lit("vector_store").as("store"), lit(0L).as("probe_id"),
+        col("vec_id").as("hit_id"), col("approx_d2").as("score")))
+      .orderBy(col("store"), col("probe_id"), col("hit_id"))
+  }
+
+  /** Both halves' definitional replays, unioned: the dedup side is the
+    * q165 oracle (corpus filtered BEFORE banding, stop-bucket sizing and
+    * scoring), the vector side is the q150 replay (tombstoned ids
+    * dropped from the candidate universe) — compact is result-invisible
+    * in both stores, so the post-reclaim serving must pin to the same
+    * values. */
+  private def q167Oracle(s: SparkSession, d: String): String =
+    s"""SELECT store, probe_id, hit_id, score FROM (
+       |  SELECT 'dedup_index' AS store, batch_doc AS probe_id,
+       |         index_doc AS hit_id, est_jaccard AS score
+       |  FROM ($dedupIndexDeleteSql)
+       |  UNION ALL
+       |  SELECT 'vector_store', CAST(0 AS BIGINT), vec_id, approx_d2
+       |  FROM (${VectorSuite.q150Oracle(s, d)})
+       |) ORDER BY store, probe_id, hit_id""".stripMargin
 
   /** Corpus-level repeated-span removal ([[Dedup.removeRepeatedSpans]]):
     * a 9-token footer injected into every third document guarantees

@@ -225,7 +225,11 @@ object VectorSuite {
       excludeVecId = Some(0L))
   }
 
-  private def q150Oracle(s: SparkSession, d: String): String = {
+  /** Shared with [[TextSuite]]'s q167 composition: the vector half of
+    * the takedown-compliance oracle is exactly this replay (compact is
+    * result-invisible, so the post-reclaim serving pins to the same
+    * tombstone-filtered ranking). */
+  private[suites] def q150Oracle(s: SparkSession, d: String): String = {
     import s.implicits._
     val embSel = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))

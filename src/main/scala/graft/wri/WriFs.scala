@@ -79,6 +79,31 @@ object WriFs {
     "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
     "cosn", "swift", "o3fs", "ofs")
 
+  /** Hadoop configuration key extending [[ObjectStoreSchemes]]: a
+    * comma-separated list of additional schemes to treat as
+    * object-store-like. The static allowlist cannot name every store
+    * (cos, obs, tos, lakefs, a viewfs wrapper routing to s3a, vendor
+    * forks) and a miss routes the marker replace through the
+    * FileContext rename — on such stores the non-atomic copy+delete
+    * this helper exists to avoid. Deployments extend the set with
+    * `--conf spark.hadoop.graft.fs.objectstore.schemes=cos,obs`. */
+  val ObjectStoreSchemesKey = "graft.fs.objectstore.schemes"
+
+  /** Treat `fs` as an object store when its scheme is in the static
+    * allowlist, the [[ObjectStoreSchemesKey]] extension, or the
+    * filesystem SELF-REPORTS eventual-consistency directory semantics
+    * via the Hadoop path-capability probe (the strongest signal: it
+    * follows wrapper filesystems like viewfs to the real store, no
+    * configuration needed where the store's connector declares it). */
+  private def isObjectStore(fs: FileSystem, path: Path,
+      scheme: String): Boolean =
+    ObjectStoreSchemes.contains(scheme) ||
+      fs.getConf.getTrimmedStrings(ObjectStoreSchemesKey)
+        .exists(_.toLowerCase(java.util.Locale.ROOT) == scheme) ||
+      (try fs.hasPathCapability(path,
+        "fs.capability.directory.listing.inconsistent")
+      catch { case _: Exception => false })
+
   /** Replace `path` with `content` ATOMICALLY under the target
     * filesystem's own semantics, so a concurrent reader sees the old
     * complete file or the new complete file — never a missing or torn
@@ -98,7 +123,7 @@ object WriFs {
     }
     val scheme = Option(fs.getUri.getScheme)
       .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
-    if (ObjectStoreSchemes.contains(scheme)) put()
+    if (isObjectStore(fs, path, scheme)) put()
     else {
       val tmp = new Path(path.getParent, path.getName + ".tmp")
       val out = fs.create(tmp, true)

@@ -525,4 +525,174 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) ==
       pairSet(DedupIndex.queryPairs(spark, twinDir, batch)))
   }
+
+  test("a delete that crashed BEFORE any parquet landed (no directory at " +
+      "all) still replays after a covering compact — the _landing_ " +
+      "witness closes the no-dir window") {
+    val d = tmp("didx_del_nodir")
+    DedupIndex.write(spark, docs, d)
+    // fabricate the object-store crash shape: the landing marker is the
+    // first durable action, the parquet never landed, so NO batch dir
+    // exists (on a real object store an "empty directory" is no object)
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    graft.wri.WriFs.fs(d, spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$d/deletes/batch=0"), true)
+    assert(new java.io.File(s"$d/deletes/_landing_0").exists(),
+      "delete did not land its witness first — the window is open")
+    // a LATER takedown commits and a compact applies it: coveredDelete=1
+    // numerically spans the crashed id 0
+    DedupIndex.delete(spark, d,
+      docs.filter($"doc_id" % 11 === 5).select($"doc_id"), batchId = 1L)
+    DedupIndex.compact(spark, d)
+    assert(new java.io.File(s"$d/deletes/_landing_0").exists(),
+      "compact GC'd the crashed delete's witness — its replay would " +
+        "no-op forever and the takedown would be lost")
+    // the replay must LAND, not no-op under the fold's coverage
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    assert(new java.io.File(s"$d/deletes/batch=0/_SUCCESS").exists(),
+      "replay of the no-dir crashed delete was swallowed")
+    val twinDir = tmp("didx_del_nodir_twin")
+    DedupIndex.write(spark,
+      docs.filter($"doc_id" % 7 =!= 3 && $"doc_id" % 11 =!= 5), twinDir)
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) ==
+      pairSet(DedupIndex.queryPairs(spark, twinDir, batch)),
+      "replayed takedown did not mask")
+  }
+
+  test("deleteStream equals its batch twin, replays as a no-op, and " +
+      "lands under the delete-stream pool") {
+    val d = tmp("didx_delstream")
+    DedupIndex.write(spark, docs, d)
+    val src = tmp("didx_delstream_src")
+    takedownIds.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run() = {
+      val q = DedupIndex.deleteStream(spark, d,
+        spark.readStream.schema(schema).parquet(src))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val streamDir =
+      s"$d/deletes/batch=${DedupIndex.StreamBatchBase}"
+    assert(new java.io.File(s"$streamDir/_SUCCESS").exists(),
+      "stream tombstone did not land in the delete-stream pool")
+    val masked = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    val twinDir = tmp("didx_delstream_twin")
+    DedupIndex.write(spark, docs, twinDir)
+    DedupIndex.delete(spark, twinDir, takedownIds, batchId = 0L)
+    assert(masked == pairSet(DedupIndex.queryPairs(spark, twinDir, batch)),
+      "stream takedown drifted from its batch twin")
+    // checkpoint replay of the committed micro-batch is a no-op
+    val dataBefore = spark.read.parquet(streamDir).count()
+    val commit = new java.io.File(s"$d/_delete_stream_checkpoint/commits/0")
+    assert(commit.exists()); commit.delete()
+    new java.io.File(s"$d/_delete_stream_checkpoint/commits/.0.crc").delete()
+    run()
+    assert(spark.read.parquet(streamDir).count() == dataBefore &&
+      pairSet(DedupIndex.queryPairs(spark, d, batch)) == masked,
+      "replayed delete micro-batch was not a no-op")
+  }
+
+  test("fold coverage for tombstones is PER POOL: a folded stream " +
+      "takedown does not mark batch-pool tombstone ids as applied") {
+    val d = tmp("didx_delpools")
+    DedupIndex.write(spark, docs, d)
+    val src = tmp("didx_delpools_src")
+    docs.filter($"doc_id" % 11 === 5).select($"doc_id")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = DedupIndex.deleteStream(spark, d,
+      spark.readStream.schema(schema).parquet(src))
+    try q.processAllAvailable() finally q.stop()
+    DedupIndex.compact(spark, d) // applies stream tombstone 1000000
+    assert(Option(new java.io.File(s"$d/deletes").listFiles())
+      .forall(_.forall(!_.getName.startsWith("batch="))),
+      "compact did not retire the stream tombstone")
+    // a batch-pool explicit delete (id 0, numerically under the folded
+    // stream id) must LAND — a single-scalar coverage would see
+    // 0 <= 1000000 with no surviving dir and silently no-op it
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    assert(new java.io.File(s"$d/deletes/batch=0/_SUCCESS").exists(),
+      "batch-pool takedown was swallowed by the folded stream coverage")
+    val twinDir = tmp("didx_delpools_twin")
+    DedupIndex.write(spark,
+      docs.filter($"doc_id" % 7 =!= 3 && $"doc_id" % 11 =!= 5), twinDir)
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) ==
+      pairSet(DedupIndex.queryPairs(spark, twinDir, batch)))
+    // and the batch-pool default allocator is untouched by stream ids:
+    // next default takedown continues at 1
+    assert(DedupIndex.delete(spark, d,
+      docs.limit(1).select($"doc_id")) == 1L)
+  }
+
+  test("the standing takedown guard blocks a doc_id re-delivered AFTER " +
+      "the covering compact (which a tombstone by contract cannot)") {
+    val redelivery = docs.filter($"doc_id" % 7 === 3 ||
+      $"doc_id" % 7 === 4)
+    val probe = redelivery
+      .select($"doc_id" + 900000L as "doc_id", $"text")
+    def takedownWorld(guard: Option[DataFrame]): Set[(Long, Long, Double)] = {
+      val d = tmp("didx_guard")
+      DedupIndex.write(spark, docs, d)
+      DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+      DedupIndex.compact(spark, d) // tombstone applied and GC'd
+      DedupIndex.append(spark, d, redelivery, batchId = 1L,
+        takedownIds = guard)
+      pairSet(DedupIndex.queryPairs(spark, d, probe))
+    }
+    // WITHOUT the guard the re-delivered ids index and serve — the
+    // documented tombstone contract
+    val unguarded = takedownWorld(None)
+    assert(unguarded.exists(_._2 % 7 == 3),
+      "re-delivery after compact did not serve — the contract moved " +
+        "and this spec's premise is stale")
+    // WITH the guard the re-delivered taken-down ids never index; the
+    // innocent %7==4 docs still do
+    val guarded = takedownWorld(Some(takedownIds))
+    assert(guarded.forall(_._2 % 7 != 3),
+      "standing takedown guard let a blocked doc_id back in")
+    assert(guarded == unguarded.filter(_._2 % 7 != 3),
+      "the guard disturbed docs outside the takedown list")
+  }
+
+  test("a torn _folded marker is classified, not a wedge: read-only " +
+      "serves the recovered fold and writes nothing, the default heals, " +
+      "and an unrecoverable marker refuses loudly") {
+    val d = tmp("didx_torn_marker")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 2 === 0), d)
+    DedupIndex.ingest(spark, d, docs.filter($"doc_id" % 2 === 1),
+      batchId = 1L)
+    DedupIndex.compact(spark, d)
+    val baseline = pairSet(DedupIndex.queryPairs(spark, d, batch))
+    val markerPath = java.nio.file.Paths.get(s"$d/_folded")
+    val intact = java.nio.file.Files.readString(markerPath)
+    val torn = intact.stripSuffix("\n").stripSuffix("#") // sentinel gone
+    def fabricateTorn(withTmp: Boolean): Unit = {
+      java.nio.file.Files.writeString(markerPath, torn)
+      val tmpPath = java.nio.file.Paths.get(s"$d/_folded.tmp")
+      if (withTmp) java.nio.file.Files.writeString(tmpPath, intact)
+      else java.nio.file.Files.deleteIfExists(tmpPath)
+    }
+    // recoverable (the PUT-fallback crash shape: complete sibling tmp):
+    // a read-only session serves the recovered fold and must NOT write
+    fabricateTorn(withTmp = true)
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch,
+      readOnly = true)) == baseline)
+    assert(java.nio.file.Files.readString(markerPath) == torn,
+      "read-only query wrote to the store")
+    // the default (read-write) mode heals the marker in place
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == baseline)
+    assert(java.nio.file.Files.readString(markerPath) == intact,
+      "default mode did not heal the torn marker")
+    // unrecoverable (no complete tmp): both modes refuse loudly
+    fabricateTorn(withTmp = false)
+    intercept[IllegalStateException] {
+      DedupIndex.queryPairs(spark, d, batch, readOnly = true)
+    }
+    intercept[IllegalStateException] {
+      DedupIndex.queryPairs(spark, d, batch)
+    }
+    // restore so later suites touching this dir stay healthy
+    java.nio.file.Files.writeString(markerPath, intact)
+  }
 }

@@ -68,15 +68,30 @@ object Bucketing {
     * excluded from the prefix class and the literal needs `Sort [`. */
   private val SortNode = """(?m)^[\s:+\-*()\d]*Sort \[""".r
 
+  /** The session confs that pin the co-located shape at TEST scale:
+    * auto-broadcast OFF (static + AQE thresholds) so the join actually
+    * plans the SortMergeJoin instead of broadcasting the small side,
+    * and the bucketed-scan ordering report ON so the pre-sorted
+    * one-file-per-bucket layout elides the Sorts. BucketingSpec and the
+    * Dev PLANS dump share this triple — duplicated literals could drift
+    * and let the spec pin one plan shape while the diffable artifact
+    * shows another. */
+  val colocatedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+
   /** True when `df` plans (and, under AQE, STAYS at runtime) the
     * co-located bucketed merge join this module exists to produce: a
     * `SortMergeJoin` with ZERO `Exchange` nodes — no shuffle of either
     * side, no broadcast — and ZERO `Sort` nodes above the scans (the
     * `sortBy` dividend: bucket files are pre-sorted, so the merge reads
-    * them as-is). Runs the frame first so the inspected adaptive plan is
-    * the FINAL one, not the initial proposal AQE may still rewrite. */
+    * them as-is). An adaptive plan is final only after execution, so a
+    * not-yet-final frame is run once here; a caller that already
+    * executed `df` (e.g. for a result assertion) pays nothing extra. */
   def isColocatedMergeJoin(df: DataFrame): Boolean = {
-    df.count()
+    if (df.queryExecution.executedPlan.toString
+        .contains("isFinalPlan=false")) df.count()
     val plan = df.queryExecution.executedPlan.toString
     plan.contains("SortMergeJoin") && !plan.contains("Exchange") &&
       SortNode.findFirstIn(plan).isEmpty

@@ -68,6 +68,22 @@ object Commit {
     * must refuse loudly; the coverage cannot be reconstructed. */
   case object Lost extends Marker
 
+  /** Repair a marker classified [[Recovered]]: write the MAIN file
+    * directly, never touching the sibling tmp — the tmp is the ONLY
+    * durable copy of the recovered content, and routing the repair
+    * through [[replace]] would truncate it first (its fallback path
+    * recreates the tmp), so a crash mid-repair would downgrade a
+    * recoverable store to permanently [[Lost]]. A crash mid-heal here
+    * leaves a torn main + intact tmp: still Recovered, retryable.
+    * MUST be called only from a store's single-maintenance-process verb
+    * (a compact): a blind re-replace from a serving verb could race a
+    * concurrent maintenance commit and clobber its NEWER marker with
+    * the recovered OLD content. */
+  def heal(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Read marker `p`, validating with `isComplete`; a torn main file
     * falls back to the sibling `<name>.tmp` left by a crashed
     * [[replace]]. A complete tmp next to an INTACT main is ignored (it

@@ -243,15 +243,19 @@ object DedupIndex {
     * fallback) is classified instead of wedging every verb
     * ([[Commit.read]]): when the replace's sibling tmp holds the
     * complete intended content — and it always does on the fallback
-    * path, which writes the tmp first — the default (read-write) mode
-    * HEALS by re-replacing the marker (the fold content itself
-    * committed before the marker write began, so the recovered marker
-    * is simply the commit completing), while `readOnly` mode — a
-    * pure-reader session that must not write — WARNs and serves the
-    * recovered fold view without touching disk. With no recoverable
-    * tmp both modes refuse loudly: the old marker was overwritten and
-    * its retired inputs may be GC'd, so no consistent coverage can be
-    * reconstructed. */
+    * path, which writes the tmp first — EVERY reader serves the
+    * recovered fold view with a WARN (the fold content itself committed
+    * before the marker write began, so the recovered view is exactly
+    * the commit completing). NO serving verb rewrites the marker: a
+    * blind re-replace could race a concurrent compact's fresh commit
+    * and clobber the NEWER marker with the recovered old content — the
+    * repair belongs to [[compact]] alone, the store's single
+    * maintenance process (see [[healFoldMarker]]). With no recoverable
+    * tmp, refuse loudly: the old marker was overwritten and its retired
+    * inputs may be GC'd, so no consistent coverage can be
+    * reconstructed. (`readOnly` names the pure-reader session contract
+    * at the [[queryPairs]] surface; on this path both modes already
+    * write nothing.) */
   private def foldInfo(fs: FileSystem, dir: String,
       readOnly: Boolean = false): Option[Fold] = {
     val p = new Path(s"$dir/_folded")
@@ -259,16 +263,28 @@ object DedupIndex {
       case Commit.Absent => None
       case Commit.Intact(t) => parseFold(t)
       case Commit.Recovered(t) =>
-        if (readOnly)
-          System.err.println(s"WARN graft.DedupIndex: $dir/_folded is " +
-            "torn; serving the fold recovered from its sibling tmp " +
-            "(read-only session cannot heal — run any read-write verb " +
-            "once)")
-        else Commit.replace(fs, p, t)
+        System.err.println(s"WARN graft.DedupIndex: $dir/_folded is " +
+          "torn; serving the fold recovered from its sibling tmp " +
+          (if (readOnly) "(read-only session cannot heal — run compact " +
+            "once)"
+          else "(run compact to heal the marker in place)"))
         parseFold(t)
       case Commit.Lost => throw new IllegalStateException(
         s"$dir/_folded is torn and unrecoverable (no complete sibling " +
           "tmp); the fold coverage cannot be reconstructed")
+    }
+  }
+
+  /** [[compact]]'s first action: repair a Recovered `_folded` marker in
+    * place. Safe ONLY here — compact is the store's documented single
+    * maintenance process, so no concurrent marker writer exists; and
+    * the repair goes through [[Commit.heal]] (a direct main-file write
+    * that never touches the sibling tmp, the only durable copy). */
+  private def healFoldMarker(fs: FileSystem, dir: String): Unit = {
+    val p = new Path(s"$dir/_folded")
+    Commit.read(fs, p, t => parseFold(t).isDefined) match {
+      case Commit.Recovered(t) => Commit.heal(fs, p, t)
+      case _ => ()
     }
   }
 
@@ -512,10 +528,14 @@ object DedupIndex {
   }
 
   /** Create a fresh index at `dir` from `docs` (batch 0), freezing the
-    * signature family. Destroys whatever was at `dir`. */
+    * signature family. Destroys whatever was at `dir`. `takedownIds` is
+    * the same standing guard the ingest verbs take — a full REBUILD is
+    * exactly where a compliance pipeline would otherwise silently
+    * re-index taken-down documents from the raw corpus. */
   def write(spark: SparkSession, docs: DataFrame, dir: String,
       textCol: String = "text", n: Int = 3, numHashes: Int = 64,
-      numBands: Int = 16, bucketShards: Int = 64): Unit = {
+      numBands: Int = 16, bucketShards: Int = 64,
+      takedownIds: Option[DataFrame] = None): Unit = {
     require(numHashes % numBands == 0,
       s"numHashes=$numHashes must divide into numBands=$numBands")
     val fs = fsOf(spark, dir)
@@ -525,7 +545,8 @@ object DedupIndex {
     Seq((n, numHashes, numBands, bucketShards))
       .toDF("n", "num_hashes", "num_bands", "bucket_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    val (sigs, banded) = sigAndBand(docs, textCol, p)
+    val (sigs, banded) = sigAndBand(guardTakedowns(docs, takedownIds),
+      textCol, p)
     writeBatch(spark, dir, 0L, sigs, banded, p)
     sigs.unpersist()
     ()
@@ -596,12 +617,13 @@ object DedupIndex {
     * materializes the bounded pair result and releases the batch-sized
     * signature cache; `eager = false` keeps the plan inspectable.
     *
-    * `readOnly = true` is the pure-reader session (the
-    * [[VectorStore.queryTopK]] discipline): this verb never writes data,
-    * but the default mode would HEAL a torn `_folded` marker by
-    * re-replacing it — read-only classifies instead (WARN and serve the
-    * recovered fold, refuse loudly only when genuinely unrecoverable;
-    * see [[foldInfo]]). */
+    * `readOnly = true` is the pure-reader session contract (the
+    * [[VectorStore.queryTopK]] discipline): a guarantee this call
+    * writes NOTHING under any store state. A torn `_folded` marker is
+    * classified in both modes — WARN and serve the fold recovered from
+    * the replace's sibling tmp, refuse loudly only when genuinely
+    * unrecoverable; the marker repair itself belongs to [[compact]],
+    * the single maintenance process (see [[foldInfo]]). */
   def queryPairs(spark: SparkSession, dir: String, batch: DataFrame,
       textCol: String = "text", minEstJaccard: Double = 0.5,
       maxBucketSize: Int = 50, probeCap: Int = 4096,
@@ -889,6 +911,7 @@ object DedupIndex {
     * for every query and every future ingest: spec-pinned. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
+    healFoldMarker(fs, dir)
     val st = readState(fs, dir)
     val active = activeBatches(st)
       .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))

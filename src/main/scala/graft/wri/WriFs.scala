@@ -90,19 +90,18 @@ object WriFs {
   val ObjectStoreSchemesKey = "graft.fs.objectstore.schemes"
 
   /** Treat `fs` as an object store when its scheme is in the static
-    * allowlist, the [[ObjectStoreSchemesKey]] extension, or the
-    * filesystem SELF-REPORTS eventual-consistency directory semantics
-    * via the Hadoop path-capability probe (the strongest signal: it
-    * follows wrapper filesystems like viewfs to the real store, no
-    * configuration needed where the store's connector declares it). */
-  private def isObjectStore(fs: FileSystem, path: Path,
-      scheme: String): Boolean =
+    * allowlist or the [[ObjectStoreSchemesKey]] extension. Deliberately
+    * NO path-capability probe: the probeable capabilities (e.g.
+    * `fs.capability.directory.listing.inconsistent`) witness listing
+    * consistency, not atomic single-PUT create — routing a store onto
+    * the direct-PUT path on that evidence could hand a filesystem whose
+    * create is NOT atomic a strictly weaker replace than the tmp+rename
+    * it would otherwise get. The classification is a statement about
+    * PUT atomicity, and only the deployment can make it. */
+  private def isObjectStore(fs: FileSystem, scheme: String): Boolean =
     ObjectStoreSchemes.contains(scheme) ||
       fs.getConf.getTrimmedStrings(ObjectStoreSchemesKey)
-        .exists(_.toLowerCase(java.util.Locale.ROOT) == scheme) ||
-      (try fs.hasPathCapability(path,
-        "fs.capability.directory.listing.inconsistent")
-      catch { case _: Exception => false })
+        .exists(_.toLowerCase(java.util.Locale.ROOT) == scheme)
 
   /** Replace `path` with `content` ATOMICALLY under the target
     * filesystem's own semantics, so a concurrent reader sees the old
@@ -123,7 +122,7 @@ object WriFs {
     }
     val scheme = Option(fs.getUri.getScheme)
       .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
-    if (isObjectStore(fs, path, scheme)) put()
+    if (isObjectStore(fs, scheme)) put()
     else {
       val tmp = new Path(path.getParent, path.getName + ".tmp")
       val out = fs.create(tmp, true)

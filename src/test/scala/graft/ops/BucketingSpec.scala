@@ -27,13 +27,10 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
-  private def noBroadcast[T](f: => T): T = withConf(
-    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-    // let the scan report the bucket files' sortBy ordering (requires
-    // the one-file-per-bucket layout writeBucketed produces) — this is
-    // what elides the Sort nodes, completing the co-located shape
-    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")(f)
+  // the shared pin triple (Bucketing.colocatedConfs): broadcast off +
+  // the bucketed-scan ordering report that elides the Sort nodes
+  private def noBroadcast[T](f: => T): T =
+    withConf(Bucketing.colocatedConfs: _*)(f)
 
   test("bucketed fact-fact join plans a co-located SortMergeJoin: " +
       "zero Exchange of any kind, zero Sort above the bucket scans") {
@@ -45,11 +42,11 @@ class BucketingSpec extends SparkSpec {
     Bucketing.writeBucketed(o, "o_b", "l_orderkey", 8)
     noBroadcast {
       val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", "l_orderkey")
+      // result check first — the inspector then sees the already-final
+      // adaptive plan and runs nothing
+      assert(joined.count() == li.join(o, "l_orderkey").count())
       assert(Bucketing.isColocatedMergeJoin(joined),
         s"not a co-located merge join:\n${joined.queryExecution.executedPlan}")
-      // same result as the plain shuffled join
-      val plainCount = li.join(o, "l_orderkey").count()
-      assert(joined.count() == plainCount)
     }
     // and an aggregation on the bucket key also avoids the shuffle
     val agg = spark.table("li_b").groupBy("l_orderkey")

@@ -653,10 +653,18 @@ class DedupIndexSpec extends SparkSpec {
       "standing takedown guard let a blocked doc_id back in")
     assert(guarded == unguarded.filter(_._2 % 7 != 3),
       "the guard disturbed docs outside the takedown list")
+    // and a full index REBUILD honors the same guard — the verb that
+    // re-materializes the whole corpus is where a compliance pipeline
+    // would otherwise silently re-index taken-down documents
+    val rebuilt = tmp("didx_guard_rebuild")
+    DedupIndex.write(spark, docs, rebuilt, takedownIds = Some(takedownIds))
+    val rebuiltPairs = pairSet(DedupIndex.queryPairs(spark, rebuilt, probe))
+    assert(rebuiltPairs.nonEmpty && rebuiltPairs.forall(_._2 % 7 != 3),
+      "write() rebuild bypassed the standing takedown guard")
   }
 
-  test("a torn _folded marker is classified, not a wedge: read-only " +
-      "serves the recovered fold and writes nothing, the default heals, " +
+  test("a torn _folded marker is classified, not a wedge: serving verbs " +
+      "recover without writing, compact heals it in place (tmp kept), " +
       "and an unrecoverable marker refuses loudly") {
     val d = tmp("didx_torn_marker")
     DedupIndex.write(spark, docs.filter($"doc_id" % 2 === 0), d)
@@ -674,16 +682,24 @@ class DedupIndexSpec extends SparkSpec {
       else java.nio.file.Files.deleteIfExists(tmpPath)
     }
     // recoverable (the PUT-fallback crash shape: complete sibling tmp):
-    // a read-only session serves the recovered fold and must NOT write
+    // BOTH query modes serve the recovered fold and write NOTHING — a
+    // serving-verb rewrite could race a concurrent compact's fresh
+    // marker and clobber it with the recovered old content
     fabricateTorn(withTmp = true)
     assert(pairSet(DedupIndex.queryPairs(spark, d, batch,
       readOnly = true)) == baseline)
     assert(java.nio.file.Files.readString(markerPath) == torn,
       "read-only query wrote to the store")
-    // the default (read-write) mode heals the marker in place
     assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == baseline)
+    assert(java.nio.file.Files.readString(markerPath) == torn,
+      "a serving verb rewrote the fold marker (compact's job)")
+    // compact — the single maintenance process — heals it in place,
+    // via the tmp-preserving direct write (a crash mid-heal must leave
+    // the recovery copy intact, not downgrade the store to Lost)
+    DedupIndex.compact(spark, d)
     assert(java.nio.file.Files.readString(markerPath) == intact,
-      "default mode did not heal the torn marker")
+      "compact did not heal the torn marker")
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) == baseline)
     // unrecoverable (no complete tmp): both modes refuse loudly
     fabricateTorn(withTmp = false)
     intercept[IllegalStateException] {

@@ -23,9 +23,11 @@ object RecStubFileSystem {
   val created = scala.collection.mutable.Buffer.empty[String]
 }
 
-/** Same stub under a second scheme, SELF-REPORTING object-store
-  * directory semantics through the Hadoop path-capability probe — the
-  * no-configuration path a store's own connector provides. */
+/** Same stub under a second scheme, SELF-REPORTING eventual-consistency
+  * directory semantics through the Hadoop path-capability API. That
+  * capability witnesses LISTING consistency, not atomic single-PUT
+  * create — so it must NOT flip the marker replace onto the direct-PUT
+  * path (a store could report it while its create is not atomic). */
 class CapStubFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "capstub"
   override def getUri: java.net.URI = java.net.URI.create("capstub:///")
@@ -85,16 +87,19 @@ class WriFsSpec extends AnyFunSuite {
     assert(content == "b #\n", s"content drifted: '$content'")
   }
 
-  test("a filesystem self-reporting object-store directory semantics " +
-      "via hasPathCapability takes the direct single-PUT") {
+  test("a listing-inconsistency capability self-report does NOT flip " +
+      "the replace onto the direct PUT — PUT atomicity is a deployment " +
+      "statement, not inferable from listing semantics") {
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set("fs.capstub.impl", classOf[CapStubFileSystem].getName)
     val root = tmpDir()
     val target = new Path(s"capstub://$root/_marker")
     CapStubFileSystem.created.clear()
     WriFs.atomicWriteString(WriFs.fs(target.toString, conf), target, "c #\n")
-    assert(CapStubFileSystem.created.forall(!_.endsWith(".tmp")),
-      s"capability-probed scheme wrote a tmp: ${CapStubFileSystem.created}")
+    assert(CapStubFileSystem.created.exists(_.endsWith("_marker.tmp")),
+      "the capability self-report rerouted the replace to the direct " +
+        "PUT — a store whose create is not atomic would get a strictly " +
+        "weaker replace")
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/_marker")) == "c #\n")
   }

@@ -113,12 +113,55 @@ object VectorStore {
 
   // ---- incarnation pointer ----------------------------------------------
 
+  /** Parse a complete `_current` pointer: STRICTLY `<gen> #`. The
+    * trailing sentinel is the torn-write witness — a bare number would
+    * let a truncated "12" (torn from "123 #") silently parse as
+    * generation 12 and serve a DEAD incarnation's leftovers (or refuse
+    * on its GC'd directories) with no error anywhere. */
+  private def parseGen(text: String): Option[Long] =
+    text.trim.split(" ").toSeq match {
+      case Seq(g, "#") if g.nonEmpty && g.forall(_.isDigit) =>
+        scala.util.Try(g.toLong).toOption
+      case _ => None
+    }
+
   /** Generation named by the `_current` pointer; None = the pre-pointer
-    * base layout (components at their bare names). */
+    * base layout (components at their bare names). A TORN pointer (a
+    * store that broke the atomic-PUT contract) is classified like the
+    * ledgers and [[DedupIndex]]'s fold marker ([[Commit.read]]): when
+    * the replace's sibling tmp holds the complete content, readers
+    * serve the recovered generation with a WARN — writing nothing,
+    * because a blind re-replace could race a concurrent offline verb's
+    * fresh flip ([[healPointer]], called by compact/retrain, is the
+    * sanctioned repair). Unrecoverable = refuse loudly: guessing a
+    * generation would serve the wrong incarnation silently. */
   private def currentGen(fs: FileSystem, dir: String): Option[Long] = {
     val p = new Path(s"$dir/_current")
-    if (!fs.exists(p)) None
-    else Some(readSmallFile(fs, p).trim.toLong)
+    Commit.read(fs, p, t => parseGen(t).isDefined) match {
+      case Commit.Absent => None
+      case Commit.Intact(t) => parseGen(t)
+      case Commit.Recovered(t) =>
+        System.err.println(s"WARN graft.VectorStore: $dir/_current is " +
+          "torn; serving the generation recovered from its sibling tmp " +
+          "(run compact or retrain once to heal the pointer)")
+        parseGen(t)
+      case Commit.Lost => throw new IllegalStateException(
+        s"$dir/_current is torn and unrecoverable (no complete sibling " +
+          "tmp); refusing to guess which incarnation serves")
+    }
+  }
+
+  /** The offline verbs' pointer repair (compact/retrain — the single
+    * maintenance process, so no concurrent flip exists): a Recovered
+    * pointer is rewritten in place through [[Commit.heal]], the direct
+    * main-file write that never touches the sibling tmp (the only
+    * durable copy of the recovered content). */
+  private def healPointer(fs: FileSystem, dir: String): Unit = {
+    val p = new Path(s"$dir/_current")
+    Commit.read(fs, p, t => parseGen(t).isDefined) match {
+      case Commit.Recovered(t) => Commit.heal(fs, p, t)
+      case _ => ()
+    }
   }
 
   /** Resolved root of a swappable component under the CURRENT
@@ -403,7 +446,8 @@ object VectorStore {
     * shuffles except the partitionBy(cell) write placement. */
   def write(spark: SparkSession, emb: DataFrame, dir: String,
       cells: Int = 8, m: Int = 8, codebookSize: Int = 16,
-      kmeansIters: Int = 3): Unit = {
+      kmeansIters: Int = 3,
+      takedownIds: Option[DataFrame] = None): Unit = {
     require(cells >= 1 && m >= 1 && codebookSize >= 2 && codebookSize <= 256,
       s"need cells >= 1, m >= 1, codebookSize in [2,256]: " +
         s"$cells/$m/$codebookSize")
@@ -428,7 +472,11 @@ object VectorStore {
     rmTree(fs, s"$dir/codes.ledger.tmp")
     rmTree(fs, s"$dir/deletes.ledger")
     rmTree(fs, s"$dir/deletes.ledger.tmp")
-    trainInto(spark, emb, cells, m, codebookSize, kmeansIters,
+    // the standing takedown guard covers the REBUILD path too — a fresh
+    // write from the raw corpus is exactly where a compliance pipeline
+    // would otherwise silently re-index taken-down vectors
+    trainInto(spark, guardTakedowns(emb, takedownIds), cells, m,
+      codebookSize, kmeansIters,
       s"$dir/codes", s"$dir/centroids", s"$dir/codebooks")
   }
 
@@ -486,8 +534,21 @@ object VectorStore {
     * batch-mode appends land as two distinct batches. Duplicate vec_ids
     * ACROSS distinct batches remain the caller's contract (dedup ids
     * upstream, the q90 incremental-ingest discipline). */
+  /** The ingest-side STANDING takedown guard — [[DedupIndex]]'s
+    * discipline applied to the vector store: a tombstone is FINAL for
+    * its vec_id, but a compliance pipeline that must also block a
+    * taken-down id RE-DELIVERED by an upstream source keeps a standing
+    * list and passes it here; blocked rows are anti-joined out BEFORE
+    * encoding, so they never land as code rows at all. */
+  private def guardTakedowns(emb: DataFrame,
+      takedownIds: Option[DataFrame]): DataFrame =
+    takedownIds.fold(emb)(t =>
+      emb.join(t.select(col("vec_id").cast("long").as("vec_id")),
+        Seq("vec_id"), "left_anti"))
+
   def append(spark: SparkSession, dir: String, emb: DataFrame,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      takedownIds: Option[DataFrame] = None): Unit = {
     require(batchId.forall(_ > 0L), "batch 0 is the initial write")
     val fs = fsOf(spark, dir)
     val gen = currentGen(fs, dir)
@@ -496,7 +557,7 @@ object VectorStore {
     val id = batchId.getOrElse(claimBatchId(fs, root))
     if (committedBatches(fs, root).contains(id)) return
     val (coarse, books) = readMeta(spark, dir, gen)
-    assignResiduals(spark, emb, coarse)
+    assignResiduals(spark, guardTakedowns(emb, takedownIds), coarse)
       .select(col("vec_id"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("cell").mode("overwrite")
@@ -518,7 +579,8 @@ object VectorStore {
   def appendStream(spark: SparkSession, dir: String,
       embStream: DataFrame,
       batchBase: Long = StreamBatchBase,
-      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointLocation: Option[String] = None,
+      takedownIds: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // below the base a stream id could collide with a batch-mode id and
     // silently drop the micro-batch — the separation the base exists for
     require(batchBase >= StreamBatchBase,
@@ -527,7 +589,36 @@ object VectorStore {
       .option("checkpointLocation",
         checkpointLocation.getOrElse(s"$dir/_stream_checkpoint"))
       .foreachBatch { (df: DataFrame, id: Long) =>
-        append(spark, dir, df, batchId = Some(batchBase + id))
+        append(spark, dir, df, batchId = Some(batchBase + id),
+          takedownIds = takedownIds)
+      }
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+  }
+
+  /** Streaming takedowns — [[delete]]'s foreachBatch twin, mirroring
+    * [[appendStream]]'s discipline: every micro-batch of a vec_id
+    * stream lands as one idempotent tombstone directory under
+    * `batchBase + microBatchId` in the deletes pool. Replay idempotence
+    * is the same commit-based check as batch-mode delete — and unlike
+    * [[DedupIndex]]'s coverage scalar, the ledger here carries the
+    * EXPLICIT id set of folded tombstones, so a micro-batch that
+    * crashed before any parquet landed simply replays (it was never
+    * committed, and a covering compact cannot mark it applied — no
+    * landing witness is needed). The checkpoint lives inside the store
+    * (`_delete_stream_checkpoint`) for the usual id-numbering reason.
+    * Returns the started query; one active delete stream per store. */
+  def deleteStream(spark: SparkSession, dir: String, idStream: DataFrame,
+      batchBase: Long = StreamBatchBase,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(batchBase >= StreamBatchBase,
+      s"batchBase must be >= $StreamBatchBase: $batchBase")
+    idStream.writeStream
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$dir/_delete_stream_checkpoint"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        delete(spark, dir, df, batchId = Some(batchBase + id))
       }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
@@ -600,6 +691,7 @@ object VectorStore {
   def compact(spark: SparkSession, dir: String,
       pointerSwap: Boolean = false): Unit = {
     val fs = fsOf(spark, dir)
+    healPointer(fs, dir)
     val gen = currentGen(fs, dir)
     heal(fs, dir, gen)
     val codesRoot = componentRoot(dir, "codes", gen)
@@ -684,7 +776,7 @@ object VectorStore {
       writeLedger(fs, nextDel, delIds - 0L)
       // THE FLIP: one small atomic write; everything before it was
       // invisible, everything after it is garbage collection
-      atomicWriteString(fs, new Path(s"$dir/_current"), next.toString)
+      atomicWriteString(fs, new Path(s"$dir/_current"), s"$next #\n")
       Seq(codesRoot, delRoot,
           componentRoot(dir, "centroids", gen),
           componentRoot(dir, "codebooks", gen)).foreach(rmTree(fs, _))
@@ -733,6 +825,7 @@ object VectorStore {
       s"need cells >= 1, m >= 1, codebookSize in [2,256]: " +
         s"$cells/$m/$codebookSize")
     val fs = fsOf(spark, dir)
+    healPointer(fs, dir)
     val gen = currentGen(fs, dir)
     heal(fs, dir, gen)
     val codesRoot = componentRoot(dir, "codes", gen)
@@ -796,7 +889,7 @@ object VectorStore {
         s"$dir/codebooks@$next")
       writeLedger(fs, s"$dir/codes@$next", codeIds - 0L)
       writeLedger(fs, s"$dir/deletes@$next", delIds - 0L)
-      atomicWriteString(fs, new Path(s"$dir/_current"), next.toString)
+      atomicWriteString(fs, new Path(s"$dir/_current"), s"$next #\n")
       Seq(codesRoot, delRoot,
           componentRoot(dir, "centroids", gen),
           componentRoot(dir, "codebooks", gen)).foreach(rmTree(fs, _))

@@ -824,4 +824,118 @@ class VectorStoreSpec extends SparkSpec {
       "tombstone was destroyed by the retrain swap delete() should " +
         "have finished first")
   }
+
+  test("deleteStream equals its batch twin and a checkpoint replay of " +
+      "a committed micro-batch is a no-op") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_delstream")
+      .toString
+    VectorStore.write(spark, emb, d)
+    val src = java.nio.file.Files.createTempDirectory("vds_src").toString
+    emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run() = {
+      val q = VectorStore.deleteStream(spark, d,
+        spark.readStream.schema(schema).parquet(src))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val streamDir = s"$d/deletes/batch=${VectorStore.StreamBatchBase}"
+    assert(new java.io.File(s"$streamDir/_SUCCESS").exists(),
+      "stream tombstone did not land in the stream pool")
+    val masked = topk(d)
+    val twin = java.nio.file.Files.createTempDirectory("vds_twin").toString
+    VectorStore.write(spark, emb, twin)
+    VectorStore.delete(spark, twin,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    assert(masked == topk(twin),
+      "stream takedown drifted from its batch twin")
+    // checkpoint replay of the committed micro-batch no-ops
+    val commit = new java.io.File(s"$d/_delete_stream_checkpoint/commits/0")
+    assert(commit.exists()); commit.delete()
+    new java.io.File(s"$d/_delete_stream_checkpoint/commits/.0.crc").delete()
+    val dataBefore = spark.read.parquet(streamDir).count()
+    run()
+    assert(spark.read.parquet(streamDir).count() == dataBefore &&
+      topk(d) == masked, "replayed delete micro-batch was not a no-op")
+  }
+
+  test("the standing takedown guard blocks a vec_id re-delivered AFTER " +
+      "the reclaiming compact, on append AND on a full rebuild") {
+    val takedown = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+    val redelivery = emb.filter($"vec_id" % 10 === 3 ||
+      $"vec_id" % 10 === 4)
+    def world(guard: Option[org.apache.spark.sql.DataFrame])
+        : Seq[(Long, Double)] = {
+      val d = java.nio.file.Files.createTempDirectory("vecstore_guard")
+        .toString
+      VectorStore.write(spark, emb, d)
+      VectorStore.delete(spark, d, takedown)
+      VectorStore.compact(spark, d) // physical drop, tombstones cleared
+      VectorStore.append(spark, d, redelivery, batchId = Some(7L),
+        takedownIds = guard)
+      topk(d, k = 200)
+    }
+    // without the guard the re-delivered ids serve again — the
+    // documented tombstone contract (FINAL only while it stands)
+    val unguarded = world(None)
+    assert(unguarded.exists(_._1 % 10 == 3),
+      "re-delivery after compact did not serve — premise stale")
+    // with the guard the taken-down ids never land; %10==4 still does
+    val guarded = world(Some(takedown))
+    assert(guarded.forall(_._1 % 10 != 3),
+      "standing takedown guard let a blocked vec_id back in")
+    assert(guarded.exists(_._1 % 10 == 4),
+      "the guard blocked innocent re-delivered ids")
+    // and the full-rebuild path honors it too
+    val d2 = java.nio.file.Files.createTempDirectory("vecstore_guard_rb")
+      .toString
+    VectorStore.write(spark, emb, d2, takedownIds = Some(takedown))
+    assert(topk(d2, k = 200).forall(_._1 % 10 != 3),
+      "write() rebuild bypassed the standing takedown guard")
+  }
+
+  test("a torn _current pointer is classified, not mis-parsed: readers " +
+      "serve the generation recovered from the sibling tmp without " +
+      "writing, compact heals it, unrecoverable refuses loudly") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_tornptr")
+      .toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    VectorStore.compact(spark, d, pointerSwap = true)
+    val baseline = topk(d)
+    val ptr = java.nio.file.Paths.get(s"$d/_current")
+    val intact = java.nio.file.Files.readString(ptr)
+    assert(intact.trim.endsWith("#"), "pointer content is not sealed")
+    // the dangerous torn shape: a digits-only prefix that a bare-number
+    // format would silently parse as a DIFFERENT generation
+    val torn = intact.trim.stripSuffix("#").trim + "9"
+    def fabricate(withTmp: Boolean): Unit = {
+      java.nio.file.Files.writeString(ptr, torn)
+      val tmp = java.nio.file.Paths.get(s"$d/_current.tmp")
+      if (withTmp) java.nio.file.Files.writeString(tmp, intact)
+      else java.nio.file.Files.deleteIfExists(tmp)
+    }
+    fabricate(withTmp = true)
+    assert(topk(d) == baseline,
+      "recovered pointer served a different incarnation")
+    assert(java.nio.file.Files.readString(ptr) == torn,
+      "a query rewrote the pointer (the offline verbs' job)")
+    // compact heals the pointer before doing anything else
+    VectorStore.compact(spark, d, pointerSwap = true)
+    assert(parseableGen(java.nio.file.Files.readString(ptr)),
+      "compact left the pointer unhealed")
+    assert(topk(d) == baseline)
+    // unrecoverable: no complete tmp — refuse, never guess a generation
+    fabricate(withTmp = false)
+    intercept[IllegalStateException](topk(d))
+    java.nio.file.Files.writeString(ptr, intact) // restore
+  }
+
+  private def parseableGen(text: String): Boolean =
+    text.trim.split(" ").toSeq match {
+      case Seq(g, "#") => g.nonEmpty && g.forall(_.isDigit)
+      case _ => false
+    }
 }

@@ -566,7 +566,11 @@ object DedupIndex {
     * list and passes it here: the batch is anti-joined on `doc_id`
     * BEFORE signing, so a blocked doc never produces postings,
     * signatures or pairs (one keyed anti-join against a list that is
-    * tiny relative to the batch — broadcast in practice). */
+    * tiny relative to the batch — broadcast in practice). In
+    * [[ingestStream]] the list is resolved when the STREAM STARTS
+    * (file-based sources snapshot their listing into the plan) — ids
+    * added afterwards are unseen until the stream restarts; a takedown
+    * that must bite immediately is a [[delete]]. */
   private def guardTakedowns(batch: DataFrame,
       takedownIds: Option[DataFrame]): DataFrame =
     takedownIds.fold(batch)(t =>

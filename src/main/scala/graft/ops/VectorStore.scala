@@ -135,6 +135,19 @@ object VectorStore {
     * fresh flip ([[healPointer]], called by compact/retrain, is the
     * sanctioned repair). Unrecoverable = refuse loudly: guessing a
     * generation would serve the wrong incarnation silently. */
+  /** A pre-seal-era pointer: bare digits, no sentinel. Accepted (with a
+    * WARN) so an in-place upgrade does not wedge an intact store — the
+    * residual risk is that a torn SEALED pointer whose surviving prefix
+    * is all digits reads as a legacy pointer when its sibling tmp is
+    * ALSO gone (the tmp, written first, normally disambiguates); the
+    * window closes permanently the first time an offline verb runs,
+    * because [[healPointer]] re-seals legacy content. */
+  private def parseLegacyGen(text: String): Option[Long] = {
+    val t = text.trim
+    if (t.nonEmpty && t.length <= 18 && t.forall(_.isDigit)) Some(t.toLong)
+    else None
+  }
+
   private def currentGen(fs: FileSystem, dir: String): Option[Long] = {
     val p = new Path(s"$dir/_current")
     Commit.read(fs, p, t => parseGen(t).isDefined) match {
@@ -145,21 +158,33 @@ object VectorStore {
           "torn; serving the generation recovered from its sibling tmp " +
           "(run compact or retrain once to heal the pointer)")
         parseGen(t)
-      case Commit.Lost => throw new IllegalStateException(
-        s"$dir/_current is torn and unrecoverable (no complete sibling " +
-          "tmp); refusing to guess which incarnation serves")
+      case Commit.Lost =>
+        parseLegacyGen(Commit.readSmall(fs, p)) match {
+          case Some(g) =>
+            System.err.println(s"WARN graft.VectorStore: $dir/_current " +
+              "is a pre-seal bare-number pointer; serving it (run " +
+              "compact or retrain once to re-seal it)")
+            Some(g)
+          case None => throw new IllegalStateException(
+            s"$dir/_current is torn and unrecoverable (no complete " +
+              "sibling tmp); refusing to guess which incarnation serves")
+        }
     }
   }
 
   /** The offline verbs' pointer repair (compact/retrain — the single
     * maintenance process, so no concurrent flip exists): a Recovered
-    * pointer is rewritten in place through [[Commit.heal]], the direct
-    * main-file write that never touches the sibling tmp (the only
-    * durable copy of the recovered content). */
+    * pointer is rewritten in place through [[Commit.heal]] (the direct
+    * main-file write that never touches the sibling tmp, the only
+    * durable copy of the recovered content), and a legacy bare-number
+    * pointer is re-sealed, closing the legacy-ambiguity window. */
   private def healPointer(fs: FileSystem, dir: String): Unit = {
     val p = new Path(s"$dir/_current")
     Commit.read(fs, p, t => parseGen(t).isDefined) match {
       case Commit.Recovered(t) => Commit.heal(fs, p, t)
+      case Commit.Lost =>
+        parseLegacyGen(Commit.readSmall(fs, p))
+          .foreach(g => Commit.heal(fs, p, s"$g #\n"))
       case _ => ()
     }
   }
@@ -459,6 +484,11 @@ object VectorStore {
     gcGenerations(fs, dir, keep = None)
     rmTree(fs, s"$dir/_current")
     rmTree(fs, s"$dir/_current.tmp")
+    // stale stream checkpoints would make a restarted ingest/takedown
+    // stream silently skip its source offsets as already-processed —
+    // on a REBUILT store nothing has been processed
+    rmTree(fs, s"$dir/_stream_checkpoint")
+    rmTree(fs, s"$dir/_delete_stream_checkpoint")
     rmTree(fs, s"$dir/deletes")
     rmTree(fs, s"$dir/codes_compact")
     rmTree(fs, s"$dir/codes_old")
@@ -539,7 +569,11 @@ object VectorStore {
     * its vec_id, but a compliance pipeline that must also block a
     * taken-down id RE-DELIVERED by an upstream source keeps a standing
     * list and passes it here; blocked rows are anti-joined out BEFORE
-    * encoding, so they never land as code rows at all. */
+    * encoding, so they never land as code rows at all. In
+    * [[appendStream]] the list is resolved when the STREAM STARTS
+    * (file-based sources snapshot their listing into the plan) — ids
+    * added to the list afterwards are not seen until the stream is
+    * restarted; a takedown that must bite immediately is a [[delete]]. */
   private def guardTakedowns(emb: DataFrame,
       takedownIds: Option[DataFrame]): DataFrame =
     takedownIds.fold(emb)(t =>
@@ -576,25 +610,36 @@ object VectorStore {
     * temp checkpoint would restart ids at 0 — making every already-
     * committed id silently swallow the restarted stream's NEW data.
     * Returns the started query; one active stream per store. */
-  def appendStream(spark: SparkSession, dir: String,
-      embStream: DataFrame,
-      batchBase: Long = StreamBatchBase,
-      checkpointLocation: Option[String] = None,
-      takedownIds: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+  /** The one foreachBatch sink both streaming verbs share: checkpoint
+    * inside the store (a temp checkpoint would restart micro-batch
+    * numbering at 0, and every already-committed id would silently
+    * swallow the restarted stream's new data), ids offset into the
+    * stream pool, delegate per micro-batch. */
+  private def streamSink(dir: String, stream: DataFrame,
+      checkpointName: String, batchBase: Long,
+      checkpointLocation: Option[String])(verb: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // below the base a stream id could collide with a batch-mode id and
     // silently drop the micro-batch — the separation the base exists for
     require(batchBase >= StreamBatchBase,
       s"batchBase must be >= $StreamBatchBase: $batchBase")
-    embStream.writeStream
+    stream.writeStream
       .option("checkpointLocation",
-        checkpointLocation.getOrElse(s"$dir/_stream_checkpoint"))
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        append(spark, dir, df, batchId = Some(batchBase + id),
-          takedownIds = takedownIds)
-      }
+        checkpointLocation.getOrElse(s"$dir/$checkpointName"))
+      .foreachBatch { (df: DataFrame, id: Long) => verb(df, batchBase + id) }
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
   }
+
+  def appendStream(spark: SparkSession, dir: String,
+      embStream: DataFrame,
+      batchBase: Long = StreamBatchBase,
+      checkpointLocation: Option[String] = None,
+      takedownIds: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    streamSink(dir, embStream, "_stream_checkpoint", batchBase,
+      checkpointLocation) { (df, id) =>
+      append(spark, dir, df, batchId = Some(id), takedownIds = takedownIds)
+    }
 
   /** Streaming takedowns — [[delete]]'s foreachBatch twin, mirroring
     * [[appendStream]]'s discipline: every micro-batch of a vec_id
@@ -605,24 +650,22 @@ object VectorStore {
     * EXPLICIT id set of folded tombstones, so a micro-batch that
     * crashed before any parquet landed simply replays (it was never
     * committed, and a covering compact cannot mark it applied — no
-    * landing witness is needed). The checkpoint lives inside the store
+    * landing witness is needed). A stream running ACROSS a compact is
+    * safe in both swap modes: rename-mode teardown sweeps only the
+    * captured tombstone dirs, and pointer-mode migrates late arrivals
+    * into the new generation before GC — only retrain (which rebuilds
+    * the live set from the lake) still requires the stream stopped, the
+    * documented offline contract. The checkpoint lives inside the store
     * (`_delete_stream_checkpoint`) for the usual id-numbering reason.
     * Returns the started query; one active delete stream per store. */
   def deleteStream(spark: SparkSession, dir: String, idStream: DataFrame,
       batchBase: Long = StreamBatchBase,
       checkpointLocation: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(batchBase >= StreamBatchBase,
-      s"batchBase must be >= $StreamBatchBase: $batchBase")
-    idStream.writeStream
-      .option("checkpointLocation",
-        checkpointLocation.getOrElse(s"$dir/_delete_stream_checkpoint"))
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        delete(spark, dir, df, batchId = Some(batchBase + id))
-      }
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamSink(dir, idStream, "_delete_stream_checkpoint", batchBase,
+      checkpointLocation) { (df, id) =>
+      delete(spark, dir, df, batchId = Some(id))
+    }
 
   /** Tombstone deletes — the third lifecycle verb (a dedup or takedown
     * pass removes vectors from retrieval without rewriting code files):
@@ -662,10 +705,17 @@ object VectorStore {
     * exactly those directories, and exactly that captured set is
     * ledgered — the ledger can never claim a batch was folded whose
     * rows the rewrite did not actually read. Compact remains an OFFLINE
-    * verb: the final swap replaces the whole codes component, so a
-    * batch committed by a concurrent appender between the capture and
-    * the swap would be lost with or without the ledger discipline — run
-    * it from the single maintenance process, like [[retrain]].
+    * verb for APPENDS: the final swap replaces the whole codes
+    * component, so a code batch committed by a concurrent appender
+    * between the capture and the swap would be lost with or without the
+    * ledger discipline — run it from the single maintenance process,
+    * like [[retrain]]. TOMBSTONES are deliberately safer (a
+    * [[deleteStream]] naturally runs 24/7 across nightly compacts): the
+    * teardown sweeps only the CAPTURED tombstone dirs in rename mode
+    * and migrates late arrivals into the new generation in pointer mode
+    * — an uncaptured takedown keeps masking and the next compact
+    * applies it; the only residual window is a batch-mode [[delete]]
+    * in flight during the pointer flip itself.
     *
     * Two swap modes:
     *
@@ -742,7 +792,15 @@ object VectorStore {
       require(fs.rename(new Path(s"$dir/codes_compact"), new Path(codesRoot)),
         s"compaction swap-in failed: $dir")
       rmTree(fs, s"$dir/codes_old")
-      rmTree(fs, delRoot)
+      // sweep ONLY the captured tombstone dirs, never the whole root: a
+      // tombstone that landed between the capture and this teardown (a
+      // 24/7 deleteStream's micro-batch) was NOT folded — its rows are
+      // still present in the compacted layout, so the surviving dir
+      // keeps masking them correctly and the NEXT compact applies it.
+      // An rmTree of the root would destroy it un-ledgered while the
+      // stream checkpoint already marked the micro-batch done — the
+      // takedown would be silently lost forever.
+      delIds.foreach(id => rmTree(fs, s"$delRoot/batch=$id"))
       rmTree(fs, s"$codesRoot.claims")
       rmTree(fs, s"$delRoot.claims")
     } else {
@@ -777,6 +835,14 @@ object VectorStore {
       // THE FLIP: one small atomic write; everything before it was
       // invisible, everything after it is garbage collection
       atomicWriteString(fs, new Path(s"$dir/_current"), s"$next #\n")
+      // tombstones that landed in the OLD generation between the capture
+      // and the flip (a 24/7 deleteStream's micro-batch) were not folded
+      // — migrate them into the new generation BEFORE the old one is
+      // GC'd, or the takedown would be destroyed while the stream
+      // checkpoint says it was delivered. (A delete in flight RIGHT NOW
+      // that resolved the old generation and lands after this sweep is
+      // the residual offline-contract window — see the docstring.)
+      migrateLateTombstones(fs, delRoot, nextDel, delIds)
       Seq(codesRoot, delRoot,
           componentRoot(dir, "centroids", gen),
           componentRoot(dir, "codebooks", gen)).foreach(rmTree(fs, _))
@@ -787,6 +853,23 @@ object VectorStore {
       }
     }
   }
+
+  /** Copy every COMMITTED tombstone batch under `oldRoot` that is not in
+    * `captured` (the compact's fold input set) into `newRoot` — the
+    * late arrivals of a delete stream running across a pointer-mode
+    * compact. Copied dirs carry their `_SUCCESS`, so they mask
+    * immediately in the new generation and the next compact folds them.
+    * Package-visible for the spec, which exercises the migration
+    * directly (the window it closes is inherently concurrent). */
+  private[ops] def migrateLateTombstones(fs: FileSystem, oldRoot: String,
+      newRoot: String, captured: Set[Long]): Unit =
+    (committedBatches(fs, oldRoot) -- captured)
+      .filter(id => fs.exists(new Path(s"$oldRoot/batch=$id")))
+      .foreach { id =>
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new Path(s"$oldRoot/batch=$id"), fs,
+          new Path(s"$newRoot/batch=$id"), false, fs.getConf)
+      }
 
   /** Offline retraining — the lifecycle closure for quantization drift:
     * when [[append]]ed vectors (coded against codebooks trained before

@@ -195,7 +195,12 @@ class VectorStoreSpec extends SparkSpec {
     // partition inference types `batch` from the dir names (int here)
     assert(codes.select($"batch".cast("long")).distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(0L))
-    assert(!new java.io.File(s"$d/deletes").exists())
+    // the deletes ROOT survives rename-mode compact (a late deleteStream
+    // tombstone needs a stable root — the captured-only teardown), but
+    // every captured tombstone dir is swept
+    assert(Option(new java.io.File(s"$d/deletes").listFiles())
+      .forall(_.forall(!_.getName.startsWith("batch="))),
+      "captured tombstone dirs survived compact")
     assert(codes.filter($"vec_id" % 10 === 3).count() == 0)
     assert(codes.count() ==
       emb.count() - emb.filter($"vec_id" % 10 === 3).count())
@@ -909,15 +914,16 @@ class VectorStoreSpec extends SparkSpec {
     val intact = java.nio.file.Files.readString(ptr)
     assert(intact.trim.endsWith("#"), "pointer content is not sealed")
     // the dangerous torn shape: a digits-only prefix that a bare-number
-    // format would silently parse as a DIFFERENT generation
+    // format would silently parse as a DIFFERENT generation — the
+    // sibling tmp (written first by the replace) disambiguates it
     val torn = intact.trim.stripSuffix("#").trim + "9"
-    def fabricate(withTmp: Boolean): Unit = {
-      java.nio.file.Files.writeString(ptr, torn)
+    def fabricate(content: String, withTmp: Boolean): Unit = {
+      java.nio.file.Files.writeString(ptr, content)
       val tmp = java.nio.file.Paths.get(s"$d/_current.tmp")
       if (withTmp) java.nio.file.Files.writeString(tmp, intact)
       else java.nio.file.Files.deleteIfExists(tmp)
     }
-    fabricate(withTmp = true)
+    fabricate(torn, withTmp = true)
     assert(topk(d) == baseline,
       "recovered pointer served a different incarnation")
     assert(java.nio.file.Files.readString(ptr) == torn,
@@ -927,8 +933,10 @@ class VectorStoreSpec extends SparkSpec {
     assert(parseableGen(java.nio.file.Files.readString(ptr)),
       "compact left the pointer unhealed")
     assert(topk(d) == baseline)
-    // unrecoverable: no complete tmp — refuse, never guess a generation
-    fabricate(withTmp = false)
+    // unrecoverable: non-numeric garbage with no complete tmp — refuse,
+    // never guess a generation (a digits-only tear with no tmp is the
+    // documented legacy-ambiguity residual instead)
+    fabricate("x#", withTmp = false)
     intercept[IllegalStateException](topk(d))
     java.nio.file.Files.writeString(ptr, intact) // restore
   }
@@ -938,4 +946,62 @@ class VectorStoreSpec extends SparkSpec {
       case Seq(g, "#") => g.nonEmpty && g.forall(_.isDigit)
       case _ => false
     }
+
+  test("a legacy bare-number _current pointer serves (WARN) instead of " +
+      "wedging, and the next offline verb re-seals it") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_legacyptr")
+      .toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.compact(spark, d, pointerSwap = true)
+    val baseline = topk(d)
+    val ptr = java.nio.file.Paths.get(s"$d/_current")
+    val gen = java.nio.file.Files.readString(ptr).trim.stripSuffix("#").trim
+    // the pre-seal era wrote the bare number; an in-place upgrade must
+    // not classify an intact legacy pointer as torn-and-unrecoverable
+    java.nio.file.Files.writeString(ptr, gen)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$d/_current.tmp"))
+    assert(topk(d) == baseline, "legacy pointer did not serve")
+    VectorStore.compact(spark, d, pointerSwap = true)
+    assert(parseableGen(java.nio.file.Files.readString(ptr)),
+      "offline verb did not re-seal the legacy pointer")
+    assert(topk(d) == baseline)
+  }
+
+  test("compact does not destroy tombstones it did not capture: the " +
+      "rename-mode teardown sweeps only captured dirs, and the pointer-" +
+      "mode migration carries late arrivals into the new generation") {
+    // rename mode: the deletes root survives compact, so a takedown
+    // landing right after (the 24/7 deleteStream shape) has a stable
+    // root and keeps masking until the next compact applies it
+    val d = java.nio.file.Files.createTempDirectory("vecstore_latets")
+      .toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    VectorStore.compact(spark, d)
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 10 === 4).select($"vec_id"))
+    assert(topk(d, k = 200).forall(r => r._1 % 10 != 3 && r._1 % 10 != 4),
+      "a tombstone landed after compact did not mask")
+    // the migration helper itself (the window it closes is inherently
+    // concurrent, so it is exercised directly): captured dirs stay put,
+    // only committed late arrivals copy across, ledger ids without dirs
+    // are ignored
+    val fs = graft.wri.WriFs.fs(d, spark.sparkContext.hadoopConfiguration)
+    val oldRoot = java.nio.file.Files
+      .createTempDirectory("vts_old").toString
+    val newRoot = java.nio.file.Files
+      .createTempDirectory("vts_new").toString
+    Seq(1L, 7L).foreach { id =>
+      emb.limit(3).select($"vec_id")
+        .write.mode("overwrite").parquet(s"$oldRoot/batch=$id")
+    }
+    VectorStore.migrateLateTombstones(fs, oldRoot, newRoot,
+      captured = Set(1L))
+    assert(!new java.io.File(s"$newRoot/batch=1").exists(),
+      "a captured (already-folded) tombstone was migrated")
+    assert(new java.io.File(s"$newRoot/batch=7/_SUCCESS").exists(),
+      "the late tombstone was not migrated committed")
+  }
 }

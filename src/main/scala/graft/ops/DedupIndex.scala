@@ -843,6 +843,65 @@ object DedupIndex {
       .start()
   }
 
+  /** The store's QA sweep — [[Assembly.validateShards]]' discipline for
+    * the dedup index: recompute the DEFINITIONAL component sizes from
+    * the corpus table under the frozen signature family and compare
+    * them against the SERVING state, failures as error-as-data rows
+    * (one broken component never kills the sweep — the P7 discipline).
+    * What it catches: a lost batch directory, a fold that silently
+    * dropped rows, manual surgery drift, duplicate ingests of the same
+    * doc_id (out of contract upstream, visible here as stored >
+    * expected). Both sides are tombstone-masked — a taken-down doc is
+    * as-if never indexed, so a masked store validates clean against the
+    * full corpus table.
+    *
+    * `corpus` must be the same id+text table the store was built from
+    * (the lake's source of truth). Scan economics: the stored side is
+    * two column-pruned count aggregates over the postings/sigs layouts
+    * (16-byte rows, never the text); the expected side signs the corpus
+    * once — the same cost as one nightly ingest's signature pass.
+    *
+    * Output: (component, stored, expected, ok), one row per component. */
+  def validate(spark: SparkSession, dir: String, corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val st = readState(fs, dir)
+    val p = readParams(spark, dir)
+    val ids = activeBatches(st)
+      .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))
+    val dead = deletedDocs(spark, fs, dir, st)
+    def maskedCount(root: String, paths: Seq[String]): Long =
+      if (paths.isEmpty) 0L
+      else {
+        val scan = spark.read.option("basePath", root)
+          .parquet(paths: _*).select(col("doc_id"))
+        dead.fold(scan)(d => scan.join(d, Seq("doc_id"), "left_anti"))
+          .count()
+      }
+    val storedSigs = maskedCount(sigsRoot(dir),
+      ids.filter(i => hasData(fs, s"${sigsRoot(dir)}/batch=$i"))
+        .map(i => s"${sigsRoot(dir)}/batch=$i"))
+    val storedPostings = maskedCount(postingsRoot(dir),
+      ids.map(i => s"${postingsRoot(dir)}/batch=$i"))
+    // the definitional expectation: one signature per corpus doc with a
+    // non-empty gram set, numBands postings each — masked identically
+    val guarded = dead.fold(corpus)(d =>
+      corpus.join(d.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val expectedSigs = guarded
+      .select(TextAnalysis.hashedNgrams(col(textCol), p.n).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .count()
+    val expectedPostings = expectedSigs * p.numBands
+    Seq(
+      ("postings", storedPostings, expectedPostings,
+        storedPostings == expectedPostings),
+      ("signatures", storedSigs, expectedSigs,
+        storedSigs == expectedSigs))
+      .toDF("component", "stored", "expected", "ok")
+      .orderBy(col("component"))
+  }
+
   /** GC of everything a fold marker retired — covered normal/stream
     * batches and superseded folds. Sweeps the UNION of directories
     * present under either root, committed or not: a crash between a

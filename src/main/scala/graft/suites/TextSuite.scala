@@ -96,7 +96,8 @@ object TextSuite {
     Q("q162_shard_append", q162, Some(q162Sql)),
     Q("q163_training_order", q163, Some(q163Sql)),
     Q("q164_validate_shards", q164, Some(q164Sql)),
-    Q("q167_takedown_compliance", q167, None, Some(q167Oracle))
+    Q("q167_takedown_compliance", q167, None, Some(q167Oracle)),
+    Q("q168_dedup_index_validate", q168, Some(q168Sql))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -265,6 +266,49 @@ object TextSuite {
        |  JOIN bsig sa ON sa.doc_id = batch_doc
        |  JOIN csig sb ON sb.doc_id = index_doc)
        |WHERE est_jaccard >= 0.5 ORDER BY batch_doc, index_doc""".stripMargin
+
+  /** Store QA sweep ([[graft.ops.DedupIndex.validate]]) — the
+    * [[graft.ops.Assembly.validateShards]] discipline for the dedup
+    * index: every serving component's size is recomputed definitionally
+    * from the corpus table under the frozen signature family and
+    * compared to the stored layout, mismatches as error-as-data rows.
+    * The oracle replays the expectation (docs with a non-empty 3-gram
+    * set; numBands postings each) and pins stored == expected with
+    * ok = true — a store that lost a batch, duplicated an ingest, or
+    * leaked a fold breaks the hash. Shares q153's cached index. */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val dir = queryIndexDirs.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("dedupidx_q").toString
+      graft.ops.DedupIndex.write(s, Tables.documents(s, d), out)
+      out
+    })
+    graft.ops.DedupIndex.validate(s, dir, Tables.documents(s, d))
+  }
+
+  private val q168Sql =
+    """WITH cth AS (SELECT doc_id,
+      |    list_transform(string_split(text, ' '), t ->
+      |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(string_split(t, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM documents),
+      |cg AS (SELECT doc_id,
+      |    list_distinct(list_filter(
+      |      list_transform(th, (x, i) ->
+      |        CASE WHEN i + 2 <= len(th)
+      |             THEN ((x * 131 + th[i+1]) % 1000000007 * 131 + th[i+2])
+      |                  % 1000000007 END),
+      |      z -> z IS NOT NULL)) AS grams
+      |  FROM cth),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nsig
+      |  FROM cg WHERE len(grams) > 0)
+      |SELECT component, stored, expected, ok FROM (
+      |  SELECT 'postings' AS component, nsig * 16 AS stored,
+      |         nsig * 16 AS expected, TRUE AS ok FROM n
+      |  UNION ALL
+      |  SELECT 'signatures', nsig, nsig, TRUE FROM n
+      |) ORDER BY component""".stripMargin
 
   // ---- end-to-end takedown compliance (both retrieval stores) ----------
 

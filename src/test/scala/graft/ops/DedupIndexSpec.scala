@@ -711,4 +711,46 @@ class DedupIndexSpec extends SparkSpec {
     // restore so later suites touching this dir stay healthy
     java.nio.file.Files.writeString(markerPath, intact)
   }
+
+  test("validate: a clean store checks out, a tombstoned store still " +
+      "checks out against the FULL corpus (both sides masked), and " +
+      "lost or duplicated data flags as error-as-data rows") {
+    def checks(d: String, corpus: org.apache.spark.sql.DataFrame) =
+      DedupIndex.validate(spark, d, corpus).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toMap
+    // clean
+    val clean = checks(fullIndexDir, docs)
+    assert(clean.values.forall(_._3), s"clean store flagged: $clean")
+    assert(clean("postings")._1 == clean("signatures")._1 * 16,
+      "posting/signature ratio drifted from numBands")
+    // a masked store validates clean against the UNFILTERED corpus —
+    // the tombstoned docs are as-if never indexed on both sides
+    val dDel = tmp("didx_val_del")
+    DedupIndex.write(spark, docs, dDel)
+    DedupIndex.delete(spark, dDel, takedownIds, batchId = 0L)
+    assert(checks(dDel, docs).values.forall(_._3),
+      "tombstone-masked store flagged against the full corpus")
+    // lost data: a sigs shard directory disappears -> signatures flag
+    val dLost = tmp("didx_val_lost")
+    DedupIndex.write(spark, docs, dLost)
+    val shard = new java.io.File(s"$dLost/sigs/batch=0").listFiles()
+      .filter(_.getName.startsWith("idp=")).head
+    graft.wri.WriFs.fs(dLost, spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(shard.getPath), true)
+    val lost = checks(dLost, docs)
+    assert(!lost("signatures")._3 &&
+      lost("signatures")._1 < lost("signatures")._2,
+      s"lost sigs shard not flagged: $lost")
+    // duplicated ingest (same doc_ids twice — out of contract upstream,
+    // visible here): stored > expected, both components flag
+    val dDup = tmp("didx_val_dup")
+    DedupIndex.write(spark, docs, dDup)
+    DedupIndex.append(spark, dDup, docs.filter($"doc_id" % 2 === 0),
+      batchId = 1L)
+    val dup = checks(dDup, docs)
+    assert(!dup("signatures")._3 && !dup("postings")._3 &&
+      dup("signatures")._1 > dup("signatures")._2,
+      s"duplicated ingest not flagged: $dup")
+  }
 }

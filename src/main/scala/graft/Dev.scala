@@ -851,6 +851,13 @@ object Dev {
           }
         }
       case "q97iso" =>
+        // the suite's heaviest query and its ambient-swing poster child.
+        // Steady state = passes 2-3. Round-12 quiet-box reading at
+        // sf0.1: 4.51 s / 2.83 s — round-11's 8.23 s in-sequence
+        // reading was ambient load on untouched code (SparseSim absent
+        // from that round's diff), not a regression; the round-12
+        // in-sequence bench read 4.68 s, back inside the documented
+        // 4-7 s band.
         (1 to 3).foreach { pass =>
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values

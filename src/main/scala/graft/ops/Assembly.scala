@@ -703,4 +703,106 @@ object Assembly {
           "writeShards/appendShards run; any shards present are torn"))
     spark.read.parquet(s"$outDir/manifest_v$v")
   }
+
+  /** Takedown purge at the TRAINING-SHARD store — the verb that closes
+    * the compliance loop at the data a trainer actually reads: the two
+    * retrieval layers can `delete`, but committed shards are immutable
+    * by design ([[appendShards]] only ever adds), so without this a
+    * taken-down doc's text lives in the exported parquet forever.
+    *
+    * What it does: find the committed shards that hold any of `ids`
+    * (one column-pruned semi-join — each doc lives in exactly ONE
+    * shard, so the affected set is bounded by the takedown list),
+    * rewrite ONLY those shard directories with the ids dropped (every
+    * untouched shard stays byte-identical — a trainer mid-epoch keeps
+    * streaming them), recompute exactly the affected shards'
+    * (n_docs, n_tokens, checksum) manifest rows from a read-back of
+    * the rewritten files, and commit the result as the next
+    * `_committed_vN` — the store's usual versioned-marker protocol.
+    * A shard emptied entirely is deleted and its manifest row dropped.
+    *
+    * Crash safety: the affected-shard set is made durable FIRST as a
+    * `#<count>`-sealed `_purge_pending` witness ([[Commit]] — the
+    * landing-marker discipline): a crash mid-rewrite leaves shards
+    * whose files no longer match the committed manifest, and a replay
+    * keyed only on "which shards still hold the ids" would find
+    * nothing (the rewrite already dropped them) and strand the stale
+    * manifest forever. The replay unions the witness's shard ids back
+    * in, re-rewrites them (idempotent — purging already-purged files
+    * changes nothing), recommits, and clears the witness LAST. A
+    * re-delivered purge whose commit landed finds no affected shards
+    * and no witness → returns the committed manifest, writing nothing.
+    *
+    * Scale shape: the semi-join prunes on the manifest-committed max;
+    * the rewrite reads only the affected shard DIRECTORIES (the isin
+    * lands in PartitionFilters) and is materialized once
+    * (localCheckpoint) because Spark refuses a plan that overwrites a
+    * path it is also reading; everything else is untouched. Returns
+    * the new committed manifest. */
+  def purgeDocs(spark: SparkSession, outDir: String, ids: DataFrame,
+      idCol: String, tokensCol: String): DataFrame = {
+    val fs = graft.wri.WriFs.fs(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    val v = committedVersion(fs, outDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir has no committed version — nothing to purge from"))
+    val manifest = spark.read.parquet(s"$outDir/manifest_v$v")
+    val maxShardOpt = maxShardId(manifest)
+    if (maxShardOpt.isEmpty) return manifest // empty store: nothing to purge
+    val maxShard = maxShardOpt.get
+    val pendingPath = new Path(outDir, "_purge_pending")
+    val pending = Commit.readSealedIds(fs, pendingPath)
+    val purgeIds = ids.select(col(idCol)).distinct()
+    // committed shards only: an in-flight append's uncommitted dirs are
+    // not covered by any manifest yet — its own commit will exclude the
+    // registered ids (the Takedown guard) or be purged by a later call
+    val affectedNow = spark.read.parquet(s"$outDir/shards")
+      .filter(col("shard_id") <= maxShard)
+      .join(purgeIds, Seq(idCol), "left_semi")
+      .select(col("shard_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val affected = affectedNow ++ pending
+    if (affected.isEmpty) return manifest // purge already committed
+    // durable witness BEFORE the first rewrite (see docstring)
+    Commit.writeSealedIds(fs, pendingPath, affected)
+    // rewrite exactly the affected directories, ids dropped;
+    // materialize first — the write overwrites the path being read
+    val purged = spark.read.parquet(s"$outDir/shards")
+      .filter(col("shard_id").isin(affected.toSeq: _*))
+      .join(purgeIds, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    purged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard_id").parquet(s"$outDir/shards")
+    // a dynamic overwrite only touches partitions PRESENT in its data:
+    // a shard emptied entirely writes nothing, so its old directory
+    // (still holding the taken-down text) must go explicitly
+    val remaining = purged.select(col("shard_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    (affected -- remaining).foreach(id =>
+      fs.delete(new Path(s"$outDir/shards/shard_id=$id"), true))
+    // manifest rows for the affected shards, recomputed from what is
+    // actually on disk now; untouched rows carried over verbatim
+    val rewritten =
+      if (remaining.isEmpty) manifest.limit(0)
+      else shardManifest(
+        spark.read.parquet(s"$outDir/shards")
+          .filter(col("shard_id").isin(remaining.toSeq: _*))
+          .select(col("shard_id").cast("long").as("shard_id"),
+            col(idCol), col(tokensCol)),
+        idCol, tokensCol)
+    manifest.filter(!col("shard_id").isin(affected.toSeq: _*))
+      .unionByName(rewritten)
+      .write.mode("overwrite").parquet(s"$outDir/manifest_v${v + 1}")
+    fs.create(new Path(outDir, s"$MarkerPrefix${v + 1}"), true).close()
+    // witness cleared LAST: a crash before this line replays the purge
+    // (idempotently) instead of stranding a stale committed manifest
+    fs.delete(pendingPath, false)
+    fs.delete(new Path(outDir, "_purge_pending.tmp"), false)
+    markerVersions(fs, outDir).filter(_ < v).foreach { i =>
+      fs.delete(new Path(outDir, s"$MarkerPrefix$i"), false)
+      fs.delete(new Path(s"$outDir/manifest_v$i"), true)
+    }
+    spark.read.parquet(s"$outDir/manifest_v${v + 1}")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -324,6 +324,19 @@ object DedupIndex {
   private def landingMarker(dir: String, id: Long): Path =
     new Path(s"${deletesRoot(dir)}/_landing_$id")
 
+  /** The witness's sibling tmp: on rename-capable filesystems
+    * [[Commit.replace]] creates `_landing_<id>.tmp` then renames — a
+    * crash BETWEEN the two leaves only the tmp, which is just as much a
+    * durable witness that a delete was in flight as the marker itself.
+    * [[deleteLanded]] probes it alongside the marker, and [[gcRetired]]
+    * sweeps it alongside, or a covering compact would no-op the crashed
+    * delete's replay — the lost-takedown scenario the marker closes,
+    * recreated one rename narrower. */
+  private def landingMarkerTmp(dir: String, id: Long): Path = {
+    val m = landingMarker(dir, id)
+    new Path(m.getParent, m.getName + ".tmp")
+  }
+
   /** A tombstone id counts as landed when its directory committed OR a
     * fold already applied it (its doc_ids were physically dropped and
     * the tombstone dir GC'd) — so a delete replay stays a no-op across
@@ -332,13 +345,15 @@ object DedupIndex {
     *  - a directory PRESENT but uncommitted is a crashed half-write
     *    ([[gcRetired]] only sweeps COMMITTED tombstones, so the torn dir
     *    survives the compact) and the replay legitimately overwrites it;
-    *  - a `_landing_<id>` marker with NO directory at all is a delete
-    *    that crashed before any parquet landed — common on object
-    *    stores, where an empty "directory" leaves no object. [[delete]]
-    *    writes the marker as its FIRST durable action precisely so this
-    *    window is probe-able; without it, a crashed delete(batchId=k)
-    *    followed by a compact covering a LATER id would silently no-op
-    *    k's replay and lose the takedown forever.
+    *  - a `_landing_<id>` marker — or its sibling `.tmp`, the only
+    *    durable trace when the marker's own tmp+rename crashed between
+    *    create and rename — with NO directory at all is a delete that
+    *    crashed before any parquet landed (common on object stores,
+    *    where an empty "directory" leaves no object). [[delete]] writes
+    *    the marker as its FIRST durable action precisely so this window
+    *    is probe-able; without it, a crashed delete(batchId=k) followed
+    *    by a compact covering a LATER id would silently no-op k's
+    *    replay and lose the takedown forever.
     * (As in the ingest pools, explicit tombstone ids must be issued in
     * increasing order for the coverage scalar to mean "applied".) */
   private def deleteLanded(fs: FileSystem, dir: String, st: State,
@@ -346,7 +361,8 @@ object DedupIndex {
     st.deletes.contains(id) ||
       (st.fold.exists(_.coversDelete(id)) &&
         !fs.exists(new Path(s"${deletesRoot(dir)}/batch=$id")) &&
-        !fs.exists(landingMarker(dir, id)))
+        !fs.exists(landingMarker(dir, id)) &&
+        !fs.exists(landingMarkerTmp(dir, id)))
 
   /** Next default tombstone id: one past the delete BATCH pool's
     * high-water mark — live committed ids and the fold's applied
@@ -528,10 +544,12 @@ object DedupIndex {
   }
 
   /** Create a fresh index at `dir` from `docs` (batch 0), freezing the
-    * signature family. Destroys whatever was at `dir`. `takedownIds` is
-    * the same standing guard the ingest verbs take — a full REBUILD is
-    * exactly where a compliance pipeline would otherwise silently
-    * re-index taken-down documents from the raw corpus. */
+    * signature family. Destroys whatever was at `dir` — EXCEPT the
+    * persisted `_takedowns` registry, which is carried across the
+    * rebuild on purpose: `takedownIds` (the caller-supplied standing
+    * guard) and the registry both apply, because a full REBUILD from
+    * the raw corpus is exactly where a compliance pipeline would
+    * otherwise silently re-index taken-down documents. */
   def write(spark: SparkSession, docs: DataFrame, dir: String,
       textCol: String = "text", n: Int = 3, numHashes: Int = 64,
       numBands: Int = 16, bucketShards: Int = 64,
@@ -539,13 +557,16 @@ object DedupIndex {
     require(numHashes % numBands == 0,
       s"numHashes=$numHashes must divide into numBands=$numBands")
     val fs = fsOf(spark, dir)
+    val registry = Takedown.registered(fs, dir)
     if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    if (registry.nonEmpty)
+      Commit.writeSealedIds(fs, Takedown.registryPath(dir), registry)
     val p = Params(n, numHashes, numBands, bucketShards)
     import spark.implicits._
     Seq((n, numHashes, numBands, bucketShards))
       .toDF("n", "num_hashes", "num_bands", "bucket_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    val (sigs, banded) = sigAndBand(guardTakedowns(docs, takedownIds),
+    val (sigs, banded) = sigAndBand(guardTakedowns(fs, dir, docs, takedownIds),
       textCol, p)
     writeBatch(spark, dir, 0L, sigs, banded, p)
     sigs.unpersist()
@@ -561,21 +582,21 @@ object DedupIndex {
   /** The ingest-side STANDING takedown guard: a tombstone only masks
     * rows stored within its lifetime — a doc_id re-delivered AFTER the
     * compact that applied its tombstone is a NEW document by contract
-    * and will index and serve. A compliance pipeline that must block
-    * future re-delivery of a taken-down id keeps a standing takedown
-    * list and passes it here: the batch is anti-joined on `doc_id`
-    * BEFORE signing, so a blocked doc never produces postings,
-    * signatures or pairs (one keyed anti-join against a list that is
-    * tiny relative to the batch — broadcast in practice). In
-    * [[ingestStream]] the list is resolved when the STREAM STARTS
-    * (file-based sources snapshot their listing into the plan) — ids
-    * added afterwards are unseen until the stream restarts; a takedown
-    * that must bite immediately is a [[delete]]. */
-  private def guardTakedowns(batch: DataFrame,
-      takedownIds: Option[DataFrame]): DataFrame =
-    takedownIds.fold(batch)(t =>
-      batch.join(t.select(col("doc_id").cast("long").as("doc_id")),
-        Seq("doc_id"), "left_anti"))
+    * and will index and serve. Blocked docs are dropped BEFORE signing,
+    * so they never produce postings, signatures or pairs. Two sources,
+    * unioned by [[Takedown.guard]] (the one implementation both stores
+    * share): the store's PERSISTED `_takedowns` registry
+    * ([[Takedown.register]] — read automatically by every ingest verb,
+    * so compliance does not depend on every caller remembering), plus
+    * whatever `takedownIds` list the caller still passes. In
+    * [[ingestStream]] the caller's list is resolved when the STREAM
+    * STARTS (file-based sources snapshot their listing into the plan),
+    * but the REGISTRY is re-read per micro-batch — a registration bites
+    * on the next micro-batch without a restart. A takedown that must
+    * bite immediately on already-stored rows is a [[delete]]. */
+  private def guardTakedowns(fs: FileSystem, dir: String,
+      batch: DataFrame, takedownIds: Option[DataFrame]): DataFrame =
+    Takedown.guard(batch, "doc_id", takedownIds, fs, dir)
 
   /** Add `batch` under `batchId` (default: one past the batch pool's
     * high-water mark) without querying. Replaying an ingested explicit
@@ -591,7 +612,7 @@ object DedupIndex {
     val id = if (batchId >= 0) batchId else nextBatchId(st)
     if (alreadyIngested(st, id)) return id
     val p = readParams(spark, dir)
-    val (sigs, banded) = sigAndBand(guardTakedowns(batch, takedownIds),
+    val (sigs, banded) = sigAndBand(guardTakedowns(fs, dir, batch, takedownIds),
       textCol, p)
     writeBatch(spark, dir, id, sigs, banded, p)
     sigs.unpersist()
@@ -774,7 +795,7 @@ object DedupIndex {
     if (batchId >= 0) requireIngestId(batchId)
     val id = if (batchId >= 0) batchId else nextBatchId(st)
     val p = readParams(spark, dir)
-    val (sigs, banded) = sigAndBand(guardTakedowns(batch, takedownIds),
+    val (sigs, banded) = sigAndBand(guardTakedowns(fs, dir, batch, takedownIds),
       textCol, p)
     val pairs = queryPairsImpl(spark, dir, fs, st, p, sigs, banded,
       minEstJaccard, maxBucketSize, probeCap, beforeBatchId = id,
@@ -826,7 +847,7 @@ object DedupIndex {
         if (!logDone || !batchDone) {
           val p = readParams(spark, dir)
           val (sigs, banded) =
-            sigAndBand(guardTakedowns(df, takedownIds), textCol, p)
+            sigAndBand(guardTakedowns(fs, dir, df, takedownIds), textCol, p)
           if (!logDone) {
             val pairs = queryPairsImpl(spark, dir, fs, st, p, sigs,
               banded, minEstJaccard, maxBucketSize, probeCap = 4096,
@@ -844,24 +865,32 @@ object DedupIndex {
   }
 
   /** The store's QA sweep — [[Assembly.validateShards]]' discipline for
-    * the dedup index: recompute the DEFINITIONAL component sizes from
-    * the corpus table under the frozen signature family and compare
-    * them against the SERVING state, failures as error-as-data rows
-    * (one broken component never kills the sweep — the P7 discipline).
-    * What it catches: a lost batch directory, a fold that silently
-    * dropped rows, manual surgery drift, duplicate ingests of the same
-    * doc_id (out of contract upstream, visible here as stored >
-    * expected). Both sides are tombstone-masked — a taken-down doc is
-    * as-if never indexed, so a masked store validates clean against the
-    * full corpus table.
+    * the dedup index: recompute the DEFINITIONAL components from the
+    * corpus table under the frozen signature family and compare them
+    * against the SERVING state, failures as error-as-data rows (one
+    * broken component never kills the sweep — the P7 discipline). Each
+    * component is checked TWICE: a row count AND an order-independent
+    * xor-of-row-hashes CONTENT checksum (the [[Assembly.shardManifest]]
+    * discipline — xor never overflows and ignores row order), where the
+    * row hash folds the full payload (doc_id plus every sig value /
+    * the band key), so drift that preserves counts — a corrupted sig
+    * value, a swapped bucket, postings rewritten against the wrong
+    * band — still breaks the sweep. What it catches: a lost batch
+    * directory, a fold that silently dropped rows, manual surgery
+    * drift, duplicate ingests of the same doc_id (out of contract
+    * upstream, visible here as stored > expected). Both sides are
+    * tombstone-masked — a taken-down doc is as-if never indexed, so a
+    * masked store validates clean against the full corpus table.
     *
     * `corpus` must be the same id+text table the store was built from
     * (the lake's source of truth). Scan economics: the stored side is
-    * two column-pruned count aggregates over the postings/sigs layouts
-    * (16-byte rows, never the text); the expected side signs the corpus
-    * once — the same cost as one nightly ingest's signature pass.
+    * two column-pruned single-aggregate scans over the postings/sigs
+    * layouts (count + xor in ONE pass each, never the text); the
+    * expected side signs the corpus once — the same cost as one
+    * nightly ingest's signature pass.
     *
-    * Output: (component, stored, expected, ok), one row per component. */
+    * Output: (component, stored, expected, ok), one row per component
+    * x {count, checksum}. */
   def validate(spark: SparkSession, dir: String, corpus: DataFrame,
       textCol: String = "text"): DataFrame = {
     import spark.implicits._
@@ -871,33 +900,55 @@ object DedupIndex {
     val ids = activeBatches(st)
       .filter(i => hasData(fs, s"${postingsRoot(dir)}/batch=$i"))
     val dead = deletedDocs(spark, fs, dir, st)
-    def maskedCount(root: String, paths: Seq[String]): Long =
-      if (paths.isEmpty) 0L
-      else {
-        val scan = spark.read.option("basePath", root)
-          .parquet(paths: _*).select(col("doc_id"))
-        dead.fold(scan)(d => scan.join(d, Seq("doc_id"), "left_anti"))
-          .count()
-      }
-    val storedSigs = maskedCount(sigsRoot(dir),
+    def mask(scan: DataFrame): DataFrame =
+      dead.fold(scan)(d => scan.join(d, Seq("doc_id"), "left_anti"))
+    // content row hashes, same fold family as the band bucketing
+    // ((a * 131 + v) mod P, seeded 7) so the oracle replays them with
+    // the list_reduce it already uses for buckets
+    def sigRowHash: Column = aggregate(col("sig"),
+      (lit(7L) * 131L + col("doc_id")) % P,
+      (a, v) => (a * 131L + v) % P)
+    def postRowHash: Column =
+      ((lit(7L) * 131L + col("doc_id")) % P * 131L + col("bb")) % P
+    // ONE pass per component: count + xor in the same aggregate
+    def stats(df: DataFrame, rowHash: Column): (Long, Long) = {
+      val r = df.select(rowHash.as("__rh"))
+        .agg(count(lit(1)), expr("bit_xor(__rh)")).head
+      (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    def maskedStats(root: String, paths: Seq[String],
+        rowHash: Column, cols: String*): (Long, Long) =
+      if (paths.isEmpty) (0L, 0L)
+      else stats(
+        mask(spark.read.option("basePath", root).parquet(paths: _*)
+          .select(cols.map(col): _*)), rowHash)
+    val (storedSigs, storedSigsChk) = maskedStats(sigsRoot(dir),
       ids.filter(i => hasData(fs, s"${sigsRoot(dir)}/batch=$i"))
-        .map(i => s"${sigsRoot(dir)}/batch=$i"))
-    val storedPostings = maskedCount(postingsRoot(dir),
-      ids.map(i => s"${postingsRoot(dir)}/batch=$i"))
+        .map(i => s"${sigsRoot(dir)}/batch=$i"),
+      sigRowHash, "doc_id", "sig")
+    val (storedPostings, storedPostingsChk) = maskedStats(
+      postingsRoot(dir),
+      ids.map(i => s"${postingsRoot(dir)}/batch=$i"),
+      postRowHash, "doc_id", "bb")
     // the definitional expectation: one signature per corpus doc with a
-    // non-empty gram set, numBands postings each — masked identically
-    val guarded = dead.fold(corpus)(d =>
-      corpus.join(d.select(col("doc_id")), Seq("doc_id"), "left_anti"))
-    val expectedSigs = guarded
-      .select(TextAnalysis.hashedNgrams(col(textCol), p.n).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .count()
-    val expectedPostings = expectedSigs * p.numBands
+    // non-empty gram set, numBands postings each — masked identically,
+    // under the store's own frozen family
+    val guarded = mask(corpus)
+    val (expSigs, expBanded) = sigAndBand(guarded, textCol, p)
+    val (expectedSigs, expectedSigsChk) = stats(expSigs, sigRowHash)
+    val (expectedPostings, expectedPostingsChk) =
+      stats(expBanded, postRowHash)
+    expSigs.unpersist()
     Seq(
       ("postings", storedPostings, expectedPostings,
         storedPostings == expectedPostings),
+      ("postings_checksum", storedPostingsChk, expectedPostingsChk,
+        storedPostingsChk == expectedPostingsChk),
       ("signatures", storedSigs, expectedSigs,
-        storedSigs == expectedSigs))
+        storedSigs == expectedSigs),
+      ("signatures_checksum", storedSigsChk, expectedSigsChk,
+        storedSigsChk == expectedSigsChk))
       .toDF("component", "stored", "expected", "ok")
       .orderBy(col("component"))
   }
@@ -936,6 +987,7 @@ object DedupIndex {
     // over-masking window.)
     deletesApplied.filter(f.coversDelete).foreach { b =>
       fs.delete(landingMarker(dir, b), false)
+      fs.delete(landingMarkerTmp(dir, b), false)
       val p = new Path(s"${deletesRoot(dir)}/batch=$b")
       if (fs.exists(p)) {
         fs.listStatus(p)

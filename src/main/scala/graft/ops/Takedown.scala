@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE standing-takedown guard shared by the disk-backed stores —
+  * and the store-persisted REGISTRY that makes it self-enforcing.
+  *
+  * A tombstone ([[DedupIndex.delete]] / [[VectorStore.delete]]) is final
+  * for rows ALREADY stored, but a compliance pipeline must also block a
+  * taken-down id RE-DELIVERED by an upstream source. Until round 12 that
+  * guard was caller-supplied only: every ingest verb took an
+  * `Option[DataFrame]` of blocked ids, which means compliance depended
+  * on every caller remembering to pass it — one forgetful ingest path
+  * re-admits a blocked id with no error anywhere. [[register]] persists
+  * the blocked ids IN the store (a `#<count>`-sealed `_takedowns` ledger
+  * via [[Commit.writeSealedIds]] — atomic replace, torn writes refuse
+  * loudly), and every ingest verb of both stores reads it automatically
+  * through [[guard]], unioning it with whatever the caller still passes.
+  *
+  * Freshness: batch verbs read the registry at call time; the STREAMING
+  * verbs delegate per micro-batch (foreachBatch calls the batch verb),
+  * so a registration lands on the NEXT micro-batch without a stream
+  * restart — stricter than the caller-supplied list, whose file-source
+  * snapshot is frozen when the stream starts. A takedown that must bite
+  * immediately on ALREADY-stored rows is still a `delete`.
+  *
+  * Scale shape: the registry is a compliance list (thousands to low
+  * millions), not a corpus — it is a driver-side sealed file by design,
+  * capped loudly at [[MaxRegistry]]. The guard embeds small registries
+  * as an IN-list (pushed into the scan) and switches to a broadcast
+  * anti-join past [[InListCap]] — the probeCap discipline. */
+object Takedown {
+
+  /** The registry file under the store root — generation-independent on
+    * purpose: it survives [[VectorStore.compact]]/`retrain` pointer
+    * flips and both stores' full rebuilds (a rebuild from the raw
+    * corpus is exactly where re-admission would otherwise happen). */
+  def registryPath(dir: String): Path = new Path(s"$dir/_takedowns")
+
+  /** Above this, an IN-list plan literal stops being the right shape
+    * (plan size, codegen limits) and the guard anti-joins instead. */
+  private val InListCap = 65536
+
+  /** The registry is a small control-plane file, not a data store —
+    * refuse loudly before writing one the sealed-ledger read path would
+    * choke on. */
+  private val MaxRegistry = 4 * 1024 * 1024
+
+  /** Currently registered ids; absent registry = empty set; a torn
+    * registry file refuses loudly ([[Commit.readSealedIds]]). */
+  def registered(fs: FileSystem, dir: String): Set[Long] =
+    Commit.readSealedIds(fs, registryPath(dir))
+
+  /** Union `ids` into the store's persisted registry (idempotent —
+    * re-registering is a no-op union; the write is an atomic sealed
+    * replace). Returns the full registered set. Registration blocks
+    * FUTURE ingests only; pair it with the store's `delete` verb for
+    * rows already stored ([[execute]] does both). */
+  def register(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Set[Long] = {
+    import spark.implicits._
+    val fs = graft.wri.WriFs.fs(dir, spark.sparkContext.hadoopConfiguration)
+    val newIds = ids.select(col(idCol).cast("long")).as[Long]
+      .collect().toSet
+    val all = registered(fs, dir) ++ newIds
+    require(all.size <= MaxRegistry,
+      s"takedown registry at $dir would hold ${all.size} ids " +
+        s"(> $MaxRegistry) — that is corpus-sized, not a compliance " +
+        "list; this registry is a driver-side sealed file by design")
+    Commit.writeSealedIds(fs, registryPath(dir), all)
+    all
+  }
+
+  /** The ingest-side guard both stores apply before any signing or
+    * encoding work: drop rows whose id is in the persisted registry or
+    * the caller's standing list. Null ids pass through untouched (the
+    * anti-join semantics callers already rely on). */
+  def guard(batch: DataFrame, idCol: String,
+      callerIds: Option[DataFrame], fs: FileSystem,
+      dir: String): DataFrame = {
+    val reg = registered(fs, dir)
+    val regGuarded =
+      if (reg.isEmpty) batch
+      else if (reg.size <= InListCap)
+        batch.filter(
+          not(coalesce(col(idCol).isInCollection(reg), lit(false))))
+      else {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.join(broadcast(reg.toSeq.toDF(idCol)), Seq(idCol),
+          "left_anti")
+      }
+    callerIds.fold(regGuarded)(t =>
+      regGuarded.join(t.select(col(idCol).cast("long").as(idCol)),
+        Seq(idCol), "left_anti"))
+  }
+
+  /** The training-shard store's coordinates for [[execute]] — directory
+    * plus the id/token column names its shards were written with. */
+  final case class ShardStore(dir: String, idCol: String,
+      tokensCol: String)
+
+  /** The auditor's ONE call — issue a takedown against every
+    * disk-backed store the pipeline maintains, instead of a hand
+    * choreography that forgets one:
+    *
+    *  - [[DedupIndex.delete]] + [[VectorStore.delete]]: tombstones mask
+    *    the ids from serving immediately; the next compact reclaims.
+    *  - [[Assembly.purgeDocs]]: the committed training shards holding
+    *    the ids are rewritten with them dropped and the next manifest
+    *    version commits — the exported data itself forgets.
+    *  - [[register]] on both retrieval stores (unless `standing =
+    *    false`): future re-delivery by any upstream source is blocked
+    *    with no caller cooperation needed.
+    *
+    * Re-delivery safe end to end: tombstoning the same ids again is a
+    * fresh (harmless) tombstone batch, the purge and the registration
+    * no-op. `ids` is one single-column frame; pass the column name it
+    * uses — each store receives it renamed to its own key. Returns one
+    * audit table (store, action, n) — `n` is the distinct id count for
+    * tombstone/registry actions and the number of document rows
+    * physically dropped for the shard purge. */
+  def execute(spark: SparkSession, ids: DataFrame, idCol: String,
+      dedupIndexDir: Option[String] = None,
+      vectorStoreDir: Option[String] = None,
+      shardStore: Option[ShardStore] = None,
+      standing: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val distinctIds = ids.select(col(idCol).cast("long").as(idCol))
+      .distinct()
+    val n = distinctIds.count()
+    val audit = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    dedupIndexDir.foreach { d =>
+      val docIds = distinctIds.select(col(idCol).as("doc_id"))
+      DedupIndex.delete(spark, d, docIds)
+      audit += (("dedup_index", "tombstoned", n))
+      if (standing) {
+        Takedown.register(spark, d, docIds, "doc_id")
+        audit += (("dedup_index", "registered", n))
+      }
+    }
+    vectorStoreDir.foreach { d =>
+      val vecIds = distinctIds.select(col(idCol).as("vec_id"))
+      VectorStore.delete(spark, d, vecIds)
+      audit += (("vector_store", "tombstoned", n))
+      if (standing) {
+        Takedown.register(spark, d, vecIds, "vec_id")
+        audit += (("vector_store", "registered", n))
+      }
+    }
+    shardStore.foreach { s =>
+      def stored(): Long = Option(Assembly.readManifest(spark, s.dir)
+        .agg(sum(col("n_docs"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val before = stored()
+      Assembly.purgeDocs(spark, s.dir,
+        distinctIds.select(col(idCol).as(s.idCol)), s.idCol, s.tokensCol)
+      audit += (("training_shards", "purged", before - stored()))
+    }
+    audit.toSeq.toDF("store", "action", "n")
+  }
+}

@@ -136,16 +136,35 @@ object VectorStore {
     * sanctioned repair). Unrecoverable = refuse loudly: guessing a
     * generation would serve the wrong incarnation silently. */
   /** A pre-seal-era pointer: bare digits, no sentinel. Accepted (with a
-    * WARN) so an in-place upgrade does not wedge an intact store — the
-    * residual risk is that a torn SEALED pointer whose surviving prefix
-    * is all digits reads as a legacy pointer when its sibling tmp is
-    * ALSO gone (the tmp, written first, normally disambiguates); the
-    * window closes permanently the first time an offline verb runs,
+    * WARN) so an in-place upgrade does not wedge an intact store — but
+    * only after [[currentGen]] checks the parse against on-disk
+    * evidence: a torn SEALED pointer whose surviving prefix is all
+    * digits reads as a (smaller) legacy generation, and on object
+    * stores — where pointer mode actually runs — the direct-PUT path
+    * leaves no sibling tmp to rebut it, so the disk itself is the
+    * witness (any `codes@N` with N above the parse = torn, refuse).
+    * The window closes permanently the first time an offline verb runs,
     * because [[healPointer]] re-seals legacy content. */
   private def parseLegacyGen(text: String): Option[Long] = {
     val t = text.trim
     if (t.nonEmpty && t.length <= 18 && t.forall(_.isDigit)) Some(t.toLong)
     else None
+  }
+
+  /** Highest `codes@<gen>` generation present on disk, if any — the
+    * independent witness a Lost-branch legacy parse is checked against:
+    * a SEALED pointer torn to an all-digit prefix ('123 #' → '12')
+    * parses as a legacy pointer, and on object stores the direct-PUT
+    * path leaves no sibling tmp to rebut it — but the store it would
+    * silently mis-serve has the REAL generation's directory sitting
+    * right there. */
+  private def maxGenOnDisk(fs: FileSystem, dir: String): Option[Long] = {
+    val rootP = new Path(dir)
+    if (!fs.exists(rootP)) return None
+    val CodesGen = "^codes@(\\d+)$".r
+    fs.listStatus(rootP).iterator.map(_.getPath.getName)
+      .collect { case CodesGen(g) => g.toLong }
+      .maxOption
   }
 
   private def currentGen(fs: FileSystem, dir: String): Option[Long] = {
@@ -160,11 +179,27 @@ object VectorStore {
         parseGen(t)
       case Commit.Lost =>
         parseLegacyGen(Commit.readSmall(fs, p)) match {
-          case Some(g) =>
+          // the legacy parse is only believed when the disk agrees: a
+          // torn sealed pointer whose surviving prefix is all digits
+          // ('123 #' → '12') reads as a smaller legacy generation, and
+          // pointer mode runs precisely on object stores, where no
+          // sibling tmp exists to disambiguate — but the truncation
+          // always parses BELOW the real generation, whose codes@N
+          // directory is still on disk. A genuine pre-seal pointer names
+          // the highest (only) live generation, so the check costs an
+          // upgrade nothing.
+          case Some(g) if maxGenOnDisk(fs, dir).forall(_ <= g) =>
             System.err.println(s"WARN graft.VectorStore: $dir/_current " +
               "is a pre-seal bare-number pointer; serving it (run " +
               "compact or retrain once to re-seal it)")
             Some(g)
+          case Some(g) => throw new IllegalStateException(
+            s"$dir/_current parses as legacy generation $g but a higher " +
+              s"codes@${maxGenOnDisk(fs, dir).get} exists on disk — this " +
+              "is a torn sealed pointer, not a pre-seal one; refusing " +
+              "to serve a dead incarnation (restore _current from the " +
+              "store's backup, or point it at the highest complete " +
+              "generation by hand)")
           case None => throw new IllegalStateException(
             s"$dir/_current is torn and unrecoverable (no complete " +
               "sibling tmp); refusing to guess which incarnation serves")
@@ -176,15 +211,24 @@ object VectorStore {
     * maintenance process, so no concurrent flip exists): a Recovered
     * pointer is rewritten in place through [[Commit.heal]] (the direct
     * main-file write that never touches the sibling tmp, the only
-    * durable copy of the recovered content), and a legacy bare-number
-    * pointer is re-sealed, closing the legacy-ambiguity window. */
+    * durable copy of the recovered content — the heal-not-replace
+    * rationale applies HERE only), and a legacy bare-number pointer is
+    * re-sealed through [[Commit.replace]] (atomic PUT / tmp+rename):
+    * the legacy branch has no tmp worth preserving, and a plain
+    * create-overwrite crashing mid-write could truncate a multi-digit
+    * generation into a shorter string the legacy parser accepts — the
+    * exact silent-wrong-incarnation failure the `#` sentinel exists to
+    * prevent. The legacy value is validated against on-disk generations
+    * first (see [[currentGen]]), so a torn sealed pointer is refused
+    * rather than re-sealed wrong. */
   private def healPointer(fs: FileSystem, dir: String): Unit = {
     val p = new Path(s"$dir/_current")
     Commit.read(fs, p, t => parseGen(t).isDefined) match {
       case Commit.Recovered(t) => Commit.heal(fs, p, t)
       case Commit.Lost =>
         parseLegacyGen(Commit.readSmall(fs, p))
-          .foreach(g => Commit.heal(fs, p, s"$g #\n"))
+          .filter(g => maxGenOnDisk(fs, dir).forall(_ <= g))
+          .foreach(g => Commit.replace(fs, p, s"$g #\n"))
       case _ => ()
     }
   }
@@ -467,6 +511,10 @@ object VectorStore {
     * incarnation: tombstones, ledgers, claims, pointer-mode generations
     * and compaction leftovers are cleared FIRST, so a rebuilt store can
     * never be haunted by the old one's deletes or poisoned batch ids).
+    * The ONE survivor is the persisted `_takedowns` registry
+    * ([[Takedown]]) — deliberately generation- and rebuild-independent,
+    * because a rebuild from the raw corpus is exactly where a blocked
+    * vec_id would otherwise be silently re-admitted.
     * One training pipeline, one partitioned write; the corpus never
     * shuffles except the partitionBy(cell) write placement. */
   def write(spark: SparkSession, emb: DataFrame, dir: String,
@@ -505,7 +553,7 @@ object VectorStore {
     // the standing takedown guard covers the REBUILD path too — a fresh
     // write from the raw corpus is exactly where a compliance pipeline
     // would otherwise silently re-index taken-down vectors
-    trainInto(spark, guardTakedowns(emb, takedownIds), cells, m,
+    trainInto(spark, guardTakedowns(fs, dir, emb, takedownIds), cells, m,
       codebookSize, kmeansIters,
       s"$dir/codes", s"$dir/centroids", s"$dir/codebooks")
   }
@@ -566,19 +614,22 @@ object VectorStore {
     * upstream, the q90 incremental-ingest discipline). */
   /** The ingest-side STANDING takedown guard — [[DedupIndex]]'s
     * discipline applied to the vector store: a tombstone is FINAL for
-    * its vec_id, but a compliance pipeline that must also block a
-    * taken-down id RE-DELIVERED by an upstream source keeps a standing
-    * list and passes it here; blocked rows are anti-joined out BEFORE
-    * encoding, so they never land as code rows at all. In
-    * [[appendStream]] the list is resolved when the STREAM STARTS
-    * (file-based sources snapshot their listing into the plan) — ids
-    * added to the list afterwards are not seen until the stream is
-    * restarted; a takedown that must bite immediately is a [[delete]]. */
-  private def guardTakedowns(emb: DataFrame,
-      takedownIds: Option[DataFrame]): DataFrame =
-    takedownIds.fold(emb)(t =>
-      emb.join(t.select(col("vec_id").cast("long").as("vec_id")),
-        Seq("vec_id"), "left_anti"))
+    * its vec_id, but a compliance pipeline must also block a taken-down
+    * id RE-DELIVERED by an upstream source. Blocked rows are dropped
+    * BEFORE encoding, so they never land as code rows at all. Two
+    * sources, unioned by [[Takedown.guard]] (the one implementation
+    * both stores share): the store's PERSISTED `_takedowns` registry
+    * ([[Takedown.register]] — read automatically by every ingest verb,
+    * surviving rebuilds and pointer flips), plus whatever `takedownIds`
+    * list the caller still passes. In [[appendStream]] the caller's
+    * list is resolved when the STREAM STARTS (file-based sources
+    * snapshot their listing into the plan), but the REGISTRY is re-read
+    * per micro-batch — a registration bites on the next micro-batch
+    * without a restart. A takedown that must bite immediately on
+    * already-stored rows is a [[delete]]. */
+  private def guardTakedowns(fs: FileSystem, dir: String,
+      emb: DataFrame, takedownIds: Option[DataFrame]): DataFrame =
+    Takedown.guard(emb, "vec_id", takedownIds, fs, dir)
 
   def append(spark: SparkSession, dir: String, emb: DataFrame,
       batchId: Option[Long] = None,
@@ -591,7 +642,7 @@ object VectorStore {
     val id = batchId.getOrElse(claimBatchId(fs, root))
     if (committedBatches(fs, root).contains(id)) return
     val (coarse, books) = readMeta(spark, dir, gen)
-    assignResiduals(spark, guardTakedowns(emb, takedownIds), coarse)
+    assignResiduals(spark, guardTakedowns(fs, dir, emb, takedownIds), coarse)
       .select(col("vec_id"), col("cell"),
         Pq.encode(col("embedding"), books).as("codes"))
       .write.partitionBy("cell").mode("overwrite")
@@ -713,9 +764,14 @@ object VectorStore {
     * [[deleteStream]] naturally runs 24/7 across nightly compacts): the
     * teardown sweeps only the CAPTURED tombstone dirs in rename mode
     * and migrates late arrivals into the new generation in pointer mode
-    * — an uncaptured takedown keeps masking and the next compact
-    * applies it; the only residual window is a batch-mode [[delete]]
-    * in flight during the pointer flip itself.
+    * — TWICE: once before the flip (so the new generation masks them
+    * from its first served instant) and once after (so a tombstone that
+    * committed between the first pass and the flip survives the GC).
+    * An uncaptured takedown keeps masking and the next compact applies
+    * it; the residual window is a delete IN FLIGHT during the flip
+    * itself — batch-mode or a deleteStream micro-batch alike — that
+    * resolved the old generation before the flip and commits there
+    * after the post-flip sweep.
     *
     * Two swap modes:
     *
@@ -832,16 +888,23 @@ object VectorStore {
       // first moment the generation serves
       writeLedger(fs, nextCodes, codeIds - 0L)
       writeLedger(fs, nextDel, delIds - 0L)
+      // tombstones that landed in the OLD generation between the capture
+      // and here (a 24/7 deleteStream's micro-batch) were not folded —
+      // migrate them BEFORE the flip, so the instant the new generation
+      // serves it already masks them: without this pass, a taken-down
+      // vec_id would transiently resurface between the flip and a
+      // post-flip migration
+      migrateLateTombstones(fs, delRoot, nextDel, delIds)
       // THE FLIP: one small atomic write; everything before it was
       // invisible, everything after it is garbage collection
       atomicWriteString(fs, new Path(s"$dir/_current"), s"$next #\n")
-      // tombstones that landed in the OLD generation between the capture
-      // and the flip (a 24/7 deleteStream's micro-batch) were not folded
-      // — migrate them into the new generation BEFORE the old one is
-      // GC'd, or the takedown would be destroyed while the stream
-      // checkpoint says it was delivered. (A delete in flight RIGHT NOW
-      // that resolved the old generation and lands after this sweep is
-      // the residual offline-contract window — see the docstring.)
+      // second migration pass AFTER the flip, before the old generation
+      // is GC'd: a tombstone that committed in the old root between the
+      // pre-flip pass and the flip itself would otherwise be destroyed
+      // while the stream checkpoint says it was delivered. (A delete
+      // micro-batch in flight RIGHT NOW — batch mode or stream — that
+      // resolved the old generation before the flip and lands after this
+      // sweep is the residual in-flight window; see the docstring.)
       migrateLateTombstones(fs, delRoot, nextDel, delIds)
       Seq(codesRoot, delRoot,
           componentRoot(dir, "centroids", gen),
@@ -859,12 +922,16 @@ object VectorStore {
     * late arrivals of a delete stream running across a pointer-mode
     * compact. Copied dirs carry their `_SUCCESS`, so they mask
     * immediately in the new generation and the next compact folds them.
+    * Idempotent: a batch already present under `newRoot` is skipped, so
+    * [[compact]]'s two passes (pre-flip and post-flip) compose — a
+    * blind re-copy would nest the directory and tear the mask.
     * Package-visible for the spec, which exercises the migration
     * directly (the window it closes is inherently concurrent). */
   private[ops] def migrateLateTombstones(fs: FileSystem, oldRoot: String,
       newRoot: String, captured: Set[Long]): Unit =
     (committedBatches(fs, oldRoot) -- captured)
-      .filter(id => fs.exists(new Path(s"$oldRoot/batch=$id")))
+      .filter(id => fs.exists(new Path(s"$oldRoot/batch=$id")) &&
+        !fs.exists(new Path(s"$newRoot/batch=$id")))
       .foreach { id =>
         org.apache.hadoop.fs.FileUtil.copy(fs,
           new Path(s"$oldRoot/batch=$id"), fs,
@@ -1222,6 +1289,89 @@ object VectorStore {
         col("col.id").as("vec_id"),
         col("col.score").as("approx_d2"),
         (col("pos") + 1L).cast("long").as("knn_rank"))
+  }
+
+  private val P = 1000000007L
+
+  /** The store's QA sweep — [[DedupIndex.validate]]'s discipline for
+    * the store MOST prone to silent drift: a lost `batch=<id>`
+    * directory in a rarely-probed cell serves quietly degraded recall
+    * with no error anywhere, and nothing else ever recomputes what the
+    * cells SHOULD hold. Per cell, the sweep recomputes the definitional
+    * expectation from the lake corpus under the FROZEN
+    * centroids/codebooks (the assign+encode step only — one pass, no
+    * retraining) and compares it to the committed code rows: a row
+    * COUNT and an order-independent xor-of-row-hashes CONTENT checksum,
+    * where the row hash folds (vec_id, cell, every code byte) — so a
+    * code row quantized against the wrong codebook, a swapped cell, or
+    * a corrupted code value is caught even when counts survive. Both
+    * sides are tombstone-masked: a taken-down vec_id is as-if never
+    * stored, so a masked store validates clean against the full lake.
+    *
+    * `corpus` must be the same (vec_id, embedding) table the store was
+    * built from and appended with — the lake's source of truth (the
+    * [[retrain]] contract). Failures are error-as-data rows, one per
+    * cell (the P7 discipline): `missing rows` (lost batch dir / lost
+    * files), `extra rows` (duplicate append), `content drift` (counts
+    * intact, checksum broken).
+    *
+    * Output: (cell, stored, expected, checksum, ok, reason) — one row
+    * per cell present on either side; `checksum` is the stored side's,
+    * pinned by the q170 oracle's independent driver replay. */
+  def validate(spark: SparkSession, dir: String,
+      corpus: DataFrame): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val gen = currentGen(fs, dir)
+    heal(fs, dir, gen)
+    val (coarse, books) = readMeta(spark, dir, gen)
+    val codesRoot = componentRoot(dir, "codes", gen)
+    val delRoot = componentRoot(dir, "deletes", gen)
+    val delPaths = committedPaths(fs, delRoot)
+    def maskDel(df: DataFrame): DataFrame =
+      if (delPaths.isEmpty) df
+      else df.join(
+        spark.read.option("basePath", delRoot).parquet(delPaths: _*)
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    // content row hash, the DedupIndex.validate fold family:
+    // seed 7, then vec_id, then cell, then every code — (a*131+v) mod P
+    def rowHash: org.apache.spark.sql.Column = aggregate(col("codes"),
+      ((lit(7L) * 131L + col("vec_id")) % P * 131L + col("cell")) % P,
+      (a, v) => (a * 131L + v) % P)
+    def cellAgg(df: DataFrame, n: String, c: String): DataFrame =
+      df.select(col("cell").cast("long").as("cell"), rowHash.as("__rh"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as(n), expr("bit_xor(__rh)").as(c))
+    val stored = cellAgg(
+      maskDel(spark.read.option("basePath", codesRoot)
+        .parquet(committedPaths(fs, codesRoot): _*)
+        .select(col("vec_id"), col("cell"), col("codes"))),
+      "stored", "checksum")
+    // the definitional expectation: assign + encode the masked lake
+    // under the frozen metadata — bit-identical to what write/append
+    // produced, because encode is deterministic given the books
+    val expected = cellAgg(
+      assignResiduals(spark, maskDel(
+          corpus.select(col("vec_id"), col("embedding"))), coarse)
+        .select(col("vec_id"), col("cell"),
+          Pq.encode(col("embedding"), books).as("codes")),
+      "expected", "__ec")
+    stored.join(expected, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("stored"), lit(0L)).as("stored"),
+        coalesce(col("expected"), lit(0L)).as("expected"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"),
+        (coalesce(col("stored"), lit(0L)) ===
+          coalesce(col("expected"), lit(0L)) &&
+          coalesce(col("checksum"), lit(0L)) ===
+            coalesce(col("__ec"), lit(0L))).as("ok"),
+        when(coalesce(col("stored"), lit(0L)) <
+            coalesce(col("expected"), lit(0L)), lit("missing rows"))
+          .when(coalesce(col("stored"), lit(0L)) >
+            coalesce(col("expected"), lit(0L)), lit("extra rows"))
+          .when(coalesce(col("checksum"), lit(0L)) =!=
+            coalesce(col("__ec"), lit(0L)), lit("content drift"))
+          .otherwise(lit("ok")).as("reason"))
   }
 
   /** Incremental SEMANTIC dedup against the persisted store — the

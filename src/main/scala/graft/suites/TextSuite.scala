@@ -97,7 +97,8 @@ object TextSuite {
     Q("q163_training_order", q163, Some(q163Sql)),
     Q("q164_validate_shards", q164, Some(q164Sql)),
     Q("q167_takedown_compliance", q167, None, Some(q167Oracle)),
-    Q("q168_dedup_index_validate", q168, Some(q168Sql))
+    Q("q168_dedup_index_validate", q168, Some(q168Sql)),
+    Q("q169_takedown_all_stores", q169, None, Some(q169Oracle))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -269,13 +270,15 @@ object TextSuite {
 
   /** Store QA sweep ([[graft.ops.DedupIndex.validate]]) — the
     * [[graft.ops.Assembly.validateShards]] discipline for the dedup
-    * index: every serving component's size is recomputed definitionally
-    * from the corpus table under the frozen signature family and
-    * compared to the stored layout, mismatches as error-as-data rows.
-    * The oracle replays the expectation (docs with a non-empty 3-gram
-    * set; numBands postings each) and pins stored == expected with
-    * ok = true — a store that lost a batch, duplicated an ingest, or
-    * leaked a fold breaks the hash. Shares q153's cached index. */
+    * index: every serving component is recomputed definitionally from
+    * the corpus table under the frozen signature family — a row COUNT
+    * and an xor-of-row-hashes CONTENT checksum each — and compared to
+    * the stored layout, mismatches as error-as-data rows. The oracle
+    * replays the full expectation — signatures, band buckets, and both
+    * fold-hash checksums — and pins stored == expected with ok = true:
+    * a store that lost a batch, duplicated an ingest, leaked a fold,
+    * OR drifted content under an intact count (a corrupted sig value,
+    * a swapped bucket) breaks the hash. Shares q153's cached index. */
   private def q168(s: SparkSession, d: String): DataFrame = {
     val dir = queryIndexDirs.getOrElseUpdate(d, {
       val out = java.nio.file.Files.createTempDirectory("dedupidx_q").toString
@@ -285,8 +288,8 @@ object TextSuite {
     graft.ops.DedupIndex.validate(s, dir, Tables.documents(s, d))
   }
 
-  private val q168Sql =
-    """WITH cth AS (SELECT doc_id,
+  private def q168Sql =
+    s"""WITH cth AS (SELECT doc_id,
       |    list_transform(string_split(text, ' '), t ->
       |      list_reduce(list_prepend(CAST(7 AS BIGINT),
       |        list_transform(string_split(t, ''),
@@ -301,13 +304,31 @@ object TextSuite {
       |                  % 1000000007 END),
       |      z -> z IS NOT NULL)) AS grams
       |  FROM cth),
-      |n AS (SELECT CAST(count(*) AS BIGINT) AS nsig
-      |  FROM cg WHERE len(grams) > 0)
+      |csig AS (SELECT doc_id, list_transform(range(0, 64), s ->
+      |    list_min(list_transform(grams, x ->
+      |      (($coefA)[s+1] * x + ($coefB)[s+1]) % 1000000007))) AS sig
+      |  FROM cg WHERE len(grams) > 0),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nsig FROM csig),
+      |schk AS (SELECT bit_xor(list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_prepend(doc_id, sig)),
+      |    (a, v) -> (a * 131 + v) % 1000000007)) AS c FROM csig),
+      |cband AS (SELECT doc_id, b.range AS band,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        sig[b.range*4+1 : b.range*4+4]),
+      |      (a, v) -> (a * 131 + v) % 1000000007) AS bucket
+      |  FROM csig, range(0, 16) b),
+      |pchk AS (SELECT bit_xor(((7 * 131 + doc_id) % 1000000007 * 131
+      |      + (band * 1000000007 + bucket)) % 1000000007) AS c
+      |  FROM cband)
       |SELECT component, stored, expected, ok FROM (
       |  SELECT 'postings' AS component, nsig * 16 AS stored,
       |         nsig * 16 AS expected, TRUE AS ok FROM n
       |  UNION ALL
+      |  SELECT 'postings_checksum', c, c, TRUE FROM pchk
+      |  UNION ALL
       |  SELECT 'signatures', nsig, nsig, TRUE FROM n
+      |  UNION ALL
+      |  SELECT 'signatures_checksum', c, c, TRUE FROM schk
       |) ORDER BY component""".stripMargin
 
   // ---- end-to-end takedown compliance (both retrieval stores) ----------
@@ -392,6 +413,142 @@ object TextSuite {
        |  UNION ALL
        |  SELECT 'vector_store', CAST(0 AS BIGINT), vec_id, approx_d2
        |  FROM (${VectorSuite.q150Oracle(s, d)})
+       |) ORDER BY store, probe_id, hit_id""".stripMargin
+
+  // ---- q169: the takedown, end to end across ALL THREE stores ----------
+
+  private val allStoreDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
+
+  /** The full compliance composition — q167 plus the store q167 stops
+    * short of: ONE [[graft.ops.Takedown.execute]] call takes the
+    * `doc_id % 7 == 3` set down across the dedup index (tombstone +
+    * standing registration), the vector store (same), and the
+    * TRAINING-SHARD export ([[graft.ops.Assembly.purgeDocs]] — the
+    * affected committed shards physically rewritten, the next manifest
+    * version committed). The build then proves the full story: masked
+    * serving == post-reclaim serving in both retrieval stores, a
+    * RE-DELIVERY of the taken-down docs through ingest verbs that
+    * "forgot" the takedown argument is blocked by the persisted
+    * registry alone, the purged text is gone from the shard files, and
+    * validateShards stays green on the new manifest version. The query
+    * returns all three stores' serving as one audit table; the oracle
+    * replays each store definitionally — the q165 corpus-filtered dedup
+    * replay, the q150-family ADC replay with `% 7 == 3` dropped, and
+    * the shard-cut replay with the purged ids filtered (surviving docs
+    * KEEP their original shard assignment — purge rewrites files, it
+    * never re-shards). */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    def dedupServe(di: String): DataFrame =
+      graft.ops.DedupIndex.queryPairs(s, di, nightlyBatch(s, d))
+    def vecServe(vd: String): DataFrame = {
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).as[Array[Float]].head()
+      graft.ops.VectorStore.queryTopK(s, vd, qv, k = 10, nprobe = 2,
+        excludeVecId = Some(0L))
+    }
+    val (di, vd, sh) = allStoreDirs.getOrElseUpdate(d, {
+      val tokDocs = docs.withColumn("tok",
+        size(split(col("text"), " ")).cast("long"))
+      val takedown = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"))
+      val di0 = java.nio.file.Files
+        .createTempDirectory("takedown3_didx").toString
+      graft.ops.DedupIndex.write(s, docs, di0)
+      val vd0 = java.nio.file.Files
+        .createTempDirectory("takedown3_vstore").toString
+      graft.ops.VectorStore.write(s, emb, vd0)
+      val sh0 = java.nio.file.Files
+        .createTempDirectory("takedown3_shards").toString
+      graft.ops.Assembly.writeShards(tokDocs, "doc_id", "tok",
+        budget = 2000L, seed = 42L, outDir = sh0)
+      // ONE call issues the takedown everywhere: tombstones, standing
+      // registrations, and the physical shard purge
+      val audit = graft.ops.Takedown.execute(s, takedown, "doc_id",
+        dedupIndexDir = Some(di0), vectorStoreDir = Some(vd0),
+        shardStore = Some(graft.ops.Takedown.ShardStore(sh0, "doc_id",
+          "tok")))
+      require(audit.count() == 5L,
+        "takedown audit: expected 5 actions across the three stores")
+      // masked serving, audited BEFORE the physical reclaim
+      val dPre = dedupServe(di0).collect().map(_.toSeq).toSet
+      val vPre = vecServe(vd0).collect().map(_.toSeq).toSet
+      graft.ops.DedupIndex.compact(s, di0)
+      graft.ops.VectorStore.compact(s, vd0)
+      require(dedupServe(di0).collect().map(_.toSeq).toSet == dPre,
+        "takedown audit: dedup serving changed across the reclaim")
+      require(vecServe(vd0).collect().map(_.toSeq).toSet == vPre,
+        "takedown audit: vector serving changed across the reclaim")
+      // the compliance gap the registry closes: RE-DELIVER the taken-
+      // down docs through ingest verbs with NO takedown argument — the
+      // persisted registration alone must block them
+      graft.ops.DedupIndex.append(s, di0,
+        docs.filter(col("doc_id") % 7 === 3), batchId = 50L)
+      graft.ops.VectorStore.append(s, vd0,
+        emb.filter(col("vec_id") % 7 === 3), batchId = Some(50L))
+      require(dedupServe(di0).collect().map(_.toSeq).toSet == dPre,
+        "takedown audit: a re-delivered doc got past the registry")
+      require(vecServe(vd0).collect().map(_.toSeq).toSet == vPre,
+        "takedown audit: a re-delivered vector got past the registry")
+      // the exported training data itself forgot, and still validates
+      require(s.read.parquet(s"$sh0/shards")
+        .filter(col("doc_id") % 7 === 3).isEmpty,
+        "takedown audit: purged text still present in a shard file")
+      require(graft.ops.Assembly.validateShards(s, sh0, "doc_id", "tok")
+        .filter(!col("ok")).isEmpty,
+        "takedown audit: post-purge store fails its own QA sweep")
+      (di0, vd0, sh0)
+    })
+    dedupServe(di).select(
+        lit("dedup_index").as("store"), col("batch_doc").as("probe_id"),
+        col("index_doc").as("hit_id"), col("est_jaccard").as("score"))
+      .unionByName(vecServe(vd).select(
+        lit("vector_store").as("store"), lit(0L).as("probe_id"),
+        col("vec_id").as("hit_id"), col("approx_d2").as("score")))
+      .unionByName(graft.ops.Assembly.readManifest(s, sh).select(
+        lit("training_shards").as("store"),
+        col("shard_id").as("probe_id"), col("checksum").as("hit_id"),
+        col("n_tokens").cast("double").as("score")))
+      .orderBy(col("store"), col("probe_id"), col("hit_id"))
+  }
+
+  /** All three stores' definitional replays, unioned: the q165 dedup
+    * replay, the parameterized q150 vector replay with `% 7 == 3`
+    * dropped, and the q159 shard-cut replay with the purged ids
+    * filtered AFTER the cut (the purge rewrites files in place; the
+    * survivors keep their original shard ids, and a fully-purged shard
+    * vanishes from the manifest exactly as the empty group vanishes
+    * from the GROUP BY). */
+  private def q169Oracle(s: SparkSession, d: String): String =
+    s"""SELECT store, probe_id, hit_id, score FROM (
+       |  SELECT 'dedup_index' AS store, batch_doc AS probe_id,
+       |         index_doc AS hit_id, est_jaccard AS score
+       |  FROM ($dedupIndexDeleteSql)
+       |  UNION ALL
+       |  SELECT 'vector_store', CAST(0 AS BIGINT), vec_id, approx_d2
+       |  FROM (${VectorSuite.vecDeleteOracle(s, d, _ % 7 == 3)})
+       |  UNION ALL
+       |  SELECT 'training_shards', shard_id, checksum,
+       |         CAST(n_tokens AS DOUBLE)
+       |  FROM (
+       |    WITH t AS (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |      FROM documents),
+       |    ${hashCtes("sh", "t", "doc_id + 42", "doc_id, tok")},
+       |    c AS (SELECT doc_id, tok,
+       |        sum(tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED
+       |          PRECEDING) AS cum
+       |      FROM sh),
+       |    cut AS (SELECT doc_id, tok,
+       |        CAST((cum - tok) // 2000 AS BIGINT) AS shard_id FROM c),
+       |    kept AS (SELECT * FROM cut WHERE doc_id % 7 <> 3),
+       |    ${hashCtes("hc", "kept", "doc_id", "shard_id, tok")}
+       |    SELECT shard_id, bit_xor(h) AS checksum,
+       |      CAST(sum(tok) AS BIGINT) AS n_tokens
+       |    FROM hc GROUP BY shard_id)
        |) ORDER BY store, probe_id, hit_id""".stripMargin
 
   /** Corpus-level repeated-span removal ([[Dedup.removeRepeatedSpans]]):

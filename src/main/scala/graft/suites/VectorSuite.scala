@@ -33,7 +33,8 @@ object VectorSuite {
     Q("q150_vector_store_delete", q150, None, Some(q150Oracle)),
     Q("q151_vector_store_batch_topk", q151, None, Some(q151Oracle)),
     Q("q152_vector_store_retrain", q152, None, Some(q152Oracle)),
-    Q("q156_semantic_dedup_store", q156, None, Some(q156Oracle))
+    Q("q156_semantic_dedup_store", q156, None, Some(q156Oracle)),
+    Q("q170_vector_store_validate", q170, None, Some(q170Oracle))
   )
 
   /** Ingest-time semantic dedup against the persisted store
@@ -208,10 +209,9 @@ object VectorSuite {
   private val deleteStoreDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def q150(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val dir = deleteStoreDirs.getOrElseUpdate(d, {
+  private def deleteStore(s: SparkSession, d: String): String =
+    deleteStoreDirs.getOrElseUpdate(d, {
+      val emb = Tables.embeddings(s, d)
       val out = java.nio.file.Files.createTempDirectory("vecstore_del")
         .toString
       graft.ops.VectorStore.write(s, emb, out)
@@ -219,17 +219,86 @@ object VectorSuite {
         emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")))
       out
     })
+
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dir = deleteStore(s, d)
     val qv = emb.filter(col("vec_id") === 0L)
       .select(col("embedding")).as[Array[Float]].head()
     graft.ops.VectorStore.queryTopK(s, dir, qv, k = 10, nprobe = 2,
       excludeVecId = Some(0L))
   }
 
+  /** Store QA sweep ([[graft.ops.VectorStore.validate]]) — the q168
+    * discipline for the drift-prone store: per cell, the committed code
+    * rows are compared against a fresh assign+encode of the lake under
+    * the FROZEN centroids/codebooks — row count plus an xor-of-hashes
+    * content checksum over (vec_id, cell, codes), tombstones masked on
+    * both sides. Runs against q150's tombstoned store, so the sweep's
+    * masking is exercised, not just its happy path. The oracle is an
+    * independent driver-side replay of the whole expectation — k-means,
+    * residual codebooks, per-vector assignment and first-min encoding,
+    * the fold hash, the per-cell xor — pinning every cell's count AND
+    * checksum value with ok = true. Lost-batch / duplicate-append /
+    * drifted-code failure paths are spec-pinned. */
+  private def q170(s: SparkSession, d: String): DataFrame =
+    graft.ops.VectorStore.validate(s, deleteStore(s, d),
+        Tables.embeddings(s, d))
+      .orderBy(col("cell"))
+
+  private def q170Oracle(s: SparkSession, d: String): String = {
+    val embSel = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val coarse = Similarity.kMeansCentroids(embSel, k = 8, iters = 3)
+    val resDf = {
+      import s.implicits._
+      val cs = coarse
+      embSel.as[(Long, Array[Float])].map { case (id, v) =>
+        val c = Similarity.nearestCentroid(v, cs)
+        (id, Array.tabulate(v.length)(i => (v(i) - cs(c)(i)).toFloat))
+      }.toDF("vec_id", "embedding")
+    }
+    val books = graft.ops.Pq.trainCodebooks(resDf, m = 8,
+      codebookSize = 16, kmeansIters = 3)
+    val sub = books.head.head.length
+    val P = 1000000007L
+    val per = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    collectVecs(s, d).iterator
+      .filter { case (id, _) => id % 10 != 3 } // tombstoned out, both sides
+      .foreach { case (id, v) =>
+        val c = Similarity.nearestCentroid(v, coarse)
+        val res =
+          Array.tabulate(v.length)(i => (v(i) - coarse(c)(i)).toFloat)
+        var h = (7L * 131L + id) % P
+        h = (h * 131L + c) % P
+        var j = 0
+        while (j < books.length) {
+          h = (h * 131L + argminCode(books(j), res, j * sub)) % P
+          j += 1
+        }
+        val (n, x) = per.getOrElse(c, (0L, 0L))
+        per(c) = (n + 1L, x ^ h)
+      }
+    per.toSeq.sortBy(_._1).map { case (c, (n, x)) =>
+      s"  (CAST($c AS BIGINT), CAST($n AS BIGINT), CAST($n AS BIGINT), " +
+        s"CAST($x AS BIGINT), TRUE, 'ok')"
+    }.mkString("SELECT * FROM (VALUES\n", ",\n",
+      "\n) t(cell, stored, expected, checksum, ok, reason) ORDER BY cell")
+  }
+
   /** Shared with [[TextSuite]]'s q167 composition: the vector half of
     * the takedown-compliance oracle is exactly this replay (compact is
     * result-invisible, so the post-reclaim serving pins to the same
     * tombstone-filtered ranking). */
-  private[suites] def q150Oracle(s: SparkSession, d: String): String = {
+  private[suites] def q150Oracle(s: SparkSession, d: String): String =
+    vecDeleteOracle(s, d, _ % 10 == 3)
+
+  /** The q150 replay with a caller-chosen tombstone predicate — q169's
+    * three-store composition takes down `% 7 == 3` everywhere, so its
+    * vector half needs the same ranking under THAT id set. */
+  private[suites] def vecDeleteOracle(s: SparkSession, d: String,
+      tombstoned: Long => Boolean): String = {
     import s.implicits._
     val embSel = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
@@ -255,7 +324,7 @@ object VectorSuite {
       dd
     }
     val top = vecs.iterator
-      .filter { case (id, _) => id != 0L && id % 10 != 3 } // tombstoned out
+      .filter { case (id, _) => id != 0L && !tombstoned(id) }
       .flatMap { case (id, v) =>
         val c = Similarity.nearestCentroid(v, coarse)
         if (!probed.contains(c)) None

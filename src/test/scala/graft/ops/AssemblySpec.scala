@@ -510,4 +510,97 @@ class AssemblySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("purgeDocs: taken-down ids leave the committed shards — only " +
+      "affected shard files rewritten, validateShards green on the new " +
+      "version, re-delivered purge no-ops, a crashed purge replays off " +
+      "the _purge_pending witness, an emptied shard is dropped whole") {
+    val out = java.nio.file.Files.createTempDirectory("shpurge").toString
+    Assembly.writeShards(tokDocs, "doc_id", "tok", 2000L, 42L, out)
+    val fs = graft.wri.WriFs.fs(out, spark.sparkContext.hadoopConfiguration)
+    def shardOf(): Map[Long, Long] = spark.read.parquet(s"$out/shards")
+      .select(col("doc_id"), col("shard_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def files(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/shards"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+    }
+    def allOk(): Boolean = Assembly
+      .validateShards(spark, out, "doc_id", "tok")
+      .collect().forall(_.getBoolean(3))
+    def storedIds(): Set[Long] = spark.read.parquet(s"$out/shards")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val takedown = tokDocs.filter(col("doc_id") % 13 === 3)
+      .select(col("doc_id"))
+    val victims = takedown.collect().map(_.getLong(0)).toSet
+    assert(victims.nonEmpty, "fixture premise: some victims")
+    val affected = victims.map(shardOf())
+    val before = files()
+    val m2 = Assembly.purgeDocs(spark, out, takedown, "doc_id", "tok")
+    // the takedown is GONE from the exported data
+    assert(storedIds().intersect(victims).isEmpty,
+      "a purged doc_id still lives in the shard files")
+    // untouched shards are byte-identical (a trainer mid-epoch keeps
+    // streaming them); affected ones were rewritten
+    val after = files()
+    before.foreach { case (p, sig) =>
+      val sid = "shard_id=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+      if (!affected.contains(sid))
+        assert(after.get(p).contains(sig), s"untouched shard changed: $p")
+      else assert(!after.get(p).contains(sig),
+        s"affected shard file not rewritten: $p")
+    }
+    // the new committed version's manifest describes the files exactly
+    assert(allOk(), "validateShards flagged the post-purge store")
+    assert(m2.agg(sum(col("n_docs"))).head.getLong(0) ==
+      tokDocs.count() - victims.size)
+    // a re-delivered purge no-ops: no rewrite, no new version
+    val markersBefore = new java.io.File(out).list()
+      .filter(_.startsWith("_committed_v")).toSet
+    val filesBefore = files()
+    Assembly.purgeDocs(spark, out, takedown, "doc_id", "tok")
+    assert(files() == filesBefore, "re-delivered purge rewrote files")
+    assert(new java.io.File(out).list()
+      .filter(_.startsWith("_committed_v")).toSet == markersBefore,
+      "re-delivered purge committed a new version")
+    // crash replay: a purge that rewrote ONE affected shard and died
+    // before the manifest commit left only the _purge_pending witness —
+    // the replay must pick that shard back up even though its files no
+    // longer hold the ids (the semi-join alone would miss it)
+    val t2 = tokDocs.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+    val t2ids = t2.collect().map(_.getLong(0)).toSet
+    val aff2 = t2ids.map(shardOf())
+    Commit.writeSealedIds(fs,
+      new org.apache.hadoop.fs.Path(s"$out/_purge_pending"), aff2)
+    val one = aff2.head
+    val rw = java.nio.file.Files.createTempDirectory("shpurge_rw").toString
+    spark.read.parquet(s"$out/shards/shard_id=$one")
+      .filter(!col("doc_id").isin(t2ids.toSeq: _*))
+      .write.mode("overwrite").parquet(rw)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/shards/shard_id=$one"),
+      true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(rw),
+      new org.apache.hadoop.fs.Path(s"$out/shards/shard_id=$one")))
+    assert(!allOk(), "fabricated crash premise: manifest must be stale")
+    Assembly.purgeDocs(spark, out, t2, "doc_id", "tok")
+    assert(storedIds().intersect(t2ids).isEmpty)
+    assert(allOk(), "replayed purge left a stale manifest row")
+    assert(!new java.io.File(s"$out/_purge_pending").exists(),
+      "witness not cleared after the committed replay")
+    // emptying a whole shard drops its directory AND its manifest row
+    val som = shardOf()
+    val victimShard = som.values.head
+    val t3ids = som.collect { case (d, s) if s == victimShard => d }.toSeq
+    val m5 = Assembly.purgeDocs(spark, out,
+      t3ids.toDF("doc_id"), "doc_id", "tok")
+    assert(!new java.io.File(s"$out/shards/shard_id=$victimShard").exists(),
+      "an emptied shard's directory (still holding the text) survived")
+    assert(m5.filter(col("shard_id") === victimShard).isEmpty,
+      "an emptied shard kept a manifest row")
+    assert(allOk(), "validateShards flagged the store after the " +
+      "empty-shard purge")
+  }
 }

@@ -559,6 +559,40 @@ class DedupIndexSpec extends SparkSpec {
       "replayed takedown did not mask")
   }
 
+  test("a delete whose WITNESS write itself crashed between tmp-create " +
+      "and rename (only _landing_<id>.tmp on disk) still replays after " +
+      "a covering compact — the tmp is just as much a durable witness") {
+    val d = tmp("didx_del_tmpwitness")
+    DedupIndex.write(spark, docs, d)
+    val fs = graft.wri.WriFs.fs(d, spark.sparkContext.hadoopConfiguration)
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    // fabricate the one-rename-narrower crash: Commit.replace created
+    // the witness's tmp but died before the rename — the tmp is the
+    // ONLY durable trace the delete was ever issued
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/deletes/batch=0"), true)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$d/deletes/_landing_0"),
+      new org.apache.hadoop.fs.Path(s"$d/deletes/_landing_0.tmp")))
+    DedupIndex.delete(spark, d,
+      docs.filter($"doc_id" % 11 === 5).select($"doc_id"), batchId = 1L)
+    DedupIndex.compact(spark, d)
+    // the replay must LAND (the tmp rebuts the fold's coverage), not
+    // no-op — pre-fix, deleteLanded probed only the marker and the
+    // takedown would be lost forever here
+    DedupIndex.delete(spark, d, takedownIds, batchId = 0L)
+    assert(new java.io.File(s"$d/deletes/batch=0/_SUCCESS").exists(),
+      "replay rebutted only by the tmp witness was swallowed")
+    DedupIndex.compact(spark, d)
+    assert(!new java.io.File(s"$d/deletes/_landing_0.tmp").exists(),
+      "gcRetired left the spent tmp witness behind")
+    val twinDir = tmp("didx_del_tmpw_twin")
+    DedupIndex.write(spark,
+      docs.filter($"doc_id" % 7 =!= 3 && $"doc_id" % 11 =!= 5), twinDir)
+    assert(pairSet(DedupIndex.queryPairs(spark, d, batch)) ==
+      pairSet(DedupIndex.queryPairs(spark, twinDir, batch)),
+      "replayed takedown did not mask")
+  }
+
   test("deleteStream equals its batch twin, replays as a no-op, and " +
       "lands under the delete-stream pool") {
     val d = tmp("didx_delstream")
@@ -752,5 +786,53 @@ class DedupIndexSpec extends SparkSpec {
     assert(!dup("signatures")._3 && !dup("postings")._3 &&
       dup("signatures")._1 > dup("signatures")._2,
       s"duplicated ingest not flagged: $dup")
+    // drift that PRESERVES counts — every sig value bumped in place,
+    // same rows, same sizes: the count rows stay green and only the
+    // CONTENT checksum catches it (the gap a count-only sweep leaves)
+    val dChk = tmp("didx_val_chk")
+    DedupIndex.write(spark, docs, dChk)
+    val fsChk = graft.wri.WriFs.fs(dChk,
+      spark.sparkContext.hadoopConfiguration)
+    val rewritten = tmp("didx_val_chk_rw")
+    spark.read.parquet(s"$dChk/sigs/batch=0")
+      .select($"doc_id",
+        transform($"sig", v => (v + 1L) % 1000000007L).as("sig"))
+      .write.mode("overwrite").parquet(rewritten)
+    fsChk.delete(new org.apache.hadoop.fs.Path(s"$dChk/sigs/batch=0"), true)
+    assert(fsChk.rename(new org.apache.hadoop.fs.Path(rewritten),
+      new org.apache.hadoop.fs.Path(s"$dChk/sigs/batch=0")))
+    val chk = checks(dChk, docs)
+    assert(chk("signatures")._3,
+      "the count row should stay green — the surgery preserved counts")
+    assert(!chk("signatures_checksum")._3,
+      s"corrupted sig content under an intact count was not flagged: $chk")
+    assert(chk("postings")._3 && chk("postings_checksum")._3,
+      "the untouched postings component was flagged")
+  }
+
+  test("the PERSISTED takedown registry blocks ingest with NO caller " +
+      "argument, survives a full rebuild, and re-registers " +
+      "idempotently") {
+    val d = tmp("didx_registry")
+    DedupIndex.write(spark, docs, d)
+    val ids1 = Takedown.register(spark, d, takedownIds, "doc_id")
+    assert(Takedown.register(spark, d, takedownIds, "doc_id") == ids1,
+      "re-registering the same ids changed the registry")
+    // the compliance gap the registry closes: an append that FORGOT
+    // the takedownIds argument must still block registered ids
+    DedupIndex.append(spark, d,
+      docs.filter($"doc_id" % 7 === 3 || $"doc_id" % 7 === 0),
+      batchId = 1L)
+    val landed = spark.read.parquet(s"$d/sigs/batch=1")
+    assert(landed.filter($"doc_id" % 7 === 3).isEmpty,
+      "the persisted registry did not block a registered doc_id")
+    assert(!landed.filter($"doc_id" % 7 === 0).isEmpty,
+      "the registry blocked innocent batch rows")
+    // full rebuild with no caller list: write() deletes the whole dir
+    // but carries the registry across — the rebuild must not re-index
+    DedupIndex.write(spark, docs, d)
+    assert(spark.read.parquet(s"$d/sigs/batch=0")
+      .filter($"doc_id" % 7 === 3).isEmpty,
+      "write() rebuild re-admitted a REGISTERED doc_id")
   }
 }

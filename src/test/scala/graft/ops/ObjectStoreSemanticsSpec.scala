@@ -162,4 +162,27 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       .map(_.toSeq).toSet
     assert(after == before, "compact on objstub changed results")
   }
+
+  test("the takedown registry rides the PUT fallback on object-store " +
+      "semantics: register, idempotent re-register, and a guarded " +
+      "ingest all work over objstub://") {
+    val localRoot = java.nio.file.Files
+      .createTempDirectory("objstub_reg").toString
+    val d = s"objstub://$localRoot"
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").limit(300)
+    val blocked = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+    DedupIndex.write(spark, docs.filter($"doc_id" % 2 === 0), d)
+    val ids1 = Takedown.register(spark, d, blocked, "doc_id")
+    assert(new java.io.File(s"$localRoot/_takedowns").exists(),
+      "registry file did not land through the PUT fallback")
+    assert(Takedown.register(spark, d, blocked, "doc_id") == ids1,
+      "re-register over the PUT path changed the registry")
+    // an ingest with NO caller takedown list: the registry alone bites
+    DedupIndex.append(spark, d, docs.filter($"doc_id" % 2 === 1),
+      batchId = 1L)
+    assert(spark.read.parquet(s"$d/sigs/batch=1")
+      .filter($"doc_id" % 7 === 3).isEmpty,
+      "the registry did not block a blocked doc_id on objstub")
+  }
 }

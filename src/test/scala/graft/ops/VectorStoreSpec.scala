@@ -900,6 +900,105 @@ class VectorStoreSpec extends SparkSpec {
       "write() rebuild bypassed the standing takedown guard")
   }
 
+  test("validate: a tombstoned store checks out against the FULL lake " +
+      "(both sides masked); a lost cell directory flags missing rows, " +
+      "a duplicate append flags extra rows, and drifted code content " +
+      "flags under intact counts") {
+    def checks(d: String): Map[Long, (Long, Long, Boolean, String)] =
+      VectorStore.validate(spark, d, emb).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getBoolean(4), r.getString(5))).toMap
+    val fs = graft.wri.WriFs.fs("/",
+      spark.sparkContext.hadoopConfiguration)
+    // clean, WITH tombstones: masked on both sides, validates green
+    val d = java.nio.file.Files.createTempDirectory("vecstore_val")
+      .toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.delete(spark, d,
+      emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+    val clean = checks(d)
+    assert(clean.nonEmpty && clean.values.forall(_._3),
+      s"clean tombstoned store flagged: $clean")
+    // lost batch data in ONE cell — the silent-recall-degradation case
+    // the sweep exists for: committed batch, one cell's files gone
+    val dl = java.nio.file.Files.createTempDirectory("vecstore_val_lost")
+      .toString
+    VectorStore.write(spark, emb.filter($"vec_id" % 2 === 0), dl)
+    VectorStore.append(spark, dl, emb.filter($"vec_id" % 2 === 1),
+      batchId = Some(1L))
+    val victimCell = new java.io.File(s"$dl/codes/batch=1").listFiles()
+      .map(_.getName).filter(_.startsWith("cell=")).sorted.head
+      .stripPrefix("cell=").toLong
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dl/codes/batch=1/cell=$victimCell"), true)
+    val lost = checks(dl)
+    assert(!lost(victimCell)._3 && lost(victimCell)._4 == "missing rows"
+        && lost(victimCell)._1 < lost(victimCell)._2,
+      s"lost cell dir not flagged: ${lost(victimCell)}")
+    assert(lost.filter(_._1 != victimCell).values.forall(_._3),
+      "untouched cells were flagged")
+    // duplicate append (same vec_ids twice — out of contract upstream,
+    // visible here): stored > expected in the affected cells
+    val dd = java.nio.file.Files.createTempDirectory("vecstore_val_dup")
+      .toString
+    VectorStore.write(spark, emb, dd)
+    VectorStore.append(spark, dd, emb.filter($"vec_id" % 5 === 0),
+      batchId = Some(9L))
+    val dup = checks(dd)
+    assert(dup.values.exists(v => !v._3 && v._4 == "extra rows" &&
+      v._1 > v._2), s"duplicate append not flagged: $dup")
+    // drift that PRESERVES counts: every code value bumped in place —
+    // the count columns stay equal and only the content checksum
+    // catches it (a store quantized against the wrong codebook looks
+    // exactly like this)
+    val dr = java.nio.file.Files.createTempDirectory("vecstore_val_drift")
+      .toString
+    VectorStore.write(spark, emb, dr)
+    val rw = java.nio.file.Files
+      .createTempDirectory("vecstore_val_drift_rw").toString
+    spark.read.parquet(s"$dr/codes/batch=0")
+      .select($"vec_id", $"cell",
+        transform($"codes", c => (c + 1) % 16).as("codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(rw)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dr/codes/batch=0"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(rw),
+      new org.apache.hadoop.fs.Path(s"$dr/codes/batch=0")))
+    val drift = checks(dr)
+    assert(drift.values.forall(v => v._1 == v._2),
+      "the surgery was supposed to preserve counts")
+    assert(drift.values.forall(v => !v._3 && v._4 == "content drift"),
+      s"count-preserving code drift not flagged: $drift")
+  }
+
+  test("the PERSISTED takedown registry blocks ingest with NO caller " +
+      "argument — append and a full rebuild — and re-registration is " +
+      "an idempotent union") {
+    val blocked = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+    val d = java.nio.file.Files.createTempDirectory("vecstore_registry")
+      .toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.delete(spark, d, blocked)
+    VectorStore.compact(spark, d) // physical drop, tombstones cleared
+    val ids1 = Takedown.register(spark, d, blocked, "vec_id")
+    assert(Takedown.register(spark, d, blocked, "vec_id") == ids1,
+      "re-registering the same ids changed the registry")
+    // the compliance gap the registry closes: an ingest path that
+    // FORGOT the takedownIds argument must still block registered ids
+    VectorStore.append(spark, d,
+      emb.filter($"vec_id" % 10 === 3 || $"vec_id" % 10 === 4),
+      batchId = Some(7L))
+    val served = topk(d, k = 200)
+    assert(served.forall(_._1 % 10 != 3),
+      "the persisted registry did not block a re-delivered vec_id")
+    assert(served.exists(_._1 % 10 == 4),
+      "the registry blocked innocent re-delivered ids")
+    // a full rebuild with no caller argument: the registry is the one
+    // survivor of write()'s teardown, and it still bites
+    VectorStore.write(spark, emb, d)
+    assert(topk(d, k = 200).forall(_._1 % 10 != 3),
+      "write() rebuild re-admitted a REGISTERED vec_id")
+  }
+
   test("a torn _current pointer is classified, not mis-parsed: readers " +
       "serve the generation recovered from the sibling tmp without " +
       "writing, compact heals it, unrecoverable refuses loudly") {
@@ -934,11 +1033,44 @@ class VectorStoreSpec extends SparkSpec {
       "compact left the pointer unhealed")
     assert(topk(d) == baseline)
     // unrecoverable: non-numeric garbage with no complete tmp — refuse,
-    // never guess a generation (a digits-only tear with no tmp is the
-    // documented legacy-ambiguity residual instead)
+    // never guess a generation (a digits-only tear with no tmp is
+    // checked against the on-disk generations instead — next test)
     fabricate("x#", withTmp = false)
     intercept[IllegalStateException](topk(d))
     java.nio.file.Files.writeString(ptr, intact) // restore
+  }
+
+  test("a sealed pointer torn to an all-digit prefix with NO sibling " +
+      "tmp is refused when a higher codes@N exists on disk — never " +
+      "served as a smaller legacy incarnation") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_digittear")
+      .toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.compact(spark, d, pointerSwap = true)
+    val baseline = topk(d)
+    val ptr = java.nio.file.Paths.get(s"$d/_current")
+    val intact = java.nio.file.Files.readString(ptr)
+    // fabricate the object-store tear: '12 #' direct-PUT torn to '1' —
+    // all digits, parses as a (lower) legacy generation, and pointer
+    // mode runs precisely on object stores, where no sibling tmp exists
+    // to rebut it. The REAL generation's codes@ directory on disk is
+    // the independent witness the Lost branch must check.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$d/codes@12"))
+    java.nio.file.Files.writeString(ptr, "1")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$d/_current.tmp"))
+    intercept[IllegalStateException](topk(d))
+    // the offline verb must refuse to RE-SEAL the tear as legacy too —
+    // that would make the wrong incarnation durable
+    intercept[IllegalStateException](
+      VectorStore.compact(spark, d, pointerSwap = true))
+    assert(java.nio.file.Files.readString(ptr).trim == "1",
+      "compact re-sealed a torn pointer it should have refused")
+    // restore: intact pointer serves again
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$d/codes@12"))
+    java.nio.file.Files.writeString(ptr, intact)
+    assert(topk(d) == baseline)
   }
 
   private def parseableGen(text: String): Boolean =
@@ -1003,5 +1135,15 @@ class VectorStoreSpec extends SparkSpec {
       "a captured (already-folded) tombstone was migrated")
     assert(new java.io.File(s"$newRoot/batch=7/_SUCCESS").exists(),
       "the late tombstone was not migrated committed")
+    // idempotent: compact runs the migration TWICE (pre-flip, so the
+    // new generation masks from its first served instant, and post-flip
+    // before GC) — the second pass must skip batches already present;
+    // a blind FileUtil.copy into an existing dir would NEST it
+    // (batch=7/batch=7) and tear the mask
+    VectorStore.migrateLateTombstones(fs, oldRoot, newRoot,
+      captured = Set(1L))
+    assert(new java.io.File(s"$newRoot/batch=7/_SUCCESS").exists())
+    assert(!new java.io.File(s"$newRoot/batch=7/batch=7").exists(),
+      "the second migration pass nested the already-copied batch")
   }
 }

@@ -67,7 +67,8 @@ object Dev {
           "q156_semantic_dedup_store", "q157_deterministic_shuffle",
           "q158_leakage_safe_split", "q159_token_budget_shards",
           "q161_epoch_expand", "q163_training_order",
-          "q165_dedup_index_delete", "q166_bucketed_join")
+          "q165_dedup_index_delete", "q166_bucketed_join",
+          "q169_takedown_all_stores", "q170_vector_store_validate")
         // per-plan caveats appended under the dump — for entries whose
         // committed plan alone would under-tell the story
         val notes = Map(
@@ -97,7 +98,21 @@ object Dev {
               "disabled, and BucketingSpec pins it (SortMergeJoin, " +
               "zero Exchange of any kind, zero Sort) with mutations " +
               "proving the pin fails on unbucketed or " +
-              "mismatched-bucket inputs."))
+              "mismatched-bucket inputs."),
+          "q169_takedown_all_stores" ->
+            ("NOTE: the three store BUILDS, the Takedown.execute call, " +
+              "both compacts, the registry-blocked re-deliveries and " +
+              "every REQUIRE run at build time (memoized per SF dir); " +
+              "this plan is the post-takedown SERVING union — the " +
+              "pruned dedup-index postings join, the probed-cells " +
+              "vector scan, and the committed manifest read."),
+          "q170_vector_store_validate" ->
+            ("NOTE: the two aggregate inputs are ONE column-pruned " +
+              "scan of the committed code files and ONE assign+encode " +
+              "pass over the lake under the frozen centroids/codebooks " +
+              "(the `Scan ExistingRDD` boundary is the typed assign " +
+              "kernel); each side is count+xor in a single partial " +
+              "aggregate, met by a tiny full-outer join on cell."))
         val sb = new StringBuilder
         sb.append("# PLANS — formatted physical plans of headline queries\n\n")
         sb.append("Generated by `runMain graft.Dev plans` at sf0.001; the\n")
@@ -265,6 +280,27 @@ object Dev {
         // night (linear in corpus text), the index path computes only the
         // batch's signatures and joins stored postings (~flat in corpus)
         def docs32x = docsNx(32)
+        // the takedown-at-the-training-data shape: purge cost must track
+        // the AFFECTED shards (each doc lives in exactly one), not the
+        // store — the control is what a takedown would cost WITHOUT
+        // purgeDocs: a full rebuild. Docs are fattened 8x (~5 KB, the
+        // realistic-document shape) because the asymmetry is in BYTES:
+        // the purge's affected-shard detection reads the ID COLUMN only
+        // (column-pruned — the text of unaffected shards is never
+        // touched), while the rebuild re-reads and re-writes every byte
+        // of text; at the fixture's native ~600 B/doc the id-scan floor
+        // hides that.
+        def fatToks32x = docs32x
+          .withColumn("text", repeat(col("text"), 8))
+          .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+        var purgeEpoch = 0L
+        lazy val shardStore32x = {
+          val out = java.nio.file.Files.createTempDirectory("shards32x")
+            .toString
+          ops.Assembly.writeShards(fatToks32x, "doc_id", "tok",
+            budget = 128000L, seed = 42L, out)
+          out
+        }
         lazy val dedupIdx32x = {
           val out = java.nio.file.Files.createTempDirectory("didx32x")
             .toString
@@ -425,6 +461,32 @@ object Dev {
               ops.Assembly.appendShards(batch, "doc_id", "tok", dir)
               docs() - before
             }),
+          ("shard_purge_32x", "32x fat-doc shard store (built once), fresh ~0.01% takedown slice purged each pass — only the AFFECTED shards' bytes rewritten; the floor is one id-column scan",
+            () => {
+              val dir = shardStore32x
+              purgeEpoch += 1
+              val ids = docs32x
+                .filter(col("doc_id") % 10000L === lit(purgeEpoch))
+                .select(col("doc_id"))
+              // report the shard count — stable across passes (tiny
+              // slices never empty a shard), where docs-dropped per
+              // slice wobbles by one
+              ops.Assembly.purgeDocs(spark, dir, ids, "doc_id", "tok")
+                .count()
+            }),
+          ("shard_rebuild_32x_control", "fresh 32x fat-doc writeShards each pass (what the same takedown costs WITHOUT purgeDocs: every text byte re-read and re-written)",
+            () => {
+              val out = java.nio.file.Files
+                .createTempDirectory("shards32xw").toString
+              ops.Assembly.writeShards(fatToks32x, "doc_id", "tok",
+                budget = 128000L, seed = 42L, out).count()
+            }),
+          ("dedup_index_validate_32x", "32x masked index QA sweep vs the corpus (counts + content checksums — one signature pass)",
+            () => ops.DedupIndex.validate(spark, dedupIdx32xMasked,
+              docs32x).filter(col("ok")).count()),
+          ("vector_store_validate_32x", "32x hot-cell store QA sweep vs the lake (frozen-meta assign+encode recompute)",
+            () => ops.VectorStore.validate(spark, vecStoreSkew,
+              emb16x.unionByName(drifted16x)).filter(col("ok")).count()),
           ("ann_knn_join", "16x vecs, all-queries",
             () => ops.Similarity.annKnnJoin(emb, emb16x, k = 5).count()),
           ("vector_store_topk", "16x vecs store (build amortized)",

@@ -274,11 +274,17 @@ object Assembly {
     * files just written (one column-pruned scan), not from a second
     * evaluation of the sharding lineage — it describes what is actually
     * on disk. */
-  def writeShards(df: DataFrame, idCol: String, tokensCol: String,
+  def writeShards(df0: DataFrame, idCol: String, tokensCol: String,
       budget: Long, seed: Long, outDir: String): DataFrame = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
+    // the persisted takedown registry guards the shard store's ingest
+    // exactly as it guards the retrieval stores' ([[Takedown.guard]]):
+    // [[purgeDocs]] makes the committed shards forget, but without this
+    // a REBUILD from the raw corpus — or an append of a re-delivered
+    // batch — would silently re-export the purged text
+    val df = Takedown.guard(df0, idCol, None, fs, outDir)
     val existing = markerVersions(fs, outDir)
     val v = existing.maxOption.map(_ + 1L).getOrElse(0L)
     // fail BEFORE the old markers die: a rebuild from an accidentally-
@@ -286,8 +292,9 @@ object Assembly {
     // crash on the empty read-back — a torn store where there was a
     // healthy one
     require(!df.isEmpty,
-      s"writeShards: input is empty — refusing to replace the committed " +
-        s"view at $outDir with an empty rebuild")
+      s"writeShards: input is empty (or fully takedown-blocked) — " +
+        s"refusing to replace the committed view at $outDir with an " +
+        "empty rebuild")
     // full rebuild: old committed views die with the old shard files —
     // drop exactly the markers present (one listing, not 0..v deletes)
     existing.foreach(i =>
@@ -352,12 +359,15 @@ object Assembly {
     * id scan when the caller ([[appendShardsExactlyOnce]]) has already
     * proven zero overlap — the scan is the append path's one full read
     * of the store and must not run twice per micro-batch. */
-  private def appendImpl(dfNew: DataFrame, idCol: String,
+  private def appendImpl(dfNew0: DataFrame, idCol: String,
       tokensCol: String, outDir: String,
       checkOverlap: Boolean): DataFrame = {
-    val spark = dfNew.sparkSession
+    val spark = dfNew0.sparkSession
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
+    // registry guard (see writeShards): a re-delivered purged id must
+    // not re-enter the exported training data through the append path
+    val dfNew = Takedown.guard(dfNew0, idCol, None, fs, outDir)
     val v = committedVersion(fs, outDir).getOrElse(
       throw new IllegalArgumentException(
         s"$outDir has no committed version — not a completed shard " +
@@ -532,13 +542,17 @@ object Assembly {
     * restarts: a crash BEFORE the version flip replays into the
     * all-new branch (the uncommitted dirs heal), a crash AFTER the flip
     * replays into the no-op branch. */
-  def appendShardsExactlyOnce(dfNew: DataFrame, idCol: String,
+  def appendShardsExactlyOnce(dfNew0: DataFrame, idCol: String,
       tokensCol: String, outDir: String): DataFrame = {
     require(idCol != "__in", "idCol may not be the reserved name __in")
-    requireScratchFree(dfNew, "__in")
-    val spark = dfNew.sparkSession
+    requireScratchFree(dfNew0, "__in")
+    val spark = dfNew0.sparkSession
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
+    // guard BEFORE the replay classification: a micro-batch that is
+    // entirely takedown-blocked must classify as empty (no version
+    // churn), and a mixed one must classify on its admissible ids only
+    val dfNew = Takedown.guard(dfNew0, idCol, None, fs, outDir)
     val v = committedVersion(fs, outDir).getOrElse(
       throw new IllegalArgumentException(
         s"$outDir has no committed version — run writeShards first"))
@@ -732,6 +746,12 @@ object Assembly {
     * changes nothing), recommits, and clears the witness LAST. A
     * re-delivered purge whose commit landed finds no affected shards
     * and no witness → returns the committed manifest, writing nothing.
+    * An [[appendShards]] interleaved between a crashed purge and its
+    * replay commits versions that still carry the STALE manifest rows
+    * for the rewritten shards (their files already forgot — the
+    * compliance property holds; only the metadata lags, visible as
+    * `content mismatch` in [[validateShards]]); the replay's recommit
+    * then corrects them, appended rows included.
     *
     * Scale shape: the semi-join prunes on the manifest-committed max;
     * the rewrite reads only the affected shard DIRECTORIES (the isin

@@ -111,9 +111,11 @@ object Takedown {
     *  - [[Assembly.purgeDocs]]: the committed training shards holding
     *    the ids are rewritten with them dropped and the next manifest
     *    version commits — the exported data itself forgets.
-    *  - [[register]] on both retrieval stores (unless `standing =
-    *    false`): future re-delivery by any upstream source is blocked
-    *    with no caller cooperation needed.
+    *  - [[register]] on ALL participating stores (unless `standing =
+    *    false`) — the two retrieval stores AND the shard store, whose
+    *    write/append verbs read the registry too: future re-delivery
+    *    by any upstream source is blocked with no caller cooperation
+    *    needed in any ingest path.
     *
     * Re-delivery safe end to end: tombstoning the same ids again is a
     * fresh (harmless) tombstone batch, the purge and the registration
@@ -159,6 +161,11 @@ object Takedown {
       Assembly.purgeDocs(spark, s.dir,
         distinctIds.select(col(idCol).as(s.idCol)), s.idCol, s.tokensCol)
       audit += (("training_shards", "purged", before - stored()))
+      if (standing) {
+        Takedown.register(spark, s.dir,
+          distinctIds.select(col(idCol).as(s.idCol)), s.idCol)
+        audit += (("training_shards", "registered", n))
+      }
     }
     audit.toSeq.toDF("store", "action", "n")
   }

@@ -471,8 +471,10 @@ object TextSuite {
         dedupIndexDir = Some(di0), vectorStoreDir = Some(vd0),
         shardStore = Some(graft.ops.Takedown.ShardStore(sh0, "doc_id",
           "tok")))
-      require(audit.count() == 5L,
-        "takedown audit: expected 5 actions across the three stores")
+      require(audit.count() == 6L,
+        "takedown audit: expected 6 actions across the three stores " +
+          "(tombstone + registration x2 retrieval stores; purge + " +
+          "registration at the shard store)")
       // masked serving, audited BEFORE the physical reclaim
       val dPre = dedupServe(di0).collect().map(_.toSeq).toSet
       val vPre = vecServe(vd0).collect().map(_.toSeq).toSet
@@ -500,6 +502,20 @@ object TextSuite {
       require(graft.ops.Assembly.validateShards(s, sh0, "doc_id", "tok")
         .filter(!col("ok")).isEmpty,
         "takedown audit: post-purge store fails its own QA sweep")
+      // and the shard store's OWN ingest path is registry-guarded too:
+      // an exactly-once append re-delivering only purged docs must
+      // classify as empty — no version churn, nothing re-exported
+      val mPre = graft.ops.Assembly.readManifest(s, sh0)
+        .collect().map(_.toSeq).toSet
+      graft.ops.Assembly.appendShardsExactlyOnce(
+        tokDocs.filter(col("doc_id") % 7 === 3), "doc_id", "tok", sh0)
+      require(graft.ops.Assembly.readManifest(s, sh0)
+        .collect().map(_.toSeq).toSet == mPre,
+        "takedown audit: a re-delivered purged doc re-entered the " +
+          "training shards")
+      require(s.read.parquet(s"$sh0/shards")
+        .filter(col("doc_id") % 7 === 3).isEmpty,
+        "takedown audit: re-delivered purged text landed in a shard")
       (di0, vd0, sh0)
     })
     dedupServe(di).select(

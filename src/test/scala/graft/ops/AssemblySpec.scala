@@ -511,6 +511,44 @@ class AssemblySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("the persisted takedown registry guards the SHARD store's own " +
+      "ingest: appendShards, exactly-once appends, and a full rebuild " +
+      "all drop registered ids with no caller cooperation") {
+    val out = java.nio.file.Files.createTempDirectory("shreg").toString
+    val a = tokDocs.filter(col("doc_id") % 3 =!= 0)
+    val b = tokDocs.filter(col("doc_id") % 3 === 0)
+    Assembly.writeShards(a, "doc_id", "tok", 2000L, 42L, out)
+    // block the even half of batch B before it is ever delivered
+    val blocked = b.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+    val blockedIds = blocked.collect().map(_.getLong(0)).toSet
+    assert(blockedIds.nonEmpty, "fixture premise")
+    Takedown.register(spark, out, blocked, "doc_id")
+    def stored(): Set[Long] = spark.read.parquet(s"$out/shards")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    Assembly.appendShards(b, "doc_id", "tok", out)
+    val s1 = stored()
+    assert(s1.intersect(blockedIds).isEmpty,
+      "appendShards exported a registered doc_id")
+    assert(b.collect().map(_.getLong(0)).toSet.diff(blockedIds)
+      .subsetOf(s1), "the guard dropped innocent batch rows")
+    assert(Assembly.validateShards(spark, out, "doc_id", "tok")
+      .filter(!col("ok")).isEmpty,
+      "guarded append left an inconsistent manifest")
+    // an exactly-once micro-batch of ONLY blocked ids classifies as
+    // empty: no version churn, nothing written
+    val markers = new java.io.File(out).list()
+      .filter(_.startsWith("_committed_v")).toSet
+    Assembly.appendShardsExactlyOnce(
+      b.filter(col("doc_id") % 2 === 0), "doc_id", "tok", out)
+    assert(new java.io.File(out).list()
+      .filter(_.startsWith("_committed_v")).toSet == markers,
+      "an all-blocked micro-batch churned a manifest version")
+    // a full rebuild from the raw corpus honors the registry too
+    Assembly.writeShards(tokDocs, "doc_id", "tok", 2000L, 42L, out)
+    assert(stored().intersect(blockedIds).isEmpty,
+      "writeShards rebuild re-exported a registered doc_id")
+  }
+
   test("purgeDocs: taken-down ids leave the committed shards — only " +
       "affected shard files rewritten, validateShards green on the new " +
       "version, re-delivered purge no-ops, a crashed purge replays off " +

@@ -138,6 +138,21 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum($"n_docs")).head.getLong(0)
     assert(total ==
       toks.filter($"doc_id" % 3 === 0 || $"doc_id" % 3 === 1).count())
+    // the takedown purge's sealed witness + versioned recommit ride the
+    // same PUT-fallback protocol: purge on objstub, validate green, and
+    // the purged ids are physically gone
+    val victims = toks.filter($"doc_id" % 9 === 0).select($"doc_id")
+    val nVictims = victims.count()
+    Assembly.purgeDocs(spark, d, victims, "doc_id", "tok")
+    assert(spark.read.parquet(s"$d/shards")
+      .filter($"doc_id" % 9 === 0).isEmpty,
+      "purged doc_ids still present on objstub")
+    assert(Assembly.validateShards(spark, d, "doc_id", "tok")
+      .filter(!$"ok").isEmpty,
+      "post-purge objstub store fails its QA sweep")
+    assert(Assembly.readManifest(spark, d)
+      .agg(org.apache.spark.sql.functions.sum($"n_docs")).head.getLong(0)
+      == total - nVictims)
   }
 
   test("dedup-index lifecycle on copy+delete-rename semantics: the " +

@@ -73,6 +73,25 @@ object Takedown {
     all
   }
 
+  /** Remove ids from the persisted registry — the appeal-granted path:
+    * a mistakenly registered id would otherwise be blocked from every
+    * ingest verb forever with no sanctioned way back. Set difference +
+    * the same atomic sealed replace; idempotent (removing an absent id
+    * is a no-op). Unregistering does NOT resurrect anything already
+    * tombstoned or purged — re-ingest the content under its id (or a
+    * fresh one) after the registry stops blocking it. Returns the
+    * remaining registered set. */
+  def unregister(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Set[Long] = {
+    import spark.implicits._
+    val fs = graft.wri.WriFs.fs(dir, spark.sparkContext.hadoopConfiguration)
+    val gone = ids.select(col(idCol).cast("long")).as[Long]
+      .collect().toSet
+    val rest = registered(fs, dir) -- gone
+    Commit.writeSealedIds(fs, registryPath(dir), rest)
+    rest
+  }
+
   /** The ingest-side guard both stores apply before any signing or
     * encoding work: drop rows whose id is in the persisted registry or
     * the caller's standing list. Null ids pass through untouched (the

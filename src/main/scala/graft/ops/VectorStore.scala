@@ -1317,12 +1317,18 @@ object VectorStore {
     *
     * Output: (cell, stored, expected, checksum, ok, reason) — one row
     * per cell present on either side; `checksum` is the stored side's,
-    * pinned by the q170 oracle's independent driver replay. */
+    * pinned by the q170 oracle's independent driver replay.
+    * `readOnly = true` is the pure-reader discipline [[queryTopK]]
+    * already takes: pending maintenance is CLASSIFIED
+    * ([[readOnlyHeal]] — WARN-and-sweep-the-old-incarnation when it is
+    * provably intact, refuse otherwise) instead of completed, so an
+    * analyst session holding read-only credentials can run the sweep
+    * without ever writing. */
   def validate(spark: SparkSession, dir: String,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame, readOnly: Boolean = false): DataFrame = {
     val fs = fsOf(spark, dir)
     val gen = currentGen(fs, dir)
-    heal(fs, dir, gen)
+    if (readOnly) readOnlyHeal(fs, dir, gen) else heal(fs, dir, gen)
     val (coarse, books) = readMeta(spark, dir, gen)
     val codesRoot = componentRoot(dir, "codes", gen)
     val delRoot = componentRoot(dir, "deletes", gen)

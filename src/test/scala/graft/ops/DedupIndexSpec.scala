@@ -834,5 +834,13 @@ class DedupIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/sigs/batch=0")
       .filter($"doc_id" % 7 === 3).isEmpty,
       "write() rebuild re-admitted a REGISTERED doc_id")
+    // the appeal-granted path: unregister lifts the block, and ONLY
+    // the block — nothing already dropped resurrects by itself
+    assert(Takedown.unregister(spark, d, takedownIds, "doc_id").isEmpty)
+    DedupIndex.append(spark, d,
+      docs.filter($"doc_id" % 7 === 3), batchId = 2L)
+    assert(!spark.read.parquet(s"$d/sigs/batch=2")
+      .filter($"doc_id" % 7 === 3).isEmpty,
+      "unregistered doc_ids were still blocked from ingest")
   }
 }

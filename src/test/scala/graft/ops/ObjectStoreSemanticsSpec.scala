@@ -97,6 +97,15 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       emb.filter($"vec_id" === 3L))
     assert(VectorStore.queryTopK(spark, d, queryVec, k = 200, nprobe = 8)
       .filter($"vec_id" === 3L).count() == 1L)
+    // the QA sweep resolves the pointer generation and runs clean on
+    // object-store semantics — READ-ONLY, so an analyst session can
+    // sweep without writing. The lake after this lifecycle: tombstoned
+    // rows were consumed by the retrain, vec 3 was re-appended.
+    assert(VectorStore.validate(spark, d,
+        emb.filter($"vec_id" % 10 =!= 3 || $"vec_id" === 3L),
+        readOnly = true)
+      .filter(!$"ok").isEmpty,
+      "pointer-mode store failed its QA sweep on objstub")
     // THE CLAIM: the store's own lifecycle never renamed a component —
     // every recorded rename on the store belongs to parquet's
     // task/job-commit machinery strictly BELOW component roots

@@ -393,8 +393,11 @@ object Assembly {
         }
         .foreach(p => fs.delete(p, true))
     // committed ids only: the filter prunes to committed shard dirs, so
-    // a crashed append's leftover uncommitted dirs cannot block replay
-    if (checkOverlap) {
+    // a crashed append's leftover uncommitted dirs cannot block replay.
+    // nextShard == 0 means NOTHING is committed (a fresh store, or one
+    // a full-corpus purge emptied) — no overlap is possible, and the
+    // scan would die in schema inference on the empty root
+    if (checkOverlap && nextShard > 0) {
       val stored = spark.read.parquet(s"$outDir/shards")
         .filter(col("shard_id") < nextShard).select(col(idCol))
       require(dfNew.select(col(idCol))
@@ -558,15 +561,23 @@ object Assembly {
         s"$outDir has no committed version — run writeShards first"))
     val nextShard = maxShardId(spark.read.parquet(s"$outDir/manifest_v$v"))
       .map(_ + 1L).getOrElse(0L)
-    val stored = spark.read.parquet(s"$outDir/shards")
-      .filter(col("shard_id") < nextShard)
-      .select(col(idCol)).withColumn("__in", lit(1))
-    val counts = dfNew.select(col(idCol)).distinct()
-      .join(stored, Seq(idCol), "left")
-      .agg(count(lit(1)).as("n"),
-        sum(coalesce(col("__in"), lit(0))).as("m")).head
-    val (n, m) = (counts.getLong(0),
-      Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    // nextShard == 0: nothing committed (fresh store, or emptied by a
+    // full-corpus purge) — every batch row is new by definition, and
+    // the stored-side scan would die on the file-less root
+    val (n, m) =
+      if (nextShard == 0L)
+        (dfNew.select(col(idCol)).distinct().count(), 0L)
+      else {
+        val stored = spark.read.parquet(s"$outDir/shards")
+          .filter(col("shard_id") < nextShard)
+          .select(col(idCol)).withColumn("__in", lit(1))
+        val counts = dfNew.select(col(idCol)).distinct()
+          .join(stored, Seq(idCol), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("__in"), lit(0))).as("m")).head
+        (counts.getLong(0),
+          Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
     if (n == 0) readManifest(spark, outDir) // empty batch: no version churn
     else if (m == n) readManifest(spark, outDir) // committed replay
     else if (m == 0)
@@ -609,7 +620,14 @@ object Assembly {
   def validateShards(spark: SparkSession, outDir: String, idCol: String,
       tokensCol: String): DataFrame = {
     val manifest = readManifest(spark, outDir)
-    val maxShard = manifest.agg(max(col("shard_id"))).head.getLong(0)
+    // an EMPTY committed manifest is legal — a purge that took down the
+    // whole corpus commits one (the store remembers nothing, correctly);
+    // there is nothing to validate, and the bare max would be null
+    val maxShardOpt = maxShardId(manifest)
+    if (maxShardOpt.isEmpty)
+      return manifest.select(col("shard_id"), col("n_docs"),
+        col("n_tokens"), lit(true).as("ok"), lit("ok").as("reason"))
+    val maxShard = maxShardOpt.get
     val fs = graft.wri.WriFs.fs(outDir,
       spark.sparkContext.hadoopConfiguration)
     val shardsRoot = new Path(s"$outDir/shards")
@@ -759,6 +777,26 @@ object Assembly {
     * (localCheckpoint) because Spark refuses a plan that overwrites a
     * path it is also reading; everything else is untouched. Returns
     * the new committed manifest. */
+  /** [[purgeDocs]]' affected-shard detection — the one full read of the
+    * store the purge pays, and the floor of its cost: a semi-join that
+    * reads ONLY (idCol, shard_id) of the committed shards. shard_id is
+    * the partition column (free from the directory names) and the
+    * committed-max filter lands in PartitionFilters, so the scan never
+    * opens an uncommitted append's files and never reads a text byte
+    * anywhere — at 100 TB this is ~0.1% of the store's bytes, vs the
+    * full-rebuild alternative re-reading and re-writing everything
+    * (the SCALE purge-vs-control pair). Package-visible so the spec
+    * pins the PLAN, not just the numbers. */
+  private[ops] def affectedShardScan(spark: SparkSession, outDir: String,
+      purgeIds: DataFrame, idCol: String, maxShard: Long): DataFrame =
+    // committed shards only: an in-flight append's uncommitted dirs are
+    // not covered by any manifest yet — its own commit will exclude the
+    // registered ids (the Takedown guard) or be purged by a later call
+    spark.read.parquet(s"$outDir/shards")
+      .filter(col("shard_id") <= maxShard)
+      .join(purgeIds, Seq(idCol), "left_semi")
+      .select(col("shard_id").cast("long")).distinct()
+
   def purgeDocs(spark: SparkSession, outDir: String, ids: DataFrame,
       idCol: String, tokensCol: String): DataFrame = {
     val fs = graft.wri.WriFs.fs(outDir,
@@ -773,32 +811,41 @@ object Assembly {
     val pendingPath = new Path(outDir, "_purge_pending")
     val pending = Commit.readSealedIds(fs, pendingPath)
     val purgeIds = ids.select(col(idCol)).distinct()
-    // committed shards only: an in-flight append's uncommitted dirs are
-    // not covered by any manifest yet — its own commit will exclude the
-    // registered ids (the Takedown guard) or be purged by a later call
-    val affectedNow = spark.read.parquet(s"$outDir/shards")
-      .filter(col("shard_id") <= maxShard)
-      .join(purgeIds, Seq(idCol), "left_semi")
-      .select(col("shard_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    // a shards root with NO shard directories at all is legal mid-replay
+    // (a full-corpus purge that crashed after deleting every emptied
+    // dir but before its manifest commit) — a parquet read of it would
+    // die in schema inference, and the replay must instead fall through
+    // to the manifest recommit the crash interrupted
+    val anyShards = fs.exists(new Path(s"$outDir/shards")) &&
+      fs.listStatus(new Path(s"$outDir/shards"))
+        .exists(_.getPath.getName.startsWith("shard_id="))
+    val affectedNow =
+      if (!anyShards) Set.empty[Long]
+      else affectedShardScan(spark, outDir, purgeIds, idCol, maxShard)
+        .collect().map(_.getLong(0)).toSet
     val affected = affectedNow ++ pending
     if (affected.isEmpty) return manifest // purge already committed
     // durable witness BEFORE the first rewrite (see docstring)
     Commit.writeSealedIds(fs, pendingPath, affected)
     // rewrite exactly the affected directories, ids dropped;
     // materialize first — the write overwrites the path being read
-    val purged = spark.read.parquet(s"$outDir/shards")
-      .filter(col("shard_id").isin(affected.toSeq: _*))
-      .join(purgeIds, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    purged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard_id").parquet(s"$outDir/shards")
-    // a dynamic overwrite only touches partitions PRESENT in its data:
-    // a shard emptied entirely writes nothing, so its old directory
-    // (still holding the taken-down text) must go explicitly
-    val remaining = purged.select(col("shard_id").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet
+    val remaining: Set[Long] =
+      if (!anyShards) Set.empty
+      else {
+        val purged = spark.read.parquet(s"$outDir/shards")
+          .filter(col("shard_id").isin(affected.toSeq: _*))
+          .join(purgeIds, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        purged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard_id").parquet(s"$outDir/shards")
+        // a dynamic overwrite only touches partitions PRESENT in its
+        // data: a shard emptied entirely writes nothing, so its old
+        // directory (still holding the taken-down text) must go
+        // explicitly
+        purged.select(col("shard_id").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSet
+      }
     (affected -- remaining).foreach(id =>
       fs.delete(new Path(s"$outDir/shards/shard_id=$id"), true))
     // manifest rows for the affected shards, recomputed from what is

@@ -1105,8 +1105,16 @@ object VectorStore {
     // officially nonexistent and must be neither served nor even
     // footer-probed by schema inference
     val codesRoot = componentRoot(dir, "codes", gen)
+    val codePaths = committedPaths(fs, codesRoot)
+    if (codePaths.isEmpty) {
+      // a store that FORGOT ITS WHOLE CORPUS (every vector tombstoned,
+      // then compacted) is legal — the terminal takedown case; serve
+      // the empty answer instead of dying in schema inference
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("vec_id", "approx_d2")
+    }
     val base = spark.read.option("basePath", codesRoot)
-      .parquet(committedPaths(fs, codesRoot): _*)
+      .parquet(codePaths: _*)
       .filter(col("cell").isInCollection(probed))
     val excluded = excludeVecId match {
       case Some(id) => base.filter(col("vec_id") =!= id)
@@ -1233,8 +1241,12 @@ object VectorStore {
     val probedCells = qprobe.select(col("cell")).distinct()
       .as[Int].collect().toSeq
     val codesRoot = componentRoot(dir, "codes", gen)
+    val codePaths = committedPaths(fs, codesRoot)
+    if (codePaths.isEmpty) // fully-forgotten store (see queryTopK)
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "vec_id", "approx_d2", "knn_rank")
     val base = spark.read.option("basePath", codesRoot)
-      .parquet(committedPaths(fs, codesRoot): _*)
+      .parquet(codePaths: _*)
       .filter(col("cell").isInCollection(probedCells))
     val delRoot = componentRoot(dir, "deletes", gen)
     val delPaths = committedPaths(fs, delRoot)
@@ -1348,11 +1360,20 @@ object VectorStore {
       df.select(col("cell").cast("long").as("cell"), rowHash.as("__rh"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as(n), expr("bit_xor(__rh)").as(c))
-    val stored = cellAgg(
-      maskDel(spark.read.option("basePath", codesRoot)
-        .parquet(committedPaths(fs, codesRoot): _*)
-        .select(col("vec_id"), col("cell"), col("codes"))),
-      "stored", "checksum")
+    val codePaths = committedPaths(fs, codesRoot)
+    val stored =
+      if (codePaths.isEmpty) {
+        // fully-forgotten store: nothing stored, nothing to scan — the
+        // sweep still runs, reporting every lake cell `missing rows`
+        // (definitionally correct: pass the post-takedown lake for a
+        // green result)
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("cell", "stored", "checksum")
+      } else cellAgg(
+        maskDel(spark.read.option("basePath", codesRoot)
+          .parquet(codePaths: _*)
+          .select(col("vec_id"), col("cell"), col("codes"))),
+        "stored", "checksum")
     // the definitional expectation: assign + encode the masked lake
     // under the frozen metadata — bit-identical to what write/append
     // produced, because encode is deterministic given the books

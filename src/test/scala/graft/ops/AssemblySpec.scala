@@ -511,6 +511,28 @@ class AssemblySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("purgeDocs' affected-shard detection reads ONLY the id column — " +
+      "the text bytes of unaffected shards are never touched, and the " +
+      "committed-max bound lands in PartitionFilters") {
+    val out = java.nio.file.Files.createTempDirectory("shplan").toString
+    val d = tokDocs.withColumn("payload", col("text")) // a fat column
+    Assembly.writeShards(d, "doc_id", "tok", 2000L, 42L, out)
+    val maxShard = Assembly.readManifest(spark, out)
+      .agg(max(col("shard_id"))).head.getLong(0)
+    val ids = tokDocs.filter(col("doc_id") % 13 === 3).select(col("doc_id"))
+    val p = Assembly.affectedShardScan(spark, out, ids, "doc_id", maxShard)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val read = "ReadSchema: [^\\n]*doc_id[^\\n]*".r.findFirstIn(p)
+    assert(read.isDefined, s"no shard-store ReadSchema in:\n$p")
+    assert(!read.get.contains("text") && !read.get.contains("payload") &&
+      !read.get.contains("tok"),
+      s"the detection scan reads more than the id column: ${read.get}")
+    assert("PartitionFilters: [^\\n]*shard_id[^\\n]*".r
+      .findFirstIn(p).isDefined,
+      s"committed-max bound did not land in PartitionFilters:\n$p")
+  }
+
   test("the persisted takedown registry guards the SHARD store's own " +
       "ingest: appendShards, exactly-once appends, and a full rebuild " +
       "all drop registered ids with no caller cooperation") {
@@ -640,5 +662,28 @@ class AssemblySpec extends SparkSpec {
       "an emptied shard kept a manifest row")
     assert(allOk(), "validateShards flagged the store after the " +
       "empty-shard purge")
+    // the terminal compliance case: take down EVERYTHING that remains —
+    // the store commits an empty manifest (it remembers nothing,
+    // correctly), every shard directory is gone, and the QA sweep
+    // reports an empty, green result instead of crashing on a null max
+    Assembly.purgeDocs(spark, out,
+      storedIds().toSeq.toDF("doc_id"), "doc_id", "tok")
+    assert(!new java.io.File(s"$out/shards").listFiles()
+      .exists(_.getName.startsWith("shard_id=")),
+      "full-corpus purge left shard directories")
+    assert(Assembly.readManifest(spark, out).isEmpty,
+      "full-corpus purge left manifest rows")
+    assert(Assembly.validateShards(spark, out, "doc_id", "tok").isEmpty,
+      "the sweep of a fully-purged store should be empty, not a crash")
+    // and the store LIVES ON: a fresh append lands at shard 0 (no
+    // overlap scan against the file-less root), validates green
+    val revive = tokDocs.filter(col("doc_id") % 17 === 1)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("tok"))
+    Assembly.appendShards(revive, "doc_id", "tok", out)
+    assert(Assembly.readManifest(spark, out)
+      .agg(sum(col("n_docs"))).head.getLong(0) == revive.count(),
+      "append onto the emptied store did not land")
+    assert(Assembly.validateShards(spark, out, "doc_id", "tok")
+      .filter(!col("ok")).isEmpty)
   }
 }

@@ -371,6 +371,24 @@ class DedupIndexSpec extends SparkSpec {
       Seq("batch_doc", "index_doc", "est_jaccard") && out.isEmpty)
   }
 
+  test("the index can forget its ENTIRE corpus: delete-all masks to " +
+      "empty, compact reclaims to an empty fold that still answers " +
+      "empty, and a fresh ingest revives it") {
+    val d = tmp("didx_forgetall")
+    DedupIndex.write(spark, docs, d)
+    DedupIndex.delete(spark, d, docs.select($"doc_id"), batchId = 0L)
+    assert(DedupIndex.queryPairs(spark, d, batch).isEmpty,
+      "an all-tombstoned index answered pairs")
+    DedupIndex.compact(spark, d)
+    assert(DedupIndex.queryPairs(spark, d, batch).isEmpty,
+      "the fully-reclaimed index did not answer empty")
+    DedupIndex.append(spark, d, docs.filter($"doc_id" % 3 === 0),
+      batchId = 1L)
+    assert(!DedupIndex.queryPairs(spark, d, batch).isEmpty,
+      "ingest onto the forgotten index did not serve (the batch's " +
+        "re-crawls of % 30 == 0 docs are exact dups of the revived set)")
+  }
+
   // ---- takedown tombstones (DedupIndex.delete) --------------------------
 
   private lazy val takedownIds =

@@ -900,6 +900,29 @@ class VectorStoreSpec extends SparkSpec {
       "write() rebuild bypassed the standing takedown guard")
   }
 
+  test("the store can forget its ENTIRE corpus: delete-all masks to " +
+      "empty, compact reclaims to a file-less layout that still " +
+      "serves (empty, not a crash), and a fresh append revives it") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_forgetall")
+      .toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.delete(spark, d, emb.select($"vec_id"))
+    assert(topk(d, k = 200).isEmpty,
+      "an all-tombstoned store served rows")
+    VectorStore.compact(spark, d)
+    assert(topk(d, k = 200).isEmpty,
+      "the fully-reclaimed store did not serve the empty answer")
+    assert(VectorStore.queryTopKBatch(spark, d,
+        emb.limit(3), k = 5).isEmpty,
+      "batch query over the forgotten store did not serve empty")
+    // the terminal takedown leaves a LIVE store: fresh ingest revives
+    VectorStore.append(spark, d, emb.filter($"vec_id" % 5 === 0),
+      batchId = Some(1L))
+    val revived = topk(d, k = 200)
+    assert(revived.nonEmpty && revived.forall(_._1 % 5 == 0),
+      "append onto the forgotten store did not serve")
+  }
+
   test("validate: a tombstoned store checks out against the FULL lake " +
       "(both sides masked); a lost cell directory flags missing rows, " +
       "a duplicate append flags extra rows, and drifted code content " +

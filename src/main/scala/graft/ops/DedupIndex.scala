@@ -864,6 +864,72 @@ object DedupIndex {
       .start()
   }
 
+  /** Takedown at the PAIR LOG — the last place a taken-down doc_id
+    * could outlive its deletion in this store: [[ingestStream]]'s
+    * `pairs/batch=<id>` logs are a derived artifact holding
+    * (batch_doc, index_doc) id pairs, written ONCE by contract so a
+    * consumer re-reading a log sees the same rows forever — which is
+    * exactly why a tombstone (masking future queries only) cannot
+    * reach them. This verb rewrites exactly the affected committed
+    * logs with every row referencing a taken-down id dropped; the
+    * written-once contract is deliberately broken FOR THE AFFECTED
+    * LOGS ONLY (compliance trumps replay stability — a consumer
+    * re-reading an affected log sees fewer rows, never different
+    * ones). Untouched logs stay byte-identical; re-delivery no-ops
+    * (the detection scan finds nothing left to drop).
+    *
+    * Crash safety: a rewrite that dies mid-overwrite leaves the log
+    * without its `_SUCCESS` — [[ingestStream]]'s replay then treats
+    * the log as unwritten and RECOMPUTES it, and the recomputation is
+    * masked by the ids' tombstones (land the [[delete]] first, as
+    * [[Takedown.execute]] does), so the taken-down ids cannot
+    * resurface through that window either.
+    *
+    * Scale shape: ONE basePath scan of the committed logs finds the
+    * affected set (two hash semi-joins — batch_doc and index_doc
+    * sides; ids broadcast); only affected directories are re-read and
+    * rewritten. Output: (batch, n_dropped), one row per affected log. */
+  def purgePairLogs(spark: SparkSession, dir: String,
+      ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val idDf = ids.select(col("doc_id").cast("long").as("doc_id"))
+    val root = new Path(s"$dir/pairs")
+    val batches =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(b => fs.exists(new Path(s"$dir/pairs/batch=$b/_SUCCESS")))
+        .toSeq.sorted
+    if (batches.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("batch", "n_dropped")
+    val all = spark.read.option("basePath", s"$dir/pairs")
+      .parquet(batches.map(b => s"$dir/pairs/batch=$b"): _*)
+    def hits(side: String) = all
+      .join(broadcast(idDf.withColumnRenamed("doc_id", side)),
+        Seq(side), "left_semi")
+      .select(col("batch").cast("long"))
+    val affected = hits("batch_doc").union(hits("index_doc"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    affected.toSeq.map { b =>
+      val path = s"$dir/pairs/batch=$b"
+      val log = spark.read.parquet(path)
+      val before = log.count()
+      // two sequential anti-joins == drop rows matching EITHER side
+      // (an OR-condition anti-join would plan a nested loop)
+      val kept = log
+        .join(broadcast(idDf.withColumnRenamed("doc_id", "batch_doc")),
+          Seq("batch_doc"), "left_anti")
+        .join(broadcast(idDf.withColumnRenamed("doc_id", "index_doc")),
+          Seq("index_doc"), "left_anti")
+        .select(log.columns.map(col): _*)
+        .localCheckpoint(true) // the write overwrites the path read
+      kept.write.mode("overwrite").parquet(path)
+      (b, before - kept.count())
+    }.toDF("batch", "n_dropped")
+  }
+
   /** The store's QA sweep — [[Assembly.validateShards]]' discipline for
     * the dedup index: recompute the DEFINITIONAL components from the
     * corpus table under the frozen signature family and compare them

@@ -127,6 +127,9 @@ object Takedown {
     *
     *  - [[DedupIndex.delete]] + [[VectorStore.delete]]: tombstones mask
     *    the ids from serving immediately; the next compact reclaims.
+    *  - [[DedupIndex.purgePairLogs]]: the ingest-stream pair logs — a
+    *    written-once derived artifact tombstones cannot reach — drop
+    *    every row referencing the ids.
     *  - [[Assembly.purgeDocs]]: the committed training shards holding
     *    the ids are rewritten with them dropped and the next manifest
     *    version commits — the exported data itself forgets.
@@ -156,8 +159,15 @@ object Takedown {
       .empty[(String, String, Long)]
     dedupIndexDir.foreach { d =>
       val docIds = distinctIds.select(col(idCol).as("doc_id"))
+      // tombstone FIRST: purgePairLogs' crash window replays a log
+      // recomputation, which these tombstones then mask
       DedupIndex.delete(spark, d, docIds)
       audit += (("dedup_index", "tombstoned", n))
+      val droppedPairs = Option(
+        DedupIndex.purgePairLogs(spark, d, docIds)
+          .agg(sum(col("n_dropped"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      audit += (("dedup_index", "pair_logs_purged", droppedPairs))
       if (standing) {
         Takedown.register(spark, d, docIds, "doc_id")
         audit += (("dedup_index", "registered", n))

@@ -371,6 +371,42 @@ class DedupIndexSpec extends SparkSpec {
       Seq("batch_doc", "index_doc", "est_jaccard") && out.isEmpty)
   }
 
+  test("purgePairLogs: rows referencing taken-down ids leave the " +
+      "committed pair logs — only affected logs rewritten, untouched " +
+      "ones byte-identical, re-delivery no-ops") {
+    val d = tmp("didx_pairpurge")
+    DedupIndex.write(spark, docs, d)
+    // fabricate two committed ingest-stream pair logs: batch=5 holds
+    // pairs referencing the victim ids on BOTH sides, batch=6 is clean
+    Seq((50001L, 3L, 0.9), (50002L, 10L, 0.8), (3L, 50003L, 0.7),
+        (50004L, 17L, 0.6))
+      .toDF("batch_doc", "index_doc", "est_jaccard")
+      .coalesce(1).write.parquet(s"$d/pairs/batch=5")
+    Seq((60001L, 10L, 0.9), (60002L, 24L, 0.8))
+      .toDF("batch_doc", "index_doc", "est_jaccard")
+      .coalesce(1).write.parquet(s"$d/pairs/batch=6")
+    def files(b: Long): Map[String, Long] =
+      new java.io.File(s"$d/pairs/batch=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    val clean6 = files(6L)
+    val victims = Seq(3L).toDF("doc_id")
+    val audit = DedupIndex.purgePairLogs(spark, d, victims)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit == Map(5L -> 2L),
+      s"expected exactly log 5 to drop its two victim rows: $audit")
+    val left5 = spark.read.parquet(s"$d/pairs/batch=5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(left5 == Set((50002L, 10L), (50004L, 17L)),
+      s"wrong survivors in the rewritten log: $left5")
+    assert(files(6L) == clean6,
+      "an untouched pair log was rewritten")
+    // re-delivery: nothing left to drop, nothing rewritten
+    val now5 = files(5L)
+    assert(DedupIndex.purgePairLogs(spark, d, victims).isEmpty)
+    assert(files(5L) == now5, "re-delivered purge rewrote a clean log")
+  }
+
   test("the index can forget its ENTIRE corpus: delete-all masks to " +
       "empty, compact reclaims to an empty fold that still answers " +
       "empty, and a fresh ingest revives it") {

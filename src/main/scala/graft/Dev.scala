@@ -489,6 +489,9 @@ object Dev {
               emb16x.unionByName(drifted16x)).filter(col("ok")).count()),
           ("ann_knn_join", "16x vecs, all-queries",
             () => ops.Similarity.annKnnJoin(emb, emb16x, k = 5).count()),
+          ("ann_knn_join_cap256", "same, corpusBucketCap 256 (the banding cap IS the scale lever — sensitivity row for the slowest SCALE probe)",
+            () => ops.Similarity.annKnnJoin(emb, emb16x, k = 5,
+              corpusBucketCap = 256).count()),
           ("vector_store_topk", "16x vecs store (build amortized)",
             () => {
               // store built once (first pass pays it; min-of-two reports
@@ -505,7 +508,7 @@ object Dev {
           ("vector_store_batch_topk_shuffle", "same, salted shuffle regime",
             () => ops.VectorStore.queryTopKBatch(spark, vecStoreSkew,
               skewQueries, k = 10, nprobe = 2,
-              broadcastProbes = false).count()),
+              broadcastProbes = Some(false)).count()),
           ("vector_store_retrain", "32x corpus (16x + drifted appends)",
             () => {
               ops.VectorStore.retrain(spark, vecStoreRetrain,
@@ -519,6 +522,19 @@ object Dev {
                 minx = gx + 70.2 * 90.0, maxx = gx + 117.9 * 90.0,
                 miny = gy - 77.5 * 90.0, maxy = gy - 30.7 * 90.0).count()
             }),
+          ("cog_zonal_64layers_1kwin", "64-COG catalog x 1000 CRS windows, ONE job (tile-coalesced: union tiles fetched once per layer)",
+            () => {
+              val (cogDir, _, layers, gx, gy) = catalog64
+              val windows =
+                for (wi <- 0 until 25; wj <- 0 until 40) yield (
+                  (wi * 40 + wj).toLong,
+                  gx + (2.3 + 7.0 * wi) * 90.0,
+                  gy - (1.6 + 3.0 * wj + 2.2) * 90.0,
+                  gx + (2.3 + 7.0 * wi + 5.4) * 90.0,
+                  gy - (1.6 + 3.0 * wj) * 90.0)
+              wri.CogQuery.zonalStatsGeo(spark, cogDir, layers,
+                windows).count()
+            }),
           ("catalog_qa_64layers", "64-item catalog sweep",
             () => {
               val (_, itemsDir, _, _, _) = catalog64
@@ -528,8 +544,11 @@ object Dev {
           ("assign_global_ids", "8x lineitem",
             () => ops.Ids.assignIds(li8x,
               Seq("l_extendedprice", "l_orderkey", "l_linenumber")).count()),
-          ("pagerank_3iter", "16x edges",
-            () => ops.Graph.pageRank(edges16x, iters = 3).count()))
+          ("pagerank_3iter", "16x edges (node side under the 2M broadcast limit -> broadcast regime)",
+            () => ops.Graph.pageRank(edges16x, iters = 3).count()),
+          ("pagerank_3iter_smj", "same edges, broadcastNodeLimit=0 forces the sort-merge regime — pins the regime gap at this node count (the crossover evidence for the 2M default)",
+            () => ops.Graph.pageRank(edges16x, iters = 3,
+              broadcastNodeLimit = 0L).count()))
         // Bench's interleaved-pass discipline: every probe once, then
         // every probe again, report per-probe minimums — in-sequence
         // single readings overstate late probes (measured: pagerank 91 s
@@ -901,7 +920,7 @@ object Dev {
             nprobe = 2)
           time(s"bcast (pass $pass)")(b.count())
           val sh = ops.VectorStore.queryTopKBatch(spark, store, qs, k = 10,
-            nprobe = 2, broadcastProbes = false)
+            nprobe = 2, broadcastProbes = Some(false))
           time(s"shuffle (pass $pass)")(sh.count())
           if (pass == 2) {
             println("=== bcast executed plan ===")
@@ -1003,7 +1022,7 @@ object Dev {
           release()
           time(s"batch_topk shuffle (pass $pass)")(
             ops.VectorStore.queryTopKBatch(spark, store, qs, k = 10,
-              nprobe = 2, broadcastProbes = false).count())
+              nprobe = 2, broadcastProbes = Some(false)).count())
         }
       case "shardsoak" =>
         // Randomized-interaction soak of the exactly-once shard append:
@@ -1130,6 +1149,60 @@ object Dev {
           .agg(min("approx_d2"), expr("percentile(approx_d2, 0.5)"),
             max("approx_d2"), count(lit(1)))
           .show(false)
+      case "q115iso" =>
+        // round-12 bench read 1.11 s vs round-11's 0.79 s (1.41x) — the
+        // only tail drift above the noise band that round; probe
+        // isolated to classify regression vs ambient (the q40/q97
+        // precedent). Steady state = passes 2-3.
+        (1 to 3).foreach { pass =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          time(s"q115 isolated (pass $pass)")(
+            SparkEntry.queries("q115_binned_quantiles")(spark, sfDir)
+              .count())
+        }
+      case "benchdiff" =>
+        // the mechanical per-query budget gate: current BENCH_FULL vs
+        // the committed min-of-rounds BENCH_BASELINE; a query over
+        // tolerance x its budget AND over an absolute floor (sub-0.3 s
+        // queries swing multiples on ambient noise alone) flags loudly
+        // — regressions like round-12's q115 surface here instead of
+        // via judge tail-diffs. Usage:
+        //   Dev benchdiff [sfDir] [baselinePath] [currentPath]
+        val basePath = if (args.length > 2) args(2) else "BENCH_BASELINE.json"
+        val currPath = if (args.length > 3) args(3) else "BENCH_FULL.json"
+        val tol = 1.5
+        val floorSec = 0.15
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        def queriesOf(p: String): Map[String, Double] = {
+          import scala.jdk.CollectionConverters._
+          m.readTree(new java.io.File(p)).path("queries").fields.asScala
+            .map(e => e.getKey -> e.getValue.asDouble).toMap
+        }
+        val base = queriesOf(basePath)
+        val cur = queriesOf(currPath)
+        val rows = cur.toSeq.collect {
+          case (k, v) if base.getOrElse(k, 0.0) > 0 =>
+            (k, v, base(k), v / base(k))
+        }
+        rows.sortBy(-_._4).take(15).foreach { case (k, v, b, r) =>
+          println(f"[benchdiff] $k%-42s $v%6.3f vs $b%6.3f  $r%5.2fx")
+        }
+        val flagged = rows.filter { case (_, v, b, r) =>
+          r > tol && v - b > floorSec }
+        println(s"[benchdiff] ${flagged.size} queries over ${tol}x " +
+          s"budget (+${floorSec}s floor)" +
+          (if (flagged.isEmpty) "" else
+            s": ${flagged.map(_._1).sorted.mkString(", ")}"))
+        val fresh = cur.keySet -- base.keySet
+        if (fresh.nonEmpty)
+          println(s"[benchdiff] ${fresh.size} queries with no baseline " +
+            s"(new this round): ${fresh.toSeq.sorted.mkString(", ")}")
+        val missing = base.keySet -- cur.keySet
+        if (missing.nonEmpty)
+          println(s"[benchdiff] ${missing.size} baseline queries " +
+            s"MISSING from current: ${missing.toSeq.sorted.mkString(", ")}")
       case "qrun" =>
         // run one registered query by name prefix: Dev qrun <sfDir> <name>
         val name = args(2)

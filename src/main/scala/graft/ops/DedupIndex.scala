@@ -549,7 +549,14 @@ object DedupIndex {
     * rebuild on purpose: `takedownIds` (the caller-supplied standing
     * guard) and the registry both apply, because a full REBUILD from
     * the raw corpus is exactly where a compliance pipeline would
-    * otherwise silently re-index taken-down documents. */
+    * otherwise silently re-index taken-down documents. The registry is
+    * carried by NEVER TOUCHING it: children of `dir` are deleted
+    * individually, skipping every `_takedowns*` sibling (the registry,
+    * its atomic-replace `.tmp` recovery copy, the writer lock) — the
+    * [[VectorStore.write]] discipline. A read-then-delete-all-then-
+    * rewrite cycle would open a crash window in which the persisted
+    * registry is gone (absent file = empty set) and subsequent ingests
+    * silently re-admit blocked ids. */
   def write(spark: SparkSession, docs: DataFrame, dir: String,
       textCol: String = "text", n: Int = 3, numHashes: Int = 64,
       numBands: Int = 16, bucketShards: Int = 64,
@@ -557,10 +564,15 @@ object DedupIndex {
     require(numHashes % numBands == 0,
       s"numHashes=$numHashes must divide into numBands=$numBands")
     val fs = fsOf(spark, dir)
-    val registry = Takedown.registered(fs, dir)
-    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
-    if (registry.nonEmpty)
-      Commit.writeSealedIds(fs, Takedown.registryPath(dir), registry)
+    // validate early — a torn registry refuses the rebuild loudly
+    // BEFORE anything is destroyed
+    Takedown.registered(fs, dir)
+    val root = new Path(dir)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { s =>
+        if (!s.getPath.getName.startsWith("_takedowns"))
+          fs.delete(s.getPath, true)
+      }
     val p = Params(n, numHashes, numBands, bucketShards)
     import spark.implicits._
     Seq((n, numHashes, numBands, bucketShards))
@@ -883,7 +895,15 @@ object DedupIndex {
     * the log as unwritten and RECOMPUTES it, and the recomputation is
     * masked by the ids' tombstones (land the [[delete]] first, as
     * [[Takedown.execute]] does), so the taken-down ids cannot
-    * resurface through that window either.
+    * resurface through that window either. That ordering is ENFORCED,
+    * not just documented: before any rewrite, every id that actually
+    * hits an affected log must be covered by a live tombstone, or the
+    * verb refuses loudly — a standalone caller that skipped the
+    * [[delete]] would otherwise reopen the crash-resurrection window
+    * silently. (Re-delivered purges find nothing to drop and return
+    * before the check; after a covering compact the ids are physically
+    * gone, so a fresh purge either finds no hits or needs a fresh —
+    * harmless — tombstone first.)
     *
     * Scale shape: ONE basePath scan of the committed logs finds the
     * affected set (two hash semi-joins — batch_doc and index_doc
@@ -912,6 +932,24 @@ object DedupIndex {
       .select(col("batch").cast("long"))
     val affected = hits("batch_doc").union(hits("index_doc"))
       .distinct().collect().map(_.getLong(0)).sorted
+    if (affected.nonEmpty) {
+      // the crash-window contract: a torn rewrite's replay recomputes
+      // the log, and ONLY the ids' tombstones mask that recomputation
+      val hitIds = all.select(col("batch_doc").as("doc_id"))
+        .union(all.select(col("index_doc").as("doc_id")))
+        .join(broadcast(idDf), Seq("doc_id"), "left_semi").distinct()
+      val dead = deletedDocs(spark, fs, dir, readState(fs, dir))
+      val uncovered = dead.fold(hitIds)(d =>
+        hitIds.join(d, Seq("doc_id"), "left_anti"))
+        .limit(6).collect().map(_.getLong(0)).sorted
+      require(uncovered.isEmpty,
+        s"purgePairLogs at $dir: ids ${uncovered.mkString(", ")}" +
+          s"${if (uncovered.length >= 6) ", …" else ""} hit committed " +
+          "pair logs but carry no live tombstone — a crash mid-rewrite " +
+          "would let the ingest-stream replay recompute the log and " +
+          "resurrect them. Land DedupIndex.delete(ids) first " +
+          "(Takedown.execute orders this for you).")
+    }
     affected.toSeq.map { b =>
       val path = s"$dir/pairs/batch=$b"
       val log = spark.read.parquet(path)

@@ -48,6 +48,68 @@ object Takedown {
     * choke on. */
   private val MaxRegistry = 4 * 1024 * 1024
 
+  /** How long a registry mutation waits for the writer lock before
+    * refusing loudly. Mutations are a read-union-write over a driver
+    * file — milliseconds — so a wait this long means a crashed writer
+    * left its lock behind, and the error says what to do about it.
+    * (Overridable via system property for the stale-lock spec only.) */
+  private def lockWaitMs: Long =
+    sys.props.get("graft.takedown.lockWaitMs").map(_.toLong)
+      .getOrElse(30000L)
+
+  /** Serialize registry MUTATIONS ([[register]]/[[unregister]]) through
+    * a create-exclusive `_takedowns.lock`: each mutation is a
+    * read-modify-write over the sealed file, and two unserialized
+    * writers (two takedown notices processed in parallel, a register
+    * racing an unregister) would silently drop one caller's ids — a
+    * compliance hole with no error anywhere. `fs.create(path,
+    * overwrite=false)` refuses when the lock exists, so concurrent
+    * writers queue; a waiter that outlasts [[LockWaitMs]] throws with
+    * remediation instead of proceeding. Crash-while-holding leaves the
+    * lock behind and turns every later mutation into a LOUD failure
+    * (never a silent drop) until an operator confirms no writer is
+    * alive and removes the file — the refuse-loudly trade the stores'
+    * other markers make. Readers ([[registered]]/[[guard]]) never
+    * lock: they see the last sealed content, which is always complete
+    * ([[Commit.writeSealedIds]] replaces atomically). */
+  /** In-JVM serialization underneath the file lock: a local
+    * filesystem's create-exclusive is check-then-act (not atomic), so
+    * two threads of ONE driver could both "acquire". The monitor closes
+    * the in-process race; the lock file covers separate processes
+    * (atomic on HDFS/object stores, best-effort-but-loud on local). */
+  private val localMutex =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withRegistryLock[T](fs: FileSystem, dir: String)(
+      body: => T): T =
+    localMutex.computeIfAbsent(dir, _ => new Object).synchronized {
+      lockedMutation(fs, dir)(body)
+    }
+
+  private def lockedMutation[T](fs: FileSystem, dir: String)(
+      body: => T): T = {
+    val lock = new Path(s"$dir/_takedowns.lock")
+    fs.mkdirs(lock.getParent)
+    val waitMs = lockWaitMs
+    val deadline = System.currentTimeMillis() + waitMs
+    var held = false
+    while (!held) {
+      try { fs.create(lock, false).close(); held = true }
+      catch {
+        case _: java.io.IOException =>
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"takedown registry lock $lock still held after " +
+                s"${waitMs}ms — another register/unregister is in " +
+                "flight, or a crashed writer left the lock behind. " +
+                "Confirm no mutation is running, then delete the lock " +
+                "file and retry; the sealed registry itself is intact.")
+          Thread.sleep(50L)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** Currently registered ids; absent registry = empty set; a torn
     * registry file refuses loudly ([[Commit.readSealedIds]]). */
   def registered(fs: FileSystem, dir: String): Set[Long] =
@@ -64,13 +126,15 @@ object Takedown {
     val fs = graft.wri.WriFs.fs(dir, spark.sparkContext.hadoopConfiguration)
     val newIds = ids.select(col(idCol).cast("long")).as[Long]
       .collect().toSet
-    val all = registered(fs, dir) ++ newIds
-    require(all.size <= MaxRegistry,
-      s"takedown registry at $dir would hold ${all.size} ids " +
-        s"(> $MaxRegistry) — that is corpus-sized, not a compliance " +
-        "list; this registry is a driver-side sealed file by design")
-    Commit.writeSealedIds(fs, registryPath(dir), all)
-    all
+    withRegistryLock(fs, dir) {
+      val all = registered(fs, dir) ++ newIds
+      require(all.size <= MaxRegistry,
+        s"takedown registry at $dir would hold ${all.size} ids " +
+          s"(> $MaxRegistry) — that is corpus-sized, not a compliance " +
+          "list; this registry is a driver-side sealed file by design")
+      Commit.writeSealedIds(fs, registryPath(dir), all)
+      all
+    }
   }
 
   /** Remove ids from the persisted registry — the appeal-granted path:
@@ -87,33 +151,44 @@ object Takedown {
     val fs = graft.wri.WriFs.fs(dir, spark.sparkContext.hadoopConfiguration)
     val gone = ids.select(col(idCol).cast("long")).as[Long]
       .collect().toSet
-    val rest = registered(fs, dir) -- gone
-    Commit.writeSealedIds(fs, registryPath(dir), rest)
-    rest
+    withRegistryLock(fs, dir) {
+      val rest = registered(fs, dir) -- gone
+      Commit.writeSealedIds(fs, registryPath(dir), rest)
+      rest
+    }
   }
 
   /** The ingest-side guard both stores apply before any signing or
     * encoding work: drop rows whose id is in the persisted registry or
-    * the caller's standing list. Null ids pass through untouched (the
-    * anti-join semantics callers already rely on). */
+    * the caller's standing list. All three arms (registry IN-list,
+    * registry anti-join, caller-list anti-join) compare through ONE
+    * `try_cast(id as bigint)` of the batch column, so a non-bigint id
+    * column gets identical semantics everywhere: a value that casts
+    * cleanly is compared as a long; null and malformed ids pass through
+    * untouched (the anti-join semantics callers already rely on) — and
+    * never ADMIT a registered id via a coercion-null through
+    * coalesce(..., false), nor crash the ingest under ANSI casting. On
+    * the normal bigint column the cast is a no-op and the plan is
+    * unchanged. */
   def guard(batch: DataFrame, idCol: String,
       callerIds: Option[DataFrame], fs: FileSystem,
       dir: String): DataFrame = {
+    val idL = expr(s"try_cast(`$idCol` as bigint)")
     val reg = registered(fs, dir)
     val regGuarded =
       if (reg.isEmpty) batch
       else if (reg.size <= InListCap)
-        batch.filter(
-          not(coalesce(col(idCol).isInCollection(reg), lit(false))))
+        batch.filter(not(coalesce(idL.isInCollection(reg), lit(false))))
       else {
         val spark = batch.sparkSession
         import spark.implicits._
-        batch.join(broadcast(reg.toSeq.toDF(idCol)), Seq(idCol),
-          "left_anti")
+        batch.join(broadcast(reg.toSeq.toDF("__takedown_id")),
+          idL === col("__takedown_id"), "left_anti")
       }
     callerIds.fold(regGuarded)(t =>
-      regGuarded.join(t.select(col(idCol).cast("long").as(idCol)),
-        Seq(idCol), "left_anti"))
+      regGuarded.join(
+        t.select(col(idCol).cast("long").as("__takedown_id")),
+        idL === col("__takedown_id"), "left_anti"))
   }
 
   /** The training-shard store's coordinates for [[execute]] — directory

@@ -731,7 +731,25 @@ object VectorStore {
     * pending retrain swap must finish BEFORE the tombstone lands, or
     * the tombstone would be written into the dead incarnation's
     * directory and destroyed by the very swap that next serves the
-    * store — the deleted vectors would silently keep being served. */
+    * store — the deleted vectors would silently keep being served.
+    *
+    * THE GENERATION FENCE: after the tombstone commits, delete
+    * re-resolves `_current`; if the pointer moved while the landing was
+    * in flight (a pointer-mode [[compact]] flipped mid-write), the
+    * tombstone may have committed into the DEAD generation after the
+    * compact's post-flip migration sweep already ran — the one window
+    * the two sweeps cannot cover, because no sweep can see a commit
+    * that has not happened yet. The fence re-lands the ids into the
+    * generation now serving and loops until the pointer is stable
+    * across a landing. Explicit ids (the [[deleteStream]] pool)
+    * re-land under the SAME id — idempotent against a migration that
+    * did copy them; default ids claim a FRESH id in the new root (the
+    * old claim belonged to the dead root's pool — reusing its number
+    * could collide with an id independently claimed there since the
+    * flip, and a duplicate mask is harmless where a collision would
+    * silently drop the takedown). With the fence, a delete — batch
+    * mode or a deleteStream micro-batch — can no longer be lost to a
+    * concurrent pointer compact, whatever the interleaving. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       batchId: Option[Long] = None): Unit = {
     require(batchId.forall(_ > 0L), "delete batch ids start at 1")
@@ -740,10 +758,28 @@ object VectorStore {
     heal(fs, dir, gen)
     val root = componentRoot(dir, "deletes", gen)
     val id = batchId.getOrElse(claimBatchId(fs, root))
-    if (committedBatches(fs, root).contains(id)) return
-    ids.select(col("vec_id").cast("long").as("vec_id"))
-      .write.mode("overwrite").parquet(s"$root/batch=$id")
-    requireMarker(fs, s"$root/batch=$id")
+    val clean = ids.select(col("vec_id").cast("long").as("vec_id"))
+    if (!committedBatches(fs, root).contains(id)) {
+      clean.write.mode("overwrite").parquet(s"$root/batch=$id")
+      requireMarker(fs, s"$root/batch=$id")
+    }
+    var landedIn = gen
+    var now = currentGen(fs, dir)
+    var fences = 0
+    while (now != landedIn) {
+      fences += 1
+      require(fences <= 16,
+        s"the _current pointer moved $fences times during ONE delete " +
+          s"at $dir — a runaway compact loop, not a serving store")
+      val r = componentRoot(dir, "deletes", now)
+      val rid = batchId.getOrElse(claimBatchId(fs, r))
+      if (!committedBatches(fs, r).contains(rid)) {
+        clean.write.mode("overwrite").parquet(s"$r/batch=$rid")
+        requireMarker(fs, s"$r/batch=$rid")
+      }
+      landedIn = now
+      now = currentGen(fs, dir)
+    }
   }
 
   /** Offline compaction — the space-reclaim half of the tombstone
@@ -768,10 +804,12 @@ object VectorStore {
     * from its first served instant) and once after (so a tombstone that
     * committed between the first pass and the flip survives the GC).
     * An uncaptured takedown keeps masking and the next compact applies
-    * it; the residual window is a delete IN FLIGHT during the flip
-    * itself — batch-mode or a deleteStream micro-batch alike — that
-    * resolved the old generation before the flip and commits there
-    * after the post-flip sweep.
+    * it; a delete IN FLIGHT during the flip itself — one that resolved
+    * the old generation before the flip and commits there after the
+    * post-flip sweep — is caught by [[delete]]'s own generation fence,
+    * which re-resolves the pointer after every landing and re-lands
+    * into the new generation when it moved. No interleaving loses a
+    * takedown.
     *
     * Two swap modes:
     *
@@ -902,9 +940,9 @@ object VectorStore {
       // is GC'd: a tombstone that committed in the old root between the
       // pre-flip pass and the flip itself would otherwise be destroyed
       // while the stream checkpoint says it was delivered. (A delete
-      // micro-batch in flight RIGHT NOW — batch mode or stream — that
-      // resolved the old generation before the flip and lands after this
-      // sweep is the residual in-flight window; see the docstring.)
+      // micro-batch in flight RIGHT NOW that commits after this sweep
+      // is caught on ITS side — delete's generation fence re-resolves
+      // the pointer after landing and re-lands into this generation.)
       migrateLateTombstones(fs, delRoot, nextDel, delIds)
       Seq(codesRoot, delRoot,
           componentRoot(dir, "centroids", gen),
@@ -1160,8 +1198,17 @@ object VectorStore {
     * touched once for ALL queries.
     *
     * Join regimes: while the query set is small the probe side
-    * broadcasts (default). With `broadcastProbes = false` — query sets
-    * too big to broadcast — the join shuffles, and a bare `cell` key
+    * broadcasts; past that, the join shuffles. The regime is
+    * AUTO-SELECTED from the probe side's measured size (the qprobe
+    * row count is materialized anyway, and each row's ADC payload is
+    * `m x codebookSize` doubles — exact arithmetic, not a guess):
+    * under [[batchProbeBroadcastBytes]] the probe side broadcasts,
+    * above it the salted shuffle takes over — the
+    * [[Takedown.guard]]-style size discipline, so a caller who
+    * forgets to think about regime at 100 TB cannot broadcast an
+    * arbitrarily large query set into every executor. `broadcastProbes
+    * = Some(...)` stays as the explicit override for both directions.
+    * In the shuffle regime a bare `cell` key
     * would hand each hot cell's ENTIRE candidate set to one reducer
     * (cell cardinality is the IVF cell count, and real corpora are
     * skewed across cells). The shuffle regime therefore salts the code
@@ -1184,9 +1231,20 @@ object VectorStore {
     * trivial rank-1 hit); `excludeSelf = false` keeps self-matches —
     * what [[semanticDedupBatch]] needs, where a re-delivered stable id
     * matching its stored copy IS the duplicate being hunted. */
+  /** Probe-side budget for [[queryTopKBatch]]'s auto-selected join
+    * regime: at or under this many estimated probe bytes (query rows x
+    * nprobe, each carrying its m x codebookSize ADC doubles) the probe
+    * side broadcasts; above it the salted shuffle takes over. 64 MiB —
+    * comfortably inside executor memory on any real cluster, far under
+    * the point where per-executor probe copies start to hurt.
+    * (Overridable via system property for the boundary spec only.) */
+  private def batchProbeBroadcastBytes: Long =
+    sys.props.get("graft.vectorstore.batchBroadcastBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+
   def queryTopKBatch(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 2,
-      broadcastProbes: Boolean = true,
+      broadcastProbes: Option[Boolean] = None,
       saltBuckets: Int = 16,
       excludeSelf: Boolean = true,
       readOnly: Boolean = false): DataFrame = {
@@ -1268,8 +1326,14 @@ object VectorStore {
     // probed cells hold terabytes; the salted regime is the shape for
     // query sets too big to broadcast, and its (cell, salt) key keeps a
     // hot cell off a single reducer.
+    val useBroadcast = broadcastProbes.getOrElse {
+      // auto-regime: qprobe is checkpointed, so the count is a cheap
+      // metadata read; each row carries m x codebookSize ADC doubles
+      val rowBytes = m.toLong * codebookSize * 8L + 64L
+      qprobe.count() * rowBytes <= batchProbeBroadcastBytes
+    }
     val joined =
-      if (broadcastProbes) scanned.join(broadcast(qprobe), Seq("cell"))
+      if (useBroadcast) scanned.join(broadcast(qprobe), Seq("cell"))
       // saltFrom = vec_id: per-ROW deterministic spread regardless of
       // how the code rows are partitioned (the scan reads cell=
       // directories, so a hot cell's rows could otherwise share the few
@@ -1429,7 +1493,7 @@ object VectorStore {
     * `!is_dup` rows (and typically [[append]]s them). */
   def semanticDedupBatch(spark: SparkSession, dir: String,
       batch: DataFrame, maxApproxD2: Double, nprobe: Int = 2,
-      broadcastProbes: Boolean = true,
+      broadcastProbes: Option[Boolean] = None,
       saltBuckets: Int = 16): DataFrame = {
     val nn = queryTopKBatch(spark, dir, batch, k = 1, nprobe,
         broadcastProbes, saltBuckets, excludeSelf = false)

@@ -24,7 +24,10 @@ object WriSuite {
     Q("wri_cog_overview_stats", wriCogOverview, Some(wriCogOverviewSql)),
     Q("wri_stac_items", wriStac, Some(wriStacSql)),
     Q("wri_stac_query", wriStacQuery, Some(wriStacQuerySql)),
-    Q("wri_catalog_qa", wriCatalogQa, Some(wriCatalogQaSql))
+    Q("wri_catalog_qa", wriCatalogQa, Some(wriCatalogQaSql)),
+    Q("wri_get_layer", wriGetLayer, Some(wriGetLayerSql)),
+    Q("wri_stac_conformance", wriStacConformance, Some(wriStacConformanceSql)),
+    Q("wri_zonal_stats", wriZonalStats, Some(wriZonalStatsSql))
   )
 
   /** The consumption end of the COG pipeline ([[CogQuery.windowStats]]):
@@ -363,7 +366,15 @@ object WriSuite {
     * tiles — a writer or prefix-parser drift changes a value and
     * breaks the hash. The broken-asset path (error-as-data) is spec
     * territory (RemoteIoSpec): DuckDB cannot truncate a file. */
-  private def wriCatalogQa(s: SparkSession, d: String): DataFrame = {
+  // the shared QA-catalog fixture anchors (90 m cells at the reference
+  // CONUS corner — Fixtures.writeCogInputs' geotransform)
+  private val qaGx = -5216639.6695348294
+  private val qaGy = 6199081.688491997
+
+  /** Stage the small consumable catalog ONCE per JVM — four real COGs
+    * plus their item documents — and return its items directory. Both
+    * the QA sweep and the get_layer consumer run against it. */
+  private def stageQaCatalog(s: SparkSession): String = {
     import s.implicits._
     val root = s"$fixtureRoot/qa"
     val inputs = Fixtures.writeCogInputs(root, n = 4, w = 192, h = 128)
@@ -372,16 +383,21 @@ object WriSuite {
     val cogDir = s"$stacRoot/collections/$cid/cogs"
     Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
       TiffWriter.CogOptions(blockSize = 32)).count()
-    val gx = -5216639.6695348294
-    val gy = 6199081.688491997
     val consistent = inputs.map(_._2).toDF("cog_filename").select(
       col("cog_filename"), lit(5070).as("crs_epsg"),
       lit("indicator").as("data_type"), lit("water").as("wri_domain"),
       lit("status").as("wri_dimension"),
-      lit(gx).as("extent_xmin"), lit(gx + 192 * 90.0).as("extent_xmax"),
-      lit(gy - 128 * 90.0).as("extent_ymin"), lit(gy).as("extent_ymax"))
+      lit(qaGx).as("extent_xmin"),
+      lit(qaGx + 192 * 90.0).as("extent_xmax"),
+      lit(qaGy - 128 * 90.0).as("extent_ymin"),
+      lit(qaGy).as("extent_ymax"))
     val itemsDir = s"$stacRoot/collections/$cid/items"
     Stac.writeItems(Stac.buildItems(s, consistent), itemsDir)
+    itemsDir
+  }
+
+  private def wriCatalogQa(s: SparkSession, d: String): DataFrame = {
+    val itemsDir = stageQaCatalog(s)
     Stac.validateAssets(s, itemsDir)
       .select(col("item_id"), col("ok"), col("levels"),
         col("tile_width"), col("width"), col("height"))
@@ -396,6 +412,158 @@ object WriSuite {
       |  ('layer_3', true, 4, 32, 192, 128)
       |) t(item_id, ok, levels, tile_width, width, height)
       |ORDER BY item_id""".stripMargin
+
+  /** The catalog CONSUMER ([[Stac.getLayerNative]] — the reference's
+    * `get_layer` story, `README.md:300-308`): each layer is answered
+    * STRAIGHT FROM THE CATALOG — bbox search over the item documents,
+    * asset-href resolution, the is_hosted branch (these items are
+    * local: hrefs resolve against the item directory), then window
+    * stats over exactly the intersecting tiles. Same fractional
+    * 90 m-cell box as wri_cog_geo_window_stats, so the oracle replays
+    * the fixture generator analytically over cells x in [25, 103),
+    * y in [7, 59) — a wrong search, resolve, branch, geotransform, or
+    * tile fetch breaks the hash. The HTTP-hosted leg and the
+    * informative non-hosted error are RemoteIoSpec territory (DuckDB
+    * cannot serve ranges). */
+  private def wriGetLayer(s: SparkSession, d: String): DataFrame = {
+    val itemsDir = stageQaCatalog(s)
+    Seq("layer_0", "layer_1", "layer_2", "layer_3").map { id =>
+      Stac.getLayerNative(s, itemsDir, id,
+        minx = qaGx + 25.4 * 90.0, miny = qaGy - 58.3 * 90.0,
+        maxx = qaGx + 102.2 * 90.0, maxy = qaGy - 7.6 * 90.0)
+    }.reduce(_.unionByName(_))
+      .select(col("layer"), col("n_valid"), col("n_nan"),
+        col("vs_sum"), col("vs_min"), col("vs_max"))
+      .orderBy(col("layer"))
+  }
+
+  /** The ZONAL batch ([[CogQuery.zonalStatsGeo]]): 100 fractional
+    * 90 m-cell windows x 4 layers answered in ONE job — per layer the
+    * union of window tiles is fetched once (tile-coalesced), and every
+    * window folds its own integer-exact stats. Windows are laid on a
+    * 10x10 grid of fractional offsets, so the pixel-is-area floor/ceil
+    * mapping lands window (wi, wj) exactly on cells
+    * x in [7wi+2, 7wi+8), y in [5wj+1, 5wj+6) — which the oracle
+    * replays from the fixture generator; a wrong coalesce (a tile
+    * folded twice into a window, or a window into the wrong tile)
+    * breaks counts and sums alike. */
+  private def wriZonalStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(s"$fixtureRoot/winq",
+      n = 4, w = 192, h = 128)
+    val cogDir = s"$fixtureRoot/winq_cogs"
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val windows = for (wi <- 0 until 10; wj <- 0 until 10) yield (
+      (wi * 10 + wj).toLong,
+      qaGx + (2.3 + 7.0 * wi) * 90.0, qaGy - (1.6 + 5.0 * wj + 3.9) * 90.0,
+      qaGx + (2.3 + 7.0 * wi + 5.4) * 90.0, qaGy - (1.6 + 5.0 * wj) * 90.0)
+    CogQuery.zonalStatsGeo(s, cogDir, inputs.map(_._2), windows)
+      .select(col("layer"), col("window_id"), col("n_valid"),
+        col("n_nan"), col("vs_sum"), col("vs_min"), col("vs_max"))
+      .orderBy(col("layer"), col("window_id"))
+  }
+
+  private val wriZonalStatsSql =
+    """WITH cells AS (
+      |  SELECT i.range AS i,
+      |    wi.range * 10 + wj.range AS window_id,
+      |    ((wj.range * 5 + 1 + dy.range) * 192
+      |      + (wi.range * 7 + 2 + dx.range)) AS j
+      |  FROM range(0, 4) i, range(0, 10) wi, range(0, 10) wj,
+      |       range(0, 6) dx, range(0, 5) dy),
+      |v AS (SELECT i, window_id,
+      |    CASE WHEN (j + i) % 13 = 0 THEN NULL
+      |      ELSE CAST(round(CAST(CAST((j * (i + 3)) % 101 AS REAL)
+      |             / CAST(7 AS REAL) AS DOUBLE) * 10000) AS BIGINT)
+      |    END AS vs
+      |  FROM cells)
+      |SELECT 'layer_' || i || '.tif' AS layer,
+      |  CAST(window_id AS BIGINT) AS window_id,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v GROUP BY i, window_id ORDER BY layer, window_id""".stripMargin
+
+  /** STAC 1.0.0 structural conformance ([[Stac.validateDocuments]] —
+    * the stac-validator step of `README.md:248-250`): two spec-clean
+    * emitted items validate green, and four seeded-invalid documents
+    * (missing bbox under non-null geometry, wrong stac_version, an
+    * href-less link, a ring position outside its bbox) each surface as
+    * an error ROW with its first-failure message — error-as-data, so
+    * one malformed document never kills the catalog sweep. */
+  private def wriStacConformance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val itemsDir = s"$fixtureRoot/conformance/items"
+    val consistent = Seq("alpha.tif", "beta.tif").toDF("cog_filename")
+      .select(
+        col("cog_filename"), lit(5070).as("crs_epsg"),
+        lit("indicator").as("data_type"), lit("water").as("wri_domain"),
+        lit("status").as("wri_dimension"),
+        lit(qaGx).as("extent_xmin"),
+        lit(qaGx + 96 * 90.0).as("extent_xmax"),
+        lit(qaGy - 64 * 90.0).as("extent_ymin"),
+        lit(qaGy).as("extent_ymax"))
+    Stac.writeItems(Stac.buildItems(s, consistent), itemsDir)
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.wri.WriFs.writeString(s"$itemsDir/broken_nobbox.json",
+      """{"type":"Feature","stac_version":"1.0.0","id":"broken_nobbox",
+        |"geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]},
+        |"properties":{"datetime":"2024-01-01T00:00:00Z"},
+        |"links":[],"assets":{}}""".stripMargin, conf)
+    graft.wri.WriFs.writeString(s"$itemsDir/broken_version.json",
+      """{"type":"Feature","stac_version":"0.9.0","id":"broken_version",
+        |"geometry":null,"properties":{"datetime":"2024-01-01T00:00:00Z"},
+        |"links":[],"assets":{}}""".stripMargin, conf)
+    graft.wri.WriFs.writeString(s"$itemsDir/broken_link.json",
+      """{"type":"Feature","stac_version":"1.0.0","id":"broken_link",
+        |"geometry":null,"properties":{"datetime":"2024-01-01T00:00:00Z"},
+        |"links":[{"rel":"self"}],"assets":{}}""".stripMargin, conf)
+    graft.wri.WriFs.writeString(s"$itemsDir/broken_geom.json",
+      """{"type":"Feature","stac_version":"1.0.0","id":"broken_geom",
+        |"geometry":{"type":"Polygon","coordinates":[[[0,0],[5,0.5],[1,1],[0,0]]]},
+        |"bbox":[0,0,1,1],
+        |"properties":{"datetime":"2024-01-01T00:00:00Z"},
+        |"links":[],"assets":{}}""".stripMargin, conf)
+    Stac.validateDocuments(s, itemsDir)
+      .select(col("file"), col("item_id"), col("ok"), col("error"))
+      .orderBy(col("file"))
+  }
+
+  private val wriStacConformanceSql =
+    """SELECT * FROM (VALUES
+      |  ('alpha.json', 'alpha', true, NULL),
+      |  ('beta.json', 'beta', true, NULL),
+      |  ('broken_geom.json', 'broken_geom', false,
+      |    'geometry position (5.0000, 0.5000) outside bbox'),
+      |  ('broken_link.json', 'broken_link', false,
+      |    'link 0 must carry rel and href'),
+      |  ('broken_nobbox.json', 'broken_nobbox', false,
+      |    'bbox is required when geometry is non-null'),
+      |  ('broken_version.json', 'broken_version', false,
+      |    'stac_version must be ''1.0.0''')
+      |) t(file, item_id, ok, error) ORDER BY file""".stripMargin
+
+  private val wriGetLayerSql =
+    """WITH px AS (
+      |  SELECT i.range AS i,
+      |    (y.range * 192 + x.range) AS j
+      |  FROM range(0, 4) i, range(25, 103) x, range(7, 59) y),
+      |v AS (SELECT i,
+      |    CASE WHEN (j + i) % 13 = 0 THEN NULL
+      |      ELSE CAST(round(CAST(CAST((j * (i + 3)) % 101 AS REAL)
+      |             / CAST(7 AS REAL) AS DOUBLE) * 10000) AS BIGINT)
+      |    END AS vs
+      |  FROM px)
+      |SELECT 'layer_' || i AS layer,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v GROUP BY i ORDER BY layer""".stripMargin
 
   private val wriStacQuerySql =
     """SELECT item_id, data_type, wri_domain, wri_dimension, is_hosted,

@@ -117,8 +117,145 @@ object CogQuery {
       if (nValid == 0) None else Some(vsMax))
   }
 
-  private def withLayerReader[T](spark: SparkSession, cogDir: String,
-      layers: Seq[String], prefixBytes: Int)(
+  case class CogZonalStat(
+      layer: String, window_id: Long, tiles_read: Long,
+      n_valid: Long, n_nan: Long,
+      vs_sum: Long, vs_min: Option[Long], vs_max: Option[Long])
+
+  /** ZONAL stats — thousands of CRS windows per layer in ONE job (the
+    * catalog client's real ask: per-admin-region statistics over every
+    * layer, not one window per call). One task per layer; within a
+    * task every window maps onto the pixel grid from the one header
+    * prefix, the needed tiles are COALESCED — each tile the union of
+    * windows touches is fetched and decoded exactly ONCE, in
+    * file-offset order (sequential ranges, the friendliest shape for
+    * HTTP/object-store reads) — and every window's integer-exact
+    * accumulator folds the pixels of its intersection with that tile.
+    * Cost per layer: one prefix + O(union-of-window tiles) bytes,
+    * however many windows ask; overlapping windows stop costing
+    * duplicate fetches, which is exactly where the one-window-per-call
+    * form degenerates ([[windowStatsGeo]] re-reads a shared tile once
+    * PER WINDOW).
+    *
+    * `windows` is (window_id, minx, miny, maxx, maxy) in the raster's
+    * CRS; it rides the task closure, so it is bounded loudly — zonal
+    * window lists are region tables (thousands), not data. Windows
+    * wholly outside the raster report zero counts (`tiles_read = 0`).
+    * Output: one row per layer x window. */
+  def zonalStatsGeo(spark: SparkSession, cogDir: String,
+      layers: Seq[String],
+      windows: Seq[(Long, Double, Double, Double, Double)],
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(layers.nonEmpty, "no layers to query")
+    require(windows.nonEmpty, "no windows to query")
+    require(windows.size <= 1000000,
+      s"${windows.size} windows ride every task's closure — that is " +
+        "data-sized, not a region table; shard the window list")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    require(level >= 0, s"level must be >= 0: $level")
+    windows.foreach { case (id, minx, miny, maxx, maxy) =>
+      require(maxx > minx && maxy > miny,
+        s"window $id must be non-empty: x [$minx, $maxx], y [$miny, $maxy]")
+    }
+    withReaderAt(spark, layers.map(n => (n, s"$cogDir/$n")), prefixBytes) {
+      (name, raf, _, prefix) =>
+        zonalOverWindows(name, raf, prefix, windows, scale, level)
+    }.flatMap(identity).toDF()
+  }
+
+  private def zonalOverWindows(name: String, raf: RangeReader,
+      prefix: Array[Byte],
+      windows: Seq[(Long, Double, Double, Double, Double)],
+      scale: Long, level: Int): Seq[CogZonalStat] = {
+    val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
+    require(level < layouts.length,
+      s"$name has ${layouts.length} levels, requested $level")
+    val (resX0, resY0, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
+    val l0 = layouts.head
+    val full = layouts(level)
+    val resX = resX0 * l0.width.toDouble / full.width
+    val resY = resY0 * l0.height.toDouble / full.height
+    val tw = full.tileWidth
+    val th = full.tileHeight
+    require(tw > 0 && th > 0, s"$name is not tiled — not a COG")
+    val tilesAcross = (full.width + tw - 1) / tw
+    // per-window accumulator over its clamped pixel rect (the same
+    // floor/ceil pixel-is-area mapping as windowStatsGeo)
+    class Acc(val id: Long, val xLo: Int, val xHi: Int,
+        val yLo: Int, val yHi: Int) {
+      var tiles = 0L; var nValid = 0L; var nNan = 0L
+      var vsSum = 0L; var vsMin = Long.MaxValue; var vsMax = Long.MinValue
+    }
+    val accs = windows.map { case (id, minx, miny, maxx, maxy) =>
+      val x0 = math.floor((minx - gx) / resX).toInt
+      val xEnd = math.ceil((maxx - gx) / resX).toInt
+      val y0 = math.floor((gy - maxy) / resY).toInt
+      val yEnd = math.ceil((gy - miny) / resY).toInt
+      new Acc(id, math.max(0, x0), math.min(full.width, xEnd),
+        math.max(0, y0), math.min(full.height, yEnd))
+    }
+    // the COALESCING step: tile -> every window that touches it
+    val byTile = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Acc]]
+    accs.foreach { a =>
+      if (a.xLo < a.xHi && a.yLo < a.yHi) {
+        var r = a.yLo / th
+        while (r <= (a.yHi - 1) / th) {
+          var c = a.xLo / tw
+          while (c <= (a.xHi - 1) / tw) {
+            byTile.getOrElseUpdate(r * tilesAcross + c,
+              scala.collection.mutable.ArrayBuffer.empty[Acc]) += a
+            c += 1
+          }
+          r += 1
+        }
+      }
+    }
+    // fetch each needed tile ONCE, in offset order (sequential ranges)
+    byTile.toSeq.sortBy { case (t, _) => full.tileOffsets(t) }
+      .foreach { case (t, ws) =>
+        val cnt = full.tileByteCounts(t).toInt
+        val buf = new Array[Byte](cnt)
+        raf.readFully(full.tileOffsets(t), buf)
+        val px = TiffIO.decodeLevelTile(full, buf)
+        val c = t % tilesAcross; val r = t / tilesAcross
+        ws.foreach { a =>
+          a.tiles += 1
+          val pxLo = math.max(a.xLo, c * tw)
+          val pxHi = math.min(a.xHi, (c + 1) * tw)
+          val pyLo = math.max(a.yLo, r * th)
+          val pyHi = math.min(a.yHi, (r + 1) * th)
+          var y = pyLo
+          while (y < pyHi) {
+            var x = pxLo
+            while (x < pxHi) {
+              val v = px((y - r * th) * tw + (x - c * tw))
+              if (java.lang.Float.isNaN(v)) a.nNan += 1
+              else {
+                val vs = Math.round(v.toDouble * scale)
+                a.nValid += 1
+                a.vsSum += vs
+                if (vs < a.vsMin) a.vsMin = vs
+                if (vs > a.vsMax) a.vsMax = vs
+              }
+              x += 1
+            }
+            y += 1
+          }
+        }
+      }
+    accs.map(a => CogZonalStat(name, a.id, a.tiles, a.nValid, a.nNan,
+      a.vsSum,
+      if (a.nValid == 0) None else Some(a.vsMin),
+      if (a.nValid == 0) None else Some(a.vsMax)))
+  }
+
+  /** One task per (label, path) target; `f` sees the label (reported as
+    * the output's `layer`), the open reader, and the header prefix. */
+  private def withReaderAt[T](spark: SparkSession,
+      targets: Seq[(String, String)], prefixBytes: Int)(
       f: (String, RangeReader, Long, Array[Byte]) => T)(
       implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
@@ -126,9 +263,9 @@ object CogQuery {
       new org.apache.spark.SerializableWritable(
         new org.apache.hadoop.conf.Configuration(
           spark.sparkContext.hadoopConfiguration)))
-    spark.createDataset(layers).mapPartitions { it =>
-      it.map { name =>
-        val raf = RangeReader.open(s"$cogDir/$name", confBc.value.value)
+    spark.createDataset(targets).mapPartitions { it =>
+      it.map { case (name, path) =>
+        val raf = RangeReader.open(path, confBc.value.value)
         try {
           val fileLen = raf.length
           // range request #1: the bounded header prefix
@@ -140,6 +277,12 @@ object CogQuery {
       }
     }
   }
+
+  private def withLayerReader[T](spark: SparkSession, cogDir: String,
+      layers: Seq[String], prefixBytes: Int)(
+      f: (String, RangeReader, Long, Array[Byte]) => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] =
+    withReaderAt(spark, layers.map(n => (n, s"$cogDir/$n")), prefixBytes)(f)
 
   /** Stats of the pixel window [x0, x0+winW) x [y0, y0+winH) for each
     * named COG under `cogDir`, values scaled by `scale` before integer
@@ -200,13 +343,27 @@ object CogQuery {
       minx: Double, miny: Double, maxx: Double, maxy: Double,
       scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
       level: Int = 0): DataFrame = {
+    require(layers.nonEmpty, "no layers to query")
+    windowStatsGeoAt(spark, layers.map(n => (n, s"$cogDir/$n")),
+      minx, miny, maxx, maxy, scale, prefixBytes, level)
+  }
+
+  /** [[windowStatsGeo]] over explicit (layer, path) targets — the form a
+    * CATALOG consumer needs, where each item's asset href resolves to
+    * its own location (a hosted HTTP URL, a local staging path) instead
+    * of `cogDir/<name>`. Same economics: one prefix read + only the
+    * intersecting tiles per target. */
+  def windowStatsGeoAt(spark: SparkSession, targets: Seq[(String, String)],
+      minx: Double, miny: Double, maxx: Double, maxy: Double,
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
     import spark.implicits._
     require(maxx > minx && maxy > miny,
       s"box must be non-empty: x [$minx, $maxx], y [$miny, $maxy]")
     require(scale >= 1, s"scale must be >= 1: $scale")
     require(level >= 0, s"level must be >= 0: $level")
-    require(layers.nonEmpty, "no layers to query")
-    withLayerReader(spark, cogDir, layers, prefixBytes) {
+    require(targets.nonEmpty, "no layers to query")
+    withReaderAt(spark, targets, prefixBytes) {
       (name, raf, fileLen, prefix) =>
         val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
         require(level < layouts.length,

@@ -110,6 +110,45 @@ object Geo {
     StacSpatial(bbox, ring)
   }
 
+  /** Forward projection: (lon, lat) degrees -> EPSG:5070 meters — the
+    * direction a CLIENT needs when its query box arrives in WGS84
+    * lon/lat (the fedex `get_layer(name, bbox)` call) and the raster
+    * grid speaks Albers meters. Snyder pp. 98-100 (the same public-
+    * domain formulas [[inverse]] iterates backwards); λ−λ0 wraps into
+    * (-π, π] so a box near the antimeridian projects on the near side,
+    * matching how [[inverse]] normalizes longitudes. Total for
+    * |lat| <= 90 — the forward direction has no domain hole. */
+  def forward(lon: Double, lat: Double): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    var dl = math.toRadians(lon) - lon0
+    while (dl > math.Pi) dl -= 2 * math.Pi
+    while (dl < -math.Pi) dl += 2 * math.Pi
+    val theta = n * dl
+    val rho = a * math.sqrt(bigC - n * qOf(phi)) / n
+    (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+  }
+
+  /** Project a WGS84 lon/lat box to its EPSG:5070 bounding box. Conic
+    * edges curve, so corner-only projection would clip the true image
+    * along the top/bottom edges (max northing can sit mid-edge);
+    * each edge is densified with `samplesPerEdge` points before the
+    * min/max — the standard GIS practice (and what sf's
+    * st_transform-then-st_bbox effectively does on densified
+    * geometry). Driver-side scalar math: 4 x samples projections. */
+  def forwardBox(lonMin: Double, latMin: Double, lonMax: Double,
+      latMax: Double, samplesPerEdge: Int = 32): (Double, Double, Double, Double) = {
+    require(lonMax > lonMin && latMax > latMin,
+      s"box must be non-empty: lon [$lonMin, $lonMax], lat [$latMin, $latMax]")
+    val pts = (0 to samplesPerEdge).flatMap { i =>
+      val t = i.toDouble / samplesPerEdge
+      val lon = lonMin + t * (lonMax - lonMin)
+      val lat = latMin + t * (latMax - latMin)
+      Seq((lon, latMin), (lon, latMax), (lonMin, lat), (lonMax, lat))
+    }.map { case (lo, la) => forward(lo, la) }
+    (pts.map(_._1).min, pts.map(_._2).min,
+      pts.map(_._1).max, pts.map(_._2).max)
+  }
+
   /** Codegen-friendly scalar forms (static forwarders callable from
     * generated Java; NaN = outside projection domain). */
   def inverseLonJava(x: Double, y: Double): Double =

@@ -301,11 +301,7 @@ object Stac {
       .mapPartitions { it =>
         val conf = confBc.value.value
         it.map { case (id, href) =>
-          val resolved =
-            if (href.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") ||
-              href.startsWith("/")) href
-            else java.net.URI.create(
-              base.replace(" ", "%20") + "/").resolve(href).toString
+          val resolved = resolveHref(href, base)
           try {
             val r = RangeReader.open(resolved, conf)
             try {
@@ -330,6 +326,291 @@ object Stac {
           }
         }
       }.toDF()
+  }
+
+  case class DocStatus(file: String, item_id: Option[String], ok: Boolean,
+      error: Option[String])
+
+  /** STAC 1.0.0 STRUCTURAL conformance of the emitted item documents —
+    * the `stac-validator` step the reference plans (`README.md:248-250`)
+    * but never built, as one distributed sweep: every `*.json` under
+    * `itemsDir` is parsed and checked against the Item spec's
+    * structural requirements (STAC 1.0.0 item-spec, public), failures
+    * as DATA with first-failure-wins messages (the P7 cascade
+    * discipline — one malformed document never kills the sweep of an
+    * 82-layer catalog). [[validateAssets]] answers "can clients stream
+    * the rasters"; this answers "are the documents a STAC toolchain
+    * will accept":
+    *
+    *  - `type` must be `"Feature"`, `stac_version` must be `"1.0.0"`,
+    *    `id` a non-empty string;
+    *  - `geometry` must be present (GeoJSON object or null); when
+    *    non-null it needs `type` + `coordinates`, and `bbox` becomes
+    *    REQUIRED — 4 or 6 numbers, south <= north (west > east is legal:
+    *    the antimeridian wrap this dataset actually exercises);
+    *  - `properties` must carry `datetime` — null only when
+    *    `start_datetime`/`end_datetime` stand in;
+    *  - every link needs `rel` + `href`; every asset needs `href`;
+    *    a set `collection` field requires a `rel="collection"` link;
+    *  - bbox/geometry CONSISTENCY: every ring position must lie inside
+    *    the bbox (to the 4-decimal serialization rounding; longitude
+    *    containment is skipped for wrapped boxes).
+    *
+    * One task per document; documents are independent. */
+  def validateDocuments(spark: SparkSession, itemsDir: String,
+      tolerance: Double = 1e-4): DataFrame = {
+    import spark.implicits._
+    val confBc = WriFs.confBroadcast(spark)
+    val files = WriFs.listNames(itemsDir,
+      spark.sparkContext.hadoopConfiguration)
+      .filter(_.endsWith(".json")).sorted
+    spark.createDataset(files).mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      val conf = confBc.value.value
+      it.map(name => validateItemDoc(mapper, conf, itemsDir, name,
+        tolerance))
+    }.toDF()
+  }
+
+  private def validateItemDoc(mapper: ObjectMapper, conf: Configuration,
+      itemsDir: String, file: String, tol: Double): DocStatus = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import scala.jdk.CollectionConverters._
+    try {
+      val path = new org.apache.hadoop.fs.Path(s"$itemsDir/$file")
+      val fsys = WriFs.fs(s"$itemsDir/$file", conf)
+      val bytes = new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
+      val in = fsys.open(path)
+      try in.readFully(0L, bytes) finally in.close()
+      val root = mapper.readTree(bytes)
+      val id = Option(root.path("id").asText(null)).filter(_.nonEmpty)
+      def num(n: JsonNode): Boolean = n.isNumber
+      val geometry = root.path("geometry")
+      val bbox = root.path("bbox")
+      val props = root.path("properties")
+      val links = root.path("links")
+      val assets = root.path("assets")
+      def bboxVals: Seq[Double] =
+        bbox.elements.asScala.map(_.asDouble).toSeq
+      // the ordered cascade: first failure wins (P7)
+      def firstError: Option[String] = {
+        if (!root.isObject) return Some("document is not a JSON object")
+        if (root.path("type").asText("") != "Feature")
+          return Some("type must be 'Feature'")
+        if (root.path("stac_version").asText("") != "1.0.0")
+          return Some("stac_version must be '1.0.0'")
+        if (id.isEmpty) return Some("id must be a non-empty string")
+        if (geometry.isMissingNode)
+          return Some("geometry is required (object or null)")
+        if (!geometry.isNull) {
+          if (!geometry.isObject ||
+            !geometry.path("type").isTextual ||
+            !geometry.path("coordinates").isArray)
+            return Some("geometry must carry type and coordinates")
+          if (!bbox.isArray)
+            return Some("bbox is required when geometry is non-null")
+          val b = bboxVals
+          if ((b.length != 4 && b.length != 6) ||
+            !bbox.elements.asScala.forall(num))
+            return Some("bbox must hold 4 or 6 numbers")
+          val (south, north) =
+            if (b.length == 4) (b(1), b(3)) else (b(1), b(4))
+          if (south > north)
+            return Some("bbox south exceeds north")
+        }
+        if (!props.isObject) return Some("properties must be an object")
+        val dt = props.path("datetime")
+        if (dt.isMissingNode)
+          return Some("properties.datetime is required")
+        if (dt.isNull &&
+          !(props.path("start_datetime").isTextual &&
+            props.path("end_datetime").isTextual))
+          return Some("null datetime requires start_datetime and " +
+            "end_datetime")
+        if (!links.isArray) return Some("links must be an array")
+        links.elements.asScala.zipWithIndex.foreach { case (l, i) =>
+          if (!l.path("rel").isTextual || !l.path("href").isTextual)
+            return Some(s"link $i must carry rel and href")
+        }
+        if (!assets.isObject) return Some("assets must be an object")
+        assets.fields.asScala.foreach { e =>
+          if (!e.getValue.path("href").isTextual)
+            return Some(s"asset '${e.getKey}' must carry href")
+        }
+        if (root.path("collection").isTextual &&
+          !links.elements.asScala.exists(
+            _.path("rel").asText("") == "collection"))
+          return Some("collection is set but no rel='collection' link")
+        // bbox/geometry consistency over every position in the tree
+        if (!geometry.isNull && bbox.isArray) {
+          val b = bboxVals
+          val (w, s, e, n) =
+            if (b.length == 4) (b(0), b(1), b(2), b(3))
+            else (b(0), b(1), b(3), b(4))
+          val wrapped = w > e // legal antimeridian crossing
+          def positions(node: JsonNode): Iterator[Seq[Double]] =
+            if (node.isArray && node.elements.asScala.forall(num))
+              Iterator.single(
+                node.elements.asScala.map(_.asDouble).toSeq)
+            else if (node.isArray)
+              node.elements.asScala.flatMap(positions)
+            else Iterator.empty
+          positions(geometry.path("coordinates")).foreach { p =>
+            if (p.length >= 2) {
+              val (lon, lat) = (p(0), p(1))
+              if (lat < s - tol || lat > n + tol ||
+                (!wrapped && (lon < w - tol || lon > e + tol)))
+                return Some(
+                  f"geometry position ($lon%.4f, $lat%.4f) outside bbox")
+            }
+          }
+        }
+        None
+      }
+      val err = firstError
+      DocStatus(file, id, err.isEmpty, err)
+    } catch {
+      case e: Exception =>
+        DocStatus(file, None, ok = false,
+          Some(s"unreadable: ${e.getMessage}"))
+    }
+  }
+
+  /** Asset-href resolution, shared by [[validateAssets]] and the
+    * [[getLayer]] family: absolute or scheme-qualified hrefs pass
+    * through; relative ones (`../cogs/x.tif`) resolve against `base`. */
+  private[wri] def resolveHref(href: String, base: String): String =
+    if (href.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") || href.startsWith("/"))
+      href
+    else java.net.URI.create(base.replace(" ", "%20") + "/")
+      .resolve(href).toString
+
+  /** `get_layer` — the reference's ENTIRE downstream consumption story
+    * (`README.md:300-308`: the fedex client's one call) as one verb:
+    * read the layer's STAC item from the catalog, intersect the query
+    * box with the item's bbox, branch on `is_hosted` — a hosted asset
+    * streams through HTTP range requests from the serving root, a
+    * local one reads its staging path, and `hostedOnly = true`
+    * reproduces the client-side contract exactly (a non-hosted layer
+    * is an INFORMATIVE ERROR, never a broken read: fedex runs on user
+    * machines that cannot see the producer's filesystem) — then answer
+    * window stats over exactly the intersecting tiles
+    * ([[CogQuery.windowStatsGeoAt]]: one header prefix + O(window
+    * tiles) byte ranges, whatever the raster size).
+    *
+    * The query box arrives in WGS84 lon/lat degrees (the STAC bbox
+    * convention and the fedex call shape, `bbox = c(-122, 37, -121,
+    * 38)`); the raster grid speaks EPSG:5070 meters, so the box
+    * forward-projects through [[Geo.forwardBox]] (edge-densified
+    * Snyder forward Albers) before the tile mapping. A box the catalog
+    * says the layer does not cover answers EMPTY (zero rows) without
+    * opening the raster — catalog metadata is the first pruning level,
+    * the same prune-before-data discipline as the stores' directory
+    * layouts. An unknown layer id fails loudly, naming what IS there.
+    *
+    * `hrefBase` applies to HOSTED items only: it re-roots the asset by
+    * filename onto the given serving root (a mirror, or a hermetic
+    * test server) — hosted hrefs are absolute publisher URLs, so plain
+    * base-resolution would never rewrite them; non-hosted items always
+    * resolve against the item directory. */
+  def getLayer(spark: SparkSession, itemsDir: String, layer: String,
+      lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+      hrefBase: Option[String] = None, hostedOnly: Boolean = false,
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
+    val (minx, miny, maxx, maxy) =
+      Geo.forwardBox(lonMin, latMin, lonMax, latMax)
+    layerStatsImpl(spark, itemsDir, lonMin, latMin, lonMax, latMax,
+      minx, miny, maxx, maxy, col("item_id") === layer, hrefBase,
+      hostedOnly, expect = Some(layer), scale, prefixBytes, level)
+  }
+
+  /** [[getLayer]] with the WINDOW in the raster's own EPSG:5070 meters
+    * ([[CogQuery.windowStatsGeo]]'s contract — no projection in the
+    * window mapping, so fractional-cell boxes replay analytically);
+    * the catalog-search box is the window's WGS84 image
+    * ([[Geo.extentToStacSpatial]], the same corner rule the item
+    * bboxes were written with). */
+  def getLayerNative(spark: SparkSession, itemsDir: String, layer: String,
+      minx: Double, miny: Double, maxx: Double, maxy: Double,
+      hrefBase: Option[String] = None, hostedOnly: Boolean = false,
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
+    val sp = Geo.extentToStacSpatial(minx, maxx, miny, maxy)
+    layerStatsImpl(spark, itemsDir,
+      sp.bbox(0), sp.bbox(1), sp.bbox(2), sp.bbox(3),
+      minx, miny, maxx, maxy, col("item_id") === layer, hrefBase,
+      hostedOnly, expect = Some(layer), scale, prefixBytes, level)
+  }
+
+  /** The catalog-WIDE consumption sweep: window stats for EVERY item
+    * passing `filter` whose bbox intersects the WGS84 search box, in
+    * ONE job — one task per matching layer, each reading only its own
+    * window tiles (the [[CogQuery]] fan-out shape: a 1000-layer
+    * catalog spreads across executors like the encode stage did). */
+  def catalogWindowStats(spark: SparkSession, itemsDir: String,
+      lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+      filter: org.apache.spark.sql.Column = lit(true),
+      hrefBase: Option[String] = None, hostedOnly: Boolean = false,
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
+    val (minx, miny, maxx, maxy) =
+      Geo.forwardBox(lonMin, latMin, lonMax, latMax)
+    layerStatsImpl(spark, itemsDir, lonMin, latMin, lonMax, latMax,
+      minx, miny, maxx, maxy, filter, hrefBase, hostedOnly,
+      expect = None, scale, prefixBytes, level)
+  }
+
+  private def layerStatsImpl(spark: SparkSession, itemsDir: String,
+      lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+      minx: Double, miny: Double, maxx: Double, maxy: Double,
+      filter: org.apache.spark.sql.Column, hrefBase: Option[String],
+      hostedOnly: Boolean, expect: Option[String], scale: Long,
+      prefixBytes: Int, level: Int): DataFrame = {
+    import spark.implicits._
+    // catalog METADATA read: one row per matching item (an 82-layer —
+    // or 10k-layer — catalog is a driver-sized table by construction;
+    // the rasters behind it are what must never be collected)
+    val rows = readItems(spark, itemsDir).filter(filter)
+      .select(col("item_id"), col("is_hosted"), col("href"),
+        bboxIntersects(lonMin, latMin, lonMax, latMax).as("covers"))
+      .collect()
+    expect.foreach { name =>
+      require(rows.nonEmpty,
+        s"layer '$name' is not in the catalog at $itemsDir; available " +
+          s"items: ${listItemIds(itemsDir,
+            spark.sparkContext.hadoopConfiguration).take(24)
+            .mkString(", ")}")
+    }
+    val covered = rows.filter(r => java.lang.Boolean.TRUE.equals(r.get(3)))
+    if (covered.isEmpty)
+      return spark.emptyDataset[CogQuery.CogWindowStat].toDF()
+    val targets = covered.toSeq.map { r =>
+      val (id, href) = (r.getString(0), r.getString(2))
+      val hosted = java.lang.Boolean.TRUE.equals(r.get(1))
+      if (hostedOnly && !hosted)
+        throw new IllegalArgumentException(
+          s"layer '$id' is not hosted (is_hosted=false): its asset " +
+            s"lives at '$href' on the producer's filesystem. Query the " +
+            "producer-side catalog (hostedOnly=false) or publish the " +
+            "layer to the serving root first — the client contract " +
+            "answers non-hosted layers with this error, never a broken " +
+            "read.")
+      val resolved =
+        if (hosted) hrefBase match {
+          // re-root the asset BY FILENAME onto the given serving root:
+          // hosted hrefs are absolute publisher URLs, and a consumer
+          // pointing at a mirror (or a hermetic test server) needs the
+          // same object under its own base
+          case Some(b) =>
+            resolveHref(href.substring(href.lastIndexOf('/') + 1), b)
+          case None => resolveHref(href, itemsDir)
+        }
+        else resolveHref(href, itemsDir)
+      (id, resolved)
+    }
+    CogQuery.windowStatsGeoAt(spark, targets, minx, miny, maxx, maxy,
+      scale, prefixBytes, level)
   }
 
   /** JSON-directory re-scan (S9): item ids from the files on disk —

@@ -391,6 +391,19 @@ class DedupIndexSpec extends SparkSpec {
         .map(f => f.getPath -> f.lastModified()).toMap
     val clean6 = files(6L)
     val victims = Seq(3L).toDF("doc_id")
+    // the enforced ordering: purging ids that still hit a committed log
+    // WITHOUT a live tombstone refuses loudly (a crash mid-rewrite
+    // would let the replay recomputation resurrect them)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.purgePairLogs(spark, d, victims)
+    }
+    assert(e.getMessage.contains("tombstone") &&
+      e.getMessage.contains("3"),
+      s"the refusal must name the uncovered ids and the fix: " +
+        s"${e.getMessage}")
+    assert(files(6L) == clean6 && files(5L).nonEmpty,
+      "a refused purge must leave every log untouched")
+    DedupIndex.delete(spark, d, victims)
     val audit = DedupIndex.purgePairLogs(spark, d, victims)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(audit == Map(5L -> 2L),
@@ -882,9 +895,16 @@ class DedupIndexSpec extends SparkSpec {
       "the persisted registry did not block a registered doc_id")
     assert(!landed.filter($"doc_id" % 7 === 0).isEmpty,
       "the registry blocked innocent batch rows")
-    // full rebuild with no caller list: write() deletes the whole dir
-    // but carries the registry across — the rebuild must not re-index
+    // full rebuild with no caller list: write() clears the store but
+    // carries the registry across — the rebuild must not re-index.
+    // Carried by never touching the file (no delete-then-rewrite crash
+    // window): same mtime, same bytes after the rebuild.
+    val regFile = new java.io.File(s"$d/_takedowns")
+    val (mtime0, len0) = (regFile.lastModified(), regFile.length())
     DedupIndex.write(spark, docs, d)
+    assert(regFile.lastModified() == mtime0 && regFile.length() == len0,
+      "write() rewrote the _takedowns registry — a crash between a " +
+        "delete and a rewrite would silently lose it")
     assert(spark.read.parquet(s"$d/sigs/batch=0")
       .filter($"doc_id" % 7 === 3).isEmpty,
       "write() rebuild re-admitted a REGISTERED doc_id")

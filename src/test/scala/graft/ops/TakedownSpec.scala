@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The registry's own contract — writer serialization, guard-path type
+  * semantics, stale-lock refusal. The store-integration legs (blocks
+  * every ingest verb, survives rebuilds, the one-call execute) live in
+  * DedupIndexSpec / VectorStoreSpec / AssemblySpec and the TextSuite
+  * audit queries. */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def fsOf(dir: String) =
+    graft.wri.WriFs.fs(dir, spark.sparkContext.hadoopConfiguration)
+
+  test("concurrent registrations serialize: no caller's ids are " +
+      "silently dropped by a read-modify-write race") {
+    val d = tmp("takedown_race")
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        Takedown.register(spark, d,
+          Seq(100L * i, 100L * i + 1).toDF("doc_id"), "doc_id")
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    val expected = (0 until 8)
+      .flatMap(i => Seq(100L * i, 100L * i + 1)).toSet
+    assert(Takedown.registered(fsOf(d), d) == expected,
+      "a concurrent registration lost ids — the lock did not serialize")
+  }
+
+  test("a register racing an unregister never corrupts the registry: " +
+      "the survivor set is one of the two serial orders") {
+    val d = tmp("takedown_regunreg")
+    Takedown.register(spark, d, Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id")
+    val t1 = new Thread(() => {
+      Takedown.register(spark, d, Seq(9L).toDF("doc_id"), "doc_id"); ()
+    })
+    val t2 = new Thread(() => {
+      Takedown.unregister(spark, d, Seq(2L).toDF("doc_id"), "doc_id"); ()
+    })
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    val got = Takedown.registered(fsOf(d), d)
+    assert(got == Set(1L, 3L, 9L),
+      s"serialized outcome must hold both writers' effects: $got")
+  }
+
+  test("a crashed writer's stale lock turns mutation into a LOUD " +
+      "failure with remediation, never a silent drop") {
+    val d = tmp("takedown_stale")
+    val fs = fsOf(d)
+    fs.create(new Path(s"$d/_takedowns.lock"), false).close()
+    sys.props("graft.takedown.lockWaitMs") = "300"
+    try {
+      val e = intercept[IllegalStateException] {
+        Takedown.register(spark, d, Seq(5L).toDF("doc_id"), "doc_id")
+      }
+      assert(e.getMessage.contains("_takedowns.lock") &&
+        e.getMessage.contains("delete the lock"),
+        s"stale-lock error must say what to do: ${e.getMessage}")
+    } finally sys.props -= "graft.takedown.lockWaitMs"
+    // after the operator clears the lock the mutation lands
+    fs.delete(new Path(s"$d/_takedowns.lock"), false)
+    assert(Takedown.register(spark, d,
+      Seq(5L).toDF("doc_id"), "doc_id") == Set(5L))
+  }
+
+  test("guard's IN-list path casts the id column like the other two " +
+      "paths: a registered id behind a string-typed column is still " +
+      "blocked, and a non-numeric id passes through like a null") {
+    val d = tmp("takedown_cast")
+    Takedown.register(spark, d, Seq(3L).toDF("doc_id"), "doc_id")
+    val batch = Seq("3", "4", "oops", null.asInstanceOf[String])
+      .toDF("doc_id")
+    val kept = Takedown.guard(batch, "doc_id", None, fsOf(d), d)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("4", "oops", null),
+      s"IN-list guard over a string id column kept: $kept")
+    // same batch through the anti-join path (registry above the IN cap
+    // is exercised structurally via a caller list here — the join arm)
+    val keptJoin = Takedown.guard(batch, "doc_id",
+      Some(Seq(4L).toDF("doc_id")), fsOf(d), d)
+      .collect().map(_.getString(0)).toSet
+    assert(keptJoin == Set("oops", null),
+      s"caller-list arm disagreed with the IN-list arm: $keptJoin")
+  }
+}

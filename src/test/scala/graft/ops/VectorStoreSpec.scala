@@ -332,12 +332,43 @@ class VectorStoreSpec extends SparkSpec {
       assert(rows == single, s"query $qid drifted in the batch path")
     }
     val shuffled = VectorStore.queryTopKBatch(spark, dir, queries, k = 5,
-        nprobe = 2, broadcastProbes = false)
+        nprobe = 2, broadcastProbes = Some(false))
       .orderBy($"query_id", $"knn_rank").collect().toSeq
     val hinted = VectorStore.queryTopKBatch(spark, dir, queries, k = 5,
         nprobe = 2)
       .orderBy($"query_id", $"knn_rank").collect().toSeq
     assert(shuffled == hinted)
+  }
+
+  test("the batch-query join regime is AUTO-selected from the probe " +
+      "side's measured bytes — exact at the boundary, identical " +
+      "results on both sides, and the flag still overrides") {
+    val queries = emb.filter($"vec_id".isin(1L, 2L, 3L))
+    def run(budget: Option[Long],
+        flag: Option[Boolean] = None): (Seq[Any], Boolean) = {
+      budget.foreach(b =>
+        sys.props("graft.vectorstore.batchBroadcastBytes") = b.toString)
+      try {
+        val q = VectorStore.queryTopKBatch(spark, dir, queries, k = 5,
+          nprobe = 2, broadcastProbes = flag)
+        val rows = q.orderBy($"query_id", $"knn_rank").collect().toSeq
+        // the salted regime's fingerprint: the _salt key in the plan
+        (rows, q.queryExecution.executedPlan.toString.contains("_salt"))
+      } finally sys.props -= "graft.vectorstore.batchBroadcastBytes"
+    }
+    // probe side = 3 queries x nprobe 2 = 6 rows; each row's estimate
+    // is m*codebookSize*8 + 64 = 8*16*8 + 64 = 1088 bytes -> 6528
+    val (rowsAt, saltedAt) = run(Some(6528L))
+    assert(!saltedAt, "a probe side AT the budget must broadcast")
+    val (rowsOver, saltedOver) = run(Some(6527L))
+    assert(saltedOver,
+      "a probe side ONE BYTE over the budget must take the salted " +
+        "shuffle — the auto-regime never broadcasts past its budget")
+    assert(rowsOver == rowsAt, "the regimes disagree on results")
+    // the explicit flag beats the measured budget in both directions
+    val (rowsForced, saltedForced) = run(Some(1L), Some(true))
+    assert(!saltedForced && rowsForced == rowsAt,
+      "broadcastProbes=Some(true) did not override a tiny budget")
   }
 
   test("batch query scans only the UNION of probed cells, once") {
@@ -614,6 +645,67 @@ class VectorStoreSpec extends SparkSpec {
       "stranded bare-name generation survived the offline sweep")
   }
 
+  test("generation fence: a delete whose landing is IN FLIGHT across a " +
+      "pointer flip re-lands into the new generation — the takedown is " +
+      "never lost to the flip, whatever the interleaving") {
+    val d = java.nio.file.Files.createTempDirectory("vecstore_fence").toString
+    VectorStore.write(spark, emb, d)
+    VectorStore.compact(spark, d, pointerSwap = true) // serving gen 1
+    val victim = topk(d).head._1
+    // a delete whose ids evaluation BLOCKS until the gate opens — the
+    // landing freezes mid-flight, deterministically (local mode: the
+    // task runs in this JVM, so the static gate reaches it)
+    VectorStoreSpecGate.gate = new java.util.concurrent.CountDownLatch(1)
+    val gated = udf((x: Long) => {
+      VectorStoreSpecGate.gate.await(); x
+    })
+    val slowIds = spark.range(1L)
+      .select(gated(lit(victim)).as("vec_id"))
+    @volatile var deleteErr: Option[Throwable] = None
+    val t = new Thread(() => {
+      try VectorStore.delete(spark, d, slowIds, batchId = Some(77L))
+      catch { case e: Throwable => deleteErr = Some(e) }
+    })
+    t.start()
+    // wait until the delete resolved generation 1 and STARTED landing
+    // (the committer's _temporary appears under the old gen's root)
+    val half = new java.io.File(s"$d/deletes@1/batch=77")
+    val deadline = System.currentTimeMillis() + 60000
+    while (!half.exists() && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(half.exists(), "the gated landing never started")
+    // the flip happens mid-landing: stage generation 2 exactly as the
+    // post-flip-post-sweep instant looks (components copied, sweeps
+    // found nothing — batch=77 is uncommitted, invisible to any sweep)
+    // and flip _current. The old root is deliberately NOT GC'd here:
+    // racing an rmTree against the in-flight write job is the one
+    // nondeterminism this spec pins out, and GC is irrelevant to what
+    // the fence must prove.
+    val fs = graft.wri.WriFs.fs(d, spark.sparkContext.hadoopConfiguration)
+    for (c <- Seq("codes", "centroids", "codebooks"))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$d/$c@1"), fs,
+        new org.apache.hadoop.fs.Path(s"$d/$c@2"), false, fs.getConf)
+    graft.wri.WriFs.atomicWriteString(fs,
+      new org.apache.hadoop.fs.Path(s"$d/_current"), "2 #\n")
+    // release the landing: it commits into the now-DEAD generation —
+    // the exact window the two migration sweeps cannot cover
+    VectorStoreSpecGate.gate.countDown()
+    t.join(120000)
+    assert(!t.isAlive, "gated delete never finished")
+    assert(deleteErr.isEmpty, s"delete failed: $deleteErr")
+    // the fence re-resolved the pointer and re-landed under the SAME
+    // explicit id in the serving generation
+    assert(new java.io.File(s"$d/deletes@2/batch=77/_SUCCESS").exists(),
+      "the fence did not re-land the tombstone into the new generation")
+    assert(!topk(d).exists(_._1 == victim),
+      "a taken-down vec_id is still served after a mid-landing flip")
+    // and a replay of the same micro-batch id is a clean no-op
+    VectorStore.delete(spark, d,
+      Seq(victim).toDF("vec_id"), batchId = Some(77L))
+    assert(!topk(d).exists(_._1 == victim))
+  }
+
   test("semanticDedupBatch flags exact re-ingests against the store, " +
       "passes novel vectors, and both join regimes agree") {
     val batchDf = emb.filter($"vec_id" % 50 === 0)
@@ -624,7 +716,7 @@ class VectorStoreSpec extends SparkSpec {
             .as("embedding")))
     def decisions(bcast: Boolean) =
       VectorStore.semanticDedupBatch(spark, dir, batchDf,
-          maxApproxD2 = 100.0, broadcastProbes = bcast)
+          maxApproxD2 = 100.0, broadcastProbes = Some(bcast))
         .collect().map(r => r.getLong(0) ->
           (r.getBoolean(1), Option(r.get(2)))).toMap
     val a = decisions(true)
@@ -1169,4 +1261,10 @@ class VectorStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$newRoot/batch=7/batch=7").exists(),
       "the second migration pass nested the already-copied batch")
   }
+}
+
+/** Cross-thread gate for the generation-fence spec: the delete's ids
+  * frame blocks in a UDF until the test thread flips the pointer. */
+object VectorStoreSpecGate {
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
 }

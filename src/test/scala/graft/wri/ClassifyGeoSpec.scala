@@ -88,4 +88,40 @@ class ClassifyGeoSpec extends SparkSpec {
     // upper-right corner is beyond the pole: PROJ fails it, we drop it
     assert(Geo.inverse(-504689.67, 6199081.688).isEmpty)
   }
+
+  test("forward Albers inverts the inverse to sub-millimeter, fixes the " +
+      "projection origin, and forwardBox covers every point of the box") {
+    // forward(inverse(x, y)) == (x, y) across the CONUS domain
+    val pts = Seq(
+      (-5216639.67, 991231.688), (-5216639.67, 6199081.688),
+      (-504689.67, 991231.688), (12345.6, 2345678.9),
+      (-2000000.0, 3000000.0), (2000000.0, 1500000.0))
+    for ((x, y) <- pts; (lon, lat) <- Geo.inverse(x, y)) {
+      val (fx, fy) = Geo.forward(lon, lat)
+      assert(math.abs(fx - x) < 1e-3 && math.abs(fy - y) < 1e-3,
+        s"($x, $y) round-tripped to ($fx, $fy)")
+    }
+    // the projection center (lon0=-96, lat0=23) maps to the false origin
+    val (ox, oy) = Geo.forward(-96.0, 23.0)
+    assert(math.abs(ox) < 1e-6 && math.abs(oy) < 1e-6, s"origin ($ox, $oy)")
+    // forwardBox must COVER the projected image of the whole lon/lat box
+    // (conic edges curve — corner-only boxes clip; the fedex query box)
+    val (bx0, by0, bx1, by1) = Geo.forwardBox(-122.0, 37.0, -121.0, 38.0)
+    for (i <- 0 to 10; j <- 0 to 10) {
+      val (px, py) = Geo.forward(-122.0 + i / 10.0, 37.0 + j / 10.0)
+      assert(px >= bx0 - 5 && px <= bx1 + 5 && py >= by0 - 5 && py <= by1 + 5,
+        s"point ($px, $py) outside forwardBox ($bx0, $by0, $bx1, $by1)")
+    }
+    // and the curvature is REAL: parallels arc away from lon0, so for a
+    // box SPANNING the central meridian the bottom edge dips BELOW both
+    // bottom corners at lon0 — the case corner-only projection clips
+    // (which is why forwardBox densifies edges)
+    val midBottom = Geo.forward(-96.0, 37.0)._2
+    val cornerBottom = math.min(Geo.forward(-100.0, 37.0)._2,
+      Geo.forward(-92.0, 37.0)._2)
+    assert(midBottom < cornerBottom,
+      s"expected edge sag at lon0: $midBottom vs $cornerBottom")
+    val (_, sy0, _, _) = Geo.forwardBox(-100.0, 37.0, -92.0, 38.0)
+    assert(sy0 <= midBottom, "forwardBox missed the mid-edge dip")
+  }
 }

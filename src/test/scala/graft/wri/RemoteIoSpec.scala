@@ -219,6 +219,93 @@ class RemoteIoSpec extends SparkSpec {
     Files.write(victim, bytes) // restore for any later reuse
   }
 
+  test("get_layer consumes the catalog end-to-end: a HOSTED layer " +
+      "streams its window over HTTP ranges and equals the local read; " +
+      "the client contract answers a non-hosted layer with an " +
+      "informative error; an uncovered box answers empty without " +
+      "touching any raster") {
+    import spark.implicits._
+    val glRoot = Files.createTempDirectory("wrigetlayer").toString
+    val inputs = Fixtures.writeCogInputs(glRoot, n = 2, w = 96, h = 64)
+    val cid = Model.collectionId
+    val stacRoot = s"$glRoot/stac"
+    val cogDir = s"$stacRoot/collections/$cid/cogs"
+    Cog.run(spark, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    import org.apache.spark.sql.functions.{col, lit}
+    val consistent = inputs.map(_._2).toDF("cog_filename").select(
+      col("cog_filename"), lit(5070).as("crs_epsg"),
+      lit("indicator").as("data_type"), lit("water").as("wri_domain"),
+      lit("status").as("wri_dimension"),
+      lit(gx).as("extent_xmin"), lit(gx + 96 * 90.0).as("extent_xmax"),
+      lit(gy - 64 * 90.0).as("extent_ymin"), lit(gy).as("extent_ymax"))
+    val itemsDir = s"$stacRoot/collections/$cid/items"
+    // layer_0 is HOSTED, layer_1 is not — the injectable probe is the
+    // is_hosted branch the consumer must honor
+    Stac.writeItems(Stac.buildItems(spark, consistent,
+      hostedProbe = _ == "layer_0.tif"), itemsDir)
+    val (minx, miny) = (gx + 10.3 * 90.0, gy - 50.7 * 90.0)
+    val (maxx, maxy) = (gx + 80.6 * 90.0, gy - 5.2 * 90.0)
+    def statsOf(df: org.apache.spark.sql.DataFrame): Seq[Any] = {
+      val r = df.select(col("n_valid"), col("n_nan"), col("vs_sum"),
+        col("vs_min"), col("vs_max")).head()
+      r.toSeq
+    }
+    val direct = statsOf(CogQuery.windowStatsGeo(spark, cogDir,
+      Seq("layer_0.tif"), minx, miny, maxx, maxy))
+    val requested = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer(cogDir, requested = Some(requested)) { base =>
+      val viaCatalog = Stac.getLayerNative(spark, itemsDir, "layer_0",
+        minx, miny, maxx, maxy, hrefBase = Some(base), hostedOnly = true)
+      assert(statsOf(viaCatalog) == direct,
+        "the catalog-routed HTTP read drifted from the direct local read")
+      val paths = requested.asScala.toSet
+      assert(paths == Set("/layer_0.tif"),
+        s"the hosted read must stream ONLY the requested layer: $paths")
+    }
+    // the 4326 form (the fedex call shape) agrees with the native form
+    // over its projected box and actually reads pixels — the fixture
+    // extent sits at the reference's far-north corner, whose WGS84
+    // image is near (173.7 E, 54.8 N)
+    val (qLon0, qLat0, qLon1, qLat1) = (173.60, 54.70, 173.85, 54.92)
+    val (fx0, fy0, fx1, fy1) = Geo.forwardBox(qLon0, qLat0, qLon1, qLat1)
+    val via4326 = Stac.getLayer(spark, itemsDir, "layer_1",
+      qLon0, qLat0, qLon1, qLat1)
+    val viaNative = Stac.getLayerNative(spark, itemsDir, "layer_1",
+      fx0, fy0, fx1, fy1)
+    assert(via4326.collect().toSeq == viaNative.collect().toSeq,
+      "getLayer(4326) must equal getLayerNative over its forwardBox")
+    assert(via4326.head().getAs[Long]("n_valid") > 0,
+      "the 4326 query box missed the fixture raster entirely")
+    // non-hosted + the client contract: an informative error, never a
+    // broken read (the fedex behavior for local-only layers)
+    val e = intercept[IllegalArgumentException] {
+      Stac.getLayerNative(spark, itemsDir, "layer_1",
+        minx, miny, maxx, maxy, hostedOnly = true)
+    }
+    assert(e.getMessage.contains("layer_1") &&
+      e.getMessage.contains("not hosted"), e.getMessage)
+    // producer-side (hostedOnly=false) the same layer reads locally
+    val local1 = Stac.getLayerNative(spark, itemsDir, "layer_1",
+      minx, miny, maxx, maxy)
+    assert(local1.count() == 1 &&
+      local1.head().getAs[Long]("n_valid") > 0)
+    // an unknown layer fails loudly, naming what IS in the catalog
+    val missing = intercept[IllegalArgumentException] {
+      Stac.getLayerNative(spark, itemsDir, "no_such_layer",
+        minx, miny, maxx, maxy)
+    }
+    assert(missing.getMessage.contains("no_such_layer") &&
+      missing.getMessage.contains("layer_0"), missing.getMessage)
+    // a window 450 km east of the extent: the catalog bbox search says
+    // no — zero rows, zero raster opens
+    val far = Stac.getLayerNative(spark, itemsDir, "layer_0",
+      gx + 5000 * 90.0, miny, gx + 5100 * 90.0, maxy)
+    assert(far.isEmpty, "an uncovered box must answer empty")
+  }
+
   // ---- HttpRangeReader robustness contract -----------------------------
 
   private lazy val cogFile = {

@@ -27,8 +27,51 @@ object WriSuite {
     Q("wri_catalog_qa", wriCatalogQa, Some(wriCatalogQaSql)),
     Q("wri_get_layer", wriGetLayer, Some(wriGetLayerSql)),
     Q("wri_stac_conformance", wriStacConformance, Some(wriStacConformanceSql)),
-    Q("wri_zonal_stats", wriZonalStats, Some(wriZonalStatsSql))
+    Q("wri_zonal_stats", wriZonalStats, Some(wriZonalStatsSql)),
+    Q("wri_refresh_catalog", wriRefreshCatalog, Some(wriRefreshCatalogSql))
   )
+
+  /** The CI regeneration verb ([[Stac.refreshCatalog]] —
+    * `README.md:250`): a catalog built from table A refreshes against
+    * table B where one layer is untouched (file never rewritten), one
+    * layer's extent moved (document rewritten — run()'s skip-if-exists
+    * would have kept the stale one), one layer is new (written), and
+    * one layer disappeared (pruned). The audit is the oracle surface;
+    * the fixture resets itself every run, so replays are
+    * deterministic. */
+  private def wriRefreshCatalog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"$fixtureRoot/refresh"
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.wri.WriFs.fs(root, conf)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    def consistentOf(layers: Seq[(String, Double)]): DataFrame =
+      layers.toDF("cog_filename", "shift").select(
+        col("cog_filename"), lit(5070).as("crs_epsg"),
+        lit("indicator").as("data_type"), lit("water").as("wri_domain"),
+        lit("status").as("wri_dimension"),
+        lit(qaGx).as("extent_xmin"),
+        (lit(qaGx + 96 * 90.0) + col("shift")).as("extent_xmax"),
+        lit(qaGy - 64 * 90.0).as("extent_ymin"),
+        lit(qaGy).as("extent_ymax"),
+        // assertRequired needs filepath/filename columns
+        col("cog_filename").as("filepath"),
+        col("cog_filename").as("filename"))
+    Stac.run(s, consistentOf(Seq(
+      "keep.tif" -> 0.0, "drift.tif" -> 0.0, "gone.tif" -> 0.0)), root)
+    Stac.refreshCatalog(s, consistentOf(Seq(
+        "keep.tif" -> 0.0, "drift.tif" -> 900.0, "fresh.tif" -> 0.0)),
+      root, pruneOrphans = true)
+      .orderBy(col("item_id"))
+  }
+
+  private val wriRefreshCatalogSql =
+    """SELECT * FROM (VALUES
+      |  ('drift', 'rewritten'),
+      |  ('fresh', 'written'),
+      |  ('gone', 'pruned'),
+      |  ('keep', 'unchanged')
+      |) t(item_id, action) ORDER BY item_id""".stripMargin
 
   /** The consumption end of the COG pipeline ([[CogQuery.windowStats]]):
     * a 48x48 pixel window over four written 192x128 COGs (32px tiles),

@@ -631,6 +631,75 @@ object Stac {
       s"Metadata missing required columns: ${missing.mkString(", ")}")
   }
 
+  /** CI-style catalog REGENERATION (`README.md:250` — "CI/CD for
+    * regenerating STAC when data updates"; the reference planned it,
+    * never built it): recompute item documents from the CURRENT
+    * `consistent` table and commit only the DELTA —
+    *
+    *  - a NEW layer's item is written;
+    *  - a CHANGED layer's item is REWRITTEN (byte-compared against the
+    *    on-disk document — [[run]]'s skip-if-exists rerun semantics
+    *    would silently keep a stale document when a layer's extent or
+    *    classification moved, which is exactly the drift a CI refresh
+    *    exists to catch);
+    *  - an UNCHANGED layer's file is never touched (byte-identical
+    *    documents keep their mtimes — rsync/CDN sync stays no-op);
+    *  - an ORPHANED document (no row in `consistent` anymore) is
+    *    deleted when `pruneOrphans = true`, else reported;
+    *  - the collection + catalog documents are rebuilt from the
+    *    post-delta item listing (the S9 dir re-scan, so items from
+    *    out-of-band runs still link).
+    *
+    * The per-item compare/write runs DISTRIBUTED (one task partition
+    * per item slice — the item build is executor-side exactly like
+    * [[run]]'s); only the audit (one row per item) and the orphan id
+    * listing are driver-sized. Returns the audit:
+    * (item_id, action) with action in
+    * written / rewritten / unchanged / pruned / orphaned. */
+  def refreshCatalog(spark: SparkSession, consistent: DataFrame,
+      stacRoot: String, hostedProbe: String => Boolean = _ => false,
+      pruneOrphans: Boolean = false): DataFrame = {
+    import spark.implicits._
+    assertRequired(consistent)
+    val itemsDir = s"$stacRoot/collections/$collectionId/items"
+    val conf = spark.sparkContext.hadoopConfiguration
+    WriFs.mkdirs(itemsDir, conf)
+    val confBc = WriFs.confBroadcast(spark)
+    val dir = itemsDir
+    val audit = buildItems(spark, consistent, hostedProbe)
+      .select(col("item_id"), col("json"))
+      .mapPartitions { rows =>
+        val c = confBc.value.value
+        rows.map { r =>
+          val (id, json) = (r.getString(0), r.getString(1))
+          val p = s"$dir/$id.json"
+          if (!WriFs.exists(p, c)) {
+            WriFs.writeString(p, json, c); (id, "written")
+          } else if (WriFs.readString(p, c) == json) (id, "unchanged")
+          else { WriFs.writeString(p, json, c); (id, "rewritten") }
+        }
+      }
+      // eager: the side effects must land before the orphan listing and
+      // the collection rebuild read the directory
+      .toDF("item_id", "action").localCheckpoint(true)
+    val current = audit.select(col("item_id")).as[String].collect().toSet
+    val orphanRows = listItemIds(itemsDir, conf).filterNot(current)
+      .map { id =>
+        if (pruneOrphans) {
+          WriFs.fs(s"$itemsDir/$id.json", conf)
+            .delete(new org.apache.hadoop.fs.Path(s"$itemsDir/$id.json"),
+              false)
+          (id, "pruned")
+        } else (id, "orphaned")
+      }
+    val ids = listItemIds(itemsDir, conf)
+    WriFs.writeString(
+      s"$stacRoot/collections/$collectionId/collection.json",
+      collectionJson(consistent, ids), conf)
+    WriFs.writeString(s"$stacRoot/catalog.json", catalogJson, conf)
+    audit.unionByName(orphanRows.toDF("item_id", "action"))
+  }
+
   /** Full stage 02: items + collection + catalog under stacRoot. */
   def run(spark: SparkSession, consistent: DataFrame, stacRoot: String,
       hostedProbe: String => Boolean = _ => false): DataFrame = {

@@ -68,6 +68,17 @@ object WriFs {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Read a small control/document file fully (STAC JSON, markers —
+    * never data files). */
+  def readString(p: String, conf: Configuration): String = {
+    val f = fs(p, conf)
+    val path = new Path(p)
+    val bytes = new Array[Byte](f.getFileStatus(path).getLen.toInt)
+    val in = f.open(path)
+    try in.readFully(0L, bytes) finally in.close()
+    new String(bytes, "UTF-8")
+  }
+
   /** Schemes whose rename is a non-atomic copy+delete but whose
     * single-PUT create-overwrite IS atomic — object stores.
     * [[atomicWriteString]] must not take the FileContext rename path on

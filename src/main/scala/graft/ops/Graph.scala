@@ -40,6 +40,14 @@ object Graph {
     * pagerank_3iter 43.7 -> ~12-15 s) — the setup amortizes with edge
     * count, which is the direction that matters.
     *
+    * Regime boundary, MEASURED (round-13 SCALE rows pagerank_3iter vs
+    * pagerank_3iter_smj): at the 16x probe's 241k nodes the broadcast
+    * and sort-merge regimes are a wash (11.96 vs 11.66 s) — the
+    * crossover is FLAT well below `broadcastNodeLimit`'s 2M default,
+    * so the limit is a memory guard (two node-sized broadcasts per
+    * iteration must fit every executor), not a latency cliff; tune it
+    * by executor memory, not by timing.
+    *
     * Output: (node, r) with r the scaled rank (divide by `scale` for the
     * conventional value). Fixed `iters` rather than convergence detection
     * keeps the oracle replayable; authority ordering stabilizes in a few

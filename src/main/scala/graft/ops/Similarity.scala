@@ -450,7 +450,11 @@ object Similarity {
     * bucket-mates (both engines agree on the capped answer — the q109
     * oracle replays the cap). Size it to a few x the expected bucket
     * occupancy; duplicate-heavy corpora should exact-collapse first
-    * (the q84 discipline). Ties break on (cosine desc, vec_id) with
+    * (the q84 discipline). Cap sensitivity, MEASURED (round-13 SCALE
+    * rows ann_knn_join vs ann_knn_join_cap256): 1024 -> 256 cuts the
+    * 16x probe 9.4 -> 3.3 s — near-linear in the cap, so it is the
+    * FIRST knob when this join is the bottleneck, traded directly
+    * against tail recall. Ties break on (cosine desc, vec_id) with
     * cosine rounded to 6 dp so the ranking replays bit-identically in
     * the oracle. */
   def annKnnJoin(

@@ -103,6 +103,23 @@ object TextSuite {
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
 
+  /** Bounded driver collect for the audit queries' serving snapshots
+    * (q167/q169) — the cosinePairs maxRows precedent
+    * (Similarity.scala): the audits compare full result SETS on the
+    * driver, which is only sane while the serving probe stays
+    * probe-sized. A mis-sized probe now fails LOUDLY here instead of
+    * melting the driver; the bound is explicit, not implicit in "k x
+    * queries happens to be small". */
+  private def auditSet(df: DataFrame, what: String,
+      maxRows: Long = 2000000L): Set[Seq[Any]] = {
+    val rows = df.limit(math.min(maxRows + 1, Int.MaxValue).toInt).collect()
+    require(rows.length <= maxRows,
+      s"$what audit snapshot exceeds $maxRows rows — a driver-side set " +
+        "compare needs a probe-sized serving read; shrink the probe or " +
+        "raise the bound deliberately")
+    rows.map(_.toSeq).toSet
+  }
+
   /** The q90 nightly-batch construction: re-crawls (exact text under new
     * ids), 20%-trimmed revisions, and genuinely fresh case-flipped docs. */
   private def nightlyBatch(s: SparkSession, d: String): DataFrame = {
@@ -374,12 +391,12 @@ object TextSuite {
       graft.ops.VectorStore.delete(s, vd0,
         emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")))
       // masked serving, audited BEFORE the physical reclaim
-      val dPre = dedupServe(di0).collect().map(_.toSeq).toSet
-      val vPre = vecServe(vd0).collect().map(_.toSeq).toSet
+      val dPre = auditSet(dedupServe(di0), "dedup-index serving")
+      val vPre = auditSet(vecServe(vd0), "vector-store serving")
       graft.ops.DedupIndex.compact(s, di0)
       graft.ops.VectorStore.compact(s, vd0)
-      val dPost = dedupServe(di0).collect().map(_.toSeq).toSet
-      val vPost = vecServe(vd0).collect().map(_.toSeq).toSet
+      val dPost = auditSet(dedupServe(di0), "dedup-index serving")
+      val vPost = auditSet(vecServe(vd0), "vector-store serving")
       require(dPost == dPre,
         "takedown audit: dedup-index serving changed across the reclaim")
       require(vPost == vPre,
@@ -477,13 +494,13 @@ object TextSuite {
           "index; tombstone + registration at the vector store; purge " +
           "+ registration at the shard store)")
       // masked serving, audited BEFORE the physical reclaim
-      val dPre = dedupServe(di0).collect().map(_.toSeq).toSet
-      val vPre = vecServe(vd0).collect().map(_.toSeq).toSet
+      val dPre = auditSet(dedupServe(di0), "dedup-index serving")
+      val vPre = auditSet(vecServe(vd0), "vector-store serving")
       graft.ops.DedupIndex.compact(s, di0)
       graft.ops.VectorStore.compact(s, vd0)
-      require(dedupServe(di0).collect().map(_.toSeq).toSet == dPre,
+      require(auditSet(dedupServe(di0), "dedup-index serving") == dPre,
         "takedown audit: dedup serving changed across the reclaim")
-      require(vecServe(vd0).collect().map(_.toSeq).toSet == vPre,
+      require(auditSet(vecServe(vd0), "vector-store serving") == vPre,
         "takedown audit: vector serving changed across the reclaim")
       // the compliance gap the registry closes: RE-DELIVER the taken-
       // down docs through ingest verbs with NO takedown argument — the
@@ -492,9 +509,9 @@ object TextSuite {
         docs.filter(col("doc_id") % 7 === 3), batchId = 50L)
       graft.ops.VectorStore.append(s, vd0,
         emb.filter(col("vec_id") % 7 === 3), batchId = Some(50L))
-      require(dedupServe(di0).collect().map(_.toSeq).toSet == dPre,
+      require(auditSet(dedupServe(di0), "dedup-index serving") == dPre,
         "takedown audit: a re-delivered doc got past the registry")
-      require(vecServe(vd0).collect().map(_.toSeq).toSet == vPre,
+      require(auditSet(vecServe(vd0), "vector-store serving") == vPre,
         "takedown audit: a re-delivered vector got past the registry")
       // the exported training data itself forgot, and still validates
       require(s.read.parquet(s"$sh0/shards")
@@ -506,12 +523,12 @@ object TextSuite {
       // and the shard store's OWN ingest path is registry-guarded too:
       // an exactly-once append re-delivering only purged docs must
       // classify as empty — no version churn, nothing re-exported
-      val mPre = graft.ops.Assembly.readManifest(s, sh0)
-        .collect().map(_.toSeq).toSet
+      val mPre = auditSet(graft.ops.Assembly.readManifest(s, sh0),
+        "shard manifest")
       graft.ops.Assembly.appendShardsExactlyOnce(
         tokDocs.filter(col("doc_id") % 7 === 3), "doc_id", "tok", sh0)
-      require(graft.ops.Assembly.readManifest(s, sh0)
-        .collect().map(_.toSeq).toSet == mPre,
+      require(auditSet(graft.ops.Assembly.readManifest(s, sh0),
+        "shard manifest") == mPre,
         "takedown audit: a re-delivered purged doc re-entered the " +
           "training shards")
       require(s.read.parquet(s"$sh0/shards")

@@ -64,14 +64,23 @@ object Takedown {
     * racing an unregister) would silently drop one caller's ids — a
     * compliance hole with no error anywhere. `fs.create(path,
     * overwrite=false)` refuses when the lock exists, so concurrent
-    * writers queue; a waiter that outlasts [[LockWaitMs]] throws with
+    * writers queue; a waiter that outlasts the lock wait throws with
     * remediation instead of proceeding. Crash-while-holding leaves the
     * lock behind and turns every later mutation into a LOUD failure
     * (never a silent drop) until an operator confirms no writer is
     * alive and removes the file — the refuse-loudly trade the stores'
     * other markers make. Readers ([[registered]]/[[guard]]) never
     * lock: they see the last sealed content, which is always complete
-    * ([[Commit.writeSealedIds]] replaces atomically). */
+    * ([[Commit.writeSealedIds]] replaces atomically).
+    *
+    * Honesty about scope: exclusive-create is atomic on HDFS; on S3-
+    * style object stores (and the local FS) it is check-then-act, so
+    * the file lock narrows but does not CLOSE the cross-process window
+    * there — same-process writers are fully serialized by the monitor
+    * below, and cross-process registry mutation on an object store
+    * should additionally follow the stores' single-maintenance-process
+    * convention (one compliance job owns register/unregister, the same
+    * way one process owns compact/retrain). */
   /** In-JVM serialization underneath the file lock: a local
     * filesystem's create-exclusive is check-then-act (not atomic), so
     * two threads of ONE driver could both "acquire". The monitor closes
@@ -92,11 +101,21 @@ object Takedown {
     fs.mkdirs(lock.getParent)
     val waitMs = lockWaitMs
     val deadline = System.currentTimeMillis() + waitMs
+    // only a genuine already-exists refusal means "another writer holds
+    // the lock"; any other I/O failure (network blip, permissions) must
+    // surface AS ITSELF — a stale-lock remediation message for a
+    // transient error would walk an operator into deleting a LIVE
+    // writer's lock
+    def isHeld(e: java.io.IOException): Boolean = e match {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      case _: java.nio.file.FileAlreadyExistsException => true
+      case _ => fs.exists(lock)
+    }
     var held = false
     while (!held) {
       try { fs.create(lock, false).close(); held = true }
       catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException if isHeld(e) =>
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"takedown registry lock $lock still held after " +

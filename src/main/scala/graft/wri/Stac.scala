@@ -377,12 +377,8 @@ object Stac {
     import com.fasterxml.jackson.databind.JsonNode
     import scala.jdk.CollectionConverters._
     try {
-      val path = new org.apache.hadoop.fs.Path(s"$itemsDir/$file")
-      val fsys = WriFs.fs(s"$itemsDir/$file", conf)
-      val bytes = new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
-      val in = fsys.open(path)
-      try in.readFully(0L, bytes) finally in.close()
-      val root = mapper.readTree(bytes)
+      val root = mapper.readTree(
+        WriFs.readString(s"$itemsDir/$file", conf))
       val id = Option(root.path("id").asText(null)).filter(_.nonEmpty)
       def num(n: JsonNode): Boolean = n.isNumber
       val geometry = root.path("geometry")
@@ -460,8 +456,11 @@ object Stac {
               val (lon, lat) = (p(0), p(1))
               if (lat < s - tol || lat > n + tol ||
                 (!wrapped && (lon < w - tol || lon > e + tol)))
-                return Some(
-                  f"geometry position ($lon%.4f, $lat%.4f) outside bbox")
+                // Locale.ROOT: this message is oracle-compared, and a
+                // comma-decimal default locale must not change it
+                return Some(String.format(java.util.Locale.ROOT,
+                  "geometry position (%.4f, %.4f) outside bbox",
+                  Double.box(lon), Double.box(lat)))
             }
           }
         }
@@ -650,38 +649,68 @@ object Stac {
     *    post-delta item listing (the S9 dir re-scan, so items from
     *    out-of-band runs still link).
     *
-    * The per-item compare/write runs DISTRIBUTED (one task partition
-    * per item slice — the item build is executor-side exactly like
-    * [[run]]'s); only the audit (one row per item) and the orphan id
-    * listing are driver-sized. Returns the audit:
-    * (item_id, action) with action in
-    * written / rewritten / unchanged / pruned / orphaned. */
+    * Two phases, and the split is load-bearing for CLUSTER execution:
+    * phase 1 (distributed, READ-ONLY) builds every item and classifies
+    * it against the on-disk document — a retried or speculative task
+    * re-reads and re-classifies identically, so the audit is exact
+    * whatever the scheduler does; phase 2 applies the delta writes
+    * through the ATOMIC replace primitive (tmp+rename / single PUT), so
+    * a speculative duplicate write of the same bytes can never expose a
+    * torn document to a concurrent catalog reader. A side-effecting
+    * classify-and-write single pass would misreport a retried task's
+    * items as "unchanged" and tear under speculation. Only the audit
+    * (one row per item) and the orphan id listing are driver-sized.
+    *
+    * Safety rail: an EMPTY `consistent` table refuses up front —
+    * upstream outages read as zero rows, and a zero-row refresh with
+    * `pruneOrphans = true` would otherwise classify every on-disk item
+    * an orphan and gut the published catalog before any later
+    * non-empty assert fired. Returns the audit: (item_id, action) with
+    * action in written / rewritten / unchanged / pruned / orphaned. */
   def refreshCatalog(spark: SparkSession, consistent: DataFrame,
       stacRoot: String, hostedProbe: String => Boolean = _ => false,
       pruneOrphans: Boolean = false): DataFrame = {
     import spark.implicits._
     assertRequired(consistent)
+    require(!consistent.isEmpty,
+      s"refreshCatalog at $stacRoot: the metadata table is EMPTY — an " +
+        "upstream outage reads as zero layers, and refreshing a " +
+        "published catalog to zero items (pruning everything) is never " +
+        "a delta; fix the upstream read first")
     val itemsDir = s"$stacRoot/collections/$collectionId/items"
     val conf = spark.sparkContext.hadoopConfiguration
     WriFs.mkdirs(itemsDir, conf)
     val confBc = WriFs.confBroadcast(spark)
     val dir = itemsDir
-    val audit = buildItems(spark, consistent, hostedProbe)
+    // phase 1: distributed read-only classification (retry-exact)
+    val plan = buildItems(spark, consistent, hostedProbe)
       .select(col("item_id"), col("json"))
       .mapPartitions { rows =>
         val c = confBc.value.value
         rows.map { r =>
           val (id, json) = (r.getString(0), r.getString(1))
           val p = s"$dir/$id.json"
-          if (!WriFs.exists(p, c)) {
-            WriFs.writeString(p, json, c); (id, "written")
-          } else if (WriFs.readString(p, c) == json) (id, "unchanged")
-          else { WriFs.writeString(p, json, c); (id, "rewritten") }
+          val action =
+            if (!WriFs.exists(p, c)) "written"
+            else if (WriFs.readString(p, c) == json) "unchanged"
+            else "rewritten"
+          (id, action, json)
         }
+      }.toDF("item_id", "action", "json").localCheckpoint(true)
+    // phase 2: apply the delta, atomic replace per document (idempotent
+    // and torn-read-free under retries/speculation)
+    plan.filter(col("action") =!= "unchanged")
+      .foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val c = confBc.value.value
+          rows.foreach { r =>
+            val p = new org.apache.hadoop.fs.Path(
+              s"$dir/${r.getString(0)}.json")
+            WriFs.atomicWriteString(WriFs.fs(p.toString, c), p,
+              r.getString(2))
+          }
       }
-      // eager: the side effects must land before the orphan listing and
-      // the collection rebuild read the directory
-      .toDF("item_id", "action").localCheckpoint(true)
+    val audit = plan.select(col("item_id"), col("action"))
     val current = audit.select(col("item_id")).as[String].collect().toSet
     val orphanRows = listItemIds(itemsDir, conf).filterNot(current)
       .map { id =>

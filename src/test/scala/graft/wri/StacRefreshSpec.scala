@@ -67,4 +67,21 @@ class StacRefreshSpec extends SparkSpec {
     assert(coll.contains("fresh.json") && !coll.contains("gone.json"),
       "collection.json does not track the post-delta item set")
   }
+
+  test("an EMPTY metadata table refuses the refresh BEFORE touching " +
+      "anything — an upstream outage reading zero rows cannot gut a " +
+      "published catalog through pruneOrphans") {
+    val root = java.nio.file.Files
+      .createTempDirectory("stac_refresh_empty").toString
+    val itemsDir = s"$root/collections/${Model.collectionId}/items"
+    Stac.run(spark, consistentOf(Seq("keep.tif" -> 0.0)), root)
+    val e = intercept[IllegalArgumentException] {
+      Stac.refreshCatalog(spark,
+        consistentOf(Seq("keep.tif" -> 0.0)).limit(0), root,
+        pruneOrphans = true)
+    }
+    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+    assert(new java.io.File(s"$itemsDir/keep.json").exists(),
+      "an empty refresh destroyed catalog items before refusing")
+  }
 }

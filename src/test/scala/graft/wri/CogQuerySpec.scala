@@ -153,12 +153,16 @@ class CogQuerySpec extends SparkSpec {
   /** Minimal HTTP server over `dir`: honors `Range: bytes=a-b` with 206
     * (the hosted-COG contract) unless `ignoreRange`, in which case every
     * GET returns 200 + the whole body — the misbehaving-server case. */
-  private def withHttpServer[T](dir: String, ignoreRange: Boolean = false)(
+  private def withHttpServer[T](dir: String, ignoreRange: Boolean = false,
+      requests: Option[java.util.concurrent.ConcurrentLinkedQueue[String]] =
+        None)(
       f: String => T): T = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", { exchange =>
       val file = new java.io.File(dir, exchange.getRequestURI.getPath)
+      if (exchange.getRequestMethod == "GET")
+        requests.foreach(_.add(exchange.getRequestURI.getPath))
       if (!file.isFile) {
         exchange.sendResponseHeaders(404, -1)
       } else if (exchange.getRequestMethod == "HEAD") {
@@ -303,5 +307,69 @@ class CogQuerySpec extends SparkSpec {
     // only the 12x8 in-raster corner is counted
     assert(r.getAs[Long]("n_valid") + r.getAs[Long]("n_nan") == 12L * 8L)
     assert(r.getAs[Long]("tiles_read") == 1L)
+  }
+
+  test("zonal batch: per-window stats equal the one-window geo call, a " +
+      "disjoint window reports zero, tile COALESCING fetches each " +
+      "union tile exactly once (measured over HTTP), and HTTP == local") {
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    // A: cells x [70, 118) y [30, 78) -> tile cols 2..3, rows 0..2 (6)
+    // B: cells x [60, 81)  y [50, 71) -> tile cols 1..2, rows 1..2 (4)
+    // A and B SHARE tiles (1,2) and (2,2): union 8, per-window sum 10
+    val wA = (1L, gx + 70.2 * 90.0, gy - 77.5 * 90.0,
+      gx + 117.9 * 90.0, gy - 30.7 * 90.0)
+    val wB = (2L, gx + 60.4 * 90.0, gy - 70.9 * 90.0,
+      gx + 80.9 * 90.0, gy - 50.1 * 90.0)
+    val wC = (3L, gx + 5000 * 90.0, gy - 70.9 * 90.0,
+      gx + 5010 * 90.0, gy - 50.1 * 90.0) // wholly outside the raster
+    val windows = Seq(wA, wB, wC)
+    val layers = inputs.map(_._2)
+    val zonal = CogQuery.zonalStatsGeo(spark, cogDir, layers, windows)
+      .collect()
+      .map(r => (r.getAs[String]("layer"), r.getAs[Long]("window_id")) -> r)
+      .toMap
+    assert(zonal.size == layers.size * windows.size,
+      "one row per layer x window")
+    for ((id, minx, miny, maxx, maxy) <- Seq(wA, wB); layer <- layers) {
+      val single = CogQuery.windowStatsGeo(spark, cogDir, Seq(layer),
+        minx, miny, maxx, maxy).collect().head
+      val z = zonal((layer, id))
+      for (c <- Seq("n_valid", "n_nan", "vs_sum"))
+        assert(z.getAs[Long](c) == single.getAs[Long](c),
+          s"$layer window $id drifted on $c")
+      assert(z.getAs[Any]("vs_min") == single.getAs[Any]("vs_min") &&
+        z.getAs[Any]("vs_max") == single.getAs[Any]("vs_max"),
+        s"$layer window $id drifted on min/max")
+    }
+    val far = zonal((layers.head, 3L))
+    assert(far.getAs[Long]("tiles_read") == 0L &&
+      far.getAs[Long]("n_valid") == 0L &&
+      far.getAs[Any]("vs_min") == null,
+      "a window outside the raster must cost and count nothing")
+    // per-window accounting reports LOGICAL tiles (6 and 4) even though
+    // the physical fetch coalesces the shared ones
+    assert(zonal((layers.head, 1L)).getAs[Long]("tiles_read") == 6L &&
+      zonal((layers.head, 2L)).getAs[Long]("tiles_read") == 4L)
+    // the physical economy, measured at the server: per layer exactly
+    // 1 prefix GET + 8 union tiles — NOT the 10 per-window tile folds
+    val reqs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withHttpServer(cogDir, requests = Some(reqs)) { base =>
+      val viaHttp = CogQuery.zonalStatsGeo(spark, base, layers, windows)
+        .collect()
+        .map(r => (r.getAs[String]("layer"), r.getAs[Long]("window_id")) ->
+          r.toSeq).toMap
+      assert(viaHttp ==
+        zonal.view.mapValues(_.toSeq).toMap,
+        "zonal over HTTP drifted from the local read")
+      import scala.jdk.CollectionConverters._
+      val perLayer = reqs.asScala.toSeq.groupBy(identity)
+        .view.mapValues(_.size).toMap
+      for (layer <- layers)
+        assert(perLayer.get(s"/$layer").contains(9),
+          s"expected 1 prefix + 8 union-tile fetches for $layer, got " +
+            s"${perLayer.get(s"/$layer")} — a shared tile must be " +
+            "fetched ONCE, not once per window")
+    }
   }
 }

@@ -210,6 +210,56 @@ object Takedown {
         idL === col("__takedown_id"), "left_anti"))
   }
 
+  /** Cross-store compliance DRIFT detector: when takedowns flow through
+    * [[execute]] every participating store's persisted registry holds
+    * the same standing-blocked set — and an id registered in SOME
+    * stores only (a hand takedown that forgot a store, an [[execute]]
+    * that died between stores, an unregister applied asymmetrically)
+    * is exactly the re-admission risk the registry exists to close:
+    * the store missing the id will happily re-ingest it. This audit
+    * reads each store's sealed registry (driver-side control files,
+    * never data) and reports every (id, store) pair where an id known
+    * to ANY store is missing from another. Empty result = aligned.
+    * Output: (id, missing_from), one row per gap, ordered. */
+  def auditRegistries(spark: SparkSession,
+      stores: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    require(stores.nonEmpty, "no stores to audit")
+    require(stores.map(_._1).distinct.size == stores.size,
+      s"store names must be unique: ${stores.map(_._1)}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sets = stores.map { case (name, dir) =>
+      name -> registered(graft.wri.WriFs.fs(dir, conf), dir)
+    }
+    val union = sets.iterator.flatMap(_._2).toSet
+    (for {
+      id <- union.toSeq.sorted
+      (name, set) <- sets if !set(id)
+    } yield (id, name)).toDF("id", "missing_from")
+  }
+
+  /** The remediation for [[auditRegistries]] drift: register the UNION
+    * of every store's blocked set on EVERY store (idempotent — aligned
+    * stores no-op; each write is the usual locked sealed replace).
+    * Union, never intersection: a takedown that reached one store was
+    * issued — the gap is the stores it missed, and unregistering is
+    * the explicit [[unregister]] appeal path, never a side effect of
+    * healing. Returns the aligned set. */
+  def alignRegistries(spark: SparkSession,
+      stores: Seq[(String, String)]): Set[Long] = {
+    import spark.implicits._
+    require(stores.nonEmpty, "no stores to align")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val union = stores.iterator.flatMap { case (_, dir) =>
+      registered(graft.wri.WriFs.fs(dir, conf), dir)
+    }.toSet
+    if (union.nonEmpty) {
+      val ids = union.toSeq.toDF("id")
+      stores.foreach { case (_, dir) => register(spark, dir, ids, "id") }
+    }
+    union
+  }
+
   /** The training-shard store's coordinates for [[execute]] — directory
     * plus the id/token column names its shards were written with. */
   final case class ShardStore(dir: String, idCol: String,

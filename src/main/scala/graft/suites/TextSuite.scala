@@ -98,7 +98,8 @@ object TextSuite {
     Q("q164_validate_shards", q164, Some(q164Sql)),
     Q("q167_takedown_compliance", q167, None, Some(q167Oracle)),
     Q("q168_dedup_index_validate", q168, Some(q168Sql)),
-    Q("q169_takedown_all_stores", q169, None, Some(q169Oracle))
+    Q("q169_takedown_all_stores", q169, None, Some(q169Oracle)),
+    Q("q171_registry_drift_audit", q171, Some(q171Sql))
   )
 
   // ---- disk-backed MinHash dedup index (graft.ops.DedupIndex) ----------
@@ -584,6 +585,46 @@ object TextSuite {
        |      CAST(sum(tok) AS BIGINT) AS n_tokens
        |    FROM hc GROUP BY shard_id)
        |) ORDER BY store, probe_id, hit_id""".stripMargin
+
+  /** Cross-store registry drift ([[Takedown.auditRegistries]] +
+    * [[alignRegistries]]): when takedowns flow through [[Takedown
+    * .execute]] every store's persisted registry carries the same
+    * blocked set — an id registered in SOME stores only (a hand
+    * takedown that forgot a store, an execute that died between
+    * stores) is a re-admission risk at exactly the store missing it.
+    * The query stages three fresh registries, registers a set on all
+    * (aligned: audit empty), lands one id on ONE store only (the
+    * drift: one row per store missing it), then aligns (healed: empty
+    * again). Registry verbs are pure control-plane, so the fixture is
+    * three bare directories — no store data needed. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stores = Seq("dedup_index", "training_shards", "vector_store")
+      .map(n => n ->
+        java.nio.file.Files.createTempDirectory(s"reg_$n").toString)
+    val taken = Seq(101L, 102L, 103L).toDF("id")
+    stores.foreach { case (_, dir) =>
+      graft.ops.Takedown.register(s, dir, taken, "id")
+    }
+    val aligned = graft.ops.Takedown.auditRegistries(s, stores)
+    graft.ops.Takedown.register(s, stores.head._2,
+      Seq(999L).toDF("id"), "id")
+    val drift = graft.ops.Takedown.auditRegistries(s, stores)
+    graft.ops.Takedown.alignRegistries(s, stores)
+    val healed = graft.ops.Takedown.auditRegistries(s, stores)
+    aligned.withColumn("phase", lit("aligned"))
+      .unionByName(drift.withColumn("phase", lit("drift")))
+      .unionByName(healed.withColumn("phase", lit("healed")))
+      .orderBy(col("phase"), col("id"), col("missing_from"))
+  }
+
+  private val q171Sql =
+    """SELECT CAST(id AS BIGINT) AS id, missing_from, phase
+      |FROM (VALUES
+      |  (999, 'training_shards', 'drift'),
+      |  (999, 'vector_store', 'drift')
+      |) t(id, missing_from, phase)
+      |ORDER BY phase, id, missing_from""".stripMargin
 
   /** Corpus-level repeated-span removal ([[Dedup.removeRepeatedSpans]]):
     * a 9-token footer injected into every third document guarantees

@@ -72,6 +72,40 @@ class TakedownSpec extends SparkSpec {
       Seq(5L).toDF("doc_id"), "doc_id") == Set(5L))
   }
 
+  test("registry drift across stores is detected and healable: a " +
+      "takedown that missed a store surfaces per-gap, align registers " +
+      "the union everywhere, and an asymmetric unregister re-surfaces " +
+      "as drift (the appeal path is explicit, never a heal side effect)") {
+    import org.apache.spark.sql.functions.col
+    val stores = Seq("a", "b", "c").map(n => n -> tmp(s"takedown_$n"))
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    stores.foreach { case (_, d) =>
+      Takedown.register(spark, d, ids, "doc_id")
+    }
+    assert(Takedown.auditRegistries(spark, stores).isEmpty,
+      "aligned registries reported drift")
+    // a hand takedown that reached only store a
+    Takedown.register(spark, stores.head._2, Seq(9L).toDF("doc_id"),
+      "doc_id")
+    val drift = Takedown.auditRegistries(spark, stores).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(drift == Set((9L, "b"), (9L, "c")), s"drift was $drift")
+    assert(Takedown.alignRegistries(spark, stores) == Set(1L, 2L, 9L))
+    assert(Takedown.auditRegistries(spark, stores).isEmpty,
+      "align did not close the gaps")
+    // an appeal granted on ONE store only is drift too — and align
+    // RE-REGISTERS it (union semantics: unregistering everywhere is
+    // the explicit appeal path, not a heal side effect)
+    Takedown.unregister(spark, stores(1)._2, Seq(2L).toDF("doc_id"),
+      "doc_id")
+    val drift2 = Takedown.auditRegistries(spark, stores)
+      .filter(col("id") === 2L).collect().map(_.getString(1)).toSeq
+    assert(drift2 == Seq("b"), s"asymmetric unregister drift: $drift2")
+    Takedown.alignRegistries(spark, stores)
+    assert(Takedown.registered(fsOf(stores(1)._2), stores(1)._2)
+      .contains(2L))
+  }
+
   test("guard's IN-list path casts the id column like the other two " +
       "paths: a registered id behind a string-typed column is still " +
       "blocked, and a non-numeric id passes through like a null") {

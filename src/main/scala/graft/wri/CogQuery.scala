@@ -138,10 +138,13 @@ object CogQuery {
     * PER WINDOW).
     *
     * `windows` is (window_id, minx, miny, maxx, maxy) in the raster's
-    * CRS; it rides the task closure, so it is bounded loudly — zonal
-    * window lists are region tables (thousands), not data. Windows
-    * wholly outside the raster report zero counts (`tiles_read = 0`).
-    * Output: one row per layer x window. */
+    * CRS; it ships to executors ONCE as a broadcast (not per-task in
+    * the closure — at 64 layers x a large region table, closure
+    * shipping would multiply the bytes by the task count) and is
+    * bounded loudly — zonal window lists are region tables
+    * (thousands), not data. Windows wholly outside the raster report
+    * zero counts (`tiles_read = 0`). Output: one row per layer x
+    * window. */
   def zonalStatsGeo(spark: SparkSession, cogDir: String,
       layers: Seq[String],
       windows: Seq[(Long, Double, Double, Double, Double)],
@@ -159,9 +162,10 @@ object CogQuery {
       require(maxx > minx && maxy > miny,
         s"window $id must be non-empty: x [$minx, $maxx], y [$miny, $maxy]")
     }
+    val winBc = spark.sparkContext.broadcast(windows)
     withReaderAt(spark, layers.map(n => (n, s"$cogDir/$n")), prefixBytes) {
       (name, raf, _, prefix) =>
-        zonalOverWindows(name, raf, prefix, windows, scale, level)
+        zonalOverWindows(name, raf, prefix, winBc.value, scale, level)
     }.flatMap(identity).toDF()
   }
 

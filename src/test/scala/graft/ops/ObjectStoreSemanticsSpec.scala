@@ -209,4 +209,46 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       .filter($"doc_id" % 7 === 3).isEmpty,
       "the registry did not block a blocked doc_id on objstub")
   }
+
+  test("catalog refresh on copy+delete-rename semantics: the delta " +
+      "audit holds, changed documents replace through the PUT " +
+      "fallback, and the refreshed catalog parses back") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    def consistentOf(layers: Seq[(String, Double)]) =
+      layers.toDF("cog_filename", "shift").select(
+        col("cog_filename"), lit(5070).as("crs_epsg"),
+        lit("indicator").as("data_type"), lit("water").as("wri_domain"),
+        lit("status").as("wri_dimension"),
+        lit(gx).as("extent_xmin"),
+        (lit(gx + 96 * 90.0) + col("shift")).as("extent_xmax"),
+        lit(gy - 64 * 90.0).as("extent_ymin"), lit(gy).as("extent_ymax"),
+        col("cog_filename").as("filepath"),
+        col("cog_filename").as("filename"))
+    val localRoot = java.nio.file.Files
+      .createTempDirectory("objstub_stac").toString
+    val root = s"objstub://$localRoot"
+    graft.wri.Stac.run(spark, consistentOf(Seq(
+      "keep.tif" -> 0.0, "drift.tif" -> 0.0, "gone.tif" -> 0.0)), root)
+    val audit = graft.wri.Stac.refreshCatalog(spark, consistentOf(Seq(
+        "keep.tif" -> 0.0, "drift.tif" -> 900.0, "fresh.tif" -> 0.0)),
+      root, pruneOrphans = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(audit == Map("keep" -> "unchanged", "drift" -> "rewritten",
+      "fresh" -> "written", "gone" -> "pruned"),
+      s"objstub refresh audit drifted: $audit")
+    val itemsDir =
+      s"$root/collections/${graft.wri.Model.collectionId}/items"
+    val items = graft.wri.Stac.readItems(spark, itemsDir)
+    assert(items.select($"item_id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("drift", "fresh", "keep"),
+      "refreshed objstub catalog did not parse back to the delta set")
+    // the rewritten document carries the NEW extent (its east edge
+    // moved 900 m): bbox differs from the untouched layer's
+    val bb = items.select($"item_id", $"bbox_e").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bb("drift") != bb("keep"),
+      "the changed document was not actually rewritten on objstub")
+  }
 }

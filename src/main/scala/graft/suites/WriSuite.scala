@@ -28,8 +28,37 @@ object WriSuite {
     Q("wri_get_layer", wriGetLayer, Some(wriGetLayerSql)),
     Q("wri_stac_conformance", wriStacConformance, Some(wriStacConformanceSql)),
     Q("wri_zonal_stats", wriZonalStats, Some(wriZonalStatsSql)),
-    Q("wri_refresh_catalog", wriRefreshCatalog, Some(wriRefreshCatalogSql))
+    Q("wri_refresh_catalog", wriRefreshCatalog, Some(wriRefreshCatalogSql)),
+    Q("wri_read_window", wriReadWindow, Some(wriReadWindowSql))
   )
+
+  /** The DATA half of the consumer story ([[Stac.getLayerData]] →
+    * [[CogQuery.readWindowGeoAt]]): the client asks the CATALOG for a
+    * crop and gets the pixels themselves — (layer, x, y, vs) fixed-
+    * point rows, one task per (layer, tile). The oracle replays the
+    * fixture generator pixel-for-pixel over the fractional box's cells
+    * x in [25, 45), y in [7, 20): a wrong tile offset, decode,
+    * geotransform, or in-window clip changes a row and breaks the
+    * hash. */
+  private def wriReadWindow(s: SparkSession, d: String): DataFrame = {
+    val itemsDir = stageQaCatalog(s)
+    Seq("layer_0", "layer_3").map { id =>
+      Stac.getLayerData(s, itemsDir, id,
+        minx = qaGx + 25.4 * 90.0, miny = qaGy - 19.3 * 90.0,
+        maxx = qaGx + 44.2 * 90.0, maxy = qaGy - 7.6 * 90.0)
+    }.reduce(_.unionByName(_))
+      .orderBy(col("layer"), col("x"), col("y"))
+  }
+
+  private val wriReadWindowSql =
+    """SELECT 'layer_' || i AS layer,
+      |  CAST(x.range AS INTEGER) AS x, CAST(y.range AS INTEGER) AS y,
+      |  CASE WHEN ((y.range * 192 + x.range) + i) % 13 = 0 THEN NULL
+      |    ELSE CAST(round(CAST(CAST(((y.range * 192 + x.range) * (i + 3))
+      |           % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE) * 10000)
+      |      AS BIGINT) END AS vs
+      |FROM (VALUES (0), (3)) t(i), range(25, 45) x, range(7, 20) y
+      |ORDER BY layer, x, y""".stripMargin
 
   /** The CI regeneration verb ([[Stac.refreshCatalog]] —
     * `README.md:250`): a catalog built from table A refreshes against

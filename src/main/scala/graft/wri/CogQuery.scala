@@ -256,6 +256,115 @@ object CogQuery {
       if (a.nValid == 0) None else Some(a.vsMax)))
   }
 
+  /** The DATA form of the consumption verbs — the reference's
+    * `get_layer` hands the CLIENT a raster crop to analyze, not just
+    * statistics. Every pixel of the CRS box comes back as a row:
+    * (layer, x, y, vs) with `x`/`y` the level's absolute pixel
+    * coordinates and `vs` the `round(value * scale)` integer (NULL for
+    * NaN/nodata pixels) — the same fixed-point discipline as the stats
+    * verbs, so downstream arithmetic is deterministic and an engine
+    * oracle replays it to the bit; divide by `scale` for floats.
+    *
+    * Scale shape — deliberately DIFFERENT from the stats verbs: stats
+    * reduce to one row per layer, so one task per layer is right; a
+    * DATA read is output-heavy, so the unit of work is one (layer,
+    * TILE) pair — the tile list per layer comes from one header-prefix
+    * job, then every needed tile decodes in its own task and emits
+    * only its in-window pixels. A 10k x 10k crop over 64 layers fans
+    * out across the cluster instead of serializing behind 64 tasks,
+    * and no task ever holds more than one decoded tile. Each tile task
+    * re-reads the bounded header prefix (the price of statelessness —
+    * two range requests per tile instead of one; tile payloads
+    * dominate). */
+  def readWindowGeo(spark: SparkSession, cogDir: String,
+      layers: Seq[String],
+      minx: Double, miny: Double, maxx: Double, maxy: Double,
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame =
+    readWindowGeoAt(spark, layers.map(n => (n, s"$cogDir/$n")),
+      minx, miny, maxx, maxy, scale, prefixBytes, level)
+
+  /** [[readWindowGeo]] over explicit (layer, path) targets — the form
+    * the catalog consumer needs ([[Stac.getLayerData]]). */
+  def readWindowGeoAt(spark: SparkSession,
+      targets: Seq[(String, String)],
+      minx: Double, miny: Double, maxx: Double, maxy: Double,
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(targets.nonEmpty, "no layers to read")
+    require(maxx > minx && maxy > miny,
+      s"box must be non-empty: x [$minx, $maxx], y [$miny, $maxy]")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    require(level >= 0, s"level must be >= 0: $level")
+    // job 1 (one small task per layer): header prefix -> this layer's
+    // pixel window and the tile ids it intersects
+    val perTile = withReaderAt(spark, targets, prefixBytes) {
+      (name, _, _, prefix) =>
+        val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
+        require(level < layouts.length,
+          s"$name has ${layouts.length} levels, requested $level")
+        val (resX0, resY0, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
+        val l0 = layouts.head
+        val full = layouts(level)
+        val resX = resX0 * l0.width.toDouble / full.width
+        val resY = resY0 * l0.height.toDouble / full.height
+        val tw = full.tileWidth; val th = full.tileHeight
+        require(tw > 0 && th > 0, s"$name is not tiled — not a COG")
+        val tilesAcross = (full.width + tw - 1) / tw
+        val xLo = math.max(0, math.floor((minx - gx) / resX).toInt)
+        val xHi = math.min(full.width, math.ceil((maxx - gx) / resX).toInt)
+        val yLo = math.max(0, math.floor((gy - maxy) / resY).toInt)
+        val yHi = math.min(full.height,
+          math.ceil((gy - miny) / resY).toInt)
+        if (xLo >= xHi || yLo >= yHi) Seq.empty[(String, Int, Int, Int, Int, Int)]
+        else (for {
+          r <- yLo / th to (yHi - 1) / th
+          c <- xLo / tw to (xHi - 1) / tw
+        } yield (name, r * tilesAcross + c, xLo, xHi, yLo, yHi)).toSeq
+    }.flatMap(identity).collect().toSeq // layer x tile ids: metadata-sized
+    if (perTile.isEmpty)
+      return Seq.empty[(String, Int, Int, Option[Long])]
+        .toDF("layer", "x", "y", "vs")
+    val pathOf = targets.toMap
+    // job 2 (one task per layer x tile): fetch + decode ONE tile, emit
+    // its in-window pixels
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)))
+    spark.createDataset(perTile)
+      .repartition(math.min(perTile.size,
+        spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        it.flatMap { case (name, t, xLo, xHi, yLo, yHi) =>
+          val raf = RangeReader.open(pathOf(name), confBc.value.value)
+          try {
+            val pl = math.min(raf.length, prefixBytes.toLong).toInt
+            val prefix = new Array[Byte](pl)
+            raf.readFully(0L, prefix)
+            val full = TiffIO.levelLayoutsFromPrefix(prefix)(level)
+            val tw = full.tileWidth; val th = full.tileHeight
+            val tilesAcross = (full.width + tw - 1) / tw
+            val buf = new Array[Byte](full.tileByteCounts(t).toInt)
+            raf.readFully(full.tileOffsets(t), buf)
+            val px = TiffIO.decodeLevelTile(full, buf)
+            val c = t % tilesAcross; val r = t / tilesAcross
+            val rows = for {
+              y <- math.max(yLo, r * th) until math.min(yHi, (r + 1) * th)
+              x <- math.max(xLo, c * tw) until math.min(xHi, (c + 1) * tw)
+            } yield {
+              val v = px((y - r * th) * tw + (x - c * tw))
+              (name, x, y,
+                if (java.lang.Float.isNaN(v)) None
+                else Some(Math.round(v.toDouble * scale)))
+            }
+            rows
+          } finally raf.close()
+        }
+      }.toDF("layer", "x", "y", "vs")
+  }
+
   /** One task per (label, path) target; `f` sees the label (reported as
     * the output's `layer`), the open reader, and the header prefix. */
   private def withReaderAt[T](spark: SparkSession,

@@ -560,13 +560,43 @@ object Stac {
       expect = None, scale, prefixBytes, level)
   }
 
-  private def layerStatsImpl(spark: SparkSession, itemsDir: String,
-      lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+  /** The DATA half of the consumption story: [[getLayerNative]] answers
+    * stats, this hands the client the CROP itself — the reference's
+    * `get_layer` returns a raster object to analyze, and a Spark
+    * client's raster object is a DataFrame of pixels ((layer, x, y,
+    * vs), [[CogQuery.readWindowGeoAt]]'s fixed-point rows). Same
+    * catalog route: bbox search, the is_hosted href branch with
+    * `hostedOnly`'s informative error, uncovered boxes answer empty
+    * without opening the raster. The window is in the raster's CRS
+    * meters; compose with [[Geo.forwardBox]] for a WGS84 ask. */
+  def getLayerData(spark: SparkSession, itemsDir: String, layer: String,
       minx: Double, miny: Double, maxx: Double, maxy: Double,
-      filter: org.apache.spark.sql.Column, hrefBase: Option[String],
-      hostedOnly: Boolean, expect: Option[String], scale: Long,
-      prefixBytes: Int, level: Int): DataFrame = {
+      hrefBase: Option[String] = None, hostedOnly: Boolean = false,
+      scale: Long = 10000L, prefixBytes: Int = 16 * 1024,
+      level: Int = 0): DataFrame = {
     import spark.implicits._
+    val sp = Geo.extentToStacSpatial(minx, maxx, miny, maxy)
+    val targets = resolveLayerTargets(spark, itemsDir,
+      sp.bbox(0), sp.bbox(1), sp.bbox(2), sp.bbox(3),
+      col("item_id") === layer, hrefBase, hostedOnly,
+      expect = Some(layer))
+    if (targets.isEmpty)
+      Seq.empty[(String, Int, Int, Option[Long])]
+        .toDF("layer", "x", "y", "vs")
+    else CogQuery.readWindowGeoAt(spark, targets, minx, miny, maxx, maxy,
+      scale, prefixBytes, level)
+  }
+
+  /** The shared catalog-route resolver: bbox search over the item
+    * documents, the is_hosted href branch (with `hostedOnly`'s
+    * informative error and `hrefBase`'s mirror re-root), unknown-layer
+    * loud failure. Returns (layer, resolvedPath) targets — EMPTY when
+    * the catalog says no item covers the box, so the caller answers
+    * empty without opening any raster. */
+  private def resolveLayerTargets(spark: SparkSession, itemsDir: String,
+      lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+      filter: org.apache.spark.sql.Column, hrefBase: Option[String],
+      hostedOnly: Boolean, expect: Option[String]): Seq[(String, String)] = {
     // catalog METADATA read: one row per matching item (an 82-layer —
     // or 10k-layer — catalog is a driver-sized table by construction;
     // the rasters behind it are what must never be collected)
@@ -581,34 +611,46 @@ object Stac {
             spark.sparkContext.hadoopConfiguration).take(24)
             .mkString(", ")}")
     }
-    val covered = rows.filter(r => java.lang.Boolean.TRUE.equals(r.get(3)))
-    if (covered.isEmpty)
-      return spark.emptyDataset[CogQuery.CogWindowStat].toDF()
-    val targets = covered.toSeq.map { r =>
-      val (id, href) = (r.getString(0), r.getString(2))
-      val hosted = java.lang.Boolean.TRUE.equals(r.get(1))
-      if (hostedOnly && !hosted)
-        throw new IllegalArgumentException(
-          s"layer '$id' is not hosted (is_hosted=false): its asset " +
-            s"lives at '$href' on the producer's filesystem. Query the " +
-            "producer-side catalog (hostedOnly=false) or publish the " +
-            "layer to the serving root first — the client contract " +
-            "answers non-hosted layers with this error, never a broken " +
-            "read.")
-      val resolved =
-        if (hosted) hrefBase match {
-          // re-root the asset BY FILENAME onto the given serving root:
-          // hosted hrefs are absolute publisher URLs, and a consumer
-          // pointing at a mirror (or a hermetic test server) needs the
-          // same object under its own base
-          case Some(b) =>
-            resolveHref(href.substring(href.lastIndexOf('/') + 1), b)
-          case None => resolveHref(href, itemsDir)
-        }
-        else resolveHref(href, itemsDir)
-      (id, resolved)
-    }
-    CogQuery.windowStatsGeoAt(spark, targets, minx, miny, maxx, maxy,
+    rows.filter(r => java.lang.Boolean.TRUE.equals(r.get(3))).toSeq
+      .map { r =>
+        val (id, href) = (r.getString(0), r.getString(2))
+        val hosted = java.lang.Boolean.TRUE.equals(r.get(1))
+        if (hostedOnly && !hosted)
+          throw new IllegalArgumentException(
+            s"layer '$id' is not hosted (is_hosted=false): its asset " +
+              s"lives at '$href' on the producer's filesystem. Query " +
+              "the producer-side catalog (hostedOnly=false) or publish " +
+              "the layer to the serving root first — the client " +
+              "contract answers non-hosted layers with this error, " +
+              "never a broken read.")
+        val resolved =
+          if (hosted) hrefBase match {
+            // re-root the asset BY FILENAME onto the given serving
+            // root: hosted hrefs are absolute publisher URLs, and a
+            // consumer pointing at a mirror (or a hermetic test
+            // server) needs the same object under its own base
+            case Some(b) =>
+              resolveHref(href.substring(href.lastIndexOf('/') + 1), b)
+            case None => resolveHref(href, itemsDir)
+          }
+          else resolveHref(href, itemsDir)
+        (id, resolved)
+      }
+  }
+
+  private def layerStatsImpl(spark: SparkSession, itemsDir: String,
+      lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
+      minx: Double, miny: Double, maxx: Double, maxy: Double,
+      filter: org.apache.spark.sql.Column, hrefBase: Option[String],
+      hostedOnly: Boolean, expect: Option[String], scale: Long,
+      prefixBytes: Int, level: Int): DataFrame = {
+    import spark.implicits._
+    val targets = resolveLayerTargets(spark, itemsDir,
+      lonMin, latMin, lonMax, latMax, filter, hrefBase, hostedOnly,
+      expect)
+    if (targets.isEmpty)
+      spark.emptyDataset[CogQuery.CogWindowStat].toDF()
+    else CogQuery.windowStatsGeoAt(spark, targets, minx, miny, maxx, maxy,
       scale, prefixBytes, level)
   }
 

@@ -255,6 +255,16 @@ class RemoteIoSpec extends SparkSpec {
     }
     val direct = statsOf(CogQuery.windowStatsGeo(spark, cogDir,
       Seq("layer_0.tif"), minx, miny, maxx, maxy))
+    // the DATA crop read directly from the local file, as the HTTP
+    // baseline (layer_0 is hosted, so its catalog href is an absolute
+    // publisher URL — the direct read is the honest local truth)
+    val dataLocal = CogQuery.readWindowGeo(spark, cogDir,
+        Seq("layer_0.tif"), minx, miny, maxx, maxy)
+      .orderBy(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"))
+      .select("x", "y", "vs")
+      .collect().map(_.toSeq).toSeq
+    assert(dataLocal.nonEmpty, "the data crop read no pixels")
     val requested = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     withHttpServer(cogDir, requested = Some(requested)) { base =>
       val viaCatalog = Stac.getLayerNative(spark, itemsDir, "layer_0",
@@ -264,6 +274,17 @@ class RemoteIoSpec extends SparkSpec {
       val paths = requested.asScala.toSet
       assert(paths == Set("/layer_0.tif"),
         s"the hosted read must stream ONLY the requested layer: $paths")
+      // the crop itself streams over ranges too and matches the local
+      // pixel rows exactly — the reference's get_layer returns DATA
+      val dataHttp = Stac.getLayerData(spark, itemsDir, "layer_0",
+          minx, miny, maxx, maxy, hrefBase = Some(base),
+          hostedOnly = true)
+        .orderBy(org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y"))
+        .select("x", "y", "vs")
+        .collect().map(_.toSeq).toSeq
+      assert(dataHttp == dataLocal,
+        "the hosted data crop drifted from the local crop")
     }
     // the 4326 form (the fedex call shape) agrees with the native form
     // over its projected box and actually reads pixels — the fixture

@@ -597,11 +597,21 @@ object TextSuite {
     * drift: one row per store missing it), then aligns (healed: empty
     * again). Registry verbs are pure control-plane, so the fixture is
     * three bare directories — no store data needed. */
+  private lazy val q171Root: String =
+    java.nio.file.Files.createTempDirectory("q171_reg").toString
+
   private def q171(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // ONE fixture root per JVM, registries reset per run — repeated
+    // bench/verify invocations stay deterministic without temp litter
     val stores = Seq("dedup_index", "training_shards", "vector_store")
-      .map(n => n ->
-        java.nio.file.Files.createTempDirectory(s"reg_$n").toString)
+      .map { n =>
+        val dir = s"$q171Root/$n"
+        new java.io.File(dir).mkdirs()
+        Seq("_takedowns", "_takedowns.tmp", "_takedowns.lock")
+          .foreach(f => new java.io.File(dir, f).delete())
+        n -> dir
+      }
     val taken = Seq(101L, 102L, 103L).toDF("id")
     stores.foreach { case (_, dir) =>
       graft.ops.Takedown.register(s, dir, taken, "id")

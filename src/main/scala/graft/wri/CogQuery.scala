@@ -154,14 +154,18 @@ object CogQuery {
     require(layers.nonEmpty, "no layers to query")
     require(windows.nonEmpty, "no windows to query")
     require(windows.size <= 1000000,
-      s"${windows.size} windows ride every task's closure — that is " +
-        "data-sized, not a region table; shard the window list")
+      s"${windows.size} windows is data-sized, not a region table — " +
+        "the list is broadcast whole to every executor and folded " +
+        "per-layer in memory; shard the window list")
     require(scale >= 1, s"scale must be >= 1: $scale")
     require(level >= 0, s"level must be >= 0: $level")
     windows.foreach { case (id, minx, miny, maxx, maxy) =>
       require(maxx > minx && maxy > miny,
         s"window $id must be non-empty: x [$minx, $maxx], y [$miny, $maxy]")
     }
+    // reclaimed by the ContextCleaner with the result's lineage (an
+    // eager destroy here would break the lazy DataFrame); bounded by
+    // the window cap above
     val winBc = spark.sparkContext.broadcast(windows)
     withReaderAt(spark, layers.map(n => (n, s"$cogDir/$n")), prefixBytes) {
       (name, raf, _, prefix) =>
@@ -169,18 +173,40 @@ object CogQuery {
     }.flatMap(identity).toDF()
   }
 
-  private def zonalOverWindows(name: String, raf: RangeReader,
-      prefix: Array[Byte],
-      windows: Seq[(Long, Double, Double, Double, Double)],
-      scale: Long, level: Int): Seq[CogZonalStat] = {
+  /** Parse the header prefix into the level's grid: (all layouts, the
+    * level layout, resX, resY, originX, originY) with the level-0 cell
+    * size scaled to `level`'s grid (exact powers of two for the
+    * writer's own pyramids). ONE implementation for every geographic
+    * verb — the mapping rule is oracle-load-bearing. */
+  private def geoGrid(name: String, prefix: Array[Byte], level: Int)
+      : (Seq[TiffIO.LevelLayout], TiffIO.LevelLayout,
+        Double, Double, Double, Double) = {
     val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
     require(level < layouts.length,
       s"$name has ${layouts.length} levels, requested $level")
     val (resX0, resY0, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
     val l0 = layouts.head
-    val full = layouts(level)
-    val resX = resX0 * l0.width.toDouble / full.width
-    val resY = resY0 * l0.height.toDouble / full.height
+    val lv = layouts(level)
+    (layouts, lv, resX0 * l0.width.toDouble / lv.width,
+      resY0 * l0.height.toDouble / lv.height, gx, gy)
+  }
+
+  /** The floor/ceil pixel-is-area mapping of one CRS box onto the grid
+    * — every pixel whose cell intersects the box, as UNCLAMPED
+    * half-open bounds (x0, xEnd, y0, yEnd); callers clamp. */
+  private def boxToPixels(resX: Double, resY: Double, gx: Double,
+      gy: Double, minx: Double, miny: Double, maxx: Double,
+      maxy: Double): (Int, Int, Int, Int) =
+    (math.floor((minx - gx) / resX).toInt,
+      math.ceil((maxx - gx) / resX).toInt,
+      math.floor((gy - maxy) / resY).toInt,
+      math.ceil((gy - miny) / resY).toInt)
+
+  private def zonalOverWindows(name: String, raf: RangeReader,
+      prefix: Array[Byte],
+      windows: Seq[(Long, Double, Double, Double, Double)],
+      scale: Long, level: Int): Seq[CogZonalStat] = {
+    val (_, full, resX, resY, gx, gy) = geoGrid(name, prefix, level)
     val tw = full.tileWidth
     val th = full.tileHeight
     require(tw > 0 && th > 0, s"$name is not tiled — not a COG")
@@ -193,10 +219,8 @@ object CogQuery {
       var vsSum = 0L; var vsMin = Long.MaxValue; var vsMax = Long.MinValue
     }
     val accs = windows.map { case (id, minx, miny, maxx, maxy) =>
-      val x0 = math.floor((minx - gx) / resX).toInt
-      val xEnd = math.ceil((maxx - gx) / resX).toInt
-      val y0 = math.floor((gy - maxy) / resY).toInt
-      val yEnd = math.ceil((gy - miny) / resY).toInt
+      val (x0, xEnd, y0, yEnd) =
+        boxToPixels(resX, resY, gx, gy, minx, miny, maxx, maxy)
       new Acc(id, math.max(0, x0), math.min(full.width, xEnd),
         math.max(0, y0), math.min(full.height, yEnd))
     }
@@ -272,10 +296,11 @@ object CogQuery {
     * job, then every needed tile decodes in its own task and emits
     * only its in-window pixels. A 10k x 10k crop over 64 layers fans
     * out across the cluster instead of serializing behind 64 tasks,
-    * and no task ever holds more than one decoded tile. Each tile task
-    * re-reads the bounded header prefix (the price of statelessness —
-    * two range requests per tile instead of one; tile payloads
-    * dominate). */
+    * and no task ever holds more than one decoded tile. Tiles are
+    * grouped into per-task CHUNKS of [[ReadChunkTiles]] so one reader
+    * open + one header-prefix read amortizes over the chunk instead
+    * of repeating per tile — fan-out granularity stays tile-scale,
+    * header overhead drops by the chunk factor. */
   def readWindowGeo(spark: SparkSession, cogDir: String,
       layers: Seq[String],
       minx: Double, miny: Double, maxx: Double, maxy: Double,
@@ -298,47 +323,50 @@ object CogQuery {
     require(scale >= 1, s"scale must be >= 1: $scale")
     require(level >= 0, s"level must be >= 0: $level")
     // job 1 (one small task per layer): header prefix -> this layer's
-    // pixel window and the tile ids it intersects
-    val perTile = withReaderAt(spark, targets, prefixBytes) {
+    // pixel window and the tile ids it intersects, chunked. Each chunk
+    // carries ITS OWN path, so duplicate layer labels (two targets with
+    // one name) stay correct-by-construction — no name->path lookup.
+    val perChunk = withReaderAt(spark, targets, prefixBytes) {
       (name, _, _, prefix) =>
-        val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
-        require(level < layouts.length,
-          s"$name has ${layouts.length} levels, requested $level")
-        val (resX0, resY0, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
-        val l0 = layouts.head
-        val full = layouts(level)
-        val resX = resX0 * l0.width.toDouble / full.width
-        val resY = resY0 * l0.height.toDouble / full.height
+        val (_, full, resX, resY, gx, gy) = geoGrid(name, prefix, level)
         val tw = full.tileWidth; val th = full.tileHeight
         require(tw > 0 && th > 0, s"$name is not tiled — not a COG")
         val tilesAcross = (full.width + tw - 1) / tw
-        val xLo = math.max(0, math.floor((minx - gx) / resX).toInt)
-        val xHi = math.min(full.width, math.ceil((maxx - gx) / resX).toInt)
-        val yLo = math.max(0, math.floor((gy - maxy) / resY).toInt)
-        val yHi = math.min(full.height,
-          math.ceil((gy - miny) / resY).toInt)
-        if (xLo >= xHi || yLo >= yHi) Seq.empty[(String, Int, Int, Int, Int, Int)]
+        val (x0, xEnd, y0, yEnd) =
+          boxToPixels(resX, resY, gx, gy, minx, miny, maxx, maxy)
+        val xLo = math.max(0, x0); val xHi = math.min(full.width, xEnd)
+        val yLo = math.max(0, y0); val yHi = math.min(full.height, yEnd)
+        if (xLo >= xHi || yLo >= yHi)
+          Seq.empty[(String, Int, Int, Int, Int, Seq[Int])]
         else (for {
           r <- yLo / th to (yHi - 1) / th
           c <- xLo / tw to (xHi - 1) / tw
-        } yield (name, r * tilesAcross + c, xLo, xHi, yLo, yHi)).toSeq
-    }.flatMap(identity).collect().toSeq // layer x tile ids: metadata-sized
-    if (perTile.isEmpty)
+        } yield r * tilesAcross + c)
+          .grouped(ReadChunkTiles)
+          .map(ts => (name, xLo, xHi, yLo, yHi, ts.toSeq)).toSeq
+    }.collect().toSeq // chunk plans: metadata-sized, in target order
+    val chunkPlans = targets.zip(perChunk).flatMap {
+      case ((_, path), chunks) =>
+        chunks.map { case (name, xLo, xHi, yLo, yHi, ts) =>
+          (name, path, xLo, xHi, yLo, yHi, ts)
+        }
+    }
+    if (chunkPlans.isEmpty)
       return Seq.empty[(String, Int, Int, Option[Long])]
         .toDF("layer", "x", "y", "vs")
-    val pathOf = targets.toMap
-    // job 2 (one task per layer x tile): fetch + decode ONE tile, emit
-    // its in-window pixels
+    // job 2 (one task per chunk): ONE reader open + ONE prefix read
+    // amortize over the chunk's tiles; decode one tile at a time and
+    // emit its in-window pixels
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(
         new org.apache.hadoop.conf.Configuration(
           spark.sparkContext.hadoopConfiguration)))
-    spark.createDataset(perTile)
-      .repartition(math.min(perTile.size,
+    spark.createDataset(chunkPlans)
+      .repartition(math.min(chunkPlans.size,
         spark.sparkContext.defaultParallelism))
       .mapPartitions { it =>
-        it.flatMap { case (name, t, xLo, xHi, yLo, yHi) =>
-          val raf = RangeReader.open(pathOf(name), confBc.value.value)
+        it.flatMap { case (name, path, xLo, xHi, yLo, yHi, ts) =>
+          val raf = RangeReader.open(path, confBc.value.value)
           try {
             val pl = math.min(raf.length, prefixBytes.toLong).toInt
             val prefix = new Array[Byte](pl)
@@ -346,24 +374,32 @@ object CogQuery {
             val full = TiffIO.levelLayoutsFromPrefix(prefix)(level)
             val tw = full.tileWidth; val th = full.tileHeight
             val tilesAcross = (full.width + tw - 1) / tw
-            val buf = new Array[Byte](full.tileByteCounts(t).toInt)
-            raf.readFully(full.tileOffsets(t), buf)
-            val px = TiffIO.decodeLevelTile(full, buf)
-            val c = t % tilesAcross; val r = t / tilesAcross
-            val rows = for {
-              y <- math.max(yLo, r * th) until math.min(yHi, (r + 1) * th)
-              x <- math.max(xLo, c * tw) until math.min(xHi, (c + 1) * tw)
-            } yield {
-              val v = px((y - r * th) * tw + (x - c * tw))
-              (name, x, y,
-                if (java.lang.Float.isNaN(v)) None
-                else Some(Math.round(v.toDouble * scale)))
+            ts.flatMap { t =>
+              val buf = new Array[Byte](full.tileByteCounts(t).toInt)
+              raf.readFully(full.tileOffsets(t), buf)
+              val px = TiffIO.decodeLevelTile(full, buf)
+              val c = t % tilesAcross; val r = t / tilesAcross
+              for {
+                y <- math.max(yLo, r * th) until
+                  math.min(yHi, (r + 1) * th)
+                x <- math.max(xLo, c * tw) until
+                  math.min(xHi, (c + 1) * tw)
+              } yield {
+                val v = px((y - r * th) * tw + (x - c * tw))
+                (name, x, y,
+                  if (java.lang.Float.isNaN(v)) None
+                  else Some(Math.round(v.toDouble * scale)))
+              }
             }
-            rows
           } finally raf.close()
         }
       }.toDF("layer", "x", "y", "vs")
   }
+
+  /** Tiles per [[readWindowGeoAt]] task: one reader open + one header
+    * prefix amortize over this many tile fetches, while fan-out stays
+    * near tile granularity. */
+  private val ReadChunkTiles = 8
 
   /** One task per (label, path) target; `f` sees the label (reported as
     * the output's `layer`), the open reader, and the header prefix. */
@@ -478,18 +514,9 @@ object CogQuery {
     require(targets.nonEmpty, "no layers to query")
     withReaderAt(spark, targets, prefixBytes) {
       (name, raf, fileLen, prefix) =>
-        val layouts = TiffIO.levelLayoutsFromPrefix(prefix)
-        require(level < layouts.length,
-          s"$name has ${layouts.length} levels, requested $level")
-        val (resX0, resY0, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
-        val l0 = layouts.head
-        val lv = layouts(level)
-        val resX = resX0 * l0.width.toDouble / lv.width
-        val resY = resY0 * l0.height.toDouble / lv.height
-        val x0 = math.floor((minx - gx) / resX).toInt
-        val xEnd = math.ceil((maxx - gx) / resX).toInt
-        val y0 = math.floor((gy - maxy) / resY).toInt
-        val yEnd = math.ceil((gy - miny) / resY).toInt
+        val (layouts, _, resX, resY, gx, gy) = geoGrid(name, prefix, level)
+        val (x0, xEnd, y0, yEnd) =
+          boxToPixels(resX, resY, gx, gy, minx, miny, maxx, maxy)
         statsOverWindow(name, raf, fileLen, prefix.length, layouts, level,
           x0, y0, xEnd, yEnd, scale)
     }.toDF()

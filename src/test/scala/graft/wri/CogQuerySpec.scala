@@ -153,48 +153,14 @@ class CogQuerySpec extends SparkSpec {
   /** Minimal HTTP server over `dir`: honors `Range: bytes=a-b` with 206
     * (the hosted-COG contract) unless `ignoreRange`, in which case every
     * GET returns 200 + the whole body — the misbehaving-server case. */
+  /** The shared [[TestHttp]] fixture; `requests` records GET paths only
+    * (the fetch-count economy assertions must not count HEAD probes). */
   private def withHttpServer[T](dir: String, ignoreRange: Boolean = false,
       requests: Option[java.util.concurrent.ConcurrentLinkedQueue[String]] =
         None)(
-      f: String => T): T = {
-    val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", { exchange =>
-      val file = new java.io.File(dir, exchange.getRequestURI.getPath)
-      if (exchange.getRequestMethod == "GET")
-        requests.foreach(_.add(exchange.getRequestURI.getPath))
-      if (!file.isFile) {
-        exchange.sendResponseHeaders(404, -1)
-      } else if (exchange.getRequestMethod == "HEAD") {
-        exchange.getResponseHeaders.set("Content-Length",
-          file.length.toString)
-        exchange.sendResponseHeaders(200, -1)
-      } else {
-        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
-        val range = Option(exchange.getRequestHeaders.getFirst("Range"))
-          .filter(_ => !ignoreRange)
-          .map(_.stripPrefix("bytes=").split("-"))
-          .map { case Array(a, b) =>
-            (a.toLong, math.min(b.toLong, bytes.length - 1L)) }
-        range match {
-          case Some((a, b)) =>
-            // RFC 9110: Content-Range is mandatory on a 206, and the
-            // reader validates it before trusting any byte
-            exchange.getResponseHeaders.set("Content-Range",
-              s"bytes $a-$b/${bytes.length}")
-            exchange.sendResponseHeaders(206, b - a + 1)
-            exchange.getResponseBody.write(bytes, a.toInt, (b - a + 1).toInt)
-          case None =>
-            exchange.sendResponseHeaders(200, bytes.length.toLong)
-            exchange.getResponseBody.write(bytes)
-        }
-      }
-      exchange.close()
-    })
-    server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
-    finally server.stop(0)
-  }
+      f: String => T): T =
+    TestHttp.withHttpServer(dir, ignoreRange = ignoreRange,
+      gets = requests)(f)
 
   test("window stats over HTTP range requests match the local read — " +
       "the reference's hosted-COG serving mode") {

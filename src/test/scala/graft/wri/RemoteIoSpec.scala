@@ -18,7 +18,8 @@ class RemoteIoSpec extends SparkSpec {
   private lazy val root = Files.createTempDirectory("wriremote").toString
   private lazy val dataDir = Fixtures.writeInventoryTree(root)
 
-  /** Configurable HTTP stub over `dir`. Serves nested paths. */
+  /** Configurable HTTP stub over `dir` — the shared [[TestHttp]]
+    * fixture (one implementation for every hosted-read spec). */
   private def withHttpServer[T](dir: String,
       ignoreRange: Boolean = false,
       failFirstN: Int = 0,
@@ -26,59 +27,9 @@ class RemoteIoSpec extends SparkSpec {
       contentRangeSkew: Long = 0L,
       redirectTo: Option[String] = None,
       requested: Option[java.util.concurrent.ConcurrentLinkedQueue[String]] =
-        None)(f: String => T): T = {
-    val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    val failures = new AtomicInteger(failFirstN)
-    val throttles = new AtomicInteger(throttleFirstN)
-    server.createContext("/", { exchange =>
-      requested.foreach(_.add(exchange.getRequestURI.getPath))
-      if (failures.getAndDecrement() > 0) {
-        // die without a response: the client sees a transient IOException
-        exchange.close()
-      } else if (throttles.getAndDecrement() > 0) {
-        // the CDN/object-store throttle answer — transient by contract
-        exchange.sendResponseHeaders(503, -1)
-        exchange.close()
-      } else if (redirectTo.isDefined) {
-        exchange.getResponseHeaders.set("Location",
-          redirectTo.get + exchange.getRequestURI.getPath)
-        exchange.sendResponseHeaders(301, -1)
-        exchange.close()
-      } else {
-        val file = new java.io.File(dir, exchange.getRequestURI.getPath)
-        if (!file.isFile) {
-          exchange.sendResponseHeaders(404, -1)
-        } else if (exchange.getRequestMethod == "HEAD") {
-          exchange.getResponseHeaders.set("Content-Length",
-            file.length.toString)
-          exchange.sendResponseHeaders(200, -1)
-        } else {
-          val bytes = java.nio.file.Files.readAllBytes(file.toPath)
-          val range = Option(exchange.getRequestHeaders.getFirst("Range"))
-            .filter(_ => !ignoreRange)
-            .map(_.stripPrefix("bytes=").split("-"))
-            .map { case Array(a, b) =>
-              (a.toLong, math.min(b.toLong, bytes.length - 1L)) }
-          range match {
-            case Some((a, b)) =>
-              exchange.getResponseHeaders.set("Content-Range",
-                s"bytes ${a + contentRangeSkew}-${b + contentRangeSkew}" +
-                  s"/${bytes.length}")
-              exchange.sendResponseHeaders(206, b - a + 1)
-              exchange.getResponseBody.write(bytes, a.toInt, (b - a + 1).toInt)
-            case None =>
-              exchange.sendResponseHeaders(200, bytes.length.toLong)
-              exchange.getResponseBody.write(bytes)
-          }
-        }
-        exchange.close()
-      }
-    })
-    server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
-    finally server.stop(0)
-  }
+        None)(f: String => T): T =
+    TestHttp.withHttpServer(dir, ignoreRange, failFirstN, throttleFirstN,
+      contentRangeSkew, redirectTo, requested)(f)
 
   /** Relative paths of every fixture file under the data dir. */
   private def relPaths(base: String): Seq[String] = {

@@ -241,6 +241,47 @@ object Dev {
             itemsDir)
           (cogDir, itemsDir, inputs.map(_._2), gx, gy)
         }
+        // the DATA-crop shape: 16 large COGs (2048x2048, 256px tiles) so
+        // the one-task-per-(layer, tile-chunk) fan-out has real tiles to
+        // fan over — 64 tiles/layer -> 8 chunks/layer -> 128 tasks
+        lazy val cropLayers16 = {
+          val root = java.nio.file.Files.createTempDirectory("crop16")
+            .toString
+          val inputs = wri.Fixtures.writeCogInputs(root, n = 16,
+            w = 2048, h = 2048)
+          val cogDir = s"$root/cogs"
+          import spark.implicits._
+          wri.Cog.run(spark, inputs.toDF("filepath", "cog_filename"),
+            cogDir, wri.TiffWriter.CogOptions(blockSize = 256)).count()
+          (cogDir, inputs.map(_._2))
+        }
+        // a ~1k-item catalog: the catalogWindowStats sweep's driver-side
+        // resolve (bounded by the loud cap) + one task per matching layer
+        lazy val catalog1k = {
+          val root = java.nio.file.Files.createTempDirectory("cat1k")
+            .toString
+          val inputs = wri.Fixtures.writeCogInputs(root, n = 1000,
+            w = 192, h = 128)
+          val cid = wri.Model.collectionId
+          val stacRoot = s"$root/stac"
+          val cogDir = s"$stacRoot/collections/$cid/cogs"
+          import spark.implicits._
+          wri.Cog.run(spark, inputs.toDF("filepath", "cog_filename"),
+            cogDir, wri.TiffWriter.CogOptions(blockSize = 32)).count()
+          val gx = -5216639.6695348294
+          val gy = 6199081.688491997
+          val consistent = inputs.map(_._2).toDF("cog_filename").select(
+            col("cog_filename"), lit(5070).as("crs_epsg"),
+            lit("indicator").as("data_type"), lit("water").as("wri_domain"),
+            lit("status").as("wri_dimension"),
+            lit(gx).as("extent_xmin"),
+            lit(gx + 192 * 90.0).as("extent_xmax"),
+            lit(gy - 128 * 90.0).as("extent_ymin"), lit(gy).as("extent_ymax"))
+          val itemsDir = s"$stacRoot/collections/$cid/items"
+          wri.Stac.writeItems(wri.Stac.buildItems(spark, consistent),
+            itemsDir)
+          itemsDir
+        }
         def li8x = (0 until 8).map { k =>
           Tables.lineitem(spark, sfDir)
             .select((col("l_orderkey") + lit(k * 100000000L)).as("l_orderkey"),
@@ -534,6 +575,21 @@ object Dev {
                   gy - (1.6 + 3.0 * wj) * 90.0)
               wri.CogQuery.zonalStatsGeo(spark, cogDir, layers,
                 windows).count()
+            }),
+          ("cog_crop_16layers_2k", "16-layer DATA crop, 2048x2048 window (67M pixel rows) — one task per (layer, 8-tile chunk): 128 decode tasks, no task holds >1 tile",
+            () => {
+              val (cogDir, layers) = cropLayers16
+              val gx = -5216639.6695348294
+              val gy = 6199081.688491997
+              wri.CogQuery.readWindowGeo(spark, cogDir, layers,
+                minx = gx, maxx = gx + 2048 * 90.0,
+                miny = gy - 2048 * 90.0, maxy = gy).count()
+            }),
+          ("catalog_window_stats_1kitems", "catalogWindowStats over a 1000-item catalog, select-everything filter — capped driver resolve + one task per layer",
+            () => {
+              val itemsDir = catalog1k
+              wri.Stac.catalogWindowStats(spark, itemsDir,
+                173.60, 54.70, 173.85, 54.92).count()
             }),
           ("catalog_qa_64layers", "64-item catalog sweep",
             () => {
@@ -1149,6 +1205,20 @@ object Dev {
           .agg(min("approx_d2"), expr("percentile(approx_d2, 0.5)"),
             max("approx_d2"), count(lit(1)))
           .show(false)
+      case "q105iso" =>
+        // round-13 bench read 1.135 s vs round-12's 0.843 s (1.35x) —
+        // the only >1.3x common-tail drift that round (passed the gate
+        // on the 0.15 s floor). Same protocol as q115iso: 3 isolated
+        // passes, steady state = passes 2-3, classify regression vs
+        // ambient before round 14 believes it.
+        (1 to 3).foreach { pass =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          time(s"q105 isolated (pass $pass)")(
+            SparkEntry.queries("q105_tpch_market_share")(spark, sfDir)
+              .count())
+        }
       case "q115iso" =>
         // round-12 bench read 1.11 s vs round-11's 0.79 s (1.41x) — the
         // only tail drift above the noise band that round; probe

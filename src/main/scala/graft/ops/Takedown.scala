@@ -84,8 +84,9 @@ object Takedown {
   /** In-JVM serialization underneath the file lock: a local
     * filesystem's create-exclusive is check-then-act (not atomic), so
     * two threads of ONE driver could both "acquire". The monitor closes
-    * the in-process race; the lock file covers separate processes
-    * (atomic on HDFS/object stores, best-effort-but-loud on local). */
+    * the in-process race; the lock file covers separate processes with
+    * the scope the block above states — atomic on HDFS, check-then-act
+    * (narrowed but open window) on object stores and the local FS. */
   private val localMutex =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -113,7 +114,26 @@ object Takedown {
     }
     var held = false
     while (!held) {
-      try { fs.create(lock, false).close(); held = true }
+      // ownership is decided by CREATE, not close: once create returns,
+      // the lock file is ours — a close() that then throws must not
+      // leave the loop seeing our own lock as a foreign holder (it
+      // would spin to the stale-lock error against itself and orphan
+      // the file). Delete what we created and surface the failure as
+      // itself.
+      try {
+        val out = fs.create(lock, false)
+        try out.close()
+        catch {
+          case closeErr: java.io.IOException =>
+            try fs.delete(lock, false)
+            catch { case e: Exception => closeErr.addSuppressed(e) }
+            throw new IllegalStateException(
+              s"takedown registry lock $lock was created but its " +
+                "close failed — the lock was released; retry the " +
+                "mutation", closeErr)
+        }
+        held = true
+      }
       catch {
         case e: java.io.IOException if isHeld(e) =>
           if (System.currentTimeMillis() > deadline)
@@ -188,11 +208,20 @@ object Takedown {
     * never ADMIT a registered id via a coercion-null through
     * coalesce(..., false), nor crash the ingest under ANSI casting. On
     * the normal bigint column the cast is a no-op and the plan is
-    * unchanged. */
+    * unchanged. Ids are INTEGRAL by contract (every store keys on
+    * bigint ids); a fractional id column is compared after truncation
+    * (3.7 compares as 3), so keep fractional values out of id columns.
+    *
+    * The anti-join arms alias the blocked-id side to a name GENERATED
+    * to miss every batch column — a fixed `__takedown_id` would make
+    * the join condition ambiguous (AnalysisException) the day a batch
+    * legitimately carries a column of that name. */
   def guard(batch: DataFrame, idCol: String,
       callerIds: Option[DataFrame], fs: FileSystem,
       dir: String): DataFrame = {
     val idL = expr(s"try_cast(`$idCol` as bigint)")
+    val joinCol = Iterator.from(0).map(i => s"__takedown_id_$i")
+      .find(n => !batch.columns.contains(n)).get
     val reg = registered(fs, dir)
     val regGuarded =
       if (reg.isEmpty) batch
@@ -201,13 +230,13 @@ object Takedown {
       else {
         val spark = batch.sparkSession
         import spark.implicits._
-        batch.join(broadcast(reg.toSeq.toDF("__takedown_id")),
-          idL === col("__takedown_id"), "left_anti")
+        batch.join(broadcast(reg.toSeq.toDF(joinCol)),
+          idL === col(joinCol), "left_anti")
       }
     callerIds.fold(regGuarded)(t =>
       regGuarded.join(
-        t.select(col(idCol).cast("long").as("__takedown_id")),
-        idL === col("__takedown_id"), "left_anti"))
+        t.select(col(idCol).cast("long").as(joinCol)),
+        idL === col(joinCol), "left_anti"))
   }
 
   /** Cross-store compliance DRIFT detector: when takedowns flow through

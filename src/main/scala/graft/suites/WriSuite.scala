@@ -29,8 +29,61 @@ object WriSuite {
     Q("wri_stac_conformance", wriStacConformance, Some(wriStacConformanceSql)),
     Q("wri_zonal_stats", wriZonalStats, Some(wriZonalStatsSql)),
     Q("wri_refresh_catalog", wriRefreshCatalog, Some(wriRefreshCatalogSql)),
-    Q("wri_read_window", wriReadWindow, Some(wriReadWindowSql))
+    Q("wri_read_window", wriReadWindow, Some(wriReadWindowSql)),
+    Q("wri_map_algebra", wriMapAlgebra, Some(wriMapAlgebraSql))
   )
+
+  /** Multi-layer map algebra ([[CogQuery.mapAlgebra]] — the science
+    * step the WRI layers came from: indicators -> aggregates -> final
+    * score): the four fixture layers combine as `Σ (i+1)·layer_i` in
+    * input order (double accumulation, NaN mask propagation), the
+    * derived COG is written through the stage-01 writer, and the oracle
+    * replays the weighted sum analytically over the standard fractional
+    * window — pinning the combine arithmetic, the float32 store
+    * rounding, AND the written COG's tile/geo layout in one hash (the
+    * stats ride the usual header-prefix + tile-range read of the
+    * OUTPUT file). */
+  private def wriMapAlgebra(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(s"$fixtureRoot/winq",
+      n = 4, w = 192, h = 128)
+    val cogDir = s"$fixtureRoot/winq_cogs"
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val out = s"$fixtureRoot/derived/wri_score_derived.tif"
+    CogQuery.mapAlgebra(s,
+      inputs.map(_._2).zipWithIndex.map { case (n, i) =>
+        (n, s"$cogDir/$n", (i + 1).toDouble) },
+      out, TiffWriter.CogOptions(blockSize = 32)).count()
+    CogQuery.windowStatsGeoAt(s, Seq(("wri_score_derived.tif", out)),
+        minx = qaGx + 25.4 * 90.0, maxx = qaGx + 102.2 * 90.0,
+        miny = qaGy - 58.3 * 90.0, maxy = qaGy - 7.6 * 90.0)
+      .select(col("layer"), col("n_valid"), col("n_nan"),
+        col("vs_sum"), col("vs_min"), col("vs_max"))
+  }
+
+  private val wriMapAlgebraSql =
+    """WITH px AS (
+      |  SELECT (y.range * 192 + x.range) AS j
+      |  FROM range(25, 103) x, range(7, 59) y),
+      |v AS (SELECT
+      |    CASE WHEN j % 13 = 0 OR (j + 1) % 13 = 0
+      |           OR (j + 2) % 13 = 0 OR (j + 3) % 13 = 0 THEN NULL
+      |      ELSE CAST(round(CAST(CAST(
+      |          1 * CAST(CAST((j * 3) % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE)
+      |        + 2 * CAST(CAST((j * 4) % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE)
+      |        + 3 * CAST(CAST((j * 5) % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE)
+      |        + 4 * CAST(CAST((j * 6) % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE)
+      |        AS REAL) AS DOUBLE) * 10000) AS BIGINT)
+      |    END AS vs
+      |  FROM px)
+      |SELECT 'wri_score_derived.tif' AS layer,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v""".stripMargin
 
   /** The DATA half of the consumer story ([[Stac.getLayerData]] →
     * [[CogQuery.readWindowGeoAt]]): the client asks the CATALOG for a

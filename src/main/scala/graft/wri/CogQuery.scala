@@ -401,6 +401,157 @@ object CogQuery {
     * near tile granularity. */
   private val ReadChunkTiles = 8
 
+  case class MapAlgebraStat(out: String, width: Int, height: Int,
+      tiles: Long, n_valid: Long, n_nan: Long)
+
+  /** Multi-layer MAP ALGEBRA — the upstream science step the WRI layers
+    * themselves came from (the reference's data model: indicators
+    * combine into domain aggregates, aggregates into the final WRI
+    * score; `/root/reference/README.md` §Data model): N grid-aligned
+    * input COGs -> per-pixel weighted sum -> one derived COG written
+    * through the same [[TiffWriter.writeCog]] contract as stage 01, so
+    * the output is immediately consumable by every query verb and
+    * publishable to the catalog.
+    *
+    * Semantics (oracle-pinned): `out = Σ wᵢ·vᵢ` accumulated in DOUBLE
+    * in input order, stored as float32; a pixel where ANY input is NaN
+    * is NaN (mask propagation — the reference's layers share one nodata
+    * mask, and an aggregate must not fabricate values where an
+    * indicator abstains).
+    *
+    * Scale shape — three jobs, each the right granularity:
+    *  1. one small task per INPUT: header prefix -> grid signature;
+    *     inputs must share width/height/tile grid/geotransform exactly
+    *     (refused loudly otherwise — resampling is a different verb);
+    *  2. one task per TILE CHUNK: reads this chunk's tiles from EVERY
+    *     input by byte range ([[ReadChunkTiles]] tiles per task, k
+    *     range reads per tile for k inputs) and combines — an 82-input
+    *     final-score pass over a large grid fans out across the cluster
+    *     at tile granularity instead of serializing behind one writer;
+    *  3. ONE writer task: the combined tiles shuffle to a single
+    *     assembler that writes the COG (+ pyramid) — the same
+    *     one-raster-in-memory unit as a [[Cog.run]] encode task, which
+    *     is the writer's own memory shape; the combine stage above is
+    *     where the parallelism lives.
+    *
+    * Returns one stat row: (out, width, height, tiles, n_valid, n_nan). */
+  def mapAlgebra(spark: SparkSession,
+      inputs: Seq[(String, String, Double)],
+      outPath: String,
+      opts: TiffWriter.CogOptions = TiffWriter.CogOptions(),
+      epsg: Int = Model.Expected.epsg,
+      prefixBytes: Int = 16 * 1024): DataFrame = {
+    import spark.implicits._
+    require(inputs.nonEmpty, "no input layers to combine")
+    // job 1: grid signatures, one small task per input
+    val grids = withReaderAt(spark,
+      inputs.map(t => (t._1, t._2)), prefixBytes) { (name, _, _, prefix) =>
+      val full = TiffIO.levelLayoutsFromPrefix(prefix).head
+      val (resX, resY, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
+      (name, full.width, full.height, full.tileWidth, full.tileHeight,
+        resX, resY, gx, gy)
+    }.collect().toSeq
+    val ref = grids.head
+    grids.foreach { g =>
+      require((g._2, g._3, g._4, g._5, g._6, g._7, g._8, g._9) ==
+        (ref._2, ref._3, ref._4, ref._5, ref._6, ref._7, ref._8, ref._9),
+        s"input '${g._1}' grid (${g._2}x${g._3} tiles ${g._4}x${g._5}) " +
+          s"does not match '${ref._1}' (${ref._2}x${ref._3} tiles " +
+          s"${ref._4}x${ref._5}) — map algebra needs grid-aligned " +
+          "inputs; resample first")
+    }
+    val (w, h, tw, th) = (ref._2, ref._3, ref._4, ref._5)
+    require(tw > 0 && th > 0, s"'${ref._1}' is not tiled — not a COG")
+    val (resX, resY, gx, gy) = (ref._6, ref._7, ref._8, ref._9)
+    val tilesAcross = (w + tw - 1) / tw
+    val tilesDown = (h + th - 1) / th
+    // .toList, not .toSeq: grouped() over a Range yields Range slices,
+    // which the Dataset encoder rejects
+    val chunks = (0 until tilesAcross * tilesDown)
+      .grouped(ReadChunkTiles).map(_.toList).toList
+    val paths = inputs.map(_._2)
+    val wts = inputs.map(_._3).toArray
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)))
+    // job 2: one task per tile chunk — k range reads per tile, combine
+    val combined = spark.createDataset(chunks)
+      .repartition(math.min(chunks.size,
+        spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { ts =>
+          val readers = paths.map(p => RangeReader.open(p, conf))
+          try {
+            val layouts = readers.map { r =>
+              val pl = math.min(r.length, prefixBytes.toLong).toInt
+              val prefix = new Array[Byte](pl)
+              r.readFully(0L, prefix)
+              TiffIO.levelLayoutsFromPrefix(prefix).head
+            }
+            ts.map { t =>
+              val pxs = readers.lazyZip(layouts).map { (r, full) =>
+                val buf = new Array[Byte](full.tileByteCounts(t).toInt)
+                r.readFully(full.tileOffsets(t), buf)
+                TiffIO.decodeLevelTile(full, buf)
+              }.toIndexedSeq
+              val out = new Array[Float](tw * th)
+              var k = 0
+              while (k < out.length) {
+                var nan = false
+                var acc = 0.0
+                var i = 0
+                while (i < pxs.length) {
+                  val v = pxs(i)(k)
+                  if (java.lang.Float.isNaN(v)) nan = true
+                  else acc += wts(i) * v.toDouble
+                  i += 1
+                }
+                out(k) = if (nan) Float.NaN else acc.toFloat
+                k += 1
+              }
+              (t, out)
+            }
+          } finally readers.foreach(_.close())
+        }
+      }
+    // job 3: one assembler/writer task — the Cog.run task memory unit
+    val (ww, hh, ttw, tth) = (w, h, tw, th)
+    val (oPath, oEpsg) = (outPath, epsg)
+    val oOpts = opts
+    combined.repartition(1).mapPartitions { it =>
+      val conf = confBc.value.value
+      val px = new Array[Float](ww * hh)
+      val across = (ww + ttw - 1) / ttw
+      var tiles = 0L
+      it.foreach { case (t, tilePx) =>
+        tiles += 1
+        val c = t % across; val r = t / across
+        val xHi = math.min(ww, (c + 1) * ttw)
+        val yHi = math.min(hh, (r + 1) * tth)
+        var y = r * tth
+        while (y < yHi) {
+          var x = c * ttw
+          while (x < xHi) {
+            px(y * ww + x) = tilePx((y - r * tth) * ttw + (x - c * ttw))
+            x += 1
+          }
+          y += 1
+        }
+      }
+      TiffWriter.writeCog(oPath, ww, hh, px,
+        TiffIO.GeoInfo(oEpsg, resX, resY, gx, gy), oOpts, conf)
+      var nValid = 0L; var nNan = 0L
+      var k = 0
+      while (k < px.length) {
+        if (java.lang.Float.isNaN(px(k))) nNan += 1 else nValid += 1
+        k += 1
+      }
+      Iterator.single(MapAlgebraStat(oPath, ww, hh, tiles, nValid, nNan))
+    }.toDF()
+  }
+
   /** One task per (label, path) target; `f` sees the label (reported as
     * the output's `layer`), the open reader, and the header prefix. */
   private def withReaderAt[T](spark: SparkSession,

@@ -22,12 +22,46 @@ trait RangeReader extends AutoCloseable {
 
 object RangeReader {
 
-  /** Reader for `url` — `http(s)://` goes over HTTP Range requests,
-    * everything else resolves through the Hadoop [[Path]] machinery
-    * (`file://`, bare paths, `hdfs://`, any registered scheme). */
+  /** Per-host auth-header configuration prefix. The reference names
+    * authenticated range access its own Future path
+    * (`/root/reference/README.md:209-214`: API tokens, credential
+    * management, authenticated range reads) — the day the rasters move
+    * off public hosting, every consumer verb must be able to present a
+    * credential. One Hadoop conf key per HOST:
+    *
+    *   spark.hadoop.graft.http.auth.header.data.example.org =
+    *     Authorization: Bearer <token>
+    *
+    * The value is one full header (`Name: value`); it rides on EVERY
+    * request (HEAD + range GETs) to that host, and on no other host —
+    * per-host scoping is the point: a bearer for the data mirror must
+    * never leak to a redirect target or a second catalog. The conf is
+    * already what ships to executors (WriFs.confBroadcast), so the
+    * credential reaches range reads wherever the task runs without any
+    * new plumbing. */
+  val AuthHeaderPrefix = "graft.http.auth.header."
+
+  /** The auth header configured for `url`'s host, if any. */
+  private[wri] def authHeaderFor(url: String,
+      conf: Configuration): Seq[(String, String)] = {
+    val host = java.net.URI.create(url).getHost
+    Option(host).flatMap(h => Option(conf.get(AuthHeaderPrefix + h)))
+      .map { v =>
+        val i = v.indexOf(':')
+        require(i > 0,
+          s"$AuthHeaderPrefix$host must hold one 'Name: value' header, " +
+            s"got '$v'")
+        (v.substring(0, i).trim, v.substring(i + 1).trim)
+      }.toSeq
+  }
+
+  /** Reader for `url` — `http(s)://` goes over HTTP Range requests
+    * (with the host's configured auth header, if any), everything else
+    * resolves through the Hadoop [[Path]] machinery (`file://`, bare
+    * paths, `hdfs://`, any registered scheme). */
   def open(url: String, conf: Configuration): RangeReader =
     if (url.startsWith("http://") || url.startsWith("https://"))
-      new HttpRangeReader(url)
+      new HttpRangeReader(url, headers = authHeaderFor(url, conf))
     else new HadoopRangeReader(url, conf)
 }
 
@@ -69,7 +103,8 @@ final class HadoopRangeReader(url: String, conf: Configuration)
   *     AND throttle/server-side statuses (429, 5xx — the canonical
   *     CDN/object-store SlowDown answers); contract violations (Range
   *     ignored, bad offsets, 4xx other than 429) never retry. */
-final class HttpRangeReader(url: String, maxAttempts: Int = 3)
+final class HttpRangeReader(url: String, maxAttempts: Int = 3,
+    headers: Seq[(String, String)] = Nil)
     extends RangeReader {
   require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
 
@@ -81,11 +116,32 @@ final class HttpRangeReader(url: String, maxAttempts: Int = 3)
     // raw bytes or nothing: a Content-Encoding would break the
     // Content-Length/Range-offset arithmetic this reader lives on
     c.setRequestProperty("Accept-Encoding", "identity")
+    // the host's configured credential (RangeReader.AuthHeaderPrefix)
+    // rides on every request — HEAD and range GETs alike
+    headers.foreach { case (n, v) => c.setRequestProperty(n, v) }
     range.foreach { case (a, b) =>
       c.setRequestProperty("Range", s"bytes=$a-$b")
     }
     c
   }
+
+  /** A 401/403 is an AUTH contract failure, not a transient blip and
+    * not a Range violation: fail immediately, naming the per-host conf
+    * key that fixes it — the first thing a consumer hits the day the
+    * data moves behind token-protected storage. */
+  private def rejectUnauthorized(code: Int, what: String): Unit =
+    if (code == 401 || code == 403) {
+      val host = java.net.URI.create(url).getHost
+      throw new IllegalArgumentException(
+        s"$what $url -> $code (${if (code == 401) "unauthorized"
+          else "forbidden"}) — the server requires credentials" +
+          (if (headers.isEmpty) "; none are configured for this host. " +
+            s"Set ${RangeReader.AuthHeaderPrefix}$host to " +
+            "'Authorization: Bearer <token>' (or the header your " +
+            "provider expects) in the Hadoop/Spark configuration"
+          else ". A credential IS configured for this host but the " +
+            "server rejected it — check the token's validity and scope"))
+    }
 
   /** HttpURLConnection only auto-follows same-protocol redirects; a 3xx
     * that reaches us is one it refused — fail naming the target so the
@@ -130,6 +186,7 @@ final class HttpRangeReader(url: String, maxAttempts: Int = 3)
     try {
       val code = c.getResponseCode
       rejectRedirect(code, c, "HEAD")
+      rejectUnauthorized(code, "HEAD")
       rejectTransient(code, "HEAD")
       require(code == 200, s"HEAD $url -> $code")
       val len = c.getContentLengthLong
@@ -145,6 +202,7 @@ final class HttpRangeReader(url: String, maxAttempts: Int = 3)
       try {
         val code = c.getResponseCode
         rejectRedirect(code, c, "GET")
+        rejectUnauthorized(code, "GET")
         rejectTransient(code, "GET")
         // a 200 is acceptable ONLY when the requested range is the whole
         // object — then "the full body" and "the range" are the same

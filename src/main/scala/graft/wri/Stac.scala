@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
 object Stac {
   import Model._
 
+  /** How many catalog items one consumer call may resolve to driver-side
+    * targets before refusing loudly (overridable via system property for
+    * the over-cap spec only — the lockWaitMs precedent). */
+  private def maxCatalogTargets: Int =
+    sys.props.get("graft.stac.maxCatalogTargets").map(_.toInt)
+      .getOrElse(65536)
+
   /** Production HTTP HEAD probe (5s timeout, any error -> false). */
   def knbProbe(filename: String): Boolean =
     try {
@@ -599,11 +606,22 @@ object Stac {
       hostedOnly: Boolean, expect: Option[String]): Seq[(String, String)] = {
     // catalog METADATA read: one row per matching item (an 82-layer —
     // or 10k-layer — catalog is a driver-sized table by construction;
-    // the rasters behind it are what must never be collected)
+    // the rasters behind it are what must never be collected). The
+    // collect is CAPPED loudly: the limit bounds what ever reaches the
+    // driver, so a pathological million-item catalog under a
+    // select-everything filter refuses with the remediation named
+    // instead of silently materializing a million rows.
+    val cap = maxCatalogTargets
     val rows = readItems(spark, itemsDir).filter(filter)
       .select(col("item_id"), col("is_hosted"), col("href"),
         bboxIntersects(lonMin, latMin, lonMax, latMax).as("covers"))
-      .collect()
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"more than $cap catalog items match the filter at $itemsDir — " +
+        "layer targets resolve on the driver and a match set this " +
+        "large is a select-everything filter, not a layer lookup; " +
+        "narrow the filter (item_id / domain predicates), or sweep " +
+        "the catalog in filtered batches")
     expect.foreach { name =>
       require(rows.nonEmpty,
         s"layer '$name' is not in the catalog at $itemsDir; available " +
@@ -708,7 +726,14 @@ object Stac {
     * `pruneOrphans = true` would otherwise classify every on-disk item
     * an orphan and gut the published catalog before any later
     * non-empty assert fired. Returns the audit: (item_id, action) with
-    * action in written / rewritten / unchanged / pruned / orphaned. */
+    * action in written / rewritten / rewritten(is_hosted) / unchanged /
+    * pruned / orphaned — the `(is_hosted)` variant marks a rewrite that
+    * FLIPS an item's hosted status, because `hostedProbe` defaults to
+    * `_ => false` here exactly as in [[run]]: a CI refresh that omits
+    * the probe the catalog was built with demotes every hosted item,
+    * and that regression must read differently in the audit than an
+    * ordinary metadata rewrite. Pass the SAME hostedProbe on refresh
+    * as at build time. */
   def refreshCatalog(spark: SparkSession, consistent: DataFrame,
       stacRoot: String, hostedProbe: String => Boolean = _ => false,
       pruneOrphans: Boolean = false): DataFrame = {
@@ -729,13 +754,28 @@ object Stac {
       .select(col("item_id"), col("json"))
       .mapPartitions { rows =>
         val c = confBc.value.value
+        val mapper = new ObjectMapper()
         rows.map { r =>
           val (id, json) = (r.getString(0), r.getString(1))
           val p = s"$dir/$id.json"
           val action =
             if (!WriFs.exists(p, c)) "written"
-            else if (WriFs.readString(p, c) == json) "unchanged"
-            else "rewritten"
+            else {
+              val old = WriFs.readString(p, c)
+              if (old == json) "unchanged"
+              // a HOSTED-STATUS change is surfaced distinctly: a CI
+              // refresh run with a different (or defaulted) hostedProbe
+              // than the build flips is_hosted on every item — reported
+              // as plain "rewritten" that is a SILENT hosted-status
+              // regression of the published catalog; named, it is one
+              // grep in the audit
+              else if (scala.util.Try(mapper.readTree(old)
+                    .path("properties").path("is_hosted").asBoolean())
+                  .toOption.exists(_ != mapper.readTree(json)
+                    .path("properties").path("is_hosted").asBoolean()))
+                "rewritten(is_hosted)"
+              else "rewritten"
+            }
           (id, action, json)
         }
       }.toDF("item_id", "action", "json").localCheckpoint(true)
@@ -764,10 +804,12 @@ object Stac {
         } else (id, "orphaned")
       }
     val ids = listItemIds(itemsDir, conf)
-    WriFs.writeString(
-      s"$stacRoot/collections/$collectionId/collection.json",
+    // the collection/catalog documents get the SAME atomic replace as
+    // the items: they are rewritten on every refresh, and a concurrent
+    // catalog reader must never observe a torn root document
+    atomicDoc(s"$stacRoot/collections/$collectionId/collection.json",
       collectionJson(consistent, ids), conf)
-    WriFs.writeString(s"$stacRoot/catalog.json", catalogJson, conf)
+    atomicDoc(s"$stacRoot/catalog.json", catalogJson, conf)
     audit.unionByName(orphanRows.toDF("item_id", "action"))
   }
 
@@ -783,10 +825,125 @@ object Stac {
     // re-scan (`02b:312-322`) — picks up items from earlier runs too
     val conf = spark.sparkContext.hadoopConfiguration
     val ids = listItemIds(itemsDir, conf)
-    WriFs.writeString(
-      s"$stacRoot/collections/$collectionId/collection.json",
+    atomicDoc(s"$stacRoot/collections/$collectionId/collection.json",
       collectionJson(consistent, ids), conf)
-    WriFs.writeString(s"$stacRoot/catalog.json", catalogJson, conf)
+    atomicDoc(s"$stacRoot/catalog.json", catalogJson, conf)
     items
+  }
+
+  /** Atomic replace of one driver-written catalog document. */
+  private def atomicDoc(path: String, content: String,
+      conf: Configuration): Unit =
+    WriFs.atomicWriteString(WriFs.fs(path, conf),
+      new org.apache.hadoop.fs.Path(path), content)
+
+  /** The reference's operational loop — "rerun 02b after uploads to
+    * refresh hosting status" (`scripts/02b_make_stac_all.R:28-31`) — as
+    * the FILE-ARRIVAL-TRIGGERED stream SURVEY §2.8 maps it onto:
+    * `readStream(binaryFile)` over the data directory, and each
+    * micro-batch of newly arrived rasters runs stage 00 over exactly
+    * those files, lands their metadata in an accumulating store, and
+    * replays [[refreshCatalog]] over the accumulated table. The
+    * operator stops rerunning 02b by hand; uploads become catalog
+    * updates.
+    *
+    * Composition, not new machinery — each piece is the already-oracled
+    * batch verb:
+    *
+    *  - the micro-batch inventory is [[Inventory.runListed]] (the same
+    *    classify -> exclude -> header-read -> validate pipeline; only
+    *    CONSISTENT rows enter the metadata store);
+    *  - the metadata store is one parquet dir per micro-batch
+    *    (`metaDir/batch=<id>`, written with OVERWRITE — a replayed
+    *    micro-batch after a crash rewrites the same directory with the
+    *    same rows, the foreachBatch idempotent-sink discipline);
+    *  - a RE-DELIVERED layer (same `cog_filename` arriving again from a
+    *    new path — re-uploads land as new files) resolves LATEST-WINS:
+    *    the highest batch id's row feeds the refresh, so the catalog
+    *    tracks the newest delivery exactly like a hand rerun of 02b
+    *    over the post-upload tree;
+    *  - the catalog commit is [[refreshCatalog]] itself (delta
+    *    classification, atomic replaces, is_hosted-flip surfacing) with
+    *    `pruneOrphans = false` ALWAYS: a streaming metadata store only
+    *    ever accumulates — absence from one micro-batch is not deletion
+    *    evidence, so orphan pruning stays the batch verb's decision.
+    *
+    * Returns the started query; the caller owns its lifecycle
+    * (`processAllAvailable`/`awaitTermination`/`stop`). At 100 TB the
+    * shape holds: each micro-batch costs O(new files) header reads
+    * fanned across executors, the store grows by metadata rows only,
+    * and the refresh rewrites only changed documents. */
+  def streamingCatalogRefresh(spark: SparkSession, dataDir: String,
+      metaDir: String, stacRoot: String, checkpointDir: String,
+      hostedProbe: String => Boolean = _ => false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the binaryFile source's FIXED schema, stated explicitly — a
+    // streaming file source refuses to infer
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.tif")
+      .option("recursiveFileLookup", "true")
+      .load(dataDir)
+      // path + length only: column pruning keeps `content` out of the
+      // plan — stage 00 is header-economy reads, never whole rasters
+      .select(col("path"), col("length"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        refreshBatch(batch, batchId, metaDir, stacRoot, hostedProbe)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[streamingCatalogRefresh]] — package-visible so
+    * the replay spec can drive the same body twice with one batch id and
+    * pin idempotence. */
+  private[wri] def refreshBatch(batch: DataFrame, batchId: Long,
+      metaDir: String, stacRoot: String,
+      hostedProbe: String => Boolean): Unit = {
+    val spark = batch.sparkSession
+    val listed = batch.select(
+        regexp_replace(col("path"), "^file:", "").as("filepath"),
+        col("length"))
+      .select(col("filepath"), col("length"),
+        Classify.dataType(col("filepath")).as("data_type"))
+      .filter(col("data_type") =!= "exclude")
+    val consistent = Inventory.runListed(spark, listed, None).consistent
+    // idempotent landing: the batch's rows live under their OWN dir,
+    // rewritten whole on replay — appends would double-count a replayed
+    // micro-batch. An all-inconsistent (or all-excluded) batch lands
+    // nothing: an empty parquet dir would poison the accumulated read
+    // (no footer to infer from), and absence is the honest record.
+    if (!consistent.isEmpty)
+      consistent.write.mode("overwrite")
+        .parquet(s"$metaDir/batch=$batchId")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val haveBatches = WriFs.listNames(metaDir, conf)
+      .exists(_.startsWith("batch="))
+    if (haveBatches) {
+      // latest-wins across the accumulated store: a re-delivered
+      // cog_filename's newest batch (then lexically-last path, for two
+      // deliveries inside ONE batch) feeds the refresh
+      val all = spark.read.option("basePath", metaDir)
+        .parquet(s"$metaDir/batch=*")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cog_filename"))
+        .orderBy(col("batch").desc, col("filepath").desc)
+      val latest = all
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "batch")
+      refreshCatalog(spark, latest, stacRoot, hostedProbe,
+        pruneOrphans = false)
+      ()
+    }
   }
 }

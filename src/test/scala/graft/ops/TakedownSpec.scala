@@ -125,4 +125,26 @@ class TakedownSpec extends SparkSpec {
     assert(keptJoin == Set("oops", null),
       s"caller-list arm disagreed with the IN-list arm: $keptJoin")
   }
+
+  test("guard's anti-join arms survive a batch that already carries a " +
+      "__takedown_id-shaped column: the blocked-id side is aliased to " +
+      "a generated name, so the join is never ambiguous") {
+    val d = tmp("takedown_collide")
+    Takedown.register(spark, d, Seq(3L).toDF("doc_id"), "doc_id")
+    // the batch legitimately owns BOTH historically fixed names the
+    // generator would try first — it must skip past them
+    val batch = Seq((3L, "x", "y"), (4L, "x", "y"))
+      .toDF("doc_id", "__takedown_id", "__takedown_id_0")
+    val kept = Takedown.guard(batch, "doc_id",
+      Some(Seq(4L).toDF("doc_id")), fsOf(d), d)
+      .collect()
+    assert(kept.isEmpty,
+      s"3 is registered and 4 is caller-blocked; kept ${kept.length}")
+    val kept2 = Takedown.guard(batch.filter(col("doc_id") =!= 3L),
+      "doc_id", None, fsOf(d), d).collect()
+    assert(kept2.length == 1 && kept2.head.getLong(0) == 4L &&
+      kept2.head.schema.fieldNames.toSeq ==
+        Seq("doc_id", "__takedown_id", "__takedown_id_0"),
+      "the guarded batch must keep its own columns untouched")
+  }
 }

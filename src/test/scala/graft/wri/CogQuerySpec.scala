@@ -338,4 +338,63 @@ class CogQuerySpec extends SparkSpec {
             "fetched ONCE, not once per window")
     }
   }
+
+  test("map algebra: the derived COG is a real COG (tiled, pyramid, " +
+      "geo-anchored like its inputs), every pixel equals the in-memory " +
+      "weighted combine with NaN mask propagation, and a grid-mismatched " +
+      "input refuses loudly") {
+    val out = s"$root/derived_combo.tif"
+    val targets = inputs.zipWithIndex.map { case ((_, n), i) =>
+      (n, s"$cogDir/$n", (i + 1).toDouble) }
+    val stat = CogQuery.mapAlgebra(spark, targets, out,
+      TiffWriter.CogOptions(blockSize = 32)).collect().head
+    assert(stat.getAs[Int]("width") == 192 &&
+      stat.getAs[Int]("height") == 128 &&
+      stat.getAs[Long]("tiles") == 24, stat.toString) // 6x4 32px tiles
+    // the output honors the full COG contract: tiled, carries a
+    // pyramid, and georeferences exactly like its inputs
+    val h = TiffIO.readHeader(out)
+    assert(h.tiled && h.isCogLayout, "derived output is not a COG")
+    val prefix = {
+      val all = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out))
+      java.util.Arrays.copyOf(all, math.min(all.length, 16 * 1024))
+    }
+    assert(TiffIO.levelLayoutsFromPrefix(prefix).length >= 2,
+      "derived output carries no overview pyramid")
+    val inPrefix = {
+      val all = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$cogDir/${inputs.head._2}"))
+      java.util.Arrays.copyOf(all, math.min(all.length, 16 * 1024))
+    }
+    assert(TiffIO.geoTransformFromPrefix(prefix) ==
+      TiffIO.geoTransformFromPrefix(inPrefix),
+      "derived output drifted off the input grid")
+    // pixel-exact: out = 1*layer_0 + 2*layer_1 (double accumulation,
+    // float32 store), NaN wherever EITHER input is NaN
+    val (h0, px0) = TiffIO.readPixels(s"$cogDir/${inputs(0)._2}")
+    val (_, px1) = TiffIO.readPixels(s"$cogDir/${inputs(1)._2}")
+    val (_, pxOut) = TiffIO.readPixels(out)
+    var k = 0
+    while (k < h0.width * h0.height) {
+      val expected =
+        if (px0(k).isNaN || px1(k).isNaN) Float.NaN
+        else (1.0 * px0(k).toDouble + 2.0 * px1(k).toDouble).toFloat
+      assert(java.lang.Float.compare(expected, pxOut(k)) == 0,
+        s"pixel $k: expected $expected got ${pxOut(k)}")
+      k += 1
+    }
+    // a 96x64 input against the 192x128 grid refuses with the grids
+    // named — map algebra never silently resamples
+    val badSrc = Fixtures.writeCogInputs(s"$root/bad", n = 1)
+    val badDir = s"$root/bad_cogs"
+    Cog.run(spark, badSrc.toDF("filepath", "cog_filename"), badDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val e = intercept[IllegalArgumentException] {
+      CogQuery.mapAlgebra(spark,
+        targets.take(1) :+ (("small", s"$badDir/layer_0.tif", 1.0)),
+        s"$root/derived_bad.tif")
+    }
+    assert(e.getMessage.contains("grid-aligned"), e.getMessage)
+  }
 }

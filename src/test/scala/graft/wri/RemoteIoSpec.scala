@@ -278,6 +278,120 @@ class RemoteIoSpec extends SparkSpec {
     assert(far.isEmpty, "an uncovered box must answer empty")
   }
 
+  test("authenticated range reads: a token-protected mirror 401s the " +
+      "bare reader with the conf key named, and the SAME consumer verbs " +
+      "succeed once the per-host auth header is configured") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val aRoot = Files.createTempDirectory("wriauth").toString
+    val inputs = Fixtures.writeCogInputs(aRoot, n = 1, w = 96, h = 64)
+    val cid = Model.collectionId
+    val stacRoot = s"$aRoot/stac"
+    val cogDir = s"$stacRoot/collections/$cid/cogs"
+    Cog.run(spark, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    val consistent = inputs.map(_._2).toDF("cog_filename").select(
+      col("cog_filename"), lit(5070).as("crs_epsg"),
+      lit("indicator").as("data_type"), lit("water").as("wri_domain"),
+      lit("status").as("wri_dimension"),
+      lit(gx).as("extent_xmin"), lit(gx + 96 * 90.0).as("extent_xmax"),
+      lit(gy - 64 * 90.0).as("extent_ymin"), lit(gy).as("extent_ymax"))
+    val itemsDir = s"$stacRoot/collections/$cid/items"
+    Stac.writeItems(Stac.buildItems(spark, consistent,
+      hostedProbe = _ => true), itemsDir)
+    val (minx, miny) = (gx + 10.3 * 90.0, gy - 50.7 * 90.0)
+    val (maxx, maxy) = (gx + 80.6 * 90.0, gy - 5.2 * 90.0)
+    val localStats = CogQuery.windowStatsGeo(spark, cogDir,
+        Seq("layer_0.tif"), minx, miny, maxx, maxy)
+      .select("n_valid", "vs_sum").head().toSeq
+    val bearer = "Authorization" -> "Bearer sesame-42"
+    TestHttp.withHttpServer(cogDir, requireAuth = Some(bearer)) { base =>
+      // bare reader: 401 names the per-host conf key, no retry loop
+      val e = intercept[IllegalArgumentException] {
+        new HttpRangeReader(s"$base/layer_0.tif").length
+      }
+      assert(e.getMessage.contains("401") &&
+        e.getMessage.contains("graft.http.auth.header.127.0.0.1"),
+        e.getMessage)
+      // a configured-but-wrong credential reports the rejection as a
+      // credential problem, not a missing-conf problem
+      val bad = intercept[IllegalArgumentException] {
+        new HttpRangeReader(s"$base/layer_0.tif",
+          headers = Seq("Authorization" -> "Bearer wrong")).length
+      }
+      assert(bad.getMessage.contains("rejected it"), bad.getMessage)
+      // the consumer verb without the conf dies on the auth failure
+      // (wrapped by the task; the root message survives)
+      val verbErr = intercept[Exception] {
+        Stac.getLayerNative(spark, itemsDir, "layer_0",
+          minx, miny, maxx, maxy, hrefBase = Some(base),
+          hostedOnly = true).count()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse(""))).mkString(" | ")
+      assert(rootMsg(verbErr).contains("401"), rootMsg(verbErr).take(400))
+      // with the per-host conf set, the SAME verbs stream the window —
+      // auth is transport, not semantics: stats equal the local read
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val key = s"${RangeReader.AuthHeaderPrefix}127.0.0.1"
+      hconf.set(key, s"${bearer._1}: ${bearer._2}")
+      try {
+        val viaAuth = Stac.getLayerNative(spark, itemsDir, "layer_0",
+            minx, miny, maxx, maxy, hrefBase = Some(base),
+            hostedOnly = true)
+          .select("n_valid", "vs_sum").head().toSeq
+        assert(viaAuth == localStats,
+          "the authenticated HTTP read drifted from the local read")
+        val crop = Stac.getLayerData(spark, itemsDir, "layer_0",
+          minx, miny, maxx, maxy, hrefBase = Some(base),
+          hostedOnly = true)
+        assert(crop.count() > 0, "the authenticated crop read no pixels")
+      } finally hconf.unset(key)
+    }
+  }
+
+  test("the catalog-target resolve is capped loudly: a select-everything " +
+      "filter over an over-cap catalog refuses with remediation BEFORE " +
+      "opening any raster, instead of collecting the catalog silently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val capRoot = Files.createTempDirectory("wricap").toString
+    val gx = -5216639.6695348294
+    val gy = 6199081.688491997
+    val consistent = (0 until 5).map(i => s"cap_$i.tif").toDF("cog_filename")
+      .select(col("cog_filename"), lit(5070).as("crs_epsg"),
+        lit("indicator").as("data_type"), lit("water").as("wri_domain"),
+        lit("status").as("wri_dimension"),
+        lit(gx).as("extent_xmin"), lit(gx + 96 * 90.0).as("extent_xmax"),
+        lit(gy - 64 * 90.0).as("extent_ymin"), lit(gy).as("extent_ymax"))
+    val itemsDir = s"$capRoot/items"
+    // items only, NO rasters behind them — if the refusal came after
+    // target resolution, the read would die on a missing file instead
+    Stac.writeItems(Stac.buildItems(spark, consistent), itemsDir)
+    sys.props("graft.stac.maxCatalogTargets") = "3"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Stac.catalogWindowStats(spark, itemsDir,
+          173.60, 54.70, 173.85, 54.92).count()
+      }
+      assert(e.getMessage.contains("narrow the filter"), e.getMessage)
+    } finally sys.props -= "graft.stac.maxCatalogTargets"
+    // a filter that pins the match set under the cap resolves fine (and
+    // then fails on the absent raster — proving the cap check ran FIRST
+    // above, on the same catalog)
+    sys.props("graft.stac.maxCatalogTargets") = "3"
+    try {
+      val ok = Stac.catalogWindowStats(spark, itemsDir,
+        173.60, 54.70, 173.85, 54.92,
+        filter = col("item_id").isin("cap_0", "cap_1"))
+      val err = intercept[Exception] { ok.count() }
+      assert(!err.getMessage.contains("narrow the filter"))
+    } finally sys.props -= "graft.stac.maxCatalogTargets"
+  }
+
   // ---- HttpRangeReader robustness contract -----------------------------
 
   private lazy val cogFile = {

@@ -68,6 +68,107 @@ class StacRefreshSpec extends SparkSpec {
       "collection.json does not track the post-delta item set")
   }
 
+  test("a refresh that FLIPS an item's hosted status is surfaced " +
+      "distinctly in the audit — a CI run that omits the build-time " +
+      "hostedProbe must not read as an ordinary rewrite") {
+    val root = java.nio.file.Files
+      .createTempDirectory("stac_refresh_hosted").toString
+    val meta = consistentOf(Seq("host.tif" -> 0.0, "plain.tif" -> 0.0))
+    Stac.run(spark, meta, root, hostedProbe = _ == "host.tif")
+    // with the SAME probe the refresh is a no-op — the documented
+    // contract: pass the build-time probe on refresh
+    val same = Stac.refreshCatalog(spark, meta, root,
+        hostedProbe = _ == "host.tif")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(same.values.forall(_ == "unchanged"), same.toString)
+    // the probe-omitting refresh: host.tif silently demotes — the
+    // audit must NAME the hosted-status flip, not bury it in
+    // "rewritten"
+    val audit = Stac.refreshCatalog(spark, meta, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(audit == Map("host" -> "rewritten(is_hosted)",
+      "plain" -> "unchanged"), audit.toString)
+  }
+
+  test("streaming catalog refresh: file arrivals become catalog updates " +
+      "— two micro-batches (new layer + re-delivered layer) end equal " +
+      "to the batch twin over the final tree, and a replayed batch is " +
+      "a no-op") {
+    import Model.Expected
+    val root = java.nio.file.Files
+      .createTempDirectory("stac_stream").toString
+    val dataDir = s"$root/data"
+    val validGeo = TiffIO.GeoInfo(Expected.epsg, Expected.resX,
+      Expected.resY, gx, gy)
+    def putLayer(base: String, rel: String): Unit = {
+      val p = java.nio.file.Paths.get(base, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      TiffWriter.writeHeaderFixture(p.toString,
+        Fixtures.W, Fixtures.H, validGeo)
+    }
+    // batch 1: an aggregate + an indicator (its first delivery)
+    putLayer(dataDir, "air_quality/air_quality_domain_score.tif")
+    putLayer(dataDir, "water/indicators/flow_recovery_v1.tif")
+    val stacRoot = s"$root/stac"
+    val itemsDir = s"$stacRoot/collections/${Model.collectionId}/items"
+    val q = Stac.streamingCatalogRefresh(spark, dataDir,
+      s"$root/meta", stacRoot, s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(Stac.listItemIds(itemsDir) ==
+        Seq("air_quality_domain_score", "flow_recovery_v1"))
+      val flowV1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+        .get(s"$itemsDir/flow_recovery_v1.json")).toSeq
+      // batch 2: a NEW layer arrives, and flow_recovery_v1 is
+      // RE-DELIVERED from a new path (re-uploads land as new files) —
+      // its domain classification changes, so the document must follow
+      putLayer(dataDir, "livelihoods/indicators/jobs_resistance_v1.tif")
+      putLayer(dataDir, "carbon/indicators/flow_recovery_v1.tif")
+      q.processAllAvailable()
+      assert(Stac.listItemIds(itemsDir) ==
+        Seq("air_quality_domain_score", "flow_recovery_v1",
+          "jobs_resistance_v1"))
+      assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+        .get(s"$itemsDir/flow_recovery_v1.json")).toSeq != flowV1,
+        "the re-delivered layer's document did not follow the delivery")
+    } finally q.stop()
+    // the streamed catalog equals the BATCH twin over the final tree
+    // (the state a hand rerun of 02b would see after the uploads)
+    val twinData = s"$root/twin_data"
+    putLayer(twinData, "air_quality/air_quality_domain_score.tif")
+    putLayer(twinData, "carbon/indicators/flow_recovery_v1.tif")
+    putLayer(twinData, "livelihoods/indicators/jobs_resistance_v1.tif")
+    val twinRoot = s"$root/twin_stac"
+    Stac.run(spark, Inventory.run(spark, twinData).consistent, twinRoot)
+    val twinItems = s"$twinRoot/collections/${Model.collectionId}/items"
+    Stac.listItemIds(twinItems).foreach { id =>
+      val a = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$itemsDir/$id.json")), "UTF-8")
+      val b = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$twinItems/$id.json")), "UTF-8")
+      assert(a == b, s"streamed item $id drifted from the batch twin")
+    }
+    // replay safety: the SAME micro-batch body run twice with one batch
+    // id (the post-crash foreachBatch contract) leaves store and
+    // catalog byte-identical — overwrite landing + delta refresh
+    import spark.implicits._
+    val replay = Seq(
+      s"$dataDir/livelihoods/indicators/jobs_resistance_v1.tif")
+      .map(p => (p, new java.io.File(p).length))
+      .toDF("path", "length")
+    Stac.refreshBatch(replay, 99L, s"$root/meta", stacRoot,
+      _ => false)
+    val mtimes = Stac.listItemIds(itemsDir).map(id =>
+      id -> new java.io.File(s"$itemsDir/$id.json").lastModified).toMap
+    Thread.sleep(1100) // local-fs mtime granularity
+    Stac.refreshBatch(replay, 99L, s"$root/meta", stacRoot,
+      _ => false)
+    Stac.listItemIds(itemsDir).foreach { id =>
+      assert(new java.io.File(s"$itemsDir/$id.json").lastModified ==
+        mtimes(id), s"replaying a micro-batch rewrote item $id")
+    }
+  }
+
   test("an EMPTY metadata table refuses the refresh BEFORE touching " +
       "anything — an upstream outage reading zero rows cannot gut a " +
       "published catalog through pruneOrphans") {

@@ -21,7 +21,10 @@ object TestHttp {
       requested: Option[java.util.concurrent.ConcurrentLinkedQueue[String]] =
         None,
       gets: Option[java.util.concurrent.ConcurrentLinkedQueue[String]] =
-        None)(f: String => T): T = {
+        None,
+      // when set, every request must carry this exact (name, value)
+      // header or be answered 401 — the token-protected-mirror knob
+      requireAuth: Option[(String, String)] = None)(f: String => T): T = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val failures = new AtomicInteger(failFirstN)
@@ -41,6 +44,10 @@ object TestHttp {
         exchange.getResponseHeaders.set("Location",
           redirectTo.get + exchange.getRequestURI.getPath)
         exchange.sendResponseHeaders(301, -1)
+        exchange.close()
+      } else if (requireAuth.exists { case (n, v) =>
+          exchange.getRequestHeaders.getFirst(n) != v }) {
+        exchange.sendResponseHeaders(401, -1)
         exchange.close()
       } else {
         val file = new java.io.File(dir, exchange.getRequestURI.getPath)

@@ -1205,6 +1205,20 @@ object Dev {
           .agg(min("approx_d2"), expr("percentile(approx_d2, 0.5)"),
             max("approx_d2"), count(lit(1)))
           .show(false)
+      case "qiso" =>
+        // the generalized isolation protocol (q115iso/q105iso's shape):
+        // Dev qiso <sfDir> <query-name-prefix> — 3 passes with cache
+        // hygiene; steady state = passes 2-3. Classify a benchdiff flag
+        // as regression vs ambient BEFORE treating it as real.
+        val q = SparkEntry.registry.find(_.name.startsWith(args(2)))
+          .getOrElse(sys.error(s"no registered query matches '${args(2)}'"))
+        (1 to 3).foreach { pass =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          time(s"${q.name} isolated (pass $pass)")(
+            q.fn(spark, sfDir).count())
+        }
       case "q105iso" =>
         // round-13 bench read 1.135 s vs round-12's 0.843 s (1.35x) —
         // the only >1.3x common-tail drift that round (passed the gate

@@ -300,7 +300,11 @@ object CogQuery {
     * grouped into per-task CHUNKS of [[ReadChunkTiles]] so one reader
     * open + one header-prefix read amortizes over the chunk instead
     * of repeating per tile — fan-out granularity stays tile-scale,
-    * header overhead drops by the chunk factor. */
+    * header overhead drops by the chunk factor (8 tiles/task: a
+    * 64-tile layer costs 8 header reads, not 64, while still fanning
+    * 8-wide). SCALE-pinned: the 16-layer 2048x2048 crop (67M pixel
+    * rows, 128 chunk tasks) answers in single-digit seconds at sf0.1
+    * (SCALE.md `cog_crop_16layers_2k`). */
   def readWindowGeo(spark: SparkSession, cogDir: String,
       layers: Seq[String],
       minx: Double, miny: Double, maxx: Double, maxy: Double,

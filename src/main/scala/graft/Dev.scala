@@ -591,6 +591,15 @@ object Dev {
               wri.Stac.catalogWindowStats(spark, itemsDir,
                 173.60, 54.70, 173.85, 54.92).count()
             }),
+          ("map_algebra_16layers_2k", "16-layer weighted-sum map algebra over 2048x2048 grids -> one derived COG: per-tile-chunk combine fan-out (16 range reads per tile), single writer task",
+            () => {
+              val (cogDir, layers) = cropLayers16
+              val out = s"$cogDir/../derived_scale.tif"
+              wri.CogQuery.mapAlgebra(spark,
+                layers.zipWithIndex.map { case (n, i) =>
+                  (n, s"$cogDir/$n", (i + 1).toDouble) },
+                out, wri.TiffWriter.CogOptions(blockSize = 256)).count()
+            }),
           ("catalog_qa_64layers", "64-item catalog sweep",
             () => {
               val (_, itemsDir, _, _, _) = catalog64

@@ -209,8 +209,12 @@ object Takedown {
     * coalesce(..., false), nor crash the ingest under ANSI casting. On
     * the normal bigint column the cast is a no-op and the plan is
     * unchanged. Ids are INTEGRAL by contract (every store keys on
-    * bigint ids); a fractional id column is compared after truncation
-    * (3.7 compares as 3), so keep fractional values out of id columns.
+    * bigint ids); a FRACTIONAL id column is REFUSED loudly rather than
+    * compared after truncation — `try_cast(3.7 as bigint)` is 3, so a
+    * double column would silently BLOCK 3.7 whenever 3 is registered
+    * (and admit nothing it should not, but a compliance guard that
+    * drops the wrong rows is as broken as one that keeps them).
+    * String/integer columns keep their documented semantics.
     *
     * The anti-join arms alias the blocked-id side to a name GENERATED
     * to miss every batch column — a fixed `__takedown_id` would make
@@ -219,6 +223,19 @@ object Takedown {
   def guard(batch: DataFrame, idCol: String,
       callerIds: Option[DataFrame], fs: FileSystem,
       dir: String): DataFrame = {
+    batch.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           (_: org.apache.spark.sql.types.DecimalType) =>
+        throw new IllegalArgumentException(
+          s"takedown guard: id column '$idCol' is " +
+            s"${batch.schema(idCol).dataType.simpleString} — ids are " +
+            "integral by contract, and comparing a fractional column " +
+            "through bigint truncation would block 3.7 whenever 3 is " +
+            "registered. Cast the column to bigint explicitly (deciding " +
+            "the rounding yourself) before ingesting.")
+      case _ =>
+    }
     val idL = expr(s"try_cast(`$idCol` as bigint)")
     val joinCol = Iterator.from(0).map(i => s"__takedown_id_$i")
       .find(n => !batch.columns.contains(n)).get

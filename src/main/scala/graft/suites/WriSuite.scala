@@ -30,8 +30,67 @@ object WriSuite {
     Q("wri_zonal_stats", wriZonalStats, Some(wriZonalStatsSql)),
     Q("wri_refresh_catalog", wriRefreshCatalog, Some(wriRefreshCatalogSql)),
     Q("wri_read_window", wriReadWindow, Some(wriReadWindowSql)),
-    Q("wri_map_algebra", wriMapAlgebra, Some(wriMapAlgebraSql))
+    Q("wri_map_algebra", wriMapAlgebra, Some(wriMapAlgebraSql)),
+    Q("wri_map_algebra_mean", wriMapAlgebraMean, Some(wriMapAlgebraMeanSql))
   )
+
+  /** [[wriMapAlgebra]]'s mask-TOLERANT twin (`combine = "wmean"`): the
+    * weighted mean over the PRESENT inputs — the scoring rule for
+    * layers whose nodata masks do not coincide. The fixture masks are
+    * disjoint by construction ((j+i)%13 hits one layer per pixel at
+    * most), so every window pixel has >= 3 present inputs and the
+    * oracle replays num/den exactly: absent layers contribute +0 to
+    * both sums, which is IEEE-exact against the skip-the-term Scala
+    * fold. n_nan must be ZERO — the property that separates wmean from
+    * wsum, whose oracle NULLs every masked pixel. */
+  private def wriMapAlgebraMean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(s"$fixtureRoot/winq",
+      n = 4, w = 192, h = 128)
+    val cogDir = s"$fixtureRoot/winq_cogs"
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val out = s"$fixtureRoot/derived/wri_score_mean.tif"
+    CogQuery.mapAlgebra(s,
+      inputs.map(_._2).zipWithIndex.map { case (n, i) =>
+        (n, s"$cogDir/$n", (i + 1).toDouble) },
+      out, TiffWriter.CogOptions(blockSize = 32),
+      combine = "wmean").count()
+    CogQuery.windowStatsGeoAt(s, Seq(("wri_score_mean.tif", out)),
+        minx = qaGx + 25.4 * 90.0, maxx = qaGx + 102.2 * 90.0,
+        miny = qaGy - 58.3 * 90.0, maxy = qaGy - 7.6 * 90.0)
+      .select(col("layer"), col("n_valid"), col("n_nan"),
+        col("vs_sum"), col("vs_min"), col("vs_max"))
+  }
+
+  private val wriMapAlgebraMeanSql =
+    """WITH px AS (
+      |  SELECT (y.range * 192 + x.range) AS j
+      |  FROM range(25, 103) x, range(7, 59) y),
+      |v AS (SELECT
+      |    CAST(round(CAST(CAST(
+      |      ( (CASE WHEN j % 13 = 0 THEN 0
+      |           ELSE 1 * CAST(CAST((j * 3) % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE) END)
+      |      + (CASE WHEN (j + 1) % 13 = 0 THEN 0
+      |           ELSE 2 * CAST(CAST((j * 4) % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE) END)
+      |      + (CASE WHEN (j + 2) % 13 = 0 THEN 0
+      |           ELSE 3 * CAST(CAST((j * 5) % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE) END)
+      |      + (CASE WHEN (j + 3) % 13 = 0 THEN 0
+      |           ELSE 4 * CAST(CAST((j * 6) % 101 AS REAL) / CAST(7 AS REAL) AS DOUBLE) END) )
+      |      /
+      |      ( (CASE WHEN j % 13 = 0 THEN 0 ELSE 1 END)
+      |      + (CASE WHEN (j + 1) % 13 = 0 THEN 0 ELSE 2 END)
+      |      + (CASE WHEN (j + 2) % 13 = 0 THEN 0 ELSE 3 END)
+      |      + (CASE WHEN (j + 3) % 13 = 0 THEN 0 ELSE 4 END) )
+      |    AS REAL) AS DOUBLE) * 10000) AS BIGINT) AS vs
+      |  FROM px)
+      |SELECT 'wri_score_mean.tif' AS layer,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v""".stripMargin
 
   /** Multi-layer map algebra ([[CogQuery.mapAlgebra]] — the science
     * step the WRI layers came from: indicators -> aggregates -> final

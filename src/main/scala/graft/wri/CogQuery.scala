@@ -417,11 +417,15 @@ object CogQuery {
     * the output is immediately consumable by every query verb and
     * publishable to the catalog.
     *
-    * Semantics (oracle-pinned): `out = Σ wᵢ·vᵢ` accumulated in DOUBLE
-    * in input order, stored as float32; a pixel where ANY input is NaN
-    * is NaN (mask propagation — the reference's layers share one nodata
-    * mask, and an aggregate must not fabricate values where an
-    * indicator abstains).
+    * Semantics (oracle-pinned), chosen by `combine`:
+    *  - `"wsum"` (default): `out = Σ wᵢ·vᵢ` accumulated in DOUBLE in
+    *    input order, stored as float32; a pixel where ANY input is NaN
+    *    is NaN (strict mask propagation — an aggregate must not
+    *    fabricate values where an indicator abstains);
+    *  - `"wmean"`: `out = Σ wᵢ·vᵢ / Σ wᵢ` over the PRESENT (non-NaN)
+    *    inputs only — the mask-tolerant scoring rule for layers whose
+    *    nodata masks do NOT coincide (a score from the indicators that
+    *    exist there); NaN only where every input is NaN.
     *
     * Scale shape — three jobs, each the right granularity:
     *  1. one small task per INPUT: header prefix -> grid signature;
@@ -444,9 +448,13 @@ object CogQuery {
       outPath: String,
       opts: TiffWriter.CogOptions = TiffWriter.CogOptions(),
       epsg: Int = Model.Expected.epsg,
-      prefixBytes: Int = 16 * 1024): DataFrame = {
+      prefixBytes: Int = 16 * 1024,
+      combine: String = "wsum"): DataFrame = {
     import spark.implicits._
     require(inputs.nonEmpty, "no input layers to combine")
+    require(combine == "wsum" || combine == "wmean",
+      s"combine must be 'wsum' or 'wmean': '$combine'")
+    val wmean = combine == "wmean"
     // job 1: grid signatures, one small task per input
     val grids = withReaderAt(spark,
       inputs.map(t => (t._1, t._2)), prefixBytes) { (name, _, _, prefix) =>
@@ -505,14 +513,19 @@ object CogQuery {
               while (k < out.length) {
                 var nan = false
                 var acc = 0.0
+                var accW = 0.0
                 var i = 0
                 while (i < pxs.length) {
                   val v = pxs(i)(k)
                   if (java.lang.Float.isNaN(v)) nan = true
-                  else acc += wts(i) * v.toDouble
+                  else { acc += wts(i) * v.toDouble; accW += wts(i) }
                   i += 1
                 }
-                out(k) = if (nan) Float.NaN else acc.toFloat
+                out(k) =
+                  if (wmean) {
+                    if (accW == 0.0) Float.NaN else (acc / accW).toFloat
+                  } else if (nan) Float.NaN
+                  else acc.toFloat
                 k += 1
               }
               (t, out)

@@ -126,6 +126,24 @@ class TakedownSpec extends SparkSpec {
       s"caller-list arm disagreed with the IN-list arm: $keptJoin")
   }
 
+  test("guard refuses a FRACTIONAL id column loudly — bigint truncation " +
+      "would block 3.7 whenever 3 is registered, so the rounding " +
+      "decision stays with the caller") {
+    val d = tmp("takedown_frac")
+    Takedown.register(spark, d, Seq(3L).toDF("doc_id"), "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Takedown.guard(Seq(3.7, 4.0).toDF("doc_id"), "doc_id", None,
+        fsOf(d), d)
+    }
+    assert(e.getMessage.contains("integral by contract"), e.getMessage)
+    // the sanctioned path: an explicit caller-side cast works
+    val kept = Takedown.guard(
+      Seq(3.7, 4.0).toDF("doc_id")
+        .select(col("doc_id").cast("long").as("doc_id")),
+      "doc_id", None, fsOf(d), d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L), s"explicit-cast path kept $kept")
+  }
+
   test("guard's anti-join arms survive a batch that already carries a " +
       "__takedown_id-shaped column: the blocked-id side is aliased to " +
       "a generated name, so the join is never ambiguous") {

@@ -384,6 +384,24 @@ class CogQuerySpec extends SparkSpec {
         s"pixel $k: expected $expected got ${pxOut(k)}")
       k += 1
     }
+    // the mask-TOLERANT mode: weighted mean over PRESENT inputs —
+    // NaN only where every input is NaN (here: never, masks are
+    // disjoint), value = (1*v0 + 2*v1) / 3 or the single present term
+    val outMean = s"$root/derived_mean.tif"
+    CogQuery.mapAlgebra(spark, targets, outMean,
+      TiffWriter.CogOptions(blockSize = 32), combine = "wmean").count()
+    val (_, pxMean) = TiffIO.readPixels(outMean)
+    k = 0
+    while (k < h0.width * h0.height) {
+      var acc = 0.0; var accW = 0.0
+      if (!px0(k).isNaN) { acc += 1.0 * px0(k).toDouble; accW += 1.0 }
+      if (!px1(k).isNaN) { acc += 2.0 * px1(k).toDouble; accW += 2.0 }
+      val expected =
+        if (accW == 0.0) Float.NaN else (acc / accW).toFloat
+      assert(java.lang.Float.compare(expected, pxMean(k)) == 0,
+        s"wmean pixel $k: expected $expected got ${pxMean(k)}")
+      k += 1
+    }
     // a 96x64 input against the 192x128 grid refuses with the grids
     // named — map algebra never silently resamples
     val badSrc = Fixtures.writeCogInputs(s"$root/bad", n = 1)

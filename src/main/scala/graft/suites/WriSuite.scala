@@ -31,8 +31,69 @@ object WriSuite {
     Q("wri_refresh_catalog", wriRefreshCatalog, Some(wriRefreshCatalogSql)),
     Q("wri_read_window", wriReadWindow, Some(wriReadWindowSql)),
     Q("wri_map_algebra", wriMapAlgebra, Some(wriMapAlgebraSql)),
-    Q("wri_map_algebra_mean", wriMapAlgebraMean, Some(wriMapAlgebraMeanSql))
+    Q("wri_map_algebra_mean", wriMapAlgebraMean, Some(wriMapAlgebraMeanSql)),
+    Q("wri_stream_refresh", wriStreamRefresh, Some(wriStreamRefreshSql))
   )
+
+  /** §2.8's built mapping as an ORACLE row — the streaming catalog
+    * refresh's micro-batch body ([[Stac.refreshBatch]]) driven
+    * deterministically: batch 0 delivers two layers, batch 1 delivers
+    * a NEW layer and RE-DELIVERS an existing one from a new path (its
+    * domain classification moves water -> carbon), then batch 1
+    * REPLAYS — the post-crash foreachBatch contract. The catalog read
+    * back through [[Stac.readItems]] must show exactly the latest
+    * deliveries: an append-instead-of-overwrite landing, a wrong
+    * latest-wins order, or a non-idempotent replay changes a row and
+    * breaks the hash. The stream-machinery legs (real readStream +
+    * checkpoint, batch-twin byte equality, mtime no-ops) live in
+    * StacRefreshSpec; the fixture resets every run, so replays of the
+    * QUERY are deterministic too. */
+  private def wriStreamRefresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"$fixtureRoot/stream_refresh"
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.wri.WriFs.fs(root, conf)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val dataDir = s"$root/data"
+    def put(rel: String): String = {
+      val p = java.nio.file.Paths.get(dataDir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      TiffWriter.writeHeaderFixture(p.toString,
+        Fixtures.W, Fixtures.H,
+        TiffIO.GeoInfo(graft.wri.Model.Expected.epsg,
+          graft.wri.Model.Expected.resX, graft.wri.Model.Expected.resY,
+          qaGx, qaGy))
+      p.toString
+    }
+    def batchOf(paths: Seq[String]): DataFrame =
+      paths.map(p => (p, new java.io.File(p).length)).toDF("path", "length")
+    val stacRoot = s"$root/stac"
+    val b0 = batchOf(Seq(
+      put("air_quality/air_quality_domain_score.tif"),
+      put("water/indicators/flow_recovery_v1.tif")))
+    Stac.refreshBatch(b0, 0L, s"$root/meta", stacRoot, _ => false)
+    val b1 = batchOf(Seq(
+      put("livelihoods/indicators/jobs_resistance_v1.tif"),
+      put("carbon/indicators/flow_recovery_v1.tif")))
+    Stac.refreshBatch(b1, 1L, s"$root/meta", stacRoot, _ => false)
+    // the replay: same batch id, same rows — must change nothing
+    Stac.refreshBatch(b1, 1L, s"$root/meta", stacRoot, _ => false)
+    Stac.readItems(s,
+        s"$stacRoot/collections/${graft.wri.Model.collectionId}/items")
+      .select(col("item_id"), col("data_type"), col("wri_domain"),
+        col("wri_dimension"), col("is_hosted"))
+      .orderBy(col("item_id"))
+  }
+
+  private val wriStreamRefreshSql =
+    """SELECT * FROM (VALUES
+      |  ('air_quality_domain_score', 'aggregate', 'air_quality',
+      |    'domain_score', false),
+      |  ('flow_recovery_v1', 'indicator', 'carbon', 'recovery', false),
+      |  ('jobs_resistance_v1', 'indicator', 'livelihoods', 'resistance',
+      |    false)
+      |) t(item_id, data_type, wri_domain, wri_dimension, is_hosted)
+      |ORDER BY item_id""".stripMargin
 
   /** [[wriMapAlgebra]]'s mask-TOLERANT twin (`combine = "wmean"`): the
     * weighted mean over the PRESENT inputs — the scoring rule for

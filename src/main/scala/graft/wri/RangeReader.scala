@@ -117,7 +117,13 @@ final class HttpRangeReader(url: String, maxAttempts: Int = 3,
     // Content-Length/Range-offset arithmetic this reader lives on
     c.setRequestProperty("Accept-Encoding", "identity")
     // the host's configured credential (RangeReader.AuthHeaderPrefix)
-    // rides on every request — HEAD and range GETs alike
+    // rides on every request — HEAD and range GETs alike. A credential
+    // NEVER rides a redirect: auto-follow re-sends request properties
+    // to wherever Location points, which would hand the bearer to any
+    // host the (possibly compromised) origin names — so with headers
+    // set, redirects are not followed and surface through
+    // [[rejectRedirect]]'s loud, target-naming refusal instead.
+    if (headers.nonEmpty) c.setInstanceFollowRedirects(false)
     headers.foreach { case (n, v) => c.setRequestProperty(n, v) }
     range.foreach { case (a, b) =>
       c.setRequestProperty("Range", s"bytes=$a-$b")

@@ -904,10 +904,14 @@ object Stac {
       .start()
   }
 
-  /** One micro-batch of [[streamingCatalogRefresh]] — package-visible so
-    * the replay spec can drive the same body twice with one batch id and
-    * pin idempotence. */
-  private[wri] def refreshBatch(batch: DataFrame, batchId: Long,
+  /** One micro-batch of [[streamingCatalogRefresh]] — public because it
+    * IS the composable unit: a caller with its own stream (a queue
+    * consumer, an upload webhook) drives this body per delivery batch
+    * and gets the identical landing/latest-wins/refresh semantics;
+    * replaying a batch id is a byte no-op (the replay spec and the
+    * wri_stream_refresh oracle both pin it). `batch` carries (path,
+    * length) rows for the newly arrived rasters. */
+  def refreshBatch(batch: DataFrame, batchId: Long,
       metaDir: String, stacRoot: String,
       hostedProbe: String => Boolean): Unit = {
     val spark = batch.sparkSession

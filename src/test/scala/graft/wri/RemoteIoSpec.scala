@@ -446,6 +446,20 @@ class RemoteIoSpec extends SparkSpec {
     }
   }
 
+  test("a credential never rides a redirect: with auth headers set, ANY " +
+      "redirect is refused naming the target instead of auto-followed " +
+      "(auto-follow would re-send the bearer to whatever host Location " +
+      "names)") {
+    withHttpServer(Paths.get(cogFile).getParent.toString,
+        redirectTo = Some("http://elsewhere.invalid")) { base =>
+      val e = intercept[IllegalArgumentException] {
+        new HttpRangeReader(s"$base/${Paths.get(cogFile).getFileName}",
+          headers = Seq("Authorization" -> "Bearer secret")).length
+      }
+      assert(e.getMessage.contains("elsewhere.invalid"), e.getMessage)
+    }
+  }
+
   test("a redirect the client cannot follow fails loudly, naming the " +
       "target URL") {
     withHttpServer(Paths.get(cogFile).getParent.toString,

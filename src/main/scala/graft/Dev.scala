@@ -591,6 +591,31 @@ object Dev {
               wri.Stac.catalogWindowStats(spark, itemsDir,
                 173.60, 54.70, 173.85, 54.92).count()
             }),
+          ("stream_refresh_200uploads", "one 200-raster upload batch through Stac.refreshBatch: distributed stage-00 header scan + metadata landing + delta catalog refresh (the streaming verb's per-micro-batch cost)",
+            () => {
+              val root = java.nio.file.Files
+                .createTempDirectory("streamscale").toString
+              val geo = wri.TiffIO.GeoInfo(
+                wri.Model.Expected.epsg, wri.Model.Expected.resX,
+                wri.Model.Expected.resY,
+                -5216639.6695348294, 6199081.688491997)
+              val paths = (0 until 200).map { i =>
+                val p = java.nio.file.Paths.get(root,
+                  s"data/water/indicators/flow_recovery_v$i.tif")
+                java.nio.file.Files.createDirectories(p.getParent)
+                wri.TiffWriter.writeHeaderFixture(p.toString,
+                  wri.Fixtures.W, wri.Fixtures.H, geo)
+                p.toString
+              }
+              import spark.implicits._
+              wri.Stac.refreshBatch(
+                paths.map(p => (p, new java.io.File(p).length))
+                  .toDF("path", "length"),
+                0L, s"$root/meta", s"$root/stac", _ => false)
+              wri.Stac.listItemIds(
+                s"$root/stac/collections/${wri.Model.collectionId}/items")
+                .size.toLong
+            }),
           ("map_algebra_16layers_2k", "16-layer weighted-sum map algebra over 2048x2048 grids -> one derived COG: per-tile-chunk combine fan-out (16 range reads per tile), single writer task",
             () => {
               val (cogDir, layers) = cropLayers16

@@ -921,15 +921,22 @@ object Stac {
       .select(col("filepath"), col("length"),
         Classify.dataType(col("filepath")).as("data_type"))
       .filter(col("data_type") =!= "exclude")
+    // cached across the emptiness probe and the landing write — the
+    // inventory stage reads every batch file's header, and recomputing
+    // it for the second action would pay that I/O twice per micro-batch
     val consistent = Inventory.runListed(spark, listed, None).consistent
-    // idempotent landing: the batch's rows live under their OWN dir,
-    // rewritten whole on replay — appends would double-count a replayed
-    // micro-batch. An all-inconsistent (or all-excluded) batch lands
-    // nothing: an empty parquet dir would poison the accumulated read
-    // (no footer to infer from), and absence is the honest record.
-    if (!consistent.isEmpty)
-      consistent.write.mode("overwrite")
-        .parquet(s"$metaDir/batch=$batchId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // idempotent landing: the batch's rows live under their OWN dir,
+      // rewritten whole on replay — appends would double-count a
+      // replayed micro-batch. An all-inconsistent (or all-excluded)
+      // batch lands nothing: an empty parquet dir would poison the
+      // accumulated read (no footer to infer from), and absence is the
+      // honest record.
+      if (!consistent.isEmpty)
+        consistent.write.mode("overwrite")
+          .parquet(s"$metaDir/batch=$batchId")
+    } finally consistent.unpersist()
     val conf = spark.sparkContext.hadoopConfiguration
     val haveBatches = WriFs.listNames(metaDir, conf)
       .exists(_.startsWith("batch="))

@@ -353,6 +353,27 @@ class RemoteIoSpec extends SparkSpec {
     }
   }
 
+  test("auth-header conf parsing: the value is one 'Name: value' header " +
+      "scoped to its host — other hosts get nothing, a malformed value " +
+      "refuses naming the key, and colons in the value survive") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set(s"${RangeReader.AuthHeaderPrefix}data.example.org",
+      "Authorization: Bearer a:b:c")
+    assert(RangeReader.authHeaderFor(
+      "https://data.example.org/x.tif", conf) ==
+      Seq("Authorization" -> "Bearer a:b:c"),
+      "value colons must survive the one name/value split")
+    assert(RangeReader.authHeaderFor(
+      "https://other.example.org/x.tif", conf).isEmpty,
+      "a credential must never apply to a host it was not scoped to")
+    conf.set(s"${RangeReader.AuthHeaderPrefix}bad.example.org",
+      "no-colon-here")
+    val e = intercept[IllegalArgumentException] {
+      RangeReader.authHeaderFor("http://bad.example.org/y", conf)
+    }
+    assert(e.getMessage.contains("bad.example.org"), e.getMessage)
+  }
+
   test("the catalog-target resolve is capped loudly: a select-everything " +
       "filter over an over-cap catalog refuses with remediation BEFORE " +
       "opening any raster, instead of collecting the catalog silently") {

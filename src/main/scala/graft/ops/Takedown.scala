@@ -154,6 +154,31 @@ object Takedown {
   def registered(fs: FileSystem, dir: String): Set[Long] =
     Commit.readSealedIds(fs, registryPath(dir))
 
+  /** Ids are INTEGRAL by contract (every store keys on bigint ids), and
+    * EVERY id column that reaches a takedown verb goes through the same
+    * refusal: a fractional column compared (or persisted) through bigint
+    * truncation silently rewrites the caller's ids — `cast(3.7 as
+    * bigint)` is 3, so `register(3.7)` would block id 3 and a double
+    * callerIds list would guard the wrong rows. One helper, four call
+    * sites ([[register]], [[unregister]], [[guard]]'s batch column and
+    * its callerIds arm), so no arm of the comparison can truncate what
+    * another arm refuses. */
+  private def requireIntegralIds(df: DataFrame, idCol: String,
+      what: String): Unit =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           (_: org.apache.spark.sql.types.DecimalType) =>
+        throw new IllegalArgumentException(
+          s"takedown $what: id column '$idCol' is " +
+            s"${df.schema(idCol).dataType.simpleString} — ids are " +
+            "integral by contract, and pushing a fractional column " +
+            "through bigint truncation would silently rewrite the ids " +
+            "(3.7 becomes 3). Cast the column to bigint explicitly " +
+            "(deciding the rounding yourself) first.")
+      case _ =>
+    }
+
   /** Union `ids` into the store's persisted registry (idempotent —
     * re-registering is a no-op union; the write is an atomic sealed
     * replace). Returns the full registered set. Registration blocks
@@ -162,6 +187,7 @@ object Takedown {
   def register(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String): Set[Long] = {
     import spark.implicits._
+    requireIntegralIds(ids, idCol, "register")
     val fs = graft.wri.WriFs.fs(dir, spark.sparkContext.hadoopConfiguration)
     val newIds = ids.select(col(idCol).cast("long")).as[Long]
       .collect().toSet
@@ -187,6 +213,7 @@ object Takedown {
   def unregister(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String): Set[Long] = {
     import spark.implicits._
+    requireIntegralIds(ids, idCol, "unregister")
     val fs = graft.wri.WriFs.fs(dir, spark.sparkContext.hadoopConfiguration)
     val gone = ids.select(col(idCol).cast("long")).as[Long]
       .collect().toSet
@@ -213,8 +240,12 @@ object Takedown {
     * compared after truncation — `try_cast(3.7 as bigint)` is 3, so a
     * double column would silently BLOCK 3.7 whenever 3 is registered
     * (and admit nothing it should not, but a compliance guard that
-    * drops the wrong rows is as broken as one that keeps them).
-    * String/integer columns keep their documented semantics.
+    * drops the wrong rows is as broken as one that keeps them). The
+    * refusal covers BOTH sides of every comparison — the batch column
+    * and the caller-supplied blocked list (and [[register]]/
+    * [[unregister]] inputs, via the same helper) — so no arm truncates
+    * what another arm refuses. String/integer columns keep their
+    * documented semantics.
     *
     * The anti-join arms alias the blocked-id side to a name GENERATED
     * to miss every batch column — a fixed `__takedown_id` would make
@@ -223,19 +254,8 @@ object Takedown {
   def guard(batch: DataFrame, idCol: String,
       callerIds: Option[DataFrame], fs: FileSystem,
       dir: String): DataFrame = {
-    batch.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.DoubleType |
-           org.apache.spark.sql.types.FloatType |
-           (_: org.apache.spark.sql.types.DecimalType) =>
-        throw new IllegalArgumentException(
-          s"takedown guard: id column '$idCol' is " +
-            s"${batch.schema(idCol).dataType.simpleString} — ids are " +
-            "integral by contract, and comparing a fractional column " +
-            "through bigint truncation would block 3.7 whenever 3 is " +
-            "registered. Cast the column to bigint explicitly (deciding " +
-            "the rounding yourself) before ingesting.")
-      case _ =>
-    }
+    requireIntegralIds(batch, idCol, "guard")
+    callerIds.foreach(requireIntegralIds(_, idCol, "guard callerIds"))
     val idL = expr(s"try_cast(`$idCol` as bigint)")
     val joinCol = Iterator.from(0).map(i => s"__takedown_id_$i")
       .find(n => !batch.columns.contains(n)).get

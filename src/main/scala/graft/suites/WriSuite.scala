@@ -32,6 +32,7 @@ object WriSuite {
     Q("wri_read_window", wriReadWindow, Some(wriReadWindowSql)),
     Q("wri_map_algebra", wriMapAlgebra, Some(wriMapAlgebraSql)),
     Q("wri_map_algebra_mean", wriMapAlgebraMean, Some(wriMapAlgebraMeanSql)),
+    Q("wri_resample_combine", wriResampleCombine, Some(wriResampleCombineSql)),
     Q("wri_stream_refresh", wriStreamRefresh, Some(wriStreamRefreshSql))
   )
 
@@ -181,6 +182,72 @@ object WriSuite {
       .select(col("layer"), col("n_valid"), col("n_nan"),
         col("vs_sum"), col("vs_min"), col("vs_max"))
   }
+
+  /** The grid-mismatch REMEDIATION path end-to-end
+    * ([[CogQuery.resampleToGrid]] → [[CogQuery.mapAlgebra]]): one layer
+    * arrives on a deliberately OFFSET grid (160x100 at +20px/+10px,
+    * the re-delivery [[CogQuery.mapAlgebra]] refuses outright), gets
+    * NN-regridded onto layer_0's grid, then combined 1*layer_0 +
+    * 2*resampled into a derived COG whose window stats the oracle
+    * replays analytically: per output cell the source pixel is the
+    * exact index shift (x-20, y-10), NaN above the source's top edge
+    * (y < 10) and wherever either input's fixture mask hits — a wrong
+    * NN mapping, a mis-stamped geotransform on the derived file, or an
+    * out-of-range read changes a value and breaks the hash. */
+  private def wriResampleCombine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(s"$fixtureRoot/winq",
+      n = 4, w = 192, h = 128)
+    val cogDir = s"$fixtureRoot/winq_cogs"
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val refCog = s"$cogDir/layer_0.tif"
+    // the offset delivery: layer_0's value family on a shifted grid
+    val (sw, sh) = (160, 100)
+    val srcPx = Array.tabulate(sw * sh)(j =>
+      if (j % 13 == 0) Float.NaN else ((j * 3) % 101) / 7.0f)
+    val src = s"$fixtureRoot/derived/resample_src.tif"
+    TiffWriter.writeCog(src, sw, sh, srcPx,
+      TiffIO.GeoInfo(graft.wri.Model.Expected.epsg, 90.0, 90.0,
+        qaGx + 20 * 90.0, qaGy - 10 * 90.0),
+      TiffWriter.CogOptions(blockSize = 32))
+    val aligned = s"$fixtureRoot/derived/resample_aligned.tif"
+    CogQuery.resampleToGrid(s, src, refCog, aligned,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val out = s"$fixtureRoot/derived/wri_resample_derived.tif"
+    CogQuery.mapAlgebra(s, Seq(("layer_0.tif", refCog, 1.0),
+      ("aligned", aligned, 2.0)), out,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    CogQuery.windowStatsGeoAt(s, Seq(("wri_resample_derived.tif", out)),
+        minx = qaGx + 25.4 * 90.0, maxx = qaGx + 102.2 * 90.0,
+        miny = qaGy - 58.3 * 90.0, maxy = qaGy - 7.6 * 90.0)
+      .select(col("layer"), col("n_valid"), col("n_nan"),
+        col("vs_sum"), col("vs_min"), col("vs_max"))
+  }
+
+  private val wriResampleCombineSql =
+    """WITH px AS (
+      |  SELECT x.range AS x, y.range AS y
+      |  FROM range(25, 103) x, range(7, 59) y),
+      |v AS (SELECT
+      |    CASE WHEN (y * 192 + x) % 13 = 0 THEN NULL
+      |         WHEN y < 10 THEN NULL
+      |         WHEN ((y - 10) * 160 + (x - 20)) % 13 = 0 THEN NULL
+      |      ELSE CAST(round(CAST(CAST(
+      |          1 * CAST(CAST(((y * 192 + x) * 3) % 101 AS REAL)
+      |              / CAST(7 AS REAL) AS DOUBLE)
+      |        + 2 * CAST(CAST((((y - 10) * 160 + (x - 20)) * 3) % 101 AS REAL)
+      |              / CAST(7 AS REAL) AS DOUBLE)
+      |        AS REAL) AS DOUBLE) * 10000) AS BIGINT)
+      |    END AS vs
+      |  FROM px)
+      |SELECT 'wri_resample_derived.tif' AS layer,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v""".stripMargin
 
   private val wriMapAlgebraSql =
     """WITH px AS (

@@ -429,8 +429,11 @@ object CogQuery {
     *
     * Scale shape — three jobs, each the right granularity:
     *  1. one small task per INPUT: header prefix -> grid signature;
-    *     inputs must share width/height/tile grid/geotransform exactly
-    *     (refused loudly otherwise — resampling is a different verb);
+    *     inputs must share width/height/tile grid/geotransform AND CRS
+    *     exactly (refused loudly otherwise — resampling is a different
+    *     verb: [[resampleToGrid]]); the derived COG is stamped with the
+    *     inputs' shared EPSG code (the `epsg` parameter only labels
+    *     inputs that carry no GeoKey of their own);
     *  2. one task per TILE CHUNK: reads this chunk's tiles from EVERY
     *     input by byte range ([[ReadChunkTiles]] tiles per task, k
     *     range reads per tile for k inputs) and combines — an 82-input
@@ -461,7 +464,7 @@ object CogQuery {
       val full = TiffIO.levelLayoutsFromPrefix(prefix).head
       val (resX, resY, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
       (name, full.width, full.height, full.tileWidth, full.tileHeight,
-        resX, resY, gx, gy)
+        resX, resY, gx, gy, TiffIO.epsgFromPrefix(prefix))
     }.collect().toSeq
     val ref = grids.head
     grids.foreach { g =>
@@ -470,7 +473,26 @@ object CogQuery {
         s"input '${g._1}' grid (${g._2}x${g._3} tiles ${g._4}x${g._5}) " +
           s"does not match '${ref._1}' (${ref._2}x${ref._3} tiles " +
           s"${ref._4}x${ref._5}) — map algebra needs grid-aligned " +
-          "inputs; resample first")
+          "inputs; resample first (resampleToGrid)")
+      // the CRS is part of the grid: equal pixel indices in two
+      // different projections are different places on Earth, and the
+      // output is stamped with ONE code — combining across codes would
+      // silently mislabel the derived raster's georeferencing
+      require(g._10 == ref._10,
+        s"input '${g._1}' CRS (EPSG:${g._10.getOrElse("<unlabelled>")}) " +
+          s"does not match '${ref._1}' " +
+          s"(EPSG:${ref._10.getOrElse("<unlabelled>")}) — map algebra " +
+          "needs one shared CRS; reproject first")
+    }
+    // the output inherits the inputs' SHARED code when they carry one;
+    // a caller-passed epsg that contradicts it is refused, not obeyed —
+    // the parameter only labels inputs that carry no GeoKey themselves
+    val outEpsg = ref._10.getOrElse(epsg)
+    ref._10.foreach { e =>
+      require(epsg == Model.Expected.epsg || epsg == e,
+        s"epsg parameter ($epsg) contradicts the inputs' own CRS " +
+          s"(EPSG:$e) — drop the parameter (the inputs' code wins) or " +
+          "reproject the inputs")
     }
     val (w, h, tw, th) = (ref._2, ref._3, ref._4, ref._5)
     require(tw > 0 && th > 0, s"'${ref._1}' is not tiled — not a COG")
@@ -534,9 +556,27 @@ object CogQuery {
         }
       }
     // job 3: one assembler/writer task — the Cog.run task memory unit
+    assembleDerivedCog(combined, w, h, tw, th, outPath,
+      TiffIO.GeoInfo(outEpsg, resX, resY, gx, gy), opts, confBc)
+  }
+
+  /** Job-3 shape shared by the derived-COG verbs ([[mapAlgebra]],
+    * [[resampleToGrid]]): the combined (tileIndex, pixels) rows shuffle
+    * to ONE assembler task that mosaics the raster and writes the COG
+    * (+ pyramid) — the same one-raster-in-memory unit as a [[Cog.run]]
+    * encode task; the upstream per-tile stage is where the parallelism
+    * lives. Returns the one-row stat frame. */
+  private def assembleDerivedCog(
+      combined: org.apache.spark.sql.Dataset[(Int, Array[Float])],
+      w: Int, h: Int, tw: Int, th: Int, outPath: String,
+      geo: TiffIO.GeoInfo, opts: TiffWriter.CogOptions,
+      confBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.SerializableWritable[
+          org.apache.hadoop.conf.Configuration]]): DataFrame = {
+    val spark = combined.sparkSession
+    import spark.implicits._
     val (ww, hh, ttw, tth) = (w, h, tw, th)
-    val (oPath, oEpsg) = (outPath, epsg)
-    val oOpts = opts
+    val (oPath, oGeo, oOpts) = (outPath, geo, opts)
     combined.repartition(1).mapPartitions { it =>
       val conf = confBc.value.value
       val px = new Array[Float](ww * hh)
@@ -557,8 +597,7 @@ object CogQuery {
           y += 1
         }
       }
-      TiffWriter.writeCog(oPath, ww, hh, px,
-        TiffIO.GeoInfo(oEpsg, resX, resY, gx, gy), oOpts, conf)
+      TiffWriter.writeCog(oPath, ww, hh, px, oGeo, oOpts, conf)
       var nValid = 0L; var nNan = 0L
       var k = 0
       while (k < px.length) {
@@ -567,6 +606,168 @@ object CogQuery {
       }
       Iterator.single(MapAlgebraStat(oPath, ww, hh, tiles, nValid, nNan))
     }.toDF()
+  }
+
+  /** How many DECODED source tiles one resample task keeps at once —
+    * output tiles in a chunk are adjacent, so covering source tiles
+    * repeat heavily; past the cap the least-recently-used is dropped
+    * and at worst re-fetched (range reads are idempotent). 64 tiles of
+    * 256x256 Float32 is ~16 MB — the task memory bound that makes the
+    * shape safe at any raster size. */
+  private val ResampleTileCacheCap = 64
+
+  /** Nearest-neighbor REGRID of one COG onto a reference layer's exact
+    * grid (geotransform + dimensions + tiling) — the remediation verb
+    * behind [[mapAlgebra]]'s grid-mismatch refusal: the day one layer
+    * arrives on a shifted origin / different resolution / different
+    * size, `resampleToGrid(src, ref)` derives an aligned twin and the
+    * combine proceeds. Same-CRS only by contract (equal codes checked
+    * from both headers' GeoKeys): regridding never reprojects, because
+    * a pixel-index mapping between two CRSs is not a grid shift —
+    * reprojection is [[Geo]]'s business end-to-end, not a side effect
+    * here. (The reference pipeline asserts one uniform grid and never
+    * resamples — `00b_create_cogs.R:40-48`; this verb exists so that
+    * assertion has an actionable remediation instead of a dead end.)
+    *
+    * Each OUTPUT pixel takes the source pixel whose cell contains the
+    * output pixel's center (pixel-is-area floor mapping, the
+    * [[boxToPixels]] convention); centers falling outside the source
+    * raster are NaN — resampling never invents data past the edge.
+    * Identity grids round-trip bytes exactly (NN copies floats).
+    *
+    * Scale shape — the [[mapAlgebra]] three-job pattern:
+    *  1. one small task per input: header prefix -> grid signature +
+    *     CRS for source and reference (reference pixels are never
+    *     read — only its header prefix);
+    *  2. one task per OUTPUT tile chunk: computes which source tiles
+    *     cover the chunk's pixel centers, range-reads exactly those,
+    *     and samples — with an LRU decoded-tile cache capped at
+    *     [[ResampleTileCacheCap]] so task memory stays bounded no
+    *     matter how the grids shear against each other;
+    *  3. ONE writer task ([[assembleDerivedCog]]).
+    *
+    * Returns one stat row: (out, width, height, tiles, n_valid, n_nan). */
+  def resampleToGrid(spark: SparkSession,
+      srcPath: String, refPath: String, outPath: String,
+      opts: TiffWriter.CogOptions = TiffWriter.CogOptions(),
+      epsg: Int = Model.Expected.epsg,
+      prefixBytes: Int = 16 * 1024): DataFrame = {
+    import spark.implicits._
+    // job 1: grid signatures — source and reference, one task each
+    val sigs = withReaderAt(spark,
+      Seq(("src", srcPath), ("ref", refPath)), prefixBytes) {
+      (name, _, _, prefix) =>
+        val full = TiffIO.levelLayoutsFromPrefix(prefix).head
+        val (resX, resY, gx, gy) = TiffIO.geoTransformFromPrefix(prefix)
+        (name, full.width, full.height, full.tileWidth, full.tileHeight,
+          resX, resY, gx, gy, TiffIO.epsgFromPrefix(prefix))
+    }.collect()
+    val src = sigs.find(_._1 == "src").get
+    val ref = sigs.find(_._1 == "ref").get
+    require(src._10 == ref._10,
+      s"source CRS (EPSG:${src._10.getOrElse("<unlabelled>")}) does not " +
+        s"match reference (EPSG:${ref._10.getOrElse("<unlabelled>")}) — " +
+        "resampleToGrid regrids within ONE CRS; reproject first")
+    require(ref._4 > 0 && ref._5 > 0,
+      s"reference '$refPath' is not tiled — not a COG")
+    require(src._4 > 0 && src._5 > 0,
+      s"source '$srcPath' is not tiled — not a COG")
+    require(src._6 > 0 && src._7 > 0 && ref._6 > 0 && ref._7 > 0,
+      "both rasters need positive pixel resolutions")
+    val outEpsg = src._10.getOrElse(epsg)
+    val (w, h, tw, th) = (ref._2, ref._3, ref._4, ref._5)
+    val (resX, resY, gx, gy) = (ref._6, ref._7, ref._8, ref._9)
+    val (sw, sh) = (src._2, src._3)
+    val (sResX, sResY, sGx, sGy) = (src._6, src._7, src._8, src._9)
+    val tilesAcross = (w + tw - 1) / tw
+    val tilesDown = (h + th - 1) / th
+    // .toList, not .toSeq: grouped() over a Range yields Range slices,
+    // which the Dataset encoder rejects
+    val chunks = (0 until tilesAcross * tilesDown)
+      .grouped(ReadChunkTiles).map(_.toList).toList
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)))
+    val sp = srcPath
+    val pfx = prefixBytes
+    // job 2: one task per OUTPUT tile chunk — sample from the covering
+    // source tiles only
+    val sampled = spark.createDataset(chunks)
+      .repartition(math.min(chunks.size,
+        spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { ts =>
+          val reader = RangeReader.open(sp, conf)
+          try {
+            val pl = math.min(reader.length, pfx.toLong).toInt
+            val prefix = new Array[Byte](pl)
+            reader.readFully(0L, prefix)
+            val sl = TiffIO.levelLayoutsFromPrefix(prefix).head
+            val sAcross = (sl.width + sl.tileWidth - 1) / sl.tileWidth
+            // LRU decoded-source-tile cache, bounded
+            val cache = new java.util.LinkedHashMap[Int, Array[Float]](
+              ResampleTileCacheCap, 0.75f, true) {
+              override def removeEldestEntry(
+                  e: java.util.Map.Entry[Int, Array[Float]]): Boolean =
+                size() > ResampleTileCacheCap
+            }
+            def srcTile(t: Int): Array[Float] = {
+              val got = cache.get(t)
+              if (got != null) got
+              else {
+                val buf = new Array[Byte](sl.tileByteCounts(t).toInt)
+                reader.readFully(sl.tileOffsets(t), buf)
+                val px = TiffIO.decodeLevelTile(sl, buf)
+                cache.put(t, px)
+                px
+              }
+            }
+            ts.map { t =>
+              val c = t % tilesAcross; val r = t / tilesAcross
+              val out = new Array[Float](tw * th)
+              java.util.Arrays.fill(out, Float.NaN)
+              val xHi = math.min(w, (c + 1) * tw)
+              val yHi = math.min(h, (r + 1) * th)
+              // per-axis NN index maps, computed once per tile: output
+              // center -> source pixel (floor = pixel-is-area)
+              val sxOf = Array.tabulate(xHi - c * tw) { dx =>
+                val mx = gx + (c * tw + dx + 0.5) * resX
+                math.floor((mx - sGx) / sResX).toInt
+              }
+              val syOf = Array.tabulate(yHi - r * th) { dy =>
+                val my = gy - (r * th + dy + 0.5) * resY
+                math.floor((sGy - my) / sResY).toInt
+              }
+              var dy = 0
+              while (dy < syOf.length) {
+                val sy = syOf(dy)
+                if (sy >= 0 && sy < sh) {
+                  val sty = sy / sl.tileHeight
+                  var dx = 0
+                  while (dx < sxOf.length) {
+                    val sx = sxOf(dx)
+                    if (sx >= 0 && sx < sw) {
+                      val stx = sx / sl.tileWidth
+                      val px = srcTile(sty * sAcross + stx)
+                      out(dy * tw + dx) = px(
+                        (sy - sty * sl.tileHeight) * sl.tileWidth +
+                          (sx - stx * sl.tileWidth))
+                    }
+                    dx += 1
+                  }
+                }
+                dy += 1
+              }
+              (t, out)
+            }
+          } finally reader.close()
+        }
+      }
+    // job 3: one assembler/writer task
+    assembleDerivedCog(sampled, w, h, tw, th, outPath,
+      TiffIO.GeoInfo(outEpsg, resX, resY, gx, gy), opts, confBc)
   }
 
   /** One task per (label, path) target; `f` sees the label (reported as

@@ -35,22 +35,56 @@ object RangeReader {
     * The value is one full header (`Name: value`); it rides on EVERY
     * request (HEAD + range GETs) to that host, and on no other host —
     * per-host scoping is the point: a bearer for the data mirror must
-    * never leak to a redirect target or a second catalog. The conf is
+    * never leak to a redirect target or a second catalog. A key may
+    * also name an explicit port (`...header.host.example.org:8443`),
+    * which then WINS over the bare-host key for URLs on that port and
+    * keeps the credential off the host's other ports; and a configured
+    * credential refuses plain `http://` to non-loopback hosts
+    * ([[authHeaderFor]]'s cleartext guard). The conf is
     * already what ships to executors (WriFs.confBroadcast), so the
     * credential reaches range reads wherever the task runs without any
     * new plumbing. */
   val AuthHeaderPrefix = "graft.http.auth.header."
 
-  /** The auth header configured for `url`'s host, if any. */
+  /** `host` names a loopback address textually — no DNS resolution (a
+    * lookup here would make credential scoping depend on a resolver). */
+  private def isLoopback(host: String): Boolean =
+    host == "localhost" || host == "::1" || host == "[::1]" ||
+      host.startsWith("127.")
+
+  /** The auth header configured for `url`'s host, if any. Lookup
+    * precedence: the port-scoped key `<host>:<port>` (when the URL
+    * names an explicit port) wins over the bare `<host>` key, so two
+    * services on one host can carry distinct credentials — and a
+    * credential scoped to a port never rides the other ports.
+    *
+    * Cleartext guard: a configured credential is REFUSED (loudly, not
+    * silently dropped — silence would turn every request into a 401
+    * with a misleading "no conf" message) when the URL is plain
+    * `http://` to a non-loopback host; a bearer on the wire in
+    * cleartext is a leak, not a transport choice. Loopback http stays
+    * allowed — local test servers are the one legitimate cleartext
+    * case. */
   private[wri] def authHeaderFor(url: String,
       conf: Configuration): Seq[(String, String)] = {
-    val host = java.net.URI.create(url).getHost
-    Option(host).flatMap(h => Option(conf.get(AuthHeaderPrefix + h)))
-      .map { v =>
+    val uri = java.net.URI.create(url)
+    val host = uri.getHost
+    val keys = Option(host).toSeq.flatMap { h =>
+      (if (uri.getPort >= 0) Seq(s"$h:${uri.getPort}") else Nil) :+ h
+    }
+    keys.iterator
+      .flatMap(k => Option(conf.get(AuthHeaderPrefix + k)).map((k, _)))
+      .take(1).map { case (key, v) =>
         val i = v.indexOf(':')
         require(i > 0,
-          s"$AuthHeaderPrefix$host must hold one 'Name: value' header, " +
+          s"$AuthHeaderPrefix$key must hold one 'Name: value' header, " +
             s"got '$v'")
+        require(uri.getScheme != "http" || isLoopback(host),
+          s"a credential is configured ($AuthHeaderPrefix$key) but " +
+            s"$url is plain http:// to a non-loopback host — sending " +
+            "the header would put it on the wire in cleartext. Use " +
+            "https://, or unset the key if the mirror is genuinely " +
+            "unauthenticated")
         (v.substring(0, i).trim, v.substring(i + 1).trim)
       }.toSeq
   }

@@ -25,19 +25,65 @@ object Stac {
     sys.props.get("graft.stac.maxCatalogTargets").map(_.toInt)
       .getOrElse(65536)
 
-  /** Production HTTP HEAD probe (5s timeout, any error -> false). */
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.wri.Stac")
+
+  /** Production HTTP HEAD probe (5s timeout, any error -> false). No
+    * credential rides this overload — against a token-protected mirror
+    * every layer probes `is_hosted=false`; use [[knbProbe(spark)*]] (or
+    * the conf overload) so the probe presents the SAME per-host header
+    * as every range read. */
   def knbProbe(filename: String): Boolean =
+    knbProbe(filename, knbBaseUrl, WriFs.defaultConf)
+
+  /** Auth-aware HEAD probe factory — the production `hostedProbe` to
+    * hand [[run]]/[[refreshCatalog]]/[[streamingCatalogRefresh]]. The
+    * session's Hadoop conf (which carries the per-host
+    * [[RangeReader.AuthHeaderPrefix]] credentials) is broadcast once,
+    * so the returned closure presents the credential on WHICHEVER
+    * executor runs the probe — the exact transport parity
+    * HttpRangeReader has: same conf key, same one-host scoping, and
+    * redirects are never followed (so a credential can never ride a
+    * Location header to another host). `baseUrl` defaults to the
+    * production mirror; specs point it at a local server. */
+  def knbProbe(spark: SparkSession,
+      baseUrl: String = knbBaseUrl): String => Boolean = {
+    val confBc = WriFs.confBroadcast(spark)
+    val base = baseUrl
+    (filename: String) => knbProbe(filename, base, confBc.value.value)
+  }
+
+  /** One probe against `baseUrl` + `filename` under `conf`'s auth
+    * contract. Error -> false stays the probe's contract (an unhosted
+    * layer is data, not an exception) — but an auth REJECTION without a
+    * configured credential is logged loudly naming the conf key, so a
+    * token-protected mirror reads as "set the key", never as a silent
+    * catalog-wide `is_hosted=false`. */
+  def knbProbe(filename: String, baseUrl: String,
+      conf: Configuration): Boolean = {
+    val url = baseUrl + filename
     try {
+      val headers = RangeReader.authHeaderFor(url, conf)
       val client = java.net.http.HttpClient.newBuilder()
+        .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
         .connectTimeout(java.time.Duration.ofSeconds(5)).build()
-      val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(knbBaseUrl + filename))
+      val reqB = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(url))
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody())
-        .timeout(java.time.Duration.ofSeconds(5)).build()
-      val code = client.send(req,
+        .timeout(java.time.Duration.ofSeconds(5))
+      headers.foreach { case (n, v) => reqB.header(n, v) }
+      val code = client.send(reqB.build(),
         java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      if ((code == 401 || code == 403) && headers.isEmpty) {
+        val host = java.net.URI.create(url).getHost
+        log.warn(s"hosting probe $url -> $code and no credential is " +
+          s"configured — set ${RangeReader.AuthHeaderPrefix}$host to " +
+          "'Authorization: Bearer <token>' or every layer on this " +
+          "mirror will probe is_hosted=false")
+      }
       code >= 200 && code < 300
     } catch { case _: Exception => false }
+  }
 
   case class ItemInput(
       cog_filename: String, crs_epsg: Int, data_type: String,
@@ -116,7 +162,10 @@ object Stac {
   }
 
   /** Write item files (skip-if-exists, `02b:197-205`); returns count
-    * written. */
+    * written. Each item lands through [[WriFs.atomicWriteString]] —
+    * the same replace discipline as [[refreshCatalog]] — so a reader
+    * concurrent with even the FIRST publish sees a complete document
+    * or none (the sibling `.json.tmp` never matches the item glob). */
   def writeItems(items: DataFrame, itemsDir: String,
       overwrite: Boolean = false): Long = {
     val spark = items.sparkSession
@@ -130,7 +179,8 @@ object Stac {
         rows.foreach { r =>
           val p = s"$dir/${r.getString(0)}.json"
           if (ow || !WriFs.exists(p, conf))
-            WriFs.writeString(p, r.getString(1), conf)
+            WriFs.atomicWriteString(WriFs.fs(p, conf),
+              new org.apache.hadoop.fs.Path(p), r.getString(1))
         }
     }
     items.count()
@@ -219,9 +269,12 @@ object Stac {
     * read goes through whatever filesystem — or none: the JSON source
     * is Spark's own — the path's scheme names, and at catalog scale the
     * per-file parse fans out across executors like every other stage. */
-  def readItems(spark: SparkSession, itemsDir: String): DataFrame = {
+  /** The flat row shape [[readItems]] yields — ONE schema shared by the
+    * JSON scan and the parquet sidecar mirror, so a consumer never sees
+    * which source answered. */
+  private[wri] val itemsFlatSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val flatSchema = StructType(Seq(
+    StructType(Seq(
       StructField("item_id", StringType), StructField("collection", StringType),
       StructField("datetime", StringType), StructField("data_type", StringType),
       StructField("wri_domain", StringType),
@@ -230,13 +283,36 @@ object Stac {
       StructField("bbox_w", DoubleType), StructField("bbox_s", DoubleType),
       StructField("bbox_e", DoubleType), StructField("bbox_n", DoubleType),
       StructField("href", StringType)))
+  }
+
+  def readItems(spark: SparkSession, itemsDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
     // an empty catalog is an empty result, not an unmatched-glob error
-    val hasItems = WriFs.listNames(itemsDir,
-      spark.sparkContext.hadoopConfiguration).exists(_.endsWith(".json"))
+    val hasItems = WriFs.listNames(itemsDir, conf).exists(_.endsWith(".json"))
     if (!hasItems)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        flatSchema)
+        itemsFlatSchema)
+    // prefer the parquet sidecar mirror when it provably reflects the
+    // CURRENT item directory (manifest hash == one directory listing —
+    // no file opens); any out-of-band mutation mismatches the hash and
+    // the honest per-document JSON scan answers instead
+    readSidecarManifest(itemsDir, conf) match {
+      case Some((gen, hash))
+          if hash == itemsStateHash(itemsDir, conf) &&
+            WriFs.exists(s"${sidecarRoot(itemsDir)}/gen-$gen", conf) =>
+        spark.read.schema(itemsFlatSchema)
+          .parquet(s"${sidecarRoot(itemsDir)}/gen-$gen")
+      case _ => readItemsScan(spark, itemsDir)
+    }
+  }
+
+  /** The per-document JSON scan behind [[readItems]] — always correct,
+    * O(items) file opens; the sidecar exists so hot consumer verbs skip
+    * it. */
+  private[wri] def readItemsScan(spark: SparkSession,
+      itemsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("id", StringType),
       StructField("collection", StringType),
@@ -263,6 +339,120 @@ object Stac {
         col("bbox")(0).as("bbox_w"), col("bbox")(1).as("bbox_s"),
         col("bbox")(2).as("bbox_e"), col("bbox")(3).as("bbox_n"),
         col("assets.data.href").as("href"))
+  }
+
+  // --------------------------------------------------------------------
+  // Parquet catalog sidecar — the consumer-verb fast path
+  //
+  // Every consumer verb (getLayer / getLayerData / catalogWindowStats /
+  // validateAssets / stacQuery) resolves targets through [[readItems]];
+  // the JSON scan behind it opens EVERY item document per call — at a
+  // 10k-item catalog that is 10k file opens to answer one lookup. The
+  // publish verbs ([[run]] / [[refreshCatalog]], hence every streaming
+  // micro-batch) therefore maintain a columnar MIRROR of the flat item
+  // rows next to the items dir:
+  //
+  //   <collection>/_catalog/manifest.json   (atomic replace — the commit)
+  //   <collection>/_catalog/gen-<n>/        (parquet, [[itemsFlatSchema]])
+  //
+  // The manifest records the generation AND a fingerprint of the item
+  // directory the generation mirrors (name+len+mtime of every item file
+  // — ONE directory listing to verify, zero file opens). [[readItems]]
+  // serves from the generation only while the fingerprint still matches
+  // the live directory, so a hand-edited / out-of-band-written item
+  // silently falls back to the per-document scan instead of answering
+  // stale. Commit order makes the mirror transactional: the generation
+  // dir is fully written BEFORE the manifest atomically flips to it,
+  // and a manifest is only published if the directory fingerprint is
+  // STILL what the mirrored rows were read under (a concurrent publish
+  // in the gap skips the flip — readers just keep scanning JSON).
+  // --------------------------------------------------------------------
+
+  /** Sidecar root NEXT TO the items dir — never inside it, so nothing
+    * here can match the `*.json` item glob or the item listing. */
+  private[wri] def sidecarRoot(itemsDir: String): String =
+    new org.apache.hadoop.fs.Path(itemsDir).getParent.toString + "/_catalog"
+
+  private def sidecarManifest(itemsDir: String): String =
+    s"${sidecarRoot(itemsDir)}/manifest.json"
+
+  /** Fingerprint of the live item directory: (name, length, mtime) of
+    * every `<id>.json`, sorted, hashed — one listing, no file opens.
+    * Atomic item replaces are fresh renames, so a rewrite moves mtime
+    * and a membership change moves the name set; either mismatches a
+    * manifest recorded against the previous state. */
+  private[wri] def itemsStateHash(itemsDir: String,
+      conf: Configuration): String = {
+    val fs = WriFs.fs(itemsDir, conf)
+    val p = new org.apache.hadoop.fs.Path(itemsDir)
+    val parts =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:" +
+          s"${s.getModificationTime}")
+        .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(parts.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** (generation, items-state hash) from the sidecar manifest; None when
+    * absent or unreadable (either means: scan JSON). */
+  private def readSidecarManifest(itemsDir: String,
+      conf: Configuration): Option[(Long, String)] = {
+    val p = sidecarManifest(itemsDir)
+    if (!WriFs.exists(p, conf)) None
+    else scala.util.Try {
+      val node = new ObjectMapper().readTree(WriFs.readString(p, conf))
+      (node.path("gen").asLong(), node.path("hash").asText())
+    }.toOption
+  }
+
+  /** Rebuild the sidecar mirror from the live item documents and flip
+    * the manifest to it. Called by the publish verbs after their item
+    * writes land; safe to call any time (it reads ONLY the documents).
+    * Generations older than the previous one are pruned best-effort —
+    * the previous generation is kept one cycle so a reader that loaded
+    * the old manifest moments ago still finds its files. */
+  def writeCatalogSidecar(spark: SparkSession, itemsDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = sidecarRoot(itemsDir)
+    if (!WriFs.listNames(itemsDir, conf).exists(_.endsWith(".json"))) return
+    // fingerprint FIRST: the manifest must describe the directory state
+    // the mirrored rows were read under, not whatever it drifted to
+    // while the parquet write ran
+    val hash = itemsStateHash(itemsDir, conf)
+    val prev = readSidecarManifest(itemsDir, conf)
+    // steady-state no-op: an all-unchanged refresh leaves every item
+    // file untouched (the delta discipline), so the standing mirror
+    // still fingerprint-matches — skip the rebuild (this is what keeps
+    // the per-micro-batch sidecar cost at zero for quiet catalogs)
+    if (prev.exists(_._2 == hash)) return
+    val gen = prev.map(_._1).getOrElse(0L) + 1
+    val genDir = s"$root/gen-$gen"
+    readItemsScan(spark, itemsDir)
+      .coalesce(1) // catalog metadata: thousands of tiny rows, one file
+      .write.mode("overwrite").parquet(genDir)
+    if (itemsStateHash(itemsDir, conf) == hash) {
+      atomicDoc(sidecarManifest(itemsDir),
+        s"""{"gen": $gen, "hash": "$hash"}""", conf)
+      // prune generations older than the previous (best effort)
+      val fs = WriFs.fs(root, conf)
+      WriFs.listNames(root, conf)
+        .filter(_.startsWith("gen-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen-").toLong).toOption
+          .map(n -> _))
+        .filter(_._2 < gen - 1)
+        .foreach { case (n, _) =>
+          scala.util.Try(
+            fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
+        }
+    }
+    // else: the directory moved under us — another publisher is active;
+    // its own sidecar write will mirror the newer state. Readers fall
+    // back to the JSON scan meanwhile (the manifest still names the
+    // older consistent generation, whose hash no longer matches).
   }
 
   /** Catalog search over [[readItems]] rows: items whose bbox
@@ -810,6 +1000,10 @@ object Stac {
     atomicDoc(s"$stacRoot/collections/$collectionId/collection.json",
       collectionJson(consistent, ids), conf)
     atomicDoc(s"$stacRoot/catalog.json", catalogJson, conf)
+    // the refresh is the WRITE side of the consumer verbs' fast path:
+    // re-mirror the (possibly just-changed) item rows into the parquet
+    // sidecar so lookups stop paying O(items) JSON opens
+    writeCatalogSidecar(spark, itemsDir)
     audit.unionByName(orphanRows.toDF("item_id", "action"))
   }
 
@@ -828,6 +1022,7 @@ object Stac {
     atomicDoc(s"$stacRoot/collections/$collectionId/collection.json",
       collectionJson(consistent, ids), conf)
     atomicDoc(s"$stacRoot/catalog.json", catalogJson, conf)
+    writeCatalogSidecar(spark, itemsDir)
     items
   }
 
@@ -946,9 +1141,13 @@ object Stac {
       // deliveries inside ONE batch) feeds the refresh
       val all = spark.read.option("basePath", metaDir)
         .parquet(s"$metaDir/batch=*")
+      // batch is NUMERIC by contract: cast it explicitly so latest-wins
+      // never depends on partitionColumnTypeInference — with inference
+      // off the inferred column is a string and "9" lexically outranks
+      // "10", silently regressing the catalog to an older delivery
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cog_filename"))
-        .orderBy(col("batch").desc, col("filepath").desc)
+        .orderBy(col("batch").cast("long").desc, col("filepath").desc)
       val latest = all
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn", "batch")

@@ -409,6 +409,21 @@ object TiffIO {
     (scale(0), scale(1), x - i * scale(0), y + j * scale(1))
   }
 
+  /** The ProjectedCRS EPSG code (GeoKey 3072) from the same bounded
+    * header prefix as [[levelLayoutsFromPrefix]] — None when the file
+    * carries no GeoKeyDirectory (or no projected-CRS key), so callers
+    * can distinguish "unlabelled" from any real code. */
+  def epsgFromPrefix(prefix: Array[Byte]): Option[Int] = {
+    val bb = ByteBuffer.wrap(prefix).order(ByteOrder.LITTLE_ENDIAN)
+    require((bb.get(0) & 0xff) == 0x49 && (bb.get(1) & 0xff) == 0x49,
+      "not a little-endian TIFF")
+    parseIfd0(bb).get(TGeoKeyDirectory).flatMap { keys =>
+      keys.drop(4).grouped(4).collectFirst {
+        case IndexedSeq(3072L, _, _, v) => v.toInt
+      }
+    }
+  }
+
   def levelLayoutsFromPrefix(prefix: Array[Byte]): Seq[LevelLayout] = {
     val bb = ByteBuffer.wrap(prefix).order(ByteOrder.LITTLE_ENDIAN)
     require((bb.get(0) & 0xff) == 0x49 && (bb.get(1) & 0xff) == 0x49,

@@ -142,6 +142,28 @@ class TakedownSpec extends SparkSpec {
         .select(col("doc_id").cast("long").as("doc_id")),
       "doc_id", None, fsOf(d), d).collect().map(_.getLong(0)).toSet
     assert(kept == Set(4L), s"explicit-cast path kept $kept")
+    // EVERY arm refuses, not just the batch column: a fractional
+    // caller list would block the truncated ids (blocking 3 because
+    // 3.7 was listed), and fractional register/unregister would
+    // persist truncated ids into the standing registry
+    val callerErr = intercept[IllegalArgumentException] {
+      Takedown.guard(Seq(3L, 4L).toDF("doc_id"), "doc_id",
+        Some(Seq(3.7).toDF("doc_id")), fsOf(d), d)
+    }
+    assert(callerErr.getMessage.contains("integral by contract"),
+      callerErr.getMessage)
+    val regErr = intercept[IllegalArgumentException] {
+      Takedown.register(spark, d, Seq(3.7).toDF("doc_id"), "doc_id")
+    }
+    assert(regErr.getMessage.contains("integral by contract"),
+      regErr.getMessage)
+    val unregErr = intercept[IllegalArgumentException] {
+      Takedown.unregister(spark, d, Seq(3.7f).toDF("doc_id"), "doc_id")
+    }
+    assert(unregErr.getMessage.contains("integral by contract"),
+      unregErr.getMessage)
+    assert(Takedown.registered(fsOf(d), d) == Set(3L),
+      "a refused register/unregister mutated the registry")
   }
 
   test("guard's anti-join arms survive a batch that already carries a " +

@@ -415,4 +415,135 @@ class CogQuerySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("grid-aligned"), e.getMessage)
   }
+
+  private def prefixOf(path: String): Array[Byte] = {
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    java.util.Arrays.copyOf(all, math.min(all.length, 16 * 1024))
+  }
+
+  test("resampleToGrid: identity regrid round-trips pixels exactly, a " +
+      "shifted/smaller source lands NN-exact with NaN past its edge, " +
+      "resample-then-combine equals combining a pre-aligned twin, and " +
+      "a cross-CRS source refuses loudly") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val refPath = s"$cogDir/${inputs.head._2}"
+    val (resX, resY, gx, gy) = TiffIO.geoTransformFromPrefix(
+      prefixOf(refPath))
+    // --- identity: same grid in, byte-identical pixels out
+    val idOut = s"$root/resample_identity.tif"
+    val stat = CogQuery.resampleToGrid(spark, s"$cogDir/${inputs(1)._2}",
+      refPath, idOut, TiffWriter.CogOptions(blockSize = 32))
+      .collect().head
+    assert(stat.getAs[Int]("width") == 192 &&
+      stat.getAs[Int]("height") == 128 &&
+      stat.getAs[Long]("tiles") == 24, stat.toString)
+    val (_, idPx) = TiffIO.readPixels(idOut)
+    val (_, srcIdPx) = TiffIO.readPixels(s"$cogDir/${inputs(1)._2}")
+    var k = 0
+    while (k < idPx.length) {
+      assert(java.lang.Float.compare(idPx(k), srcIdPx(k)) == 0,
+        s"identity resample changed pixel $k")
+      k += 1
+    }
+    // the derived raster is a real COG on the reference grid
+    assert(TiffIO.levelLayoutsFromPrefix(prefixOf(idOut)).length >= 2,
+      "resampled output carries no overview pyramid")
+    assert(TiffIO.geoTransformFromPrefix(prefixOf(idOut)) ==
+      (resX, resY, gx, gy), "resampled output drifted off the ref grid")
+    // --- shifted + smaller source: 160x100 at origin +(20px, 10px)
+    val (sw, sh) = (160, 100)
+    val srcPx = Array.tabulate(sw * sh)(j =>
+      if (j % 13 == 0) Float.NaN else ((j * 3) % 101) / 7.0f)
+    val shifted = s"$root/resample_src_shifted.tif"
+    TiffWriter.writeCog(shifted, sw, sh, srcPx,
+      TiffIO.GeoInfo(Model.Expected.epsg, resX, resY,
+        gx + 20 * resX, gy - 10 * resY),
+      TiffWriter.CogOptions(blockSize = 32), conf)
+    // mapAlgebra refuses the misaligned pair and names the remediation
+    val mis = intercept[IllegalArgumentException] {
+      CogQuery.mapAlgebra(spark, Seq(("ref", refPath, 1.0),
+        ("shifted", shifted, 2.0)), s"$root/derived_mis.tif")
+    }
+    assert(mis.getMessage.contains("resample"), mis.getMessage)
+    // resample onto the ref grid: NN with the pixel-center floor map —
+    // an INDEPENDENT reimplementation here, vs the verb's tile walk
+    val aligned = s"$root/resample_src_aligned.tif"
+    CogQuery.resampleToGrid(spark, shifted, refPath, aligned,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val (_, alPx) = TiffIO.readPixels(aligned)
+    val twinPx = Array.tabulate(192 * 128) { j =>
+      val (x, y) = (j % 192, j / 192)
+      val sx = math.floor(((x + 0.5) * resX - 20 * resX) / resX).toInt
+      val sy = math.floor(((y + 0.5) * resY - 10 * resY) / resY).toInt
+      if (sx < 0 || sx >= sw || sy < 0 || sy >= sh) Float.NaN
+      else srcPx(sy * sw + sx)
+    }
+    k = 0
+    while (k < alPx.length) {
+      assert(java.lang.Float.compare(alPx(k), twinPx(k)) == 0,
+        s"NN pixel $k: expected ${twinPx(k)} got ${alPx(k)}")
+      k += 1
+    }
+    // resample-then-combine == combining a hand-built pre-aligned twin
+    val twinCog = s"$root/resample_twin.tif"
+    TiffWriter.writeCog(twinCog, 192, 128, twinPx,
+      TiffIO.GeoInfo(Model.Expected.epsg, resX, resY, gx, gy),
+      TiffWriter.CogOptions(blockSize = 32), conf)
+    CogQuery.mapAlgebra(spark, Seq(("ref", refPath, 1.0),
+      ("aligned", aligned, 2.0)), s"$root/combine_via_resample.tif",
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    CogQuery.mapAlgebra(spark, Seq(("ref", refPath, 1.0),
+      ("twin", twinCog, 2.0)), s"$root/combine_via_twin.tif",
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val (_, viaResample) = TiffIO.readPixels(s"$root/combine_via_resample.tif")
+    val (_, viaTwin) = TiffIO.readPixels(s"$root/combine_via_twin.tif")
+    k = 0
+    while (k < viaResample.length) {
+      assert(java.lang.Float.compare(viaResample(k), viaTwin(k)) == 0,
+        s"combine drifted at pixel $k")
+      k += 1
+    }
+    // --- a COARSER source (2x the cell size) samples each source cell
+    // into its 2x2 output block — the decimation direction reversed
+    val (cw, ch) = (96, 64)
+    val coarsePx = Array.tabulate(cw * ch)(j => (j % 97).toFloat)
+    val coarse = s"$root/resample_src_coarse.tif"
+    TiffWriter.writeCog(coarse, cw, ch, coarsePx,
+      TiffIO.GeoInfo(Model.Expected.epsg, 2 * resX, 2 * resY, gx, gy),
+      TiffWriter.CogOptions(blockSize = 32), conf)
+    val coarseOut = s"$root/resample_coarse_out.tif"
+    CogQuery.resampleToGrid(spark, coarse, refPath, coarseOut,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val (_, coPx) = TiffIO.readPixels(coarseOut)
+    k = 0
+    while (k < coPx.length) {
+      val (x, y) = (k % 192, k / 192)
+      val sx = math.floor((x + 0.5) * resX / (2 * resX)).toInt
+      val sy = math.floor((y + 0.5) * resY / (2 * resY)).toInt
+      val expected =
+        if (sx >= cw || sy >= ch) Float.NaN else coarsePx(sy * cw + sx)
+      assert(java.lang.Float.compare(coPx(k), expected) == 0,
+        s"coarse NN pixel $k: expected $expected got ${coPx(k)}")
+      k += 1
+    }
+    // --- CRS discipline: a 4326-labelled source against the 5070 ref
+    // refuses (regrid is not reprojection), and mapAlgebra refuses a
+    // same-grid cross-CRS pair too
+    val otherCrs = s"$root/resample_src_4326.tif"
+    TiffWriter.writeCog(otherCrs, 192, 128, srcIdPx,
+      TiffIO.GeoInfo(4326, resX, resY, gx, gy),
+      TiffWriter.CogOptions(blockSize = 32), conf)
+    val crsErr = intercept[IllegalArgumentException] {
+      CogQuery.resampleToGrid(spark, otherCrs, refPath,
+        s"$root/resample_crs_bad.tif")
+    }
+    assert(crsErr.getMessage.contains("CRS") &&
+      crsErr.getMessage.contains("4326"), crsErr.getMessage)
+    val crsCombineErr = intercept[IllegalArgumentException] {
+      CogQuery.mapAlgebra(spark, Seq(("ref", refPath, 1.0),
+        ("other", otherCrs, 1.0)), s"$root/derived_crs_bad.tif")
+    }
+    assert(crsCombineErr.getMessage.contains("CRS"),
+      crsCombineErr.getMessage)
+  }
 }

@@ -532,4 +532,92 @@ class RemoteIoSpec extends SparkSpec {
         headers.asScala.forall(_ == "identity"))
     } finally server.stop(0)
   }
+
+  test("the built-in hosting probe has auth parity with the range " +
+      "reader: against a 401-rejecting mirror it probes hosted with " +
+      "the per-host conf set and unhosted without it — and it never " +
+      "follows redirects") {
+    val cogDir = s"$root/probe_cogs"
+    Files.createDirectories(Paths.get(cogDir))
+    Files.write(Paths.get(s"$cogDir/layer_0.tif"), Array[Byte](1, 2, 3))
+    val bearer = "Authorization" -> "Bearer probe-77"
+    TestHttp.withHttpServer(cogDir, requireAuth = Some(bearer)) { base =>
+      val baseUrl = s"$base/"
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val key = s"${RangeReader.AuthHeaderPrefix}127.0.0.1"
+      // without the conf: error->false stays the probe contract — the
+      // token-protected mirror reads as unhosted, never as a crash
+      assert(!Stac.knbProbe(spark, baseUrl)("layer_0.tif"),
+        "an unauthenticated probe against a 401 mirror claimed hosted")
+      hconf.set(key, s"${bearer._1}: ${bearer._2}")
+      try {
+        // with the conf: the SAME built-in probe presents the header —
+        // through the spark factory (broadcast conf, the production
+        // wiring), so the credential reaches wherever the probe runs
+        val probe = Stac.knbProbe(spark, baseUrl)
+        assert(probe("layer_0.tif"),
+          "the configured credential did not reach the hosting probe")
+        assert(!probe("absent.tif"),
+          "a 404 must still probe unhosted, credential or not")
+      } finally hconf.unset(key)
+    }
+    // redirect discipline: a mirror that answers 3xx probes UNHOSTED
+    // even with a credential configured — the probe must never follow
+    // Location (auto-follow would re-present the header to whatever
+    // host the mirror names)
+    TestHttp.withHttpServer(cogDir,
+      redirectTo = Some("https://elsewhere.example.org/")) { base =>
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val key = s"${RangeReader.AuthHeaderPrefix}127.0.0.1"
+      hconf.set(key, "Authorization: Bearer probe-77")
+      try assert(!Stac.knbProbe(spark, s"$base/")("layer_0.tif"),
+        "the probe followed a redirect")
+      finally hconf.unset(key)
+    }
+  }
+
+  test("credential scoping: a port-scoped conf key wins over the bare " +
+      "host key and never rides other ports; a configured credential " +
+      "refuses plain http:// to a non-loopback host (cleartext guard)") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set(s"${RangeReader.AuthHeaderPrefix}data.example.org",
+      "Authorization: Bearer host-wide")
+    conf.set(s"${RangeReader.AuthHeaderPrefix}data.example.org:8443",
+      "Authorization: Bearer port-scoped")
+    assert(RangeReader.authHeaderFor(
+      "https://data.example.org:8443/x.tif", conf) ==
+      Seq("Authorization" -> "Bearer port-scoped"),
+      "the port-scoped key must win on its port")
+    assert(RangeReader.authHeaderFor(
+      "https://data.example.org:9000/x.tif", conf) ==
+      Seq("Authorization" -> "Bearer host-wide"),
+      "other ports fall back to the bare host key")
+    assert(RangeReader.authHeaderFor(
+      "https://data.example.org/x.tif", conf) ==
+      Seq("Authorization" -> "Bearer host-wide"))
+    // port-ONLY scoping: with no bare-host key, the other ports get
+    // nothing at all
+    val confPortOnly = new org.apache.hadoop.conf.Configuration(false)
+    confPortOnly.set(s"${RangeReader.AuthHeaderPrefix}data.example.org:8443",
+      "Authorization: Bearer port-scoped")
+    assert(RangeReader.authHeaderFor(
+      "https://data.example.org:9000/x.tif", confPortOnly).isEmpty,
+      "a port-scoped credential rode a different port")
+    // cleartext guard: plain http to a non-loopback host REFUSES (naming
+    // the key) rather than putting the bearer on the wire — or silently
+    // dropping it into a misleading 401
+    val clear = intercept[IllegalArgumentException] {
+      RangeReader.authHeaderFor("http://data.example.org/x.tif", conf)
+    }
+    assert(clear.getMessage.contains("cleartext") &&
+      clear.getMessage.contains("data.example.org"), clear.getMessage)
+    // loopback http stays allowed — local test servers are the one
+    // legitimate cleartext case
+    val confLoop = new org.apache.hadoop.conf.Configuration(false)
+    confLoop.set(s"${RangeReader.AuthHeaderPrefix}127.0.0.1",
+      "Authorization: Bearer local")
+    assert(RangeReader.authHeaderFor(
+      "http://127.0.0.1:8000/x.tif", confLoop) ==
+      Seq("Authorization" -> "Bearer local"))
+  }
 }

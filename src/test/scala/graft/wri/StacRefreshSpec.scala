@@ -169,6 +169,162 @@ class StacRefreshSpec extends SparkSpec {
     }
   }
 
+  test("the parquet catalog sidecar: after a publish, consumer reads " +
+      "serve from the columnar mirror and equal the JSON scan row-for-" +
+      "row; a refresh re-mirrors; an out-of-band item write falls back " +
+      "to the scan instead of answering stale") {
+    val root = java.nio.file.Files
+      .createTempDirectory("stac_sidecar").toString
+    val itemsDir = s"$root/collections/${Model.collectionId}/items"
+    Stac.run(spark, consistentOf(Seq("a.tif" -> 0.0, "b.tif" -> 0.0)), root)
+    val viaSidecar = Stac.readItems(spark, itemsDir)
+    assert(viaSidecar.inputFiles.nonEmpty &&
+      viaSidecar.inputFiles.forall(_.contains("/_catalog/gen-")),
+      s"readItems did not serve from the sidecar after a publish: " +
+        viaSidecar.inputFiles.mkString(", "))
+    val scan = Stac.readItemsScan(spark, itemsDir)
+    assert(viaSidecar.schema == scan.schema,
+      s"mirror schema drifted: ${viaSidecar.schema} vs ${scan.schema}")
+    assert(viaSidecar.collect().toSet == scan.collect().toSet,
+      "mirror rows drifted from the JSON documents")
+    // a delta refresh re-mirrors: the sidecar tracks the NEW state
+    Thread.sleep(1100) // local-fs mtime granularity for the fingerprint
+    Stac.refreshCatalog(spark, consistentOf(Seq(
+      "a.tif" -> 0.0, "b.tif" -> 900.0, "c.tif" -> 0.0)), root)
+    val after = Stac.readItems(spark, itemsDir)
+    assert(after.inputFiles.forall(_.contains("/_catalog/gen-")),
+      "post-refresh reads fell off the sidecar")
+    assert(after.collect().toSet ==
+      Stac.readItemsScan(spark, itemsDir).collect().toSet,
+      "post-refresh mirror drifted from the documents")
+    assert(after.filter(col("item_id") === "c").count() == 1)
+    // out-of-band mutation (writeItems, no sidecar update): the
+    // fingerprint mismatches and readItems answers from the honest scan
+    Stac.writeItems(Stac.buildItems(spark,
+      consistentOf(Seq("d.tif" -> 0.0))), itemsDir)
+    val fb = Stac.readItems(spark, itemsDir)
+    assert(fb.inputFiles.exists(_.endsWith(".json")),
+      "an out-of-band item write was answered from the stale sidecar")
+    assert(fb.filter(col("item_id") === "d").count() == 1,
+      "the fallback scan missed the out-of-band item")
+  }
+
+  test("streaming refresh over an AUTHENTICATED mirror: micro-batch " +
+      "header scans and hosting probes present the per-host credential " +
+      "from inside foreachBatch, and the streamed hosted catalog " +
+      "equals the batch twin built over the same URLs") {
+    import Model.Expected
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files
+      .createTempDirectory("stac_stream_auth").toString
+    val dataDir = s"$root/data"
+    val validGeo = TiffIO.GeoInfo(Expected.epsg, Expected.resX,
+      Expected.resY, gx, gy)
+    def putLayer(rel: String): Unit = {
+      val p = java.nio.file.Paths.get(dataDir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      TiffWriter.writeHeaderFixture(p.toString,
+        Fixtures.W, Fixtures.H, validGeo)
+    }
+    val rels = Seq(
+      "air_quality/air_quality_domain_score.tif",
+      "water/indicators/flow_recovery_v1.tif",
+      "livelihoods/indicators/jobs_resistance_v1.tif")
+    putLayer(rels.head); putLayer(rels(1))
+    // the FLAT hosted mirror the probe HEADs (production probes
+    // base + cog_filename, not the delivery tree's nested layout) —
+    // token-protected like the delivery mirror
+    val hostedDir = s"$root/hosted"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(hostedDir))
+    rels.foreach { rel =>
+      TiffWriter.writeHeaderFixture(
+        s"$hostedDir/${rel.split('/').last}", Fixtures.W, Fixtures.H,
+        validGeo)
+    }
+    val bearer = "Authorization" -> "Bearer stream-auth-9"
+    graft.wri.TestHttp.withHttpServer(dataDir,
+        requireAuth = Some(bearer)) { base =>
+    graft.wri.TestHttp.withHttpServer(hostedDir,
+        requireAuth = Some(bearer)) { hostedBase =>
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val key = s"${RangeReader.AuthHeaderPrefix}127.0.0.1"
+      // without the conf, the 401 header scans surface as ERROR ROWS
+      // (the stage-00 validation-as-data discipline — each error names
+      // the conf key via HttpRangeReader's refusal) and ZERO items
+      // land; only the credential makes the identical batch publish,
+      // so the positive legs below prove it reached the executors
+      Stac.refreshBatch(
+        Seq((s"$base/${rels.head}", 4096L)).toDF("path", "length"),
+        0L, s"$root/meta_bare", s"$root/stac_bare", _ => false)
+      assert(Stac.listItemIds(
+        s"$root/stac_bare/collections/${Model.collectionId}/items")
+        .isEmpty,
+        "an unauthenticated micro-batch landed catalog items")
+      hconf.set(key, s"${bearer._1}: ${bearer._2}")
+      try {
+        // the real stream: arrivals land locally (a binaryFile source
+        // cannot list an HTTP mirror), each micro-batch's paths map to
+        // their mirror URLs, and refreshBatch — the documented
+        // composable unit — runs the identical landing/refresh body.
+        // Header scans AND the hosting probe then range-read/HEAD the
+        // 401-protected server from inside foreachBatch.
+        val binarySchema = StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime", TimestampType),
+          StructField("length", LongType),
+          StructField("content", BinaryType)))
+        val probe = Stac.knbProbe(spark, s"$hostedBase/")
+        val stacRoot = s"$root/stac"
+        val q = spark.readStream.format("binaryFile")
+          .schema(binarySchema)
+          .option("pathGlobFilter", "*.tif")
+          .option("recursiveFileLookup", "true")
+          .load(dataDir)
+          .select(
+            regexp_replace(col("path"),
+              "^file:" + java.util.regex.Pattern.quote(dataDir),
+              base).as("path"),
+            col("length"))
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              id: Long) =>
+            Stac.refreshBatch(batch, id, s"$root/meta", stacRoot, probe)
+          }
+          .start()
+        val itemsDir = s"$stacRoot/collections/${Model.collectionId}/items"
+        try {
+          q.processAllAvailable()
+          assert(Stac.listItemIds(itemsDir) ==
+            Seq("air_quality_domain_score", "flow_recovery_v1"))
+          putLayer(rels(2)) // micro-batch 2
+          q.processAllAvailable()
+          assert(Stac.listItemIds(itemsDir).size == 3)
+        } finally q.stop()
+        // every streamed item probed HOSTED — the credential reached
+        // the probes that ran inside the micro-batch
+        val streamed = Stac.readItems(spark, itemsDir)
+        assert(streamed.filter(!col("is_hosted")).count() == 0,
+          "a layer probed unhosted despite the configured credential")
+        // …and the whole catalog equals the batch twin built over the
+        // SAME authenticated URLs
+        val twinRoot = s"$root/twin"
+        Stac.run(spark,
+          Inventory.runOverUrls(spark, rels.map(r => s"$base/$r"))
+            .consistent, twinRoot, hostedProbe = probe)
+        val twinItems = s"$twinRoot/collections/${Model.collectionId}/items"
+        Stac.listItemIds(twinItems).foreach { id =>
+          val a = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$itemsDir/$id.json")), "UTF-8")
+          val b = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$twinItems/$id.json")), "UTF-8")
+          assert(a == b, s"streamed authenticated item $id drifted " +
+            "from the batch twin")
+        }
+      } finally hconf.unset(key)
+    }}
+  }
+
   test("an EMPTY metadata table refuses the refresh BEFORE touching " +
       "anything — an upstream outage reading zero rows cannot gut a " +
       "published catalog through pruneOrphans") {

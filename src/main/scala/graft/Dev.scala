@@ -280,6 +280,10 @@ object Dev {
           val itemsDir = s"$stacRoot/collections/$cid/items"
           wri.Stac.writeItems(wri.Stac.buildItems(spark, consistent),
             itemsDir)
+          // the parquet mirror a publish verb would have left behind —
+          // the 1kitems probes time the scan path (manifest hidden) and
+          // the mirror path against the SAME catalog
+          wri.Stac.writeCatalogSidecar(spark, itemsDir)
           itemsDir
         }
         def li8x = (0 until 8).map { k =>
@@ -585,7 +589,18 @@ object Dev {
                 minx = gx, maxx = gx + 2048 * 90.0,
                 miny = gy - 2048 * 90.0, maxy = gy).count()
             }),
-          ("catalog_window_stats_1kitems", "catalogWindowStats over a 1000-item catalog, select-everything filter — capped driver resolve + one task per layer",
+          ("catalog_window_stats_1kitems", "catalogWindowStats over a 1000-item catalog, JSON-scan resolve forced (sidecar manifest hidden for the timing) — 1000 document opens per lookup",
+            () => {
+              val itemsDir = catalog1k
+              val m = java.nio.file.Paths.get(
+                wri.Stac.sidecarRoot(itemsDir), "manifest.json")
+              val aside = m.resolveSibling("manifest.hidden")
+              java.nio.file.Files.move(m, aside)
+              try wri.Stac.catalogWindowStats(spark, itemsDir,
+                173.60, 54.70, 173.85, 54.92).count()
+              finally java.nio.file.Files.move(aside, m)
+            }),
+          ("catalog_window_stats_1kitems_mirror", "same lookup through the parquet catalog sidecar (the publish verbs maintain it): one listing to verify freshness + one parquet file read instead of 1000 JSON opens",
             () => {
               val itemsDir = catalog1k
               wri.Stac.catalogWindowStats(spark, itemsDir,
@@ -675,9 +690,55 @@ object Dev {
         results.foreach { case (name, scale, rows, sec) =>
           sb.append(f"| $name | $scale | $rows%d | $sec%.2f |\n")
         }
+        // streaming-refresh SLOPE: successive 200-upload micro-batches
+        // against ONE growing catalog — each batch pays its own header
+        // scan (O(batch)) PLUS the per-batch refreshCatalog/ sidecar
+        // rebuild over the accumulated items (O(catalog)); these rows
+        // pin that constant. Single sequential run by nature (each
+        // batch mutates the catalog the next one refreshes), so no
+        // two-pass minimum here — treat small wiggles as ambient.
+        sb.append("\n## Streaming-refresh slope (single sequential run)\n\n")
+        sb.append("Per-micro-batch seconds as the catalog grows — the ")
+        sb.append("per-batch cost is\nO(batch) header reads + O(catalog) ")
+        sb.append("delta refresh + sidecar re-mirror.\n\n")
+        sb.append("| batch | items before | items after | seconds |\n")
+        sb.append("|---:|---:|---:|---:|\n")
+        locally {
+          val slopeRoot = java.nio.file.Files
+            .createTempDirectory("streamslope").toString
+          val geo = wri.TiffIO.GeoInfo(
+            wri.Model.Expected.epsg, wri.Model.Expected.resX,
+            wri.Model.Expected.resY,
+            -5216639.6695348294, 6199081.688491997)
+          val slopeItems =
+            s"$slopeRoot/stac/collections/${wri.Model.collectionId}/items"
+          import spark.implicits._
+          (0 until 5).foreach { b =>
+            val paths = (0 until 200).map { i =>
+              val p = java.nio.file.Paths.get(slopeRoot,
+                s"data/water/indicators/flow_recovery_v${b * 200 + i}.tif")
+              java.nio.file.Files.createDirectories(p.getParent)
+              wri.TiffWriter.writeHeaderFixture(p.toString,
+                wri.Fixtures.W, wri.Fixtures.H, geo)
+              p.toString
+            }
+            val before = wri.Stac.listItemIds(slopeItems).size
+            release()
+            val t0 = System.nanoTime()
+            wri.Stac.refreshBatch(
+              paths.map(p => (p, new java.io.File(p).length))
+                .toDF("path", "length"),
+              b.toLong, s"$slopeRoot/meta", s"$slopeRoot/stac", _ => false)
+            val sec = (System.nanoTime() - t0) / 1e9
+            val after = wri.Stac.listItemIds(slopeItems).size
+            println(f"[scale] stream_refresh_slope batch $b: " +
+              f"$before -> $after items, $sec%.2f s")
+            sb.append(f"| $b | $before | $after | $sec%.2f |\n")
+          }
+        }
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("/root/repo/SCALE.md"), sb.toString)
-        println(s"[dev] wrote SCALE.md (${results.size} probes)")
+        println(s"[dev] wrote SCALE.md (${results.size} probes + slope)")
       case "scale" =>
         // would-it-survive-8x probe: union the corpus 8 times with
         // offset ids (every doc becomes an 8-strong exact-dup cluster —

@@ -51,10 +51,13 @@ object WriSuite {
     * QUERY are deterministic too. */
   private def wriStreamRefresh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NO upfront reset: every fixture write below is a deterministic
+    // overwrite and every refreshBatch replay is a byte no-op by
+    // contract, so a repeated run (bench pass 2) lands on the identical
+    // catalog through the cheap all-unchanged path — re-running the
+    // query IS the replay-idempotence exercise, and the oracle hash
+    // pins that it converges to the same rows either way
     val root = s"$fixtureRoot/stream_refresh"
-    val conf = s.sparkContext.hadoopConfiguration
-    graft.wri.WriFs.fs(root, conf)
-      .delete(new org.apache.hadoop.fs.Path(root), true)
     val dataDir = s"$root/data"
     def put(rel: String): String = {
       val p = java.nio.file.Paths.get(dataDir, rel)

@@ -187,24 +187,30 @@ object Stac {
   }
 
   /** Collection document (A3/A4 summaries computed as Spark aggregates,
-    * collected as tiny scalars). */
+    * collected as tiny scalars). The first-row extent (P9), the domain
+    * summary and the blank-filtered dimension summary all come from ONE
+    * aggregation job — they are three tiny scalars over the same table,
+    * and a refresh (hence every streaming micro-batch) pays this
+    * driver-side latency per call. */
   def collectionJson(consistent: DataFrame, itemIds: Seq[String]): String = {
     val mapper = new ObjectMapper()
-    val firstRows = consistent.orderBy(col("filepath")).limit(1)
-      .select("extent_xmin", "extent_xmax", "extent_ymin", "extent_ymax")
-      .collect()
-    require(firstRows.nonEmpty, "Metadata is empty") // fail fast (`02b:125`)
-    val first = firstRows.head
+    val summary = consistent.agg(
+        // P9 first-row extent: the row with the MIN filepath, exactly
+        // the old orderBy(filepath).limit(1) (filepaths are unique)
+        min_by(struct(col("extent_xmin"), col("extent_xmax"),
+          col("extent_ymin"), col("extent_ymax")), col("filepath"))
+          .as("first"),
+        sort_array(collect_set(col("wri_domain"))).as("domains"),
+        sort_array(collect_set(when(trim(col("wri_dimension")) =!= "",
+          col("wri_dimension")))).as("dims"))
+      .collect().head
+    require(!summary.isNullAt(0), "Metadata is empty") // fail fast (`02b:125`)
+    val first = summary.getStruct(0)
     val s = Geo.extentToStacSpatial(
       first.getDouble(0), first.getDouble(1),
       first.getDouble(2), first.getDouble(3))
-    val domains = consistent.select("wri_domain")
-      .filter(col("wri_domain").isNotNull).distinct()
-      .orderBy(col("wri_domain")).collect().map(_.getString(0)).toSeq
-    val dims = consistent.select("wri_dimension")
-      .filter(col("wri_dimension").isNotNull &&
-        trim(col("wri_dimension")) =!= "").distinct()
-      .orderBy(col("wri_dimension")).collect().map(_.getString(0)).toSeq
+    val domains = summary.getSeq[String](1)
+    val dims = summary.getSeq[String](2)
 
     val root = mapper.createObjectNode()
     root.put("stac_version", "1.0.0")
@@ -370,7 +376,7 @@ object Stac {
 
   /** Sidecar root NEXT TO the items dir — never inside it, so nothing
     * here can match the `*.json` item glob or the item listing. */
-  private[wri] def sidecarRoot(itemsDir: String): String =
+  def sidecarRoot(itemsDir: String): String =
     new org.apache.hadoop.fs.Path(itemsDir).getParent.toString + "/_catalog"
 
   private def sidecarManifest(itemsDir: String): String =
@@ -1067,7 +1073,15 @@ object Stac {
     * (`processAllAvailable`/`awaitTermination`/`stop`). At 100 TB the
     * shape holds: each micro-batch costs O(new files) header reads
     * fanned across executors, the store grows by metadata rows only,
-    * and the refresh rewrites only changed documents. */
+    * and the refresh rewrites only changed documents. The per-batch
+    * O(catalog) tail (delta byte-compare + collection rebuild +
+    * sidecar re-mirror) is measured in SCALE.md's slope table:
+    * 200-upload batches cost 6.1 → 7.9 s as the catalog grows 200 →
+    * 1000 items at local[32] — roughly +0.3 s per additional 100
+    * catalog items on a ~6 s per-batch constant, so the batch constant
+    * dominates through a few thousand items; for 10k+ move the delta
+    * compare into the sidecar (diff against the mirror instead of
+    * re-reading every document). */
   def streamingCatalogRefresh(spark: SparkSession, dataDir: String,
       metaDir: String, stacRoot: String, checkpointDir: String,
       hostedProbe: String => Boolean = _ => false)

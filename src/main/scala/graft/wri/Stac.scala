@@ -359,7 +359,12 @@ object Stac {
   // rows next to the items dir:
   //
   //   <collection>/_catalog/manifest.json   (atomic replace — the commit)
-  //   <collection>/_catalog/gen-<n>/        (parquet, [[itemsFlatSchema]])
+  //   <collection>/_catalog/gen-<n>/        (parquet, [[itemsFlatSchema]]
+  //                                          + a `doc` column: the raw
+  //                                          document text, so a refresh
+  //                                          can byte-compare against
+  //                                          the mirror instead of
+  //                                          re-opening every item file)
   //
   // The manifest records the generation AND a fingerprint of the item
   // directory the generation mirrors (name+len+mtime of every item file
@@ -382,26 +387,35 @@ object Stac {
   private def sidecarManifest(itemsDir: String): String =
     s"${sidecarRoot(itemsDir)}/manifest.json"
 
-  /** Fingerprint of the live item directory: (name, length, mtime) of
-    * every `<id>.json`, sorted, hashed — one listing, no file opens.
-    * Atomic item replaces are fresh renames, so a rewrite moves mtime
-    * and a membership change moves the name set; either mismatches a
-    * manifest recorded against the previous state. */
-  private[wri] def itemsStateHash(itemsDir: String,
-      conf: Configuration): String = {
+  /** Per-file (name, length, mtime) of every `<id>.json` in the item
+    * directory — ONE listing, no file opens. The unit both the
+    * fingerprint and the incremental-rebuild stability check build on:
+    * atomic item replaces are fresh renames, so a rewrite moves mtime
+    * and a membership change moves the name set. */
+  private[wri] def itemsStatList(itemsDir: String,
+      conf: Configuration): Seq[(String, Long, Long)] = {
     val fs = WriFs.fs(itemsDir, conf)
     val p = new org.apache.hadoop.fs.Path(itemsDir)
-    val parts =
-      if (!fs.exists(p)) Seq.empty[String]
-      else fs.listStatus(p).toSeq
-        .filter(_.getPath.getName.endsWith(".json"))
-        .map(s => s"${s.getPath.getName}:${s.getLen}:" +
-          s"${s.getModificationTime}")
-        .sorted
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  private[wri] def stateHashOf(stats: Seq[(String, Long, Long)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(parts.mkString("\n").getBytes("UTF-8"))
+    md.update(stats.map { case (n, l, m) => s"$n:$l:$m" }
+      .mkString("\n").getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Fingerprint of the live item directory (hash of [[itemsStatList]]);
+    * either a rewrite or a membership change mismatches a manifest
+    * recorded against the previous state. */
+  private[wri] def itemsStateHash(itemsDir: String,
+      conf: Configuration): String =
+    stateHashOf(itemsStatList(itemsDir, conf))
 
   /** (generation, items-state hash) from the sidecar manifest; None when
     * absent or unreadable (either means: scan JSON). */
@@ -415,35 +429,88 @@ object Stac {
     }.toOption
   }
 
-  /** Rebuild the sidecar mirror from the live item documents and flip
-    * the manifest to it. Called by the publish verbs after their item
-    * writes land; safe to call any time (it reads ONLY the documents).
-    * Generations older than the previous one are pruned best-effort —
-    * the previous generation is kept one cycle so a reader that loaded
-    * the old manifest moments ago still finds its files. */
-  def writeCatalogSidecar(spark: SparkSession, itemsDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** The per-document scan the sidecar GENERATIONS are built from:
+    * [[readItemsScan]]'s flat columns PLUS the raw document text
+    * (`doc`), read as one whole-text row per file and parsed with the
+    * same inner schema. The `doc` column is what lets a later refresh
+    * byte-compare its rebuilt items against the mirror instead of
+    * re-opening every live document. */
+  private[wri] def readItemDocsScan(spark: SparkSession,
+      itemsDir: String): DataFrame = {
+    val docs = spark.read.format("text").option("wholetext", "true")
+      .load(s"$itemsDir/*.json")
+      .select(col("value").as("doc"))
+    flattenItemDocs(docs)
+  }
+
+  /** (doc) → itemsFlatSchema columns + doc; the single parse used by
+    * both the full sidecar rebuild and the incremental delta path, so
+    * a generation's rows are identical however they were produced. */
+  private def flattenItemDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("collection", StringType),
+      StructField("bbox", ArrayType(DoubleType)),
+      StructField("properties", StructType(Seq(
+        StructField("datetime", StringType),
+        StructField("data_type", StringType),
+        StructField("wri_domain", StringType),
+        StructField("wri_dimension", StringType),
+        StructField("is_hosted", BooleanType)))),
+      StructField("assets", StructType(Seq(
+        StructField("data", StructType(Seq(
+          StructField("href", StringType)))))))))
+    docs.select(from_json(col("doc"), schema).as("j"), col("doc"))
+      .select(
+        col("j.id").as("item_id"),
+        col("j.collection").as("collection"),
+        col("j.properties.datetime").as("datetime"),
+        col("j.properties.data_type").as("data_type"),
+        col("j.properties.wri_domain").as("wri_domain"),
+        col("j.properties.wri_dimension").as("wri_dimension"),
+        col("j.properties.is_hosted").as("is_hosted"),
+        col("j.bbox")(0).as("bbox_w"), col("j.bbox")(1).as("bbox_s"),
+        col("j.bbox")(2).as("bbox_e"), col("j.bbox")(3).as("bbox_n"),
+        col("j.assets.data.href").as("href"),
+        col("doc"))
+  }
+
+  /** The fresh, doc-carrying mirror — Some only when the manifest's
+    * fingerprint matches the live directory AND the generation carries
+    * the `doc` column (generations written before the column existed
+    * fall back to the scan path and age out on their next rebuild). */
+  private def freshMirrorWithDocs(spark: SparkSession, itemsDir: String,
+      conf: Configuration): Option[DataFrame] =
+    readSidecarManifest(itemsDir, conf) match {
+      case Some((gen, hash))
+          if hash == itemsStateHash(itemsDir, conf) &&
+            WriFs.exists(s"${sidecarRoot(itemsDir)}/gen-$gen", conf) =>
+        val df = spark.read.parquet(s"${sidecarRoot(itemsDir)}/gen-$gen")
+        if (df.columns.contains("doc")) Some(df) else None
+      case _ => None
+    }
+
+  /** Write `rows` as the next generation and atomically flip the
+    * manifest to it — but only if the directory fingerprint is STILL
+    * `hash` after the parquet write (a concurrent publisher in the gap
+    * skips the flip; readers keep scanning JSON until ITS sidecar write
+    * lands). Generations older than the previous are pruned best-effort
+    * — the previous is kept one cycle so a reader that loaded the old
+    * manifest moments ago still finds its files. */
+  private def commitSidecarGeneration(spark: SparkSession,
+      itemsDir: String, conf: Configuration, hash: String,
+      rows: DataFrame): Unit = {
     val root = sidecarRoot(itemsDir)
-    if (!WriFs.listNames(itemsDir, conf).exists(_.endsWith(".json"))) return
-    // fingerprint FIRST: the manifest must describe the directory state
-    // the mirrored rows were read under, not whatever it drifted to
-    // while the parquet write ran
-    val hash = itemsStateHash(itemsDir, conf)
     val prev = readSidecarManifest(itemsDir, conf)
-    // steady-state no-op: an all-unchanged refresh leaves every item
-    // file untouched (the delta discipline), so the standing mirror
-    // still fingerprint-matches — skip the rebuild (this is what keeps
-    // the per-micro-batch sidecar cost at zero for quiet catalogs)
-    if (prev.exists(_._2 == hash)) return
     val gen = prev.map(_._1).getOrElse(0L) + 1
     val genDir = s"$root/gen-$gen"
-    readItemsScan(spark, itemsDir)
+    rows
       .coalesce(1) // catalog metadata: thousands of tiny rows, one file
       .write.mode("overwrite").parquet(genDir)
     if (itemsStateHash(itemsDir, conf) == hash) {
       atomicDoc(sidecarManifest(itemsDir),
         s"""{"gen": $gen, "hash": "$hash"}""", conf)
-      // prune generations older than the previous (best effort)
       val fs = WriFs.fs(root, conf)
       WriFs.listNames(root, conf)
         .filter(_.startsWith("gen-"))
@@ -455,10 +522,67 @@ object Stac {
             fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
         }
     }
-    // else: the directory moved under us — another publisher is active;
-    // its own sidecar write will mirror the newer state. Readers fall
-    // back to the JSON scan meanwhile (the manifest still names the
-    // older consistent generation, whose hash no longer matches).
+  }
+
+  /** Rebuild the sidecar mirror from the live item documents and flip
+    * the manifest to it. Called by the publish verbs after their item
+    * writes land; safe to call any time (it reads ONLY the documents). */
+  def writeCatalogSidecar(spark: SparkSession, itemsDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!WriFs.listNames(itemsDir, conf).exists(_.endsWith(".json"))) return
+    // fingerprint FIRST: the manifest must describe the directory state
+    // the mirrored rows were read under, not whatever it drifted to
+    // while the parquet write ran
+    val hash = itemsStateHash(itemsDir, conf)
+    // steady-state no-op: an all-unchanged refresh leaves every item
+    // file untouched (the delta discipline), so the standing mirror
+    // still fingerprint-matches — skip the rebuild (this is what keeps
+    // the per-micro-batch sidecar cost at zero for quiet catalogs)
+    if (readSidecarManifest(itemsDir, conf).exists(_._2 == hash)) return
+    commitSidecarGeneration(spark, itemsDir, conf, hash,
+      readItemDocsScan(spark, itemsDir))
+  }
+
+  /** The INCREMENTAL sidecar rebuild a refresh uses when it started
+    * from a fresh mirror: next generation = the previous generation's
+    * rows minus the ids the refresh changed or pruned, plus the changed
+    * documents it already holds in memory — zero item-file opens, so a
+    * streaming micro-batch's sidecar cost is O(delta) document parses
+    * plus one small parquet write instead of O(catalog) JSON opens.
+    *
+    * Exactness guard: the previous generation's untouched rows are only
+    * valid if nothing ELSE moved those files while the refresh ran, so
+    * the post-refresh listing must (a) have exactly the expected
+    * membership (stat0 − pruned + changed) and (b) carry byte-identical
+    * (len, mtime) stats for every file the refresh did not write. Any
+    * mismatch falls back to the full document scan — correct for every
+    * interleaving, merely slower. */
+  private[wri] def writeCatalogSidecarDelta(spark: SparkSession,
+      itemsDir: String, mirror0: DataFrame,
+      stat0: Seq[(String, Long, Long)], changed: DataFrame,
+      changedIds: Set[String], prunedIds: Set[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (changedIds.isEmpty && prunedIds.isEmpty) return // mirror still fresh
+    val stat1 = itemsStatList(itemsDir, conf)
+    val changedNames = changedIds.map(_ + ".json")
+    val prunedNames = prunedIds.map(_ + ".json")
+    val expected = stat0.map(_._1).toSet -- prunedNames ++ changedNames
+    val stat0ByName = stat0.map(s => s._1 -> s).toMap
+    val untouchedStable = stat1
+      .filterNot(s => changedNames.contains(s._1))
+      .forall(s => stat0ByName.get(s._1).contains(s))
+    if (stat1.map(_._1).toSet != expected || !untouchedStable) {
+      writeCatalogSidecar(spark, itemsDir) // foreign writes — full scan
+      return
+    }
+    // anti-join, not an IN-list: a refresh that rewrote everything has
+    // an O(catalog) delta, and a million inlined literals is a plan,
+    // not a predicate (the small-delta common case broadcasts anyway)
+    import spark.implicits._
+    val gone = (changedIds ++ prunedIds).toSeq.toDF("item_id")
+    val rows = mirror0.join(gone, Seq("item_id"), "left_anti")
+      .unionByName(flattenItemDocs(changed.select(col("json").as("doc"))))
+    commitSidecarGeneration(spark, itemsDir, conf, stateHashOf(stat1), rows)
   }
 
   /** Catalog search over [[readItems]] rows: items whose bbox
@@ -945,36 +1069,59 @@ object Stac {
     WriFs.mkdirs(itemsDir, conf)
     val confBc = WriFs.confBroadcast(spark)
     val dir = itemsDir
-    // phase 1: distributed read-only classification (retry-exact)
-    val plan = buildItems(spark, consistent, hostedProbe)
+    // the pre-refresh directory stats: the incremental sidecar rebuild
+    // verifies against these that nothing but this refresh's own writes
+    // moved while it ran
+    val stat0 = itemsStatList(itemsDir, conf)
+    val mirror0 = freshMirrorWithDocs(spark, itemsDir, conf)
+    // a HOSTED-STATUS change is surfaced distinctly: a CI refresh run
+    // with a different (or defaulted) hostedProbe than the build flips
+    // is_hosted on every item — reported as plain "rewritten" that is a
+    // SILENT hosted-status regression of the published catalog; named,
+    // it is one grep in the audit
+    def classify(mapper: ObjectMapper, old: String, json: String): String =
+      if (old == json) "unchanged"
+      else if (scala.util.Try(mapper.readTree(old)
+            .path("properties").path("is_hosted").asBoolean())
+          .toOption.exists(_ != mapper.readTree(json)
+            .path("properties").path("is_hosted").asBoolean()))
+        "rewritten(is_hosted)"
+      else "rewritten"
+    // phase 1: distributed read-only classification (retry-exact).
+    // When the refresh starts from a fresh mirror the old documents are
+    // byte-compared against the mirror's `doc` column — a metadata join,
+    // ZERO item-file opens; otherwise each task reads the live file.
+    val built = buildItems(spark, consistent, hostedProbe)
       .select(col("item_id"), col("json"))
-      .mapPartitions { rows =>
-        val c = confBc.value.value
-        val mapper = new ObjectMapper()
-        rows.map { r =>
-          val (id, json) = (r.getString(0), r.getString(1))
-          val p = s"$dir/$id.json"
-          val action =
-            if (!WriFs.exists(p, c)) "written"
-            else {
-              val old = WriFs.readString(p, c)
-              if (old == json) "unchanged"
-              // a HOSTED-STATUS change is surfaced distinctly: a CI
-              // refresh run with a different (or defaulted) hostedProbe
-              // than the build flips is_hosted on every item — reported
-              // as plain "rewritten" that is a SILENT hosted-status
-              // regression of the published catalog; named, it is one
-              // grep in the audit
-              else if (scala.util.Try(mapper.readTree(old)
-                    .path("properties").path("is_hosted").asBoolean())
-                  .toOption.exists(_ != mapper.readTree(json)
-                    .path("properties").path("is_hosted").asBoolean()))
-                "rewritten(is_hosted)"
-              else "rewritten"
+    val plan = (mirror0 match {
+      case Some(m) =>
+        built.join(m.select(col("item_id"), col("doc")),
+            Seq("item_id"), "left")
+          .select(col("item_id"), col("json"), col("doc"))
+          .mapPartitions { rows =>
+            val mapper = new ObjectMapper()
+            rows.map { r =>
+              val (id, json) = (r.getString(0), r.getString(1))
+              val action =
+                if (r.isNullAt(2)) "written"
+                else classify(mapper, r.getString(2), json)
+              (id, action, json)
             }
-          (id, action, json)
+          }
+      case None =>
+        built.mapPartitions { rows =>
+          val c = confBc.value.value
+          val mapper = new ObjectMapper()
+          rows.map { r =>
+            val (id, json) = (r.getString(0), r.getString(1))
+            val p = s"$dir/$id.json"
+            val action =
+              if (!WriFs.exists(p, c)) "written"
+              else classify(mapper, WriFs.readString(p, c), json)
+            (id, action, json)
+          }
         }
-      }.toDF("item_id", "action", "json").localCheckpoint(true)
+    }).toDF("item_id", "action", "json").localCheckpoint(true)
     // phase 2: apply the delta, atomic replace per document (idempotent
     // and torn-read-free under retries/speculation)
     plan.filter(col("action") =!= "unchanged")
@@ -989,7 +1136,12 @@ object Stac {
           }
       }
     val audit = plan.select(col("item_id"), col("action"))
-    val current = audit.select(col("item_id")).as[String].collect().toSet
+    // id→action, collected once: drives the orphan sweep AND tells the
+    // incremental sidecar rebuild which documents this refresh wrote
+    // (ids and one-word actions — bounded catalog metadata, the same
+    // size class as the listing below)
+    val actions = audit.as[(String, String)].collect()
+    val current = actions.map(_._1).toSet
     val orphanRows = listItemIds(itemsDir, conf).filterNot(current)
       .map { id =>
         if (pruneOrphans) {
@@ -1008,8 +1160,23 @@ object Stac {
     atomicDoc(s"$stacRoot/catalog.json", catalogJson, conf)
     // the refresh is the WRITE side of the consumer verbs' fast path:
     // re-mirror the (possibly just-changed) item rows into the parquet
-    // sidecar so lookups stop paying O(items) JSON opens
-    writeCatalogSidecar(spark, itemsDir)
+    // sidecar so lookups stop paying O(items) JSON opens. A refresh
+    // that STARTED from a fresh mirror rebuilds it incrementally from
+    // the delta it just wrote (zero item-file opens); without one it
+    // pays the full document scan once, and every later refresh rides
+    // the mirror it leaves behind.
+    mirror0 match {
+      case Some(m) =>
+        val changedIds = actions.collect {
+          case (id, a) if a != "unchanged" => id }.toSet
+        val prunedIds = orphanRows.collect {
+          case (id, "pruned") => id }.toSet
+        writeCatalogSidecarDelta(spark, itemsDir, m, stat0,
+          plan.filter(col("action") =!= "unchanged")
+            .select(col("item_id"), col("json")),
+          changedIds, prunedIds)
+      case None => writeCatalogSidecar(spark, itemsDir)
+    }
     audit.unionByName(orphanRows.toDF("item_id", "action"))
   }
 
@@ -1073,15 +1240,15 @@ object Stac {
     * (`processAllAvailable`/`awaitTermination`/`stop`). At 100 TB the
     * shape holds: each micro-batch costs O(new files) header reads
     * fanned across executors, the store grows by metadata rows only,
-    * and the refresh rewrites only changed documents. The per-batch
-    * O(catalog) tail (delta byte-compare + collection rebuild +
-    * sidecar re-mirror) is measured in SCALE.md's slope table:
-    * 200-upload batches cost 6.1 → 7.9 s as the catalog grows 200 →
-    * 1000 items at local[32] — roughly +0.3 s per additional 100
-    * catalog items on a ~6 s per-batch constant, so the batch constant
-    * dominates through a few thousand items; for 10k+ move the delta
-    * compare into the sidecar (diff against the mirror instead of
-    * re-reading every document). */
+    * and the refresh rewrites only changed documents. After the first
+    * micro-batch leaves a mirror behind, each later batch rides it:
+    * the delta byte-compare joins against the sidecar's `doc` column
+    * and the sidecar itself rebuilds incrementally from the delta, so
+    * a micro-batch opens NO catalog documents — its item-file I/O is
+    * exactly the documents it writes. The remaining O(catalog) tail is
+    * row-level (the compare join, the collection summary aggregate,
+    * one small parquet rewrite), measured in SCALE.md's slope table
+    * per 200-upload batch as the catalog grows to 1000 items. */
   def streamingCatalogRefresh(spark: SparkSession, dataDir: String,
       metaDir: String, stacRoot: String, checkpointDir: String,
       hostedProbe: String => Boolean = _ => false)

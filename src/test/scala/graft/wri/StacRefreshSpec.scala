@@ -325,6 +325,127 @@ class StacRefreshSpec extends SparkSpec {
     }}
   }
 
+  test("mirror-backed refresh: starting from a fresh sidecar, the " +
+      "delta classification joins against the mirror's doc column " +
+      "(zero item opens) and produces the IDENTICAL audit and bytes " +
+      "as the file-reading twin; the sidecar then rebuilds " +
+      "incrementally and equals a from-scratch document scan") {
+    def publish(suffix: String): (String, String) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"stac_mirror_$suffix").toString
+      Stac.run(spark, consistentOf(Seq(
+        "keep.tif" -> 0.0, "drift.tif" -> 0.0, "gone.tif" -> 0.0)), root)
+      (root, s"$root/collections/${Model.collectionId}/items")
+    }
+    val (rootA, itemsA) = publish("a") // refreshes THROUGH the mirror
+    val (rootB, itemsB) = publish("b") // manifest hidden → file compare
+    val mB = java.nio.file.Paths.get(Stac.sidecarRoot(itemsB),
+      "manifest.json")
+    java.nio.file.Files.move(mB, mB.resolveSibling("manifest.hidden"))
+    val next = Seq("keep.tif" -> 0.0, "drift.tif" -> 900.0,
+      "fresh.tif" -> 0.0)
+    val auditA = Stac.refreshCatalog(spark, consistentOf(next), rootA,
+      pruneOrphans = true).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val auditB = Stac.refreshCatalog(spark, consistentOf(next), rootB,
+      pruneOrphans = true).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(auditA == Map("keep" -> "unchanged", "drift" -> "rewritten",
+      "fresh" -> "written", "gone" -> "pruned"), auditA.toString)
+    assert(auditA == auditB,
+      s"mirror-backed classification drifted from the file-reading " +
+        s"twin: $auditA vs $auditB")
+    Stac.listItemIds(itemsA).foreach { id =>
+      val a = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$itemsA/$id.json")), "UTF-8")
+      val b = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$itemsB/$id.json")), "UTF-8")
+      assert(a == b, s"item $id differs between the mirror-backed and " +
+        "file-backed refresh")
+    }
+    // the incrementally rebuilt generation == a from-scratch scan,
+    // including the doc column the NEXT refresh will compare against
+    val mirrored = Stac.readItems(spark, itemsA)
+    assert(mirrored.inputFiles.forall(_.contains("/_catalog/gen-")),
+      "the incremental rebuild did not leave a live mirror")
+    assert(mirrored.collect().toSet ==
+      Stac.readItemsScan(spark, itemsA).collect().toSet,
+      "the incremental generation drifted from the documents")
+    assert(Stac.readItemDocsScan(spark, itemsA).collect().toSet ==
+      spark.read.parquet(mirrored.inputFiles.head
+        .replaceAll("/[^/]*$", "")).collect().toSet,
+      "the incremental generation's doc rows drifted from a full scan")
+  }
+
+  test("the incremental sidecar rebuild REFUSES to trust the previous " +
+      "generation when the directory moved out-of-band while the " +
+      "refresh ran — it falls back to the full document scan and the " +
+      "mirror still converges to the live directory") {
+    val root = java.nio.file.Files
+      .createTempDirectory("stac_mirror_race").toString
+    val itemsDir = s"$root/collections/${Model.collectionId}/items"
+    Stac.run(spark, consistentOf(Seq("a.tif" -> 0.0, "b.tif" -> 0.0)), root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stat0 = Stac.itemsStatList(itemsDir, conf)
+    val mirror0 = spark.read.parquet(
+      s"${Stac.sidecarRoot(itemsDir)}/gen-1")
+    // a foreign writer lands c.json AFTER stat0 was taken (simulating
+    // the mid-refresh interleaving) — the membership check must reject
+    // the incremental path, and the fallback scan must pick c up
+    Stac.writeItems(Stac.buildItems(spark,
+      consistentOf(Seq("c.tif" -> 0.0))), itemsDir)
+    val changed = Stac.buildItems(spark, consistentOf(Seq("b.tif" -> 900.0)))
+      .select(col("item_id"), col("json"))
+    changed.collect().foreach { r =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$itemsDir/${r.getString(0)}.json"),
+        r.getString(1))
+    }
+    Stac.writeCatalogSidecarDelta(spark, itemsDir, mirror0, stat0,
+      changed, Set("b"), Set.empty)
+    val served = Stac.readItems(spark, itemsDir)
+    assert(served.inputFiles.forall(_.contains("/_catalog/gen-")),
+      "the fallback rebuild did not leave a live mirror")
+    assert(served.collect().toSet ==
+      Stac.readItemsScan(spark, itemsDir).collect().toSet,
+      "the post-race mirror drifted from the documents — the foreign " +
+        "write was lost")
+    assert(served.filter(col("item_id") === "c").count() == 1,
+      "the foreign item is missing from the rebuilt mirror")
+  }
+
+  test("a generation written before the doc column existed still " +
+      "refreshes correctly: the mirror-backed compare declines it, the " +
+      "file-reading path runs, and the NEXT generation carries docs") {
+    val root = java.nio.file.Files
+      .createTempDirectory("stac_mirror_nodoc").toString
+    val itemsDir = s"$root/collections/${Model.collectionId}/items"
+    Stac.run(spark, consistentOf(Seq("a.tif" -> 0.0, "b.tif" -> 0.0)), root)
+    // rewrite gen-1 without `doc` (the pre-column layout), keeping the
+    // manifest hash valid (items untouched)
+    val gen1 = s"${Stac.sidecarRoot(itemsDir)}/gen-1"
+    val noDoc = spark.read.parquet(gen1).drop("doc").collect()
+    val schema = spark.read.parquet(gen1).drop("doc").schema
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(noDoc: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(gen1)
+    Thread.sleep(1100) // local-fs mtime granularity
+    val audit = Stac.refreshCatalog(spark, consistentOf(Seq(
+      "a.tif" -> 0.0, "b.tif" -> 900.0)), root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(audit == Map("a" -> "unchanged", "b" -> "rewritten"),
+      audit.toString)
+    val m = Stac.readItems(spark, itemsDir)
+    assert(m.inputFiles.forall(_.contains("/_catalog/gen-")) &&
+      m.collect().toSet ==
+        Stac.readItemsScan(spark, itemsDir).collect().toSet,
+      "the migration refresh did not leave a fresh doc-carrying mirror")
+    assert(spark.read.parquet(m.inputFiles.head.replaceAll("/[^/]*$", ""))
+      .columns.contains("doc"),
+      "the rebuilt generation still lacks the doc column")
+  }
+
   test("an EMPTY metadata table refuses the refresh BEFORE touching " +
       "anything — an upstream outage reading zero rows cannot gut a " +
       "published catalog through pruneOrphans") {

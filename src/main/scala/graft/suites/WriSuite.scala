@@ -33,7 +33,8 @@ object WriSuite {
     Q("wri_map_algebra", wriMapAlgebra, Some(wriMapAlgebraSql)),
     Q("wri_map_algebra_mean", wriMapAlgebraMean, Some(wriMapAlgebraMeanSql)),
     Q("wri_resample_combine", wriResampleCombine, Some(wriResampleCombineSql)),
-    Q("wri_stream_refresh", wriStreamRefresh, Some(wriStreamRefreshSql))
+    Q("wri_stream_refresh", wriStreamRefresh, Some(wriStreamRefreshSql)),
+    Q("wri_meta_compact", wriMetaCompact, Some(wriMetaCompactSql))
   )
 
   /** §2.8's built mapping as an ORACLE row — the streaming catalog
@@ -49,6 +50,77 @@ object WriSuite {
     * checkpoint, batch-twin byte equality, mtime no-ops) live in
     * StacRefreshSpec; the fixture resets every run, so replays of the
     * QUERY are deterministic too. */
+  /** [[Stac.compactMetaStore]] as an ORACLE row: four micro-batches at
+    * compactThreshold=2, so the store folds to a latest-wins generation
+    * TWICE mid-stream (inside the batch-1 and batch-3 calls) — with a
+    * re-delivery whose winner must outrank a FOLDED generation row
+    * (water -> carbon across the first fold), and a replay of an
+    * already-folded batch id as the last act (the post-crash
+    * foreachBatch contract against a compacted store). The catalog
+    * read back must show exactly the latest deliveries: a fold that
+    * drops a winner, keeps a loser, or lets a replayed old batch
+    * outrank the generation's newer rows changes a row and breaks the
+    * hash. Store-shape legs (bounded partition count, single surviving
+    * generation, byte-equality to the never-compacted twin) live in
+    * StacRefreshSpec. The fixture RESETS each run: a fold renumbers
+    * generations, so convergence-across-reruns is the reset, not the
+    * replay path. */
+  private def wriMetaCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"$fixtureRoot/meta_compact"
+    graft.wri.WriFs.fs(root, s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val dataDir = s"$root/data"
+    def put(rel: String): String = {
+      val p = java.nio.file.Paths.get(dataDir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      TiffWriter.writeHeaderFixture(p.toString,
+        Fixtures.W, Fixtures.H,
+        TiffIO.GeoInfo(graft.wri.Model.Expected.epsg,
+          graft.wri.Model.Expected.resX, graft.wri.Model.Expected.resY,
+          qaGx, qaGy))
+      p.toString
+    }
+    def batchOf(paths: Seq[String]): DataFrame =
+      paths.map(p => (p, new java.io.File(p).length)).toDF("path", "length")
+    val stacRoot = s"$root/stac"
+    val b0 = Seq(
+      put("water/indicators/flow_recovery_v1.tif"),
+      put("air_quality/air_quality_domain_score.tif"))
+    Stac.refreshBatch(batchOf(b0), 0L, s"$root/meta", stacRoot,
+      _ => false, compactThreshold = 2)
+    Stac.refreshBatch(batchOf(Seq(
+        put("livelihoods/indicators/jobs_resistance_v1.tif"))),
+      1L, s"$root/meta", stacRoot, _ => false, compactThreshold = 2)
+    Stac.refreshBatch(batchOf(Seq(
+        put("carbon/indicators/flow_recovery_v1.tif"))),
+      2L, s"$root/meta", stacRoot, _ => false, compactThreshold = 2)
+    Stac.refreshBatch(batchOf(Seq(
+        put("biodiversity/indicators/habitat_status_v1.tif"))),
+      3L, s"$root/meta", stacRoot, _ => false, compactThreshold = 2)
+    // replay of batch 0 — folded two generations ago; its re-landed
+    // rows must lose to the generation's newer carbon winner
+    Stac.refreshBatch(batchOf(b0.take(1)), 0L, s"$root/meta", stacRoot,
+      _ => false, compactThreshold = 2)
+    Stac.readItems(s,
+        s"$stacRoot/collections/${graft.wri.Model.collectionId}/items")
+      .select(col("item_id"), col("data_type"), col("wri_domain"),
+        col("wri_dimension"), col("is_hosted"))
+      .orderBy(col("item_id"))
+  }
+
+  private val wriMetaCompactSql =
+    """SELECT * FROM (VALUES
+      |  ('air_quality_domain_score', 'aggregate', 'air_quality',
+      |    'domain_score', false),
+      |  ('flow_recovery_v1', 'indicator', 'carbon', 'recovery', false),
+      |  ('habitat_status_v1', 'indicator', 'biodiversity', 'status',
+      |    false),
+      |  ('jobs_resistance_v1', 'indicator', 'livelihoods', 'resistance',
+      |    false)
+      |) t(item_id, data_type, wri_domain, wri_dimension, is_hosted)
+      |ORDER BY item_id""".stripMargin
+
   private def wriStreamRefresh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // NO upfront reset: every fixture write below is a deterministic

@@ -1251,7 +1251,8 @@ object Stac {
     * per 200-upload batch as the catalog grows to 1000 items. */
   def streamingCatalogRefresh(spark: SparkSession, dataDir: String,
       metaDir: String, stacRoot: String, checkpointDir: String,
-      hostedProbe: String => Boolean = _ => false)
+      hostedProbe: String => Boolean = _ => false,
+      compactThreshold: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // the binaryFile source's FIXED schema, stated explicitly — a
     // streaming file source refuses to infer
@@ -1275,7 +1276,8 @@ object Stac {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        refreshBatch(batch, batchId, metaDir, stacRoot, hostedProbe)
+        refreshBatch(batch, batchId, metaDir, stacRoot, hostedProbe,
+          compactThreshold)
       }
       .start()
   }
@@ -1289,7 +1291,8 @@ object Stac {
     * length) rows for the newly arrived rasters. */
   def refreshBatch(batch: DataFrame, batchId: Long,
       metaDir: String, stacRoot: String,
-      hostedProbe: String => Boolean): Unit = {
+      hostedProbe: String => Boolean,
+      compactThreshold: Int = 64): Unit = {
     val spark = batch.sparkSession
     val listed = batch.select(
         regexp_replace(col("path"), "^file:", "").as("filepath"),
@@ -1314,27 +1317,123 @@ object Stac {
           .parquet(s"$metaDir/batch=$batchId")
     } finally consistent.unpersist()
     val conf = spark.sparkContext.hadoopConfiguration
-    val haveBatches = WriFs.listNames(metaDir, conf)
-      .exists(_.startsWith("batch="))
-    if (haveBatches) {
-      // latest-wins across the accumulated store: a re-delivered
-      // cog_filename's newest batch (then lexically-last path, for two
-      // deliveries inside ONE batch) feeds the refresh
-      val all = spark.read.option("basePath", metaDir)
-        .parquet(s"$metaDir/batch=*")
-      // batch is NUMERIC by contract: cast it explicitly so latest-wins
-      // never depends on partitionColumnTypeInference — with inference
-      // off the inferred column is a string and "9" lexically outranks
-      // "10", silently regressing the catalog to an older delivery
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cog_filename"))
-        .orderBy(col("batch").cast("long").desc, col("filepath").desc)
-      val latest = all
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "batch")
+    // the store stays BOUNDED over the stream's life: once the number
+    // of per-batch partitions reaches the threshold, fold them (plus
+    // any previous fold) into one latest-wins generation — without
+    // this, micro-batch N reads N partitions and the refresh cost
+    // grows with the total uploads EVER, not the catalog
+    if (compactThreshold > 0 &&
+        WriFs.listNames(metaDir, conf)
+          .count(_.startsWith("batch=")) >= compactThreshold)
+      compactMetaStore(spark, metaDir)
+    if (WriFs.listNames(metaDir, conf).exists(_.startsWith("batch=")) ||
+        compactedGens(metaDir, conf).nonEmpty) {
+      val latest = latestWins(accumulatedMeta(spark, metaDir, conf))
+        .drop("batch")
       refreshCatalog(spark, latest, stacRoot, hostedProbe,
         pruneOrphans = false)
       ()
     }
+  }
+
+  /** The compacted generations under `metaDir/compacted`, as
+    * (dirName, generation) sorted by generation. */
+  private def compactedGens(metaDir: String,
+      conf: Configuration): Seq[(String, Long)] =
+    WriFs.listNames(s"$metaDir/compacted", conf)
+      .filter(_.startsWith("gen-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("gen-").toLong).toOption
+        .map(n -> _))
+      .sortBy(_._2)
+
+  /** Every metadata row the store currently holds: the per-batch
+    * partitions (batch as the hive partition column) unioned with the
+    * compacted generations (batch as a data column). Duplicates across
+    * the two forms are IDENTICAL rows (a replayed batch re-lands the
+    * same deterministic header-scan rows its compacted winners came
+    * from), so latest-wins over the union is exact whether or not a
+    * compaction's source deletes completed. */
+  private def accumulatedMeta(spark: SparkSession, metaDir: String,
+      conf: Configuration): DataFrame = {
+    // batch is NUMERIC by contract: cast it explicitly so latest-wins
+    // never depends on partitionColumnTypeInference — with inference
+    // off the inferred column is a string and "9" lexically outranks
+    // "10", silently regressing the catalog to an older delivery
+    val batches =
+      if (WriFs.listNames(metaDir, conf).exists(_.startsWith("batch=")))
+        Some(spark.read.option("basePath", metaDir)
+          .parquet(s"$metaDir/batch=*")
+          .withColumn("batch", col("batch").cast("long")))
+      else None
+    val gens = compactedGens(metaDir, conf)
+      .map { case (n, _) => s"$metaDir/compacted/$n" } match {
+        case Seq() => None
+        case paths => Some(spark.read.parquet(paths: _*))
+      }
+    (batches, gens) match {
+      case (Some(b), Some(g)) => b.unionByName(g)
+      case (Some(b), None) => b
+      case (None, Some(g)) => g
+      case (None, None) =>
+        sys.error(s"accumulatedMeta at $metaDir: the store is empty")
+    }
+  }
+
+  /** Latest-wins across the accumulated store: a re-delivered
+    * cog_filename's newest batch (then lexically-last path, for two
+    * deliveries inside ONE batch) is the row that feeds the refresh.
+    * The `batch` column is KEPT on the winners — compaction persists
+    * it so later batches (and replays of folded ones) still order
+    * correctly against the folded winners. */
+  private def latestWins(all: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cog_filename"))
+      .orderBy(col("batch").desc, col("filepath").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Fold the metadata store to its latest-wins winners: one pass over
+    * every per-batch partition and previous generation, one new
+    * `compacted/gen-<n>` holding ONE row per cog_filename (its winning
+    * batch id preserved), then best-effort deletion of the folded
+    * sources. Crash-safe by construction, not by protocol: the new
+    * generation's rows are a latest-wins-equivalent superset-summary of
+    * what it folded, and duplicates between a generation and an
+    * undeleted (or later replayed) batch partition are identical rows —
+    * so a crash at ANY point leaves a store whose latest-wins answer is
+    * unchanged, and the next compaction simply folds the leftovers.
+    * A replay of an already-folded batch id re-lands its partition and
+    * the window resolves it against the generation's winners exactly as
+    * it would have against the original partitions.
+    *
+    * At scale this is what keeps the streaming loop O(catalog): the
+    * store holds |layers| + |batches since last fold| rows instead of
+    * every upload ever, and each micro-batch's accumulated read opens a
+    * handful of files. Returns a one-row audit:
+    * (gen, folded_batches, folded_gens, layers). */
+  def compactMetaStore(spark: SparkSession, metaDir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val batchDirs = WriFs.listNames(metaDir, conf)
+      .filter(_.startsWith("batch="))
+    val gens = compactedGens(metaDir, conf)
+    require(batchDirs.nonEmpty || gens.nonEmpty,
+      s"compactMetaStore at $metaDir: the store is empty — nothing to " +
+        "compact (land at least one batch first)")
+    val winners = latestWins(accumulatedMeta(spark, metaDir, conf))
+      .coalesce(1) // one row per layer: catalog metadata, one file
+      .localCheckpoint(true) // materialize BEFORE any source is deleted
+    val gen = gens.map(_._2).maxOption.getOrElse(0L) + 1
+    winners.write.mode("overwrite")
+      .parquet(s"$metaDir/compacted/gen-$gen")
+    val fs = WriFs.fs(metaDir, conf)
+    (batchDirs.map(n => s"$metaDir/$n") ++
+      gens.map { case (n, _) => s"$metaDir/compacted/$n" })
+      .foreach { p =>
+        scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      }
+    Seq((gen, batchDirs.size.toLong, gens.size.toLong, winners.count()))
+      .toDF("gen", "folded_batches", "folded_gens", "layers")
   }
 }

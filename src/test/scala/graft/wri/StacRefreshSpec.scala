@@ -446,6 +446,97 @@ class StacRefreshSpec extends SparkSpec {
       "the rebuilt generation still lacks the doc column")
   }
 
+  test("metadata-store compaction: the streaming store folds to one " +
+      "latest-wins generation once the batch-partition count hits the " +
+      "threshold, the catalog equals the never-compacted twin " +
+      "byte-for-byte, and replaying an already-FOLDED batch id is " +
+      "still a no-op") {
+    import Model.Expected
+    def putLayer(base: String, rel: String): String = {
+      val p = java.nio.file.Paths.get(base, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      TiffWriter.writeHeaderFixture(p.toString, Fixtures.W, Fixtures.H,
+        TiffIO.GeoInfo(Expected.epsg, Expected.resX, Expected.resY,
+          gx, gy))
+      p.toString
+    }
+    def drive(threshold: Int): (String, String) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"meta_compact_$threshold").toString
+      val data = s"$root/data"
+      def batchOf(paths: Seq[String]) =
+        paths.map(p => (p, new java.io.File(p).length))
+          .toDF("path", "length")
+      val stacRoot = s"$root/stac"
+      // four micro-batches, one per threshold boundary, including a
+      // RE-DELIVERY whose domain changes across the fold boundary —
+      // latest-wins must survive the fold
+      Stac.refreshBatch(batchOf(Seq(
+          putLayer(data, "water/indicators/flow_recovery_v1.tif"),
+          putLayer(data, "air_quality/air_quality_domain_score.tif"))),
+        0L, s"$root/meta", stacRoot, _ => false, threshold)
+      Stac.refreshBatch(batchOf(Seq(
+          putLayer(data, "livelihoods/indicators/jobs_resistance_v1.tif"))),
+        1L, s"$root/meta", stacRoot, _ => false, threshold)
+      // at threshold 2 the folds fire inside the batch-1 and batch-3
+      // calls (landing first, then the count check) — so the
+      // re-delivery below lands AFTER a fold and its winner must
+      // outrank the folded generation's batch-0 row
+      Stac.refreshBatch(batchOf(Seq(
+          putLayer(data, "carbon/indicators/flow_recovery_v1.tif"))),
+        2L, s"$root/meta", stacRoot, _ => false, threshold)
+      Stac.refreshBatch(batchOf(Seq(
+          putLayer(data, "biodiversity/indicators/habitat_stability_v1.tif"))),
+        3L, s"$root/meta", stacRoot, _ => false, threshold)
+      (root, s"$stacRoot/collections/${Model.collectionId}/items")
+    }
+    val (rootC, itemsC) = drive(2) // compacts (twice, at batches 2 and 3)
+    val (rootU, itemsU) = drive(0) // compaction disabled
+    // the folded store is BOUNDED; the unfolded one holds every batch
+    def batchDirs(root: String) =
+      new java.io.File(s"$root/meta").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).length
+    assert(batchDirs(rootU) == 4, s"twin landed ${batchDirs(rootU)} dirs")
+    assert(batchDirs(rootC) <= 2,
+      s"compaction left ${batchDirs(rootC)} batch partitions standing")
+    assert(new java.io.File(s"$rootC/meta/compacted").listFiles()
+      .count(_.getName.startsWith("gen-")) == 1,
+      "compaction did not leave exactly the newest generation")
+    // identical catalogs — compaction is invisible to the items
+    assert(Stac.listItemIds(itemsC) == Stac.listItemIds(itemsU))
+    Stac.listItemIds(itemsC).foreach { id =>
+      val a = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$itemsC/$id.json")), "UTF-8")
+      val b = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$itemsU/$id.json")), "UTF-8")
+      assert(a == b, s"item $id drifted under compaction")
+    }
+    // the re-delivered layer's winner crossed the fold: batch 2 wins
+    assert(Stac.readItems(spark, itemsC)
+      .filter(col("item_id") === "flow_recovery_v1")
+      .select("wri_domain").as[String].head() == "carbon",
+      "latest-wins regressed across the fold")
+    // replaying a FOLDED batch id (0 was folded into the generation):
+    // the landing recreates batch=0, latest-wins still answers from
+    // the generation's newer winners, and no document moves
+    val replay = Seq(
+      s"$rootC/data/water/indicators/flow_recovery_v1.tif")
+      .map(p => (p, new java.io.File(p).length)).toDF("path", "length")
+    val mtimes = Stac.listItemIds(itemsC).map(id =>
+      id -> new java.io.File(s"$itemsC/$id.json").lastModified).toMap
+    Thread.sleep(1100) // local-fs mtime granularity
+    Stac.refreshBatch(replay, 0L, s"$rootC/meta", s"$rootC/stac",
+      _ => false, 2)
+    Stac.listItemIds(itemsC).foreach { id =>
+      assert(new java.io.File(s"$itemsC/$id.json").lastModified ==
+        mtimes(id), s"replaying a folded micro-batch rewrote item $id")
+    }
+    assert(Stac.readItems(spark, itemsC)
+      .filter(col("item_id") === "flow_recovery_v1")
+      .select("wri_domain").as[String].head() == "carbon",
+      "a folded batch's replay outranked the generation's newer winner")
+  }
+
   test("an EMPTY metadata table refuses the refresh BEFORE touching " +
       "anything — an upstream outage reading zero rows cannot gut a " +
       "published catalog through pruneOrphans") {

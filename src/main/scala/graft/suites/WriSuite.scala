@@ -33,6 +33,7 @@ object WriSuite {
     Q("wri_map_algebra", wriMapAlgebra, Some(wriMapAlgebraSql)),
     Q("wri_map_algebra_mean", wriMapAlgebraMean, Some(wriMapAlgebraMeanSql)),
     Q("wri_resample_combine", wriResampleCombine, Some(wriResampleCombineSql)),
+    Q("wri_resample_bilinear", wriResampleBilinear, Some(wriResampleBilinearSql)),
     Q("wri_stream_refresh", wriStreamRefresh, Some(wriStreamRefreshSql)),
     Q("wri_meta_compact", wriMetaCompact, Some(wriMetaCompactSql))
   )
@@ -299,6 +300,69 @@ object WriSuite {
       .select(col("layer"), col("n_valid"), col("n_nan"),
         col("vs_sum"), col("vs_min"), col("vs_max"))
   }
+
+  /** [[CogQuery.resampleToGrid]]'s BILINEAR kernel as an oracle: the
+    * same 160x100 value family delivered on a HALF-pixel-shifted x
+    * grid (origin +20.5 px) with the y axis aligned — so every output
+    * value inside the footprint is the exact 0.5/0.5 average of its
+    * two x-neighbors and the zero-weight y row is never sampled. The
+    * oracle replays that average analytically (double halves sum
+    * exactly, float32 store, fixed-point stats through the written
+    * COG's own range reads); NULL wherever EITHER positive-weight
+    * neighbor is NaN or the center falls above the source (y < 10) —
+    * a kernel that samples the wrong neighbor, miscomputes a weight,
+    * lets the zero-weight row poison a value, or rounds the origin
+    * difference through the projected magnitude changes a row and
+    * breaks the hash. */
+  private def wriResampleBilinear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inputs = Fixtures.writeCogInputs(s"$fixtureRoot/winq",
+      n = 4, w = 192, h = 128)
+    val cogDir = s"$fixtureRoot/winq_cogs"
+    Cog.run(s, inputs.toDF("filepath", "cog_filename"), cogDir,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val refCog = s"$cogDir/layer_0.tif"
+    val (sw, sh) = (160, 100)
+    val srcPx = Array.tabulate(sw * sh)(j =>
+      if (j % 13 == 0) Float.NaN else ((j * 3) % 101) / 7.0f)
+    val src = s"$fixtureRoot/derived/resample_bilin_src.tif"
+    TiffWriter.writeCog(src, sw, sh, srcPx,
+      TiffIO.GeoInfo(graft.wri.Model.Expected.epsg, 90.0, 90.0,
+        qaGx + 20.5 * 90.0, qaGy - 10 * 90.0),
+      TiffWriter.CogOptions(blockSize = 32))
+    val aligned = s"$fixtureRoot/derived/resample_bilin_aligned.tif"
+    CogQuery.resampleToGrid(s, src, refCog, aligned,
+      TiffWriter.CogOptions(blockSize = 32), method = "bilinear").count()
+    CogQuery.windowStatsGeoAt(s, Seq(("resample_bilinear.tif", aligned)),
+        minx = qaGx + 25.4 * 90.0, maxx = qaGx + 102.2 * 90.0,
+        miny = qaGy - 58.3 * 90.0, maxy = qaGy - 7.6 * 90.0)
+      .select(col("layer"), col("n_valid"), col("n_nan"),
+        col("vs_sum"), col("vs_min"), col("vs_max"))
+  }
+
+  private val wriResampleBilinearSql =
+    """WITH px AS (
+      |  SELECT x.range AS x, y.range AS y
+      |  FROM range(25, 103) x, range(7, 59) y),
+      |v AS (SELECT
+      |    CASE WHEN y < 10 THEN NULL
+      |         WHEN ((y - 10) * 160 + (x - 21)) % 13 = 0 THEN NULL
+      |         WHEN ((y - 10) * 160 + (x - 20)) % 13 = 0 THEN NULL
+      |      ELSE CAST(round(CAST(CAST(
+      |          CAST(CAST((((y - 10) * 160 + (x - 21)) * 3) % 101 AS REAL)
+      |              / CAST(7 AS REAL) AS DOUBLE) * 0.5
+      |        + CAST(CAST((((y - 10) * 160 + (x - 20)) * 3) % 101 AS REAL)
+      |              / CAST(7 AS REAL) AS DOUBLE) * 0.5
+      |        AS REAL) AS DOUBLE) * 10000) AS BIGINT)
+      |    END AS vs
+      |  FROM px)
+      |SELECT 'resample_bilinear.tif' AS layer,
+      |  CAST(count(vs) AS BIGINT) AS n_valid,
+      |  CAST(count(*) - count(vs) AS BIGINT) AS n_nan,
+      |  CAST(sum(vs) AS BIGINT) AS vs_sum,
+      |  CAST(min(vs) AS BIGINT) AS vs_min,
+      |  CAST(max(vs) AS BIGINT) AS vs_max
+      |FROM v""".stripMargin
 
   private val wriResampleCombineSql =
     """WITH px AS (

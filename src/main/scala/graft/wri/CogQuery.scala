@@ -616,8 +616,8 @@ object CogQuery {
     * shape safe at any raster size. */
   private val ResampleTileCacheCap = 64
 
-  /** Nearest-neighbor REGRID of one COG onto a reference layer's exact
-    * grid (geotransform + dimensions + tiling) — the remediation verb
+  /** REGRID of one COG onto a reference layer's exact grid
+    * (geotransform + dimensions + tiling) — the remediation verb
     * behind [[mapAlgebra]]'s grid-mismatch refusal: the day one layer
     * arrives on a shifted origin / different resolution / different
     * size, `resampleToGrid(src, ref)` derives an aligned twin and the
@@ -629,11 +629,21 @@ object CogQuery {
     * resamples — `00b_create_cogs.R:40-48`; this verb exists so that
     * assertion has an actionable remediation instead of a dead end.)
     *
-    * Each OUTPUT pixel takes the source pixel whose cell contains the
-    * output pixel's center (pixel-is-area floor mapping, the
-    * [[boxToPixels]] convention); centers falling outside the source
-    * raster are NaN — resampling never invents data past the edge.
-    * Identity grids round-trip bytes exactly (NN copies floats).
+    * `method` picks the kernel. "nearest" (default — categorical and
+    * masked data): each OUTPUT pixel takes the source pixel whose cell
+    * contains the output pixel's center (pixel-is-area floor mapping,
+    * the [[boxToPixels]] convention). "bilinear" (continuous fields):
+    * the 4-neighbor weighted average at the output center's fractional
+    * source coordinates — zero-weight neighbors are never sampled (an
+    * exactly-aligned axis cannot be poisoned by a NaN it has no weight
+    * on), a positive-weight NaN neighbor propagates strictly (the
+    * [[mapAlgebra]] wsum discipline), and edge neighbors clamp
+    * (half-pixel edge extension). Both methods share the SAME validity
+    * footprint — centers whose NN cell falls outside the source are
+    * NaN, so switching kernels never grows or shrinks a layer's
+    * extent, and resampling never invents data past the edge.
+    * Identity grids round-trip bytes exactly under BOTH methods (all
+    * weights collapse to the center pixel).
     *
     * Scale shape — the [[mapAlgebra]] three-job pattern:
     *  1. one small task per input: header prefix -> grid signature +
@@ -651,8 +661,12 @@ object CogQuery {
       srcPath: String, refPath: String, outPath: String,
       opts: TiffWriter.CogOptions = TiffWriter.CogOptions(),
       epsg: Int = Model.Expected.epsg,
-      prefixBytes: Int = 16 * 1024): DataFrame = {
+      prefixBytes: Int = 16 * 1024,
+      method: String = "nearest"): DataFrame = {
     import spark.implicits._
+    require(method == "nearest" || method == "bilinear",
+      s"unknown resample method '$method' — expected 'nearest' " +
+        "(categorical/masked data) or 'bilinear' (continuous fields)")
     // job 1: grid signatures — source and reference, one task each
     val sigs = withReaderAt(spark,
       Seq(("src", srcPath), ("ref", refPath)), prefixBytes) {
@@ -691,6 +705,7 @@ object CogQuery {
           spark.sparkContext.hadoopConfiguration)))
     val sp = srcPath
     val pfx = prefixBytes
+    val bilinear = method == "bilinear"
     // job 2: one task per OUTPUT tile chunk — sample from the covering
     // source tiles only
     val sampled = spark.createDataset(chunks)
@@ -731,34 +746,117 @@ object CogQuery {
               val xHi = math.min(w, (c + 1) * tw)
               val yHi = math.min(h, (r + 1) * th)
               // per-axis NN index maps, computed once per tile: output
-              // center -> source pixel (floor = pixel-is-area)
+              // center -> source pixel (floor = pixel-is-area). BOTH
+              // methods share this as the validity footprint — nearest
+              // and bilinear differ in VALUE, never in mask, so a
+              // method switch cannot grow or shrink a layer's extent.
+              // The origin DIFFERENCE is hoisted and subtracted first:
+              // (gx - sGx) between two nearby projected origins is an
+              // exact double (Sterbenz), so a whole- or half-pixel grid
+              // shift yields exact integer / half-integer source
+              // coordinates — folding the origins into the per-pixel
+              // sum instead would round through the ~1e6-meter origin
+              // magnitude and could push an exact cell boundary (or an
+              // exact bilinear weight) off by an ulp
+              val dgx = gx - sGx
+              val dgy = sGy - gy
               val sxOf = Array.tabulate(xHi - c * tw) { dx =>
-                val mx = gx + (c * tw + dx + 0.5) * resX
-                math.floor((mx - sGx) / sResX).toInt
+                math.floor(
+                  (dgx + (c * tw + dx + 0.5) * resX) / sResX).toInt
               }
               val syOf = Array.tabulate(yHi - r * th) { dy =>
-                val my = gy - (r * th + dy + 0.5) * resY
-                math.floor((sGy - my) / sResY).toInt
+                math.floor(
+                  (dgy + (r * th + dy + 0.5) * resY) / sResY).toInt
               }
-              var dy = 0
-              while (dy < syOf.length) {
-                val sy = syOf(dy)
-                if (sy >= 0 && sy < sh) {
-                  val sty = sy / sl.tileHeight
-                  var dx = 0
-                  while (dx < sxOf.length) {
-                    val sx = sxOf(dx)
-                    if (sx >= 0 && sx < sw) {
-                      val stx = sx / sl.tileWidth
-                      val px = srcTile(sty * sAcross + stx)
-                      out(dy * tw + dx) = px(
-                        (sy - sty * sl.tileHeight) * sl.tileWidth +
-                          (sx - stx * sl.tileWidth))
+              if (!bilinear) {
+                var dy = 0
+                while (dy < syOf.length) {
+                  val sy = syOf(dy)
+                  if (sy >= 0 && sy < sh) {
+                    val sty = sy / sl.tileHeight
+                    var dx = 0
+                    while (dx < sxOf.length) {
+                      val sx = sxOf(dx)
+                      if (sx >= 0 && sx < sw) {
+                        val stx = sx / sl.tileWidth
+                        val px = srcTile(sty * sAcross + stx)
+                        out(dy * tw + dx) = px(
+                          (sy - sty * sl.tileHeight) * sl.tileWidth +
+                            (sx - stx * sl.tileWidth))
+                      }
+                      dx += 1
                     }
-                    dx += 1
                   }
+                  dy += 1
                 }
-                dy += 1
+              } else {
+                // bilinear: output center -> FRACTIONAL source pixel-
+                // center coords (fx = u - 0.5, so weight 0 means the
+                // center lands exactly on a source column/row).
+                // Zero-weight neighbors are never sampled — a NaN
+                // there must not poison an exactly-aligned value (the
+                // identity-grid regrid stays byte-exact); a NaN
+                // neighbor with positive weight propagates strictly,
+                // the mapAlgebra wsum discipline. Edge neighbors clamp
+                // (half-pixel edge extension), inside the shared NN
+                // validity mask above.
+                val x0a = new Array[Int](sxOf.length)
+                val wxa = new Array[Double](sxOf.length)
+                var i = 0
+                while (i < sxOf.length) {
+                  val u = (dgx + (c * tw + i + 0.5) * resX) / sResX
+                  val fx = u - 0.5
+                  val x0 = math.floor(fx)
+                  x0a(i) = x0.toInt; wxa(i) = fx - x0
+                  i += 1
+                }
+                val y0a = new Array[Int](syOf.length)
+                val wya = new Array[Double](syOf.length)
+                i = 0
+                while (i < syOf.length) {
+                  val u = (dgy + (r * th + i + 0.5) * resY) / sResY
+                  val fy = u - 0.5
+                  val y0 = math.floor(fy)
+                  y0a(i) = y0.toInt; wya(i) = fy - y0
+                  i += 1
+                }
+                def at(sx: Int, sy: Int): Double = {
+                  val cx = math.max(0, math.min(sw - 1, sx))
+                  val cy = math.max(0, math.min(sh - 1, sy))
+                  val stx = cx / sl.tileWidth
+                  val sty = cy / sl.tileHeight
+                  srcTile(sty * sAcross + stx)(
+                    (cy - sty * sl.tileHeight) * sl.tileWidth +
+                      (cx - stx * sl.tileWidth)).toDouble
+                }
+                var dy = 0
+                while (dy < syOf.length) {
+                  if (syOf(dy) >= 0 && syOf(dy) < sh) {
+                    val y0 = y0a(dy); val wy = wya(dy)
+                    var dx = 0
+                    while (dx < sxOf.length) {
+                      if (sxOf(dx) >= 0 && sxOf(dx) < sw) {
+                        val x0 = x0a(dx); val wx = wxa(dx)
+                        val r0 =
+                          if (wx == 0.0) at(x0, y0)
+                          else at(x0, y0) * (1.0 - wx) +
+                            at(x0 + 1, y0) * wx
+                        val v =
+                          if (wy == 0.0) r0
+                          else {
+                            val r1 =
+                              if (wx == 0.0) at(x0, y0 + 1)
+                              else at(x0, y0 + 1) * (1.0 - wx) +
+                                at(x0 + 1, y0 + 1) * wx
+                            r0 * (1.0 - wy) + r1 * wy
+                          }
+                        out(dy * tw + dx) = v.toFloat
+                      }
+                      dx += 1
+                    }
+                  }
+                  dy += 1
+                }
               }
               (t, out)
             }

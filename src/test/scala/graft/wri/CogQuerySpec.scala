@@ -546,4 +546,112 @@ class CogQuerySpec extends SparkSpec {
     assert(crsCombineErr.getMessage.contains("CRS"),
       crsCombineErr.getMessage)
   }
+
+  test("resampleToGrid bilinear: identity still round-trips bytes (all " +
+      "weights collapse), a half-pixel-shifted source lands as the " +
+      "EXACT two-neighbor average vs an independent reimplementation " +
+      "(NaN propagating only on positive-weight neighbors), the valid " +
+      "footprint equals nearest's, and an unknown method refuses") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val refPath = s"$cogDir/${inputs.head._2}"
+    val (resX, resY, gx, gy) = TiffIO.geoTransformFromPrefix(
+      prefixOf(refPath))
+    // --- identity: bilinear on the same grid == byte-identical pixels
+    val idOut = s"$root/bilinear_identity.tif"
+    CogQuery.resampleToGrid(spark, s"$cogDir/${inputs(1)._2}", refPath,
+      idOut, TiffWriter.CogOptions(blockSize = 32),
+      method = "bilinear").count()
+    val (_, idPx) = TiffIO.readPixels(idOut)
+    val (_, srcIdPx) = TiffIO.readPixels(s"$cogDir/${inputs(1)._2}")
+    var k = 0
+    while (k < idPx.length) {
+      assert(java.lang.Float.compare(idPx(k), srcIdPx(k)) == 0,
+        s"identity bilinear changed pixel $k")
+      k += 1
+    }
+    // --- half-pixel X shift: every output value is the exact 0.5/0.5
+    // average of its two x-neighbors; the y axis is ALIGNED, so the
+    // zero-weight y+1 row must never be sampled (a NaN there must not
+    // poison the value)
+    val (sw, sh) = (160, 100)
+    val srcPx = Array.tabulate(sw * sh)(j =>
+      if (j % 13 == 0) Float.NaN else ((j * 3) % 101) / 7.0f)
+    val shifted = s"$root/bilinear_src_halfpx.tif"
+    TiffWriter.writeCog(shifted, sw, sh, srcPx,
+      TiffIO.GeoInfo(Model.Expected.epsg, resX, resY,
+        gx + 20.5 * resX, gy - 10 * resY),
+      TiffWriter.CogOptions(blockSize = 32), conf)
+    val out = s"$root/bilinear_out.tif"
+    CogQuery.resampleToGrid(spark, shifted, refPath, out,
+      TiffWriter.CogOptions(blockSize = 32), method = "bilinear").count()
+    val (_, biPx) = TiffIO.readPixels(out)
+    // independent reimplementation: shift-only arithmetic (no origins),
+    // the provably-exact values the hoisted-origin kernel must equal
+    def at(sx: Int, sy: Int): Double =
+      srcPx(math.max(0, math.min(sh - 1, sy)) * sw +
+        math.max(0, math.min(sw - 1, sx))).toDouble
+    val twinPx = Array.tabulate(192 * 128) { j =>
+      val (x, y) = (j % 192, j / 192)
+      val u = ((x + 0.5) * resX - 20.5 * resX) / resX
+      val vy = ((y + 0.5) * resY - 10 * resY) / resY
+      if (math.floor(u) < 0 || math.floor(u) >= sw ||
+          math.floor(vy) < 0 || math.floor(vy) >= sh) Float.NaN
+      else {
+        val fx = u - 0.5; val x0 = math.floor(fx).toInt; val wx = fx - x0
+        val fy = vy - 0.5; val y0 = math.floor(fy).toInt; val wy = fy - y0
+        val r0 =
+          if (wx == 0.0) at(x0, y0)
+          else at(x0, y0) * (1.0 - wx) + at(x0 + 1, y0) * wx
+        val v =
+          if (wy == 0.0) r0
+          else {
+            val r1 =
+              if (wx == 0.0) at(x0, y0 + 1)
+              else at(x0, y0 + 1) * (1.0 - wx) + at(x0 + 1, y0 + 1) * wx
+            r0 * (1.0 - wy) + r1 * wy
+          }
+        v.toFloat
+      }
+    }
+    k = 0
+    while (k < biPx.length) {
+      assert(java.lang.Float.compare(biPx(k), twinPx(k)) == 0,
+        s"bilinear pixel $k: expected ${twinPx(k)} got ${biPx(k)}")
+      k += 1
+    }
+    // spot-check the semantics the hash can hide: an interior pixel is
+    // the plain average of its two x-neighbors
+    locally {
+      val (x, y) = (30, 30)
+      val jL = (y - 10) * sw + (x - 21)
+      if (!srcPx(jL).isNaN && !srcPx(jL + 1).isNaN)
+        assert(java.lang.Float.compare(biPx(y * 192 + x),
+          (srcPx(jL).toDouble * 0.5 + srcPx(jL + 1).toDouble * 0.5)
+            .toFloat) == 0)
+    }
+    // --- footprint parity: the outside-the-source mask is METHOD-
+    // INDEPENDENT (bilinear adds NaNs only where a positive-weight
+    // neighbor is NaN — never past nearest's footprint)
+    val nnOut = s"$root/bilinear_vs_nn.tif"
+    CogQuery.resampleToGrid(spark, shifted, refPath, nnOut,
+      TiffWriter.CogOptions(blockSize = 32)).count()
+    val (_, nnPx) = TiffIO.readPixels(nnOut)
+    k = 0
+    while (k < biPx.length) {
+      assert(!(nnPx(k).isNaN ^ biPx(k).isNaN) ||
+        (nnPx(k).isNaN || {
+          val (x, y) = (k % 192, k / 192)
+          val jL = (y - 10) * sw + (x - 21)
+          srcPx(jL).isNaN || srcPx(jL + 1).isNaN
+        }),
+        s"pixel $k: bilinear NaN outside the strict-propagation rule")
+      k += 1
+    }
+    // --- unknown method refuses, naming the offender
+    val err = intercept[IllegalArgumentException] {
+      CogQuery.resampleToGrid(spark, shifted, refPath,
+        s"$root/bilinear_bad.tif", method = "cubic")
+    }
+    assert(err.getMessage.contains("cubic"), err.getMessage)
+  }
 }

@@ -699,8 +699,13 @@ object Dev {
         // two-pass minimum here — treat small wiggles as ambient.
         sb.append("\n## Streaming-refresh slope (single sequential run)\n\n")
         sb.append("Per-micro-batch seconds as the catalog grows — the ")
-        sb.append("per-batch cost is\nO(batch) header reads + O(catalog) ")
-        sb.append("delta refresh + sidecar re-mirror.\n\n")
+        sb.append("per-batch cost is\nO(batch) header reads + document ")
+        sb.append("writes, plus a ROW-LEVEL O(catalog) tail\n(the ")
+        sb.append("mirror-join compare, the collection aggregate, the ")
+        sb.append("incremental\nsidecar rewrite): after batch 0 leaves a ")
+        sb.append("mirror, a micro-batch opens NO\ncatalog documents. ")
+        sb.append("Single sequential run by nature — wiggles are ")
+        sb.append("ambient.\n\n")
         sb.append("| batch | items before | items after | seconds |\n")
         sb.append("|---:|---:|---:|---:|\n")
         locally {

@@ -63,14 +63,15 @@ object WriSuite {
     * outrank the generation's newer rows changes a row and breaks the
     * hash. Store-shape legs (bounded partition count, single surviving
     * generation, byte-equality to the never-compacted twin) live in
-    * StacRefreshSpec. The fixture RESETS each run: a fold renumbers
-    * generations, so convergence-across-reruns is the reset, not the
-    * replay path. */
+    * StacRefreshSpec. NO upfront reset: the final rows are independent
+    * of generation numbering — on a warm store every landing is a
+    * deterministic overwrite, the folds fold the standing generation
+    * plus the re-landed batches to the same winners, and the catalog
+    * converges to the identical rows through the cheap all-unchanged
+    * path (re-running the query IS the warm-store fold exercise). */
   private def wriMetaCompact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = s"$fixtureRoot/meta_compact"
-    graft.wri.WriFs.fs(root, s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(root), true)
     val dataDir = s"$root/data"
     def put(rel: String): String = {
       val p = java.nio.file.Paths.get(dataDir, rel)

@@ -484,6 +484,14 @@ object CogQuery {
           s"(EPSG:${ref._10.getOrElse("<unlabelled>")}) — map algebra " +
           "needs one shared CRS; reproject first")
     }
+    // GeoKey 32767 is the USER-DEFINED sentinel, not a CRS code: two
+    // rasters in two different custom projections both carry 32767, so
+    // sentinel equality proves nothing — refuse rather than combine
+    // possibly-different projections under a fake match
+    require(!ref._10.contains(32767),
+      "inputs carry a USER-DEFINED CRS (ProjectedCSTypeGeoKey = 32767): " +
+        "equal sentinels do not mean equal projections — write real " +
+        "EPSG codes into the rasters before combining")
     // the output inherits the inputs' SHARED code when they carry one;
     // a caller-passed epsg that contradicts it is refused, not obeyed —
     // the parameter only labels inputs that carry no GeoKey themselves
@@ -682,13 +690,28 @@ object CogQuery {
       s"source CRS (EPSG:${src._10.getOrElse("<unlabelled>")}) does not " +
         s"match reference (EPSG:${ref._10.getOrElse("<unlabelled>")}) — " +
         "resampleToGrid regrids within ONE CRS; reproject first")
+    // GeoKey 32767 = user-defined: sentinel equality proves nothing
+    // about the actual projections (same refusal as mapAlgebra)
+    require(!src._10.contains(32767),
+      "rasters carry a USER-DEFINED CRS (ProjectedCSTypeGeoKey = " +
+        "32767): equal sentinels do not mean equal projections — " +
+        "write real EPSG codes into the rasters before regridding")
     require(ref._4 > 0 && ref._5 > 0,
       s"reference '$refPath' is not tiled — not a COG")
     require(src._4 > 0 && src._5 > 0,
       s"source '$srcPath' is not tiled — not a COG")
     require(src._6 > 0 && src._7 > 0 && ref._6 > 0 && ref._7 > 0,
       "both rasters need positive pixel resolutions")
+    // the output inherits the rasters' shared code when they carry one;
+    // a caller-passed epsg that contradicts it is refused, not obeyed —
+    // the mapAlgebra contract, applied consistently
     val outEpsg = src._10.getOrElse(epsg)
+    src._10.foreach { e =>
+      require(epsg == Model.Expected.epsg || epsg == e,
+        s"epsg parameter ($epsg) contradicts the rasters' own CRS " +
+          s"(EPSG:$e) — drop the parameter (the rasters' code wins) " +
+          "or reproject the inputs")
+    }
     val (w, h, tw, th) = (ref._2, ref._3, ref._4, ref._5)
     val (resX, resY, gx, gy) = (ref._6, ref._7, ref._8, ref._9)
     val (sw, sh) = (src._2, src._3)

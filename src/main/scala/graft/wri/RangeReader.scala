@@ -47,10 +47,14 @@ object RangeReader {
   val AuthHeaderPrefix = "graft.http.auth.header."
 
   /** `host` names a loopback address textually — no DNS resolution (a
-    * lookup here would make credential scoping depend on a resolver). */
+    * lookup here would make credential scoping depend on a resolver).
+    * The 127/8 arm matches only a full IPv4 LITERAL: a DNS name whose
+    * first label happens to be "127" (127.data.example.org) is a real
+    * remote host and must NOT slip past the cleartext guard on a
+    * string prefix. */
   private def isLoopback(host: String): Boolean =
     host == "localhost" || host == "::1" || host == "[::1]" ||
-      host.startsWith("127.")
+      host.matches("127(\\.\\d{1,3}){3}")
 
   /** The auth header configured for `url`'s host, if any. Lookup
     * precedence: the port-scoped key `<host>:<port>` (when the URL
@@ -79,7 +83,11 @@ object RangeReader {
         require(i > 0,
           s"$AuthHeaderPrefix$key must hold one 'Name: value' header, " +
             s"got '$v'")
-        require(uri.getScheme != "http" || isLoopback(host),
+        // scheme compared case-insensitively: URI schemes are
+        // case-insensitive by RFC 3986 and HTTP clients accept
+        // `HTTP://...`, so a case-sensitive check here would let an
+        // uppercase scheme walk the bearer past the guard
+        require(!"http".equalsIgnoreCase(uri.getScheme) || isLoopback(host),
           s"a credential is configured ($AuthHeaderPrefix$key) but " +
             s"$url is plain http:// to a non-loopback host — sending " +
             "the header would put it on the wire in cleartext. Use " +

@@ -293,19 +293,22 @@ object Stac {
 
   def readItems(spark: SparkSession, itemsDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // ONE directory listing answers both questions below (emptiness
+    // and the mirror fingerprint) — listings are the object-store
+    // billable call, so a verb must not pay two per lookup
+    val stats = itemsStatList(itemsDir, conf)
     // an empty catalog is an empty result, not an unmatched-glob error
-    val hasItems = WriFs.listNames(itemsDir, conf).exists(_.endsWith(".json"))
-    if (!hasItems)
+    if (stats.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         itemsFlatSchema)
     // prefer the parquet sidecar mirror when it provably reflects the
-    // CURRENT item directory (manifest hash == one directory listing —
+    // CURRENT item directory (manifest hash == the one listing above —
     // no file opens); any out-of-band mutation mismatches the hash and
     // the honest per-document JSON scan answers instead
     readSidecarManifest(itemsDir, conf) match {
       case Some((gen, hash))
-          if hash == itemsStateHash(itemsDir, conf) &&
+          if hash == stateHashOf(stats) &&
             WriFs.exists(s"${sidecarRoot(itemsDir)}/gen-$gen", conf) =>
         spark.read.schema(itemsFlatSchema)
           .parquet(s"${sidecarRoot(itemsDir)}/gen-$gen")
@@ -412,7 +415,16 @@ object Stac {
 
   /** Fingerprint of the live item directory (hash of [[itemsStatList]]);
     * either a rewrite or a membership change mismatches a manifest
-    * recorded against the previous state. */
+    * recorded against the previous state.
+    *
+    * Honest limit: the fingerprint is (name, length, mtime) — an
+    * out-of-band rewrite that keeps the byte length AND lands inside
+    * one mtime-granularity tick of the mirrored state (1 s on many
+    * local filesystems) is invisible to it, the same blindspot rsync's
+    * default quick-check has. Publishes through this module always
+    * move the clock (atomic replace = fresh temp file), so the gap is
+    * only reachable by a foreign same-second writer; use the publish
+    * verbs, not hand edits, on a live catalog. */
   private[wri] def itemsStateHash(itemsDir: String,
       conf: Configuration): String =
     stateHashOf(itemsStatList(itemsDir, conf))
@@ -477,14 +489,16 @@ object Stac {
   }
 
   /** The fresh, doc-carrying mirror — Some only when the manifest's
-    * fingerprint matches the live directory AND the generation carries
-    * the `doc` column (generations written before the column existed
-    * fall back to the scan path and age out on their next rebuild). */
+    * fingerprint matches `liveHash` (the caller's already-taken
+    * directory listing — no second LIST here) AND the generation
+    * carries the `doc` column (generations written before the column
+    * existed fall back to the scan path and age out on their next
+    * rebuild). */
   private def freshMirrorWithDocs(spark: SparkSession, itemsDir: String,
-      conf: Configuration): Option[DataFrame] =
+      conf: Configuration, liveHash: String): Option[DataFrame] =
     readSidecarManifest(itemsDir, conf) match {
       case Some((gen, hash))
-          if hash == itemsStateHash(itemsDir, conf) &&
+          if hash == liveHash &&
             WriFs.exists(s"${sidecarRoot(itemsDir)}/gen-$gen", conf) =>
         val df = spark.read.parquet(s"${sidecarRoot(itemsDir)}/gen-$gen")
         if (df.columns.contains("doc")) Some(df) else None
@@ -1073,7 +1087,8 @@ object Stac {
     // verifies against these that nothing but this refresh's own writes
     // moved while it ran
     val stat0 = itemsStatList(itemsDir, conf)
-    val mirror0 = freshMirrorWithDocs(spark, itemsDir, conf)
+    val mirror0 = freshMirrorWithDocs(spark, itemsDir, conf,
+      stateHashOf(stat0))
     // a HOSTED-STATUS change is surfaced distinctly: a CI refresh run
     // with a different (or defaulted) hostedProbe than the build flips
     // is_hosted on every item — reported as plain "rewritten" that is a
@@ -1142,7 +1157,29 @@ object Stac {
     // size class as the listing below)
     val actions = audit.as[(String, String)].collect()
     val current = actions.map(_._1).toSet
-    val orphanRows = listItemIds(itemsDir, conf).filterNot(current)
+    // ONE post-write listing serves the foreign-delete repair, the
+    // orphan sweep, and the collection links — a second/third LIST of
+    // a 10k-item directory is what an object store bills for
+    val listedIds = listItemIds(itemsDir, conf)
+    // the mirror-backed classification never opens the live files, so
+    // a FOREIGN delete of an item between the freshness check and here
+    // would otherwise survive as "unchanged" with no document on disk
+    // (the file-reading arm self-heals this case as "written") —
+    // repair from the plan's own json, which holds every current item
+    val missing = current -- listedIds.toSet
+    if (missing.nonEmpty) {
+      log.warn(s"refreshCatalog at $stacRoot: ${missing.size} " +
+        s"current item document(s) vanished out-of-band during the " +
+        s"refresh (${missing.toSeq.sorted.take(5).mkString(", ")}" +
+        s"${if (missing.size > 5) ", ..." else ""}) — rewriting them")
+      plan.filter(col("item_id").isInCollection(missing.toSeq))
+        .select(col("item_id"), col("json"))
+        .as[(String, String)].collect().foreach { case (id, json) =>
+          val p = new org.apache.hadoop.fs.Path(s"$itemsDir/$id.json")
+          WriFs.atomicWriteString(WriFs.fs(p.toString, conf), p, json)
+        }
+    }
+    val orphanRows = listedIds.filterNot(current)
       .map { id =>
         if (pruneOrphans) {
           WriFs.fs(s"$itemsDir/$id.json", conf)
@@ -1151,7 +1188,8 @@ object Stac {
           (id, "pruned")
         } else (id, "orphaned")
       }
-    val ids = listItemIds(itemsDir, conf)
+    val prunedIds = orphanRows.collect { case (id, "pruned") => id }.toSet
+    val ids = (listedIds.toSet ++ missing -- prunedIds).toSeq.sorted
     // the collection/catalog documents get the SAME atomic replace as
     // the items: they are rewritten on every refresh, and a concurrent
     // catalog reader must never observe a torn root document
@@ -1169,8 +1207,10 @@ object Stac {
       case Some(m) =>
         val changedIds = actions.collect {
           case (id, a) if a != "unchanged" => id }.toSet
-        val prunedIds = orphanRows.collect {
-          case (id, "pruned") => id }.toSet
+        // a foreign-delete repair rewrote "unchanged" documents, so
+        // their stats moved — the delta writer's stability check will
+        // see that and fall back to the full scan, which is exactly
+        // right after an out-of-band interleaving
         writeCatalogSidecarDelta(spark, itemsDir, m, stat0,
           plan.filter(col("action") =!= "unchanged")
             .select(col("item_id"), col("json")),

@@ -654,4 +654,41 @@ class CogQuerySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("cubic"), err.getMessage)
   }
+
+  test("CRS discipline hardening: the USER-DEFINED GeoKey sentinel " +
+      "(32767) refuses in both mapAlgebra and resampleToGrid — equal " +
+      "sentinels are not equal projections — and resampleToGrid " +
+      "refuses a contradictory epsg parameter like mapAlgebra does") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val refPath = s"$cogDir/${inputs.head._2}"
+    val (resX, resY, gx, gy) = TiffIO.geoTransformFromPrefix(
+      prefixOf(refPath))
+    val px = Array.tabulate(192 * 128)(j => (j % 97).toFloat)
+    // two same-grid rasters BOTH stamped with the user-defined
+    // sentinel: under the old equality check they "match"
+    val ud1 = s"$root/crs_userdef_1.tif"
+    val ud2 = s"$root/crs_userdef_2.tif"
+    Seq(ud1, ud2).foreach { p =>
+      TiffWriter.writeCog(p, 192, 128, px,
+        TiffIO.GeoInfo(32767, resX, resY, gx, gy),
+        TiffWriter.CogOptions(blockSize = 32), conf)
+    }
+    val ma = intercept[IllegalArgumentException] {
+      CogQuery.mapAlgebra(spark, Seq(("a", ud1, 1.0), ("b", ud2, 1.0)),
+        s"$root/crs_userdef_combined.tif")
+    }
+    assert(ma.getMessage.contains("32767"), ma.getMessage)
+    val rs = intercept[IllegalArgumentException] {
+      CogQuery.resampleToGrid(spark, ud1, ud2,
+        s"$root/crs_userdef_resampled.tif")
+    }
+    assert(rs.getMessage.contains("32767"), rs.getMessage)
+    // a caller-passed epsg that contradicts the rasters' own code
+    // refuses on the resample path exactly like the combine path
+    val contra = intercept[IllegalArgumentException] {
+      CogQuery.resampleToGrid(spark, s"$cogDir/${inputs(1)._2}", refPath,
+        s"$root/crs_contra.tif", epsg = 4326)
+    }
+    assert(contra.getMessage.contains("contradicts"), contra.getMessage)
+  }
 }

@@ -619,5 +619,20 @@ class RemoteIoSpec extends SparkSpec {
     assert(RangeReader.authHeaderFor(
       "http://127.0.0.1:8000/x.tif", confLoop) ==
       Seq("Authorization" -> "Bearer local"))
+    // the guard is not textual-prefix dupable: a DNS name whose first
+    // label is "127" is a REMOTE host, and an uppercase scheme is the
+    // same cleartext transport (schemes are case-insensitive)
+    val conf127 = new org.apache.hadoop.conf.Configuration(false)
+    conf127.set(s"${RangeReader.AuthHeaderPrefix}127.data.example.org",
+      "Authorization: Bearer sneaky")
+    val fakeLoop = intercept[IllegalArgumentException] {
+      RangeReader.authHeaderFor(
+        "http://127.data.example.org/x.tif", conf127)
+    }
+    assert(fakeLoop.getMessage.contains("cleartext"), fakeLoop.getMessage)
+    val upper = intercept[IllegalArgumentException] {
+      RangeReader.authHeaderFor("HTTP://data.example.org/x.tif", conf)
+    }
+    assert(upper.getMessage.contains("cleartext"), upper.getMessage)
   }
 }

@@ -414,6 +414,55 @@ class StacRefreshSpec extends SparkSpec {
       "the foreign item is missing from the rebuilt mirror")
   }
 
+  test("a FOREIGN delete that lands while a mirror-backed refresh is " +
+      "classifying (after the freshness check, before the writes) is " +
+      "repaired: the vanished document is rewritten from the plan and " +
+      "the sidecar converges to the live directory") {
+    val root = java.nio.file.Files
+      .createTempDirectory("stac_mirror_repair").toString
+    val itemsDir = s"$root/collections/${Model.collectionId}/items"
+    val meta = consistentOf(Seq("keep.tif" -> 0.0, "also.tif" -> 0.0))
+    Stac.run(spark, meta, root)
+    val keepBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$itemsDir/keep.json")).toSeq
+    // the hostedProbe runs INSIDE phase 1 — i.e. after the refresh has
+    // already judged the mirror fresh — so a probe that deletes
+    // keep.json is exactly the mid-flight foreign delete the mirror
+    // path cannot see (it compares against the mirror's doc column,
+    // never the live file). The hook must be idempotent and signal
+    // through the FILESYSTEM: Spark serializes the closure per task
+    // even in local mode, so driver-side mutable state would be a
+    // per-task copy
+    val markerPath = s"$root/delete_fired.marker" // String: Path is
+    val keepPath = s"$itemsDir/keep.json"         // not serializable
+    val audit = Stac.refreshCatalog(spark, meta, root,
+        hostedProbe = { _ =>
+          if (java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(keepPath)))
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(markerPath))
+          false
+        })
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(audit == Map("keep" -> "unchanged", "also" -> "unchanged"),
+      audit.toString)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(markerPath)),
+      "the interleaving hook never fired")
+    // the repair restored the byte-identical document...
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$itemsDir/keep.json")).toSeq == keepBytes,
+      "the mid-refresh foreign delete was not repaired")
+    // ...and the sidecar did NOT cement the broken directory: the
+    // stability check sees the repair write and rebuilds from the
+    // documents, so mirror == scan afterwards
+    val served = Stac.readItems(spark, itemsDir)
+    assert(served.collect().toSet ==
+      Stac.readItemsScan(spark, itemsDir).collect().toSet,
+      "the post-repair mirror drifted from the documents")
+    assert(served.filter(col("item_id") === "keep").count() == 1)
+  }
+
   test("a generation written before the doc column existed still " +
       "refreshes correctly: the mirror-backed compare declines it, the " +
       "file-reading path runs, and the NEXT generation carries docs") {

@@ -1398,6 +1398,65 @@ object Dev {
       case "explain" =>
         ops.Dedup.minHashCandidatePairs(Tables.documents(spark, sfDir))
           .explain("formatted")
+      case "planfile" =>
+        // Dev planfile <sfDir> <query-name-prefix> <outfile> — dump the
+        // registered query's formatted physical plan to a file (the
+        // round-15 plans/r15 before/after evidence).
+        val q = SparkEntry.registry.find(_.name.startsWith(args(2)))
+          .getOrElse(sys.error(s"no registered query matches '${args(2)}'"))
+        val df = q.fn(spark, sfDir)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(args(3)),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        println(s"[dev] wrote ${args(3)} (${q.name})")
+      case "qjobs" =>
+        // Dev qjobs <sfDir> <query-name-prefix> — run the query twice
+        // (pass 2 = steady state) with a listener recording every job's
+        // wall time; prints the pass-2 job profile sorted by cost. The
+        // tool that answers "WHERE do a pipeline query's seconds go"
+        // when the final plan alone can't show the verb-internal jobs.
+        val q = SparkEntry.registry.find(_.name.startsWith(args(2)))
+          .getOrElse(sys.error(s"no registered query matches '${args(2)}'"))
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(s.jobId, (s.time,
+              Option(s.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description")))
+                .orElse(s.stageInfos.headOption.map(_.name)).getOrElse("?")))
+          override def onJobEnd(
+              s: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            done.put(s.jobId, s.time)
+        }
+        (1 to 2).foreach { pass =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          if (pass == 2) spark.sparkContext.addSparkListener(listener)
+          time(s"${q.name} qjobs (pass $pass)")(q.fn(spark, sfDir).count())
+        }
+        spark.sparkContext.removeSparkListener(listener)
+        import scala.jdk.CollectionConverters._
+        val rows = jobs.asScala.toSeq.flatMap { case (id, (t0, desc)) =>
+          done.asScala.get(id).map(t1 => (id, t1 - t0, desc))
+        }.sortBy(-_._2)
+        println(f"[qjobs] ${rows.size} jobs, ${rows.map(_._2).sum / 1e3}%.2f s total job wall")
+        rows.take(40).foreach { case (id, ms, desc) =>
+          println(f"[qjobs] job $id%4d ${ms / 1e3}%7.3f s  ${desc.take(140)}")
+        }
+      case "q97plan" =>
+        // the q97 INTERNAL shape (eager = false, the PlanSpec view) —
+        // the registered query checkpoints its result, which hides the
+        // posting-list pipeline behind a Scan ExistingRDD
+        val df = ops.SparseSim.ngramCosinePairs(
+          Tables.documents(spark, sfDir), n = 3, threshold = 0.5,
+          maxDf = 100, eager = false)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(args(2)),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        println(s"[dev] wrote ${args(2)} (q97 internal, eager=false)")
       case _ => println(s"unknown: $what")
     }
     spark.stop()

@@ -130,6 +130,37 @@ object DedupIndex {
   private def sigsRoot(dir: String) = s"$dir/sigs"
   private def deletesRoot(dir: String) = s"$dir/deletes"
 
+  // The store's component shapes are CODE-DEFINED (writers: writeBatch
+  // for sigs/postings, landTombstone for deletes, write for params) —
+  // stated explicitly at every serving-path read so a query costs zero
+  // schema-inference (footer-read) jobs; those were measured as a
+  // recurring slice of per-call driver latency across the index
+  // queries. Partition columns (bbp/idp) are typed here too, so reads
+  // never depend on partition-type inference.
+  private val postingsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("bb", LongType),
+      StructField("doc_id", LongType), StructField("bbp", LongType),
+      StructField("batch", LongType)))
+  }
+  private val sigsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType)),
+      StructField("idp", LongType), StructField("batch", LongType)))
+  }
+  private val deletesSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType)))
+  }
+  private val paramsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("n", IntegerType),
+      StructField("num_hashes", IntegerType),
+      StructField("num_bands", IntegerType),
+      StructField("bucket_shards", IntegerType)))
+  }
+
   private def batchCommitted(fs: FileSystem, dir: String, id: Long): Boolean =
     fs.exists(new Path(s"${postingsRoot(dir)}/batch=$id/_SUCCESS")) &&
       fs.exists(new Path(s"${sigsRoot(dir)}/batch=$id/_SUCCESS"))
@@ -396,6 +427,8 @@ object DedupIndex {
       .filter(i => hasData(fs, s"${deletesRoot(dir)}/batch=$i"))
     if (withData.isEmpty) None
     else Some(spark.read.option("basePath", deletesRoot(dir))
+      .schema(deletesSchema.add(org.apache.spark.sql.types.StructField(
+        "batch", org.apache.spark.sql.types.LongType)))
       .parquet(withData.map(i => s"${deletesRoot(dir)}/batch=$i"): _*)
       .select(col("doc_id")).distinct())
   }
@@ -493,7 +526,7 @@ object DedupIndex {
       bucketShards: Int)
 
   private def readParams(spark: SparkSession, dir: String): Params = {
-    val r = spark.read.parquet(s"$dir/params").head()
+    val r = spark.read.schema(paramsSchema).parquet(s"$dir/params").head()
     Params(r.getAs[Int]("n"), r.getAs[Int]("num_hashes"),
       r.getAs[Int]("num_bands"), r.getAs[Int]("bucket_shards"))
   }
@@ -700,6 +733,7 @@ object DedupIndex {
     }
     val bBanded = bBanded0.persist(StorageLevel.MEMORY_AND_DISK)
     val postings = spark.read.option("basePath", postingsRoot(dir))
+      .schema(postingsSchema)
       .parquet(ids.map(i => s"${postingsRoot(dir)}/batch=$i"): _*)
     // ---- probe the postings: pruned IN-list scan while the batch's
     // bucket set is bounded, keyed semi-join past the cap
@@ -750,6 +784,7 @@ object DedupIndex {
       .limit(probeCap + 1)
       .collect().map(_.getLong(0))
     val sigScan = spark.read.option("basePath", sigsRoot(dir))
+      .schema(sigsSchema)
       .parquet(ids.map(i => s"${sigsRoot(dir)}/batch=$i"): _*)
     val idxSigs =
       if (candIds.length <= probeCap) {
@@ -1021,18 +1056,19 @@ object DedupIndex {
       (r.getLong(0),
         Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
-    def maskedStats(root: String, paths: Seq[String],
-        rowHash: Column, cols: String*): (Long, Long) =
+    def maskedStats(root: String, schema: org.apache.spark.sql.types.StructType,
+        paths: Seq[String], rowHash: Column, cols: String*): (Long, Long) =
       if (paths.isEmpty) (0L, 0L)
       else stats(
-        mask(spark.read.option("basePath", root).parquet(paths: _*)
+        mask(spark.read.option("basePath", root).schema(schema)
+          .parquet(paths: _*)
           .select(cols.map(col): _*)), rowHash)
-    val (storedSigs, storedSigsChk) = maskedStats(sigsRoot(dir),
+    val (storedSigs, storedSigsChk) = maskedStats(sigsRoot(dir), sigsSchema,
       ids.filter(i => hasData(fs, s"${sigsRoot(dir)}/batch=$i"))
         .map(i => s"${sigsRoot(dir)}/batch=$i"),
       sigRowHash, "doc_id", "sig")
     val (storedPostings, storedPostingsChk) = maskedStats(
-      postingsRoot(dir),
+      postingsRoot(dir), postingsSchema,
       ids.map(i => s"${postingsRoot(dir)}/batch=$i"),
       postRowHash, "doc_id", "bb")
     // the definitional expectation: one signature per corpus doc with a

@@ -99,8 +99,12 @@ object Graph {
     //    edges cache-partitioned by DST, outdeg and ranks enter as
     //    explicit broadcasts. Broadcast joins preserve the edge
     //    partitioning, so even the groupBy(dst) aggregate needs NO
-    //    exchange — a whole iteration moves nothing but two node-sized
-    //    broadcasts.
+    //    exchange — and the dangling anti-join and rank-assembly left
+    //    join broadcast their node-sized sides too, so a whole
+    //    iteration moves nothing but a handful of node-sized
+    //    broadcasts: ZERO exchanges per round (round 15: previously the
+    //    two bookkeeping joins still sort-merge-joined node-sized
+    //    tables, 4 exchanges + 4 sorts per round).
     //  - above the limit (the billion-node regime where broadcasting
     //    ranks is the OOM): edges cache-partitioned AND sorted by SRC,
     //    plain sort-merge joins — each round shuffles only the
@@ -130,13 +134,24 @@ object Graph {
         .join(if (bcast) broadcast(rk) else rk, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div odeg")).as("inc"))
+      // broadcast-regime hygiene for the node-sized sides too: the
+      // dangling anti-join and the rank-assembly left join otherwise
+      // sort-merge two node-sized tables (2 exchanges + 2 sorts EACH,
+      // per iteration) — under the regime's own n <= broadcastNodeLimit
+      // bound both fit a broadcast, and checkpointed plans carry no
+      // stats so the planner never picks it by itself (the same reason
+      // od/rk above are explicit). The huge-graph regime keeps the
+      // shuffling shapes.
       val dangling = ranks
-        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .join(if (bcast) broadcast(outdeg.select(col("src").as("node")))
+              else outdeg.select(col("src").as("node")),
+          Seq("node"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
       val (next, nextIds) = checkpointWithIds(
         nodes
           .crossJoin(broadcast(dangling))
-          .join(contribs, Seq("node"), "left")
+          .join(if (bcast) broadcast(contribs) else contribs,
+            Seq("node"), "left")
           .select(col("node"),
             (lit(base) +
               expr(s"($dampNum * (coalesce(inc, 0L) + dm div $n)) div $dampDen"))

@@ -133,22 +133,30 @@ object Multimodal {
     try Option(ImageIO.read(new ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
+  /** One bulk sRGB read of the whole image, row-major. Bit-identical to
+    * per-pixel `getRGB(x, y)` (same default-sRGB ColorModel conversion,
+    * per the BufferedImage contract) but one JNI-free array pass instead
+    * of a ColorModel round-trip per pixel — decode-stats kernels were
+    * measured dominated by the per-call conversion, not the decode. */
+  private[ops] def rgbRows(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
   /** Mean luminance per vertical stripe of a decoded image — a fixed-width
     * feature vector derived from actual pixels. */
   private[ops] def imageStripeFeatures(img: BufferedImage, dim: Int): Array[Float] = {
     val sums = new Array[Double](dim)
     val counts = new Array[Long](dim)
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-        val s = (x.toLong * dim / img.getWidth).toInt
-        sums(s) += lum; counts(s) += 1
-        x += 1
-      }
-      y += 1
+    val w = img.getWidth
+    val px = rgbRows(img)
+    // stripe of column x is row-invariant: precompute the x -> stripe map
+    val stripe = Array.tabulate(w)(x => (x.toLong * dim / w).toInt)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+      val s = stripe(i % w)
+      sums(s) += lum; counts(s) += 1
+      i += 1
     }
     Array.tabulate(dim)(i =>
       if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
@@ -161,6 +169,9 @@ object Multimodal {
     * DuckDB oracle without any image library (q69). */
   def syntheticImageBytes(docId: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // same per-pixel integers as the setRGB(x, y, ...) loop this replaces,
+    // landed in one bulk write instead of a ColorModel call per pixel
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -168,11 +179,12 @@ object Multimodal {
         val r = ((7 * docId + 13 * x + 31 * y) % 256).toInt
         val g = ((11 * docId + 17 * x + 5 * y) % 256).toInt
         val b = ((3 * docId + 23 * x + 29 * y) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
@@ -184,16 +196,22 @@ object Multimodal {
   private[ops] def nearestResize(img: BufferedImage, w2: Int,
       h2: Int): BufferedImage = {
     val out = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+    val w = img.getWidth
+    val src = rgbRows(img)
+    val dst = new Array[Int](w2 * h2)
+    // source column of output x is row-invariant: precompute it once
+    val sxs = Array.tabulate(w2)(x => (x.toLong * w / w2).toInt)
     var y = 0
     while (y < h2) {
-      val sy = (y.toLong * img.getHeight / h2).toInt
+      val rowOff = (y.toLong * img.getHeight / h2).toInt * w
       var x = 0
       while (x < w2) {
-        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / w2).toInt, sy))
+        dst(y * w2 + x) = src(rowOff + sxs(x))
         x += 1
       }
       y += 1
     }
+    out.setRGB(0, 0, w2, h2, dst, 0, w2)
     out
   }
 
@@ -218,15 +236,12 @@ object Multimodal {
               s"fixture PNG for doc $id failed to decode"))
           val small = nearestResize(img, outW, outH)
           var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < small.getHeight) {
-            var x = 0
-            while (x < small.getWidth) {
-              val rgb = small.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+          val px = rgbRows(small)
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            i += 1
           }
           val n = outW.toLong * outH
           ResizeStats(id, w, h, outW, outH,
@@ -254,15 +269,12 @@ object Multimodal {
             .getOrElse(throw new IllegalStateException(
               s"fixture PNG for doc $id failed to decode"))
           var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+          val px = rgbRows(img)
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            i += 1
           }
           val n = img.getWidth.toLong * img.getHeight
           ImageStats(id, img.getWidth, img.getHeight,
@@ -576,20 +588,16 @@ object Multimodal {
         Vector(0, n / 2, n - 1).distinct.map { i =>
           val img = decodeFrameAt(bytes, index(i)).getOrElse(
             throw new IllegalStateException(s"frame $i of doc $id failed to decode"))
-          var sumRgb = 0L; var px = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sumRgb += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              px += 1
-              x += 1
-            }
-            y += 1
+          var sumRgb = 0L
+          val pxs = rgbRows(img)
+          var j = 0
+          while (j < pxs.length) {
+            val rgb = pxs(j)
+            sumRgb += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            j += 1
           }
           FrameSample(id, i, n.toLong, img.getWidth, img.getHeight,
-            sumRgb.toDouble / (3.0 * px))
+            sumRgb.toDouble / (3.0 * pxs.length))
         }
       }
   }
@@ -623,17 +631,14 @@ object Multimodal {
             if (w < 0) { w = img.getWidth; h = img.getHeight }
             else require(img.getWidth == w && img.getHeight == h,
               s"frame geometry drift in doc $id")
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                sumRgb += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                px += 1
-                x += 1
-              }
-              y += 1
+            val pxs = rgbRows(img)
+            var i = 0
+            while (i < pxs.length) {
+              val rgb = pxs(i)
+              sumRgb += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              i += 1
             }
+            px += pxs.length
           }
           VideoStats(id, frames.length.toLong, w, h, px,
             sumRgb.toDouble / (3.0 * px))

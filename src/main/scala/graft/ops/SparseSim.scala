@@ -27,12 +27,12 @@ object SparseSim {
     * assemble posting lists (pairs explode in-memory under the df cap),
     * one pair aggregation — never an all-pairs product.
     *
-    * The tf posting list feeds FOUR subtrees (df cap, both self-join
-    * sides, norms), and Spark reuses none of them — so with
-    * `eager = true` (default) tf is cached, a job runs AT CALL TIME to
+    * The CAPPED posting list feeds three subtrees (pair generation,
+    * both norm lookups), and Spark reuses none of them — so with
+    * `eager = true` (default) it is cached, a job runs AT CALL TIME to
     * materialize the bounded pair result via `localCheckpoint(true)`,
     * and the corpus-sized cache is released before returning (the
-    * [[Dedup]] discipline: the corpus tokenizes ONCE instead of four
+    * [[Dedup]] discipline: the corpus tokenizes ONCE instead of three
     * times, and nothing persists past the call). `eager = false` keeps
     * the plan inspectable. At warehouse scale the capped posting list
     * is the thing to materialize as a table. */
@@ -42,23 +42,29 @@ object SparseSim {
       eager: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     require(maxDf > 1, s"maxDf must exceed 1 or no pair survives: $maxDf")
-    val tf0 = docs
+    val tf = docs
       .select(col("doc_id"), explode(filter(
         TextAnalysis.positionalHashedNgrams(col(textCol), n),
         g => g.isNotNull)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("tf"))
-    val tf = if (eager)
-      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else tf0
     // tf has one row per (doc, gram), so counting rows per gram IS the
-    // document frequency. The surviving-gram set is vocabulary-sized —
-    // semi-join, never broadcast.
-    val keptGrams = tf.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("gram"))
-    val pruned = tf.join(keptGrams, Seq("gram"), "left_semi")
+    // document frequency. A count-over-window partitioned by gram (the
+    // [[Dedup.minHashCandidatePairs]] stop-bucket pattern) computes df
+    // and applies the cap in ONE shuffle of the posting list — the
+    // groupBy(df)+semi-join shape this replaces shuffled tf by the same
+    // key twice (and made tf the thing to cache; with one consumer the
+    // cache belongs on the CAPPED postings below, which feed three
+    // subtrees). Identical survivors: both count rows per gram.
+    val pruned0 = tf
+      .withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val pruned = if (eager)
+      pruned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pruned0
     val norms = pruned.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("ss"))
     // Pair generation per posting list, not a posting self-join: the df
@@ -86,7 +92,7 @@ object SparseSim {
     if (!eager) out
     else {
       val o = out.localCheckpoint(eager = true)
-      tf.unpersist()
+      pruned.unpersist()
       o
     }
   }

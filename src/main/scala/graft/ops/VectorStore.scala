@@ -241,6 +241,35 @@ object VectorStore {
       gen: Option[Long]): String =
     gen.fold(s"$dir/$name")(g => s"$dir/$name@$g")
 
+  // The store's component shapes are CODE-DEFINED (writers: the
+  // write/ingest paths' partitionBy("batch", "cell") code landing, the
+  // tombstone landing, the two coalesce(1) metadata tables) — stated
+  // explicitly at every serving-path read so a query costs zero
+  // schema-inference (footer-read) jobs. Partition columns are typed
+  // here too, so reads never depend on partition-type inference.
+  private val codesSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("codes", ArrayType(IntegerType)),
+      StructField("batch", LongType), StructField("cell", IntegerType)))
+  }
+  private val vecDeletesSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("batch", LongType)))
+  }
+  private val centroidsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("cell", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+  }
+  private val codebooksSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("j", IntegerType),
+      StructField("code", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+  }
+
   /** Remove every pointer-mode generation artifact except `keep`:
     * component directories `<name>@<gen>` and their sidecar
     * ledgers/claims. When `keep` names a LIVE generation (a `_current`
@@ -471,10 +500,12 @@ object VectorStore {
       gen: Option[Long]): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import spark.implicits._
     val coarse: Array[Array[Double]] =
-      spark.read.parquet(componentRoot(dir, "centroids", gen))
+      spark.read.schema(centroidsSchema)
+        .parquet(componentRoot(dir, "centroids", gen))
         .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val booksFlat =
-      spark.read.parquet(componentRoot(dir, "codebooks", gen))
+      spark.read.schema(codebooksSchema)
+        .parquet(componentRoot(dir, "codebooks", gen))
         .as[(Int, Int, Seq[Double])].collect()
     require(coarse.nonEmpty && booksFlat.nonEmpty,
       s"$dir does not hold a written store (empty centroids/codebooks)")
@@ -1025,11 +1056,13 @@ object VectorStore {
     val delPaths = committedPaths(fs, delRoot)
     require(codePaths.nonEmpty, s"nothing to retrain under $codesRoot")
     val storedIds = spark.read.option("basePath", codesRoot)
+      .schema(codesSchema)
       .parquet(codePaths: _*).select(col("vec_id"))
     val liveIds =
       if (delPaths.nonEmpty)
         storedIds.join(
-          spark.read.option("basePath", delRoot).parquet(delPaths: _*)
+          spark.read.option("basePath", delRoot).schema(vecDeletesSchema)
+            .parquet(delPaths: _*)
             .select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else storedIds
@@ -1152,6 +1185,7 @@ object VectorStore {
       return Seq.empty[(Long, Double)].toDF("vec_id", "approx_d2")
     }
     val base = spark.read.option("basePath", codesRoot)
+      .schema(codesSchema)
       .parquet(codePaths: _*)
       .filter(col("cell").isInCollection(probed))
     val excluded = excludeVecId match {
@@ -1166,6 +1200,7 @@ object VectorStore {
       if (delPaths.nonEmpty)
         excluded.join(
           spark.read.option("basePath", delRoot)
+            .schema(vecDeletesSchema)
             .parquet(delPaths: _*).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else excluded
@@ -1304,6 +1339,7 @@ object VectorStore {
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("query_id", "vec_id", "approx_d2", "knn_rank")
     val base = spark.read.option("basePath", codesRoot)
+      .schema(codesSchema)
       .parquet(codePaths: _*)
       .filter(col("cell").isInCollection(probedCells))
     val delRoot = componentRoot(dir, "deletes", gen)
@@ -1312,6 +1348,7 @@ object VectorStore {
       if (delPaths.nonEmpty)
         base.join(
           spark.read.option("basePath", delRoot)
+            .schema(vecDeletesSchema)
             .parquet(delPaths: _*).select(col("vec_id")),
           Seq("vec_id"), "left_anti")
       else base
@@ -1412,7 +1449,8 @@ object VectorStore {
     def maskDel(df: DataFrame): DataFrame =
       if (delPaths.isEmpty) df
       else df.join(
-        spark.read.option("basePath", delRoot).parquet(delPaths: _*)
+        spark.read.option("basePath", delRoot).schema(vecDeletesSchema)
+          .parquet(delPaths: _*)
           .select(col("vec_id")),
         Seq("vec_id"), "left_anti")
     // content row hash, the DedupIndex.validate fold family:
@@ -1435,6 +1473,7 @@ object VectorStore {
         Seq.empty[(Long, Long, Long)].toDF("cell", "stored", "checksum")
       } else cellAgg(
         maskDel(spark.read.option("basePath", codesRoot)
+          .schema(codesSchema)
           .parquet(codePaths: _*)
           .select(col("vec_id"), col("cell"), col("codes"))),
         "stored", "checksum")

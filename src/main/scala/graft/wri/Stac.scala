@@ -291,6 +291,15 @@ object Stac {
       StructField("href", StringType)))
   }
 
+  /** [[itemsFlatSchema]] + the raw document text — the doc-carrying
+    * mirror generation's shape, stated explicitly so a mirror read
+    * costs ZERO schema-inference jobs (a footer-read job per call was
+    * measured as a real slice of every streaming micro-batch's driver
+    * latency). */
+  private[wri] val itemsFlatSchemaWithDoc: org.apache.spark.sql.types.StructType =
+    itemsFlatSchema.add(org.apache.spark.sql.types.StructField(
+      "doc", org.apache.spark.sql.types.StringType))
+
   def readItems(spark: SparkSession, itemsDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     // ONE directory listing answers both questions below (emptiness
@@ -307,7 +316,7 @@ object Stac {
     // no file opens); any out-of-band mutation mismatches the hash and
     // the honest per-document JSON scan answers instead
     readSidecarManifest(itemsDir, conf) match {
-      case Some((gen, hash))
+      case Some((gen, hash, _))
           if hash == stateHashOf(stats) &&
             WriFs.exists(s"${sidecarRoot(itemsDir)}/gen-$gen", conf) =>
         spark.read.schema(itemsFlatSchema)
@@ -429,15 +438,20 @@ object Stac {
       conf: Configuration): String =
     stateHashOf(itemsStatList(itemsDir, conf))
 
-  /** (generation, items-state hash) from the sidecar manifest; None when
-    * absent or unreadable (either means: scan JSON). */
+  /** (generation, items-state hash, doc-column flag) from the sidecar
+    * manifest; None when absent or unreadable (either means: scan
+    * JSON). The `doc` flag records that the generation carries the raw
+    * document column with the KNOWN [[itemsFlatSchemaWithDoc]] shape —
+    * manifests written before the flag existed read as false and take
+    * the schema-inferring compatibility path. */
   private def readSidecarManifest(itemsDir: String,
-      conf: Configuration): Option[(Long, String)] = {
+      conf: Configuration): Option[(Long, String, Boolean)] = {
     val p = sidecarManifest(itemsDir)
     if (!WriFs.exists(p, conf)) None
     else scala.util.Try {
       val node = new ObjectMapper().readTree(WriFs.readString(p, conf))
-      (node.path("gen").asLong(), node.path("hash").asText())
+      (node.path("gen").asLong(), node.path("hash").asText(),
+        node.path("doc").asBoolean(false))
     }.toOption
   }
 
@@ -497,11 +511,18 @@ object Stac {
   private def freshMirrorWithDocs(spark: SparkSession, itemsDir: String,
       conf: Configuration, liveHash: String): Option[DataFrame] =
     readSidecarManifest(itemsDir, conf) match {
-      case Some((gen, hash))
+      case Some((gen, hash, docKnown))
           if hash == liveHash &&
             WriFs.exists(s"${sidecarRoot(itemsDir)}/gen-$gen", conf) =>
-        val df = spark.read.parquet(s"${sidecarRoot(itemsDir)}/gen-$gen")
-        if (df.columns.contains("doc")) Some(df) else None
+        if (docKnown)
+          // manifest vouches for the doc column: read with the stated
+          // schema — zero footer-inference jobs on this hot refresh path
+          Some(spark.read.schema(itemsFlatSchemaWithDoc)
+            .parquet(s"${sidecarRoot(itemsDir)}/gen-$gen"))
+        else {
+          val df = spark.read.parquet(s"${sidecarRoot(itemsDir)}/gen-$gen")
+          if (df.columns.contains("doc")) Some(df) else None
+        }
       case _ => None
     }
 
@@ -524,7 +545,7 @@ object Stac {
       .write.mode("overwrite").parquet(genDir)
     if (itemsStateHash(itemsDir, conf) == hash) {
       atomicDoc(sidecarManifest(itemsDir),
-        s"""{"gen": $gen, "hash": "$hash"}""", conf)
+        s"""{"gen": $gen, "hash": "$hash", "doc": true}""", conf)
       val fs = WriFs.fs(root, conf)
       WriFs.listNames(root, conf)
         .filter(_.startsWith("gen-"))
@@ -1068,11 +1089,25 @@ object Stac {
     * and that regression must read differently in the audit than an
     * ordinary metadata rewrite. Pass the SAME hostedProbe on refresh
     * as at build time. */
-  def refreshCatalog(spark: SparkSession, consistent: DataFrame,
+  def refreshCatalog(spark: SparkSession, consistentIn: DataFrame,
       stacRoot: String, hostedProbe: String => Boolean = _ => false,
       pruneOrphans: Boolean = false): DataFrame = {
     import spark.implicits._
-    assertRequired(consistent)
+    assertRequired(consistentIn)
+    // ONE materialization of the metadata table: this verb reads it
+    // three times (the emptiness gate, the item build, the collection
+    // summary), and the streaming caller hands in a
+    // window-over-the-accumulated-store plan that would otherwise
+    // recompute the store read + latest-wins shuffle per action
+    // (measured: 3 identical window jobs per micro-batch). Catalog
+    // metadata is bounded — O(layers) rows, the size class the audit
+    // collect below already assumes — so the checkpoint is small; its
+    // blocks are released before returning (bench/guardrail hygiene).
+    val scx = spark.sparkContext
+    val preCkpt = scx.getPersistentRDDs.keySet
+    val consistent = consistentIn.localCheckpoint(true)
+    val ckptIds = (scx.getPersistentRDDs.keySet -- preCkpt).toSet
+    try {
     require(!consistent.isEmpty,
       s"refreshCatalog at $stacRoot: the metadata table is EMPTY — an " +
         "upstream outage reads as zero layers, and refreshing a " +
@@ -1218,6 +1253,8 @@ object Stac {
       case None => writeCatalogSidecar(spark, itemsDir)
     }
     audit.unionByName(orphanRows.toDF("item_id", "action"))
+    } finally ckptIds.foreach(id =>
+      scx.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** Full stage 02: items + collection + catalog under stacRoot. */
@@ -1395,20 +1432,34 @@ object Stac {
     * compaction's source deletes completed. */
   private def accumulatedMeta(spark: SparkSession, metaDir: String,
       conf: Configuration): DataFrame = {
-    // batch is NUMERIC by contract: cast it explicitly so latest-wins
-    // never depends on partitionColumnTypeInference — with inference
-    // off the inferred column is a string and "9" lexically outranks
-    // "10", silently regressing the catalog to an older delivery
+    // The store's schema is CODE-DEFINED (the landing writes
+    // [[Inventory.validated]]'s layerMetaSchema projection; compaction
+    // appends the winning batch id) — state it explicitly so neither
+    // read pays a footer-inference job. Measured: the per-micro-batch
+    // driver latency was dominated by small non-job work, and schema
+    // inference was a recurring slice of it (one distributed
+    // footer-read job per spark.read.parquet per refresh). All fields
+    // nullable, matching what inference yielded.
+    val storeSchema = org.apache.spark.sql.types.StructType(
+      (Model.layerMetaSchema.fields.map(_.copy(nullable = true)) :+
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType)).toIndexedSeq)
+    // batch is NUMERIC by contract: typed long in the explicit schema
+    // (and cast defensively below) so latest-wins never depends on
+    // partitionColumnTypeInference — with inference off the inferred
+    // column is a string and "9" lexically outranks "10", silently
+    // regressing the catalog to an older delivery
     val batches =
       if (WriFs.listNames(metaDir, conf).exists(_.startsWith("batch=")))
         Some(spark.read.option("basePath", metaDir)
+          .schema(storeSchema)
           .parquet(s"$metaDir/batch=*")
           .withColumn("batch", col("batch").cast("long")))
       else None
     val gens = compactedGens(metaDir, conf)
       .map { case (n, _) => s"$metaDir/compacted/$n" } match {
         case Seq() => None
-        case paths => Some(spark.read.parquet(paths: _*))
+        case paths => Some(spark.read.schema(storeSchema).parquet(paths: _*))
       }
     (batches, gens) match {
       case (Some(b), Some(g)) => b.unionByName(g)

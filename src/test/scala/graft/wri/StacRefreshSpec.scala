@@ -479,6 +479,18 @@ class StacRefreshSpec extends SparkSpec {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           java.util.Arrays.asList(noDoc: _*)), schema)
       .coalesce(1).write.mode("overwrite").parquet(gen1)
+    // ...and the manifest to the pre-flag form too: old code wrote
+    // {"gen", "hash"} with no "doc" field. Generation and manifest
+    // always commit together, so the pre-column layout means BOTH are
+    // old — a doc-flagged manifest pointing at a docless generation is
+    // unreachable without out-of-band surgery.
+    val manifestPath = java.nio.file.Paths.get(
+      s"${Stac.sidecarRoot(itemsDir)}/manifest.json")
+    val mf = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(manifestPath))
+    java.nio.file.Files.writeString(manifestPath,
+      s"""{"gen": ${mf.path("gen").asLong()}, """ +
+        s""""hash": "${mf.path("hash").asText()}"}""")
     Thread.sleep(1100) // local-fs mtime granularity
     val audit = Stac.refreshCatalog(spark, consistentOf(Seq(
       "a.tif" -> 0.0, "b.tif" -> 900.0)), root).collect()

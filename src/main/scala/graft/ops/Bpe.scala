@@ -94,12 +94,23 @@ object Bpe {
           .otherwise(array().cast("array<bigint>"))))
   }
 
-  /** Adjacent symbol pairs of a sequence (positions i, i+1). */
-  private def adjacentPairs(seq: Column): Column =
-    zip_with(
-      slice(seq, lit(1), size(seq) - 1),
+  /** Adjacent symbol pairs of a sequence (positions i, i+1), PACKED as
+    * one long `sym_a << 31 | sym_b` — both symbols are non-negative and
+    * bounded by MOD + 65536 < 2^31 (token hashes are mod 1e9+7; merge
+    * ids top out at MOD + the 65536 merge cap), so the packing is exact
+    * and `packed ASC` orders identically to `(sym_a ASC, sym_b ASC)`.
+    * Packing halves the pair-count shuffle key (8 bytes vs a 2-long
+    * struct) and gives the partial aggregate a primitive hash key —
+    * guide §2.3, narrower types on the hot shuffle. One slice + one
+    * indexed transform, where the struct form paid two slices plus a
+    * zip_with materialization. */
+  private def adjacentPackedPairs(seq: Column): Column =
+    transform(
       slice(seq, lit(2), size(seq) - 1),
-      (x, y) => struct(x.as("sym_a"), y.as("sym_b")))
+      (y, i) => shiftleft(get(seq, i), 31) + y)
+
+  private[ops] def unpackPair(pk: Long): (Long, Long) =
+    (pk >>> 31, pk & ((1L << 31) - 1))
 
   /** Train `rounds` merges over the corpus. Output: one row per round,
     * (merge_round, sym_a, sym_b, pair_count, merged_sym), where
@@ -120,11 +131,15 @@ object Bpe {
     var merges = Vector.empty[DataFrame]
     (0 until rounds).foreach { r =>
       val best = seqs
-        .select(explode(adjacentPairs(col("seq"))).as("p"))
-        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .select(explode(adjacentPackedPairs(col("seq"))).as("pk"))
+        .groupBy(col("pk"))
         .agg(count(lit(1)).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        // packed ASC == (sym_a ASC, sym_b ASC): the identical total order
+        .orderBy(col("pair_count").desc, col("pk"))
         .limit(1)
+        .select(shiftrightunsigned(col("pk"), 31).as("sym_a"),
+          col("pk").bitwiseAND(lit((1L << 31) - 1)).as("sym_b"),
+          col("pair_count"))
         .withColumn("merge_round", lit(r))
         .withColumn("merged_sym", lit(Mod + r))
         .localCheckpoint(true) // 1 row; feeds both the output and the rewrite
@@ -235,13 +250,16 @@ object Bpe {
     var exhausted = false
     while (done < totalMerges && !exhausted) {
       val cands = seqs
-        .select(explode(adjacentPairs(col("seq"))).as("p"))
-        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .select(explode(adjacentPackedPairs(col("seq"))).as("pk"))
+        .groupBy(col("pk"))
         .agg(count(lit(1)).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+        // packed ASC == (sym_a ASC, sym_b ASC): the identical total order
+        .orderBy(col("pair_count").desc, col("pk"))
         .limit(candidateCap(batch))
         .collect() // bounded: <= 8*batch vocabulary-metadata rows
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .map { r =>
+          val (a, b) = unpackPair(r.getLong(0)); (a, b, r.getLong(1))
+        }.toSeq
       val selected = selectDisjoint(cands, math.min(batch, totalMerges - done))
       if (selected.isEmpty) exhausted = true
       else {

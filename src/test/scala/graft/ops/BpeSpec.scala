@@ -162,4 +162,23 @@ class BpeSpec extends SparkSpec {
       .filter(_.partitions.length > 1)
     assert(leaked.isEmpty, s"corpus-sized blocks leaked: $leaked")
   }
+
+  test("packed pair key is exact at the symbol-space boundary and " +
+      "orders identically to (sym_a, sym_b)") {
+    // the round-15 pair-count key packs sym_a << 31 | sym_b; both
+    // symbols top out at MOD + 65535 (the merge-id ceiling), which must
+    // fit 31 bits, and packed ASC must equal (sym_a ASC, sym_b ASC) —
+    // the trainer's tie-break order
+    val top = Bpe.Mod + 65535L
+    assert(top < (1L << 31), "symbol space outgrew the 31-bit packing")
+    val syms = Seq(0L, 1L, Bpe.Mod - 1, Bpe.Mod, top)
+    val pairs = for (a <- syms; b <- syms) yield (a, b)
+    pairs.foreach { case (a, b) =>
+      val packed = (a << 31) | b
+      assert(Bpe.unpackPair(packed) == ((a, b)), s"pack/unpack lost ($a,$b)")
+    }
+    val byPair = pairs.sorted
+    val byPacked = pairs.sortBy { case (a, b) => (a << 31) | b }
+    assert(byPair == byPacked, "packed order diverged from pair order")
+  }
 }

@@ -85,4 +85,40 @@ class SparseSimSpec extends SparkSpec {
       org.apache.spark.rdd.GraftRddTestBridge.isLocallyCheckpointed),
       "tf persist escaped the call")
   }
+
+  test("window-computed df keeps exactly the postings a brute-force df " +
+      "count keeps") {
+    // the round-15 rewrite computes the df cap as count(*) over
+    // (partition by gram) instead of groupBy + semi-join; survivors
+    // must be the identical (doc, gram, tf) set for any corpus — df is
+    // row-count-per-gram either way because tf has ONE row per
+    // (doc, gram). Pin it against an independent df computed by hand.
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").limit(80)
+    val maxDf = 5L
+    val pairs = SparseSim.ngramCosinePairs(docs, n = 2, threshold = 0.05,
+      maxDf = maxDf)
+    // brute force: per-pair cosine over hand-capped postings
+    val tf = docs
+      .select($"doc_id", explode(filter(
+        TextAnalysis.positionalHashedNgrams($"text", 2),
+        g => g.isNotNull)).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val kept = tf.join(df.filter($"df" <= maxDf).select($"gram"),
+      Seq("gram"), "left_semi")
+    val norms = kept.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("ss"))
+    val brute = kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      .join(norms.select($"doc_id".as("doc_a"), $"ss".as("ssa")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"ss".as("ssb")), "doc_b")
+      .withColumn("cosine", $"dot".cast("double") /
+        (sqrt($"ssa".cast("double")) * sqrt($"ssb".cast("double"))))
+      .filter($"cosine" >= 0.05)
+      .select($"doc_a", $"doc_b", $"dot", $"cosine")
+    assert(pairs.collect().toSet == brute.collect().toSet)
+  }
 }

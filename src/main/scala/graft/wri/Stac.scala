@@ -1103,10 +1103,18 @@ object Stac {
     // metadata is bounded — O(layers) rows, the size class the audit
     // collect below already assumes — so the checkpoint is small; its
     // blocks are released before returning (bench/guardrail hygiene).
+    // ...unless the input is already a driver-materialized LocalRelation
+    // (hand-built metadata tables in fixtures/CI): re-evaluating one is
+    // free, and the checkpoint would only add a job.
     val scx = spark.sparkContext
+    val alreadyLocal = consistentIn.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
     val preCkpt = scx.getPersistentRDDs.keySet
-    val consistent = consistentIn.localCheckpoint(true)
-    val ckptIds = (scx.getPersistentRDDs.keySet -- preCkpt).toSet
+    val consistent =
+      if (alreadyLocal) consistentIn else consistentIn.localCheckpoint(true)
+    val ckptIds =
+      if (alreadyLocal) Set.empty[Int]
+      else (scx.getPersistentRDDs.keySet -- preCkpt).toSet
     try {
     require(!consistent.isEmpty,
       s"refreshCatalog at $stacRoot: the metadata table is EMPTY — an " +

@@ -90,6 +90,16 @@ object Bench {
     // per-query line first (and persist it to a file for humans), then
     // emit a SHORT total-only line LAST — the tail always contains a
     // complete, parseable JSON object.
+    // Per-query measurement contract (additions-only): one short,
+    // independently parseable JSON line per query AHEAD of the total
+    // line, so a line-oriented reader recovers the per-query table even
+    // when the single big "queries" map line is clipped.
+    results.foreach {
+      case (k, Right(v)) =>
+        println(s"""{"metric":"query","name":"$k","sec":${ms(v)}}""")
+      case (k, Left(e)) =>
+        println(s"""{"metric":"query","name":"$k","sec":null,"err":"$e"}""")
+    }
     println(fullLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),

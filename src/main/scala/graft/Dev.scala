@@ -26,6 +26,20 @@ object Dev {
       println(f"[dev] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+    // Query resolution for the dev tools: exact name first, then UNIQUE
+    // prefix — a short prefix like "q11" used to silently resolve to
+    // whichever of q11/q110–q119 registered first, which dumps the wrong
+    // query's plan as round evidence.
+    def resolveQuery(nameOrPrefix: String): Q =
+      SparkEntry.registry.find(_.name == nameOrPrefix).getOrElse {
+        SparkEntry.registry.filter(_.name.startsWith(nameOrPrefix)) match {
+          case Seq(one) => one
+          case Seq() => sys.error(s"no registered query matches '$nameOrPrefix'")
+          case many => sys.error(s"ambiguous prefix '$nameOrPrefix': " +
+            many.map(_.name).sorted.mkString(", "))
+        }
+      }
+
     what match {
       case "plans" =>
         // dump formatted physical plans of headline queries -> PLANS.md
@@ -1310,8 +1324,7 @@ object Dev {
         // Dev qiso <sfDir> <query-name-prefix> — 3 passes with cache
         // hygiene; steady state = passes 2-3. Classify a benchdiff flag
         // as regression vs ambient BEFORE treating it as real.
-        val q = SparkEntry.registry.find(_.name.startsWith(args(2)))
-          .getOrElse(sys.error(s"no registered query matches '${args(2)}'"))
+        val q = resolveQuery(args(2))
         (1 to 3).foreach { pass =>
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
@@ -1389,9 +1402,7 @@ object Dev {
             s"MISSING from current: ${missing.toSeq.sorted.mkString(", ")}")
       case "qrun" =>
         // run one registered query by name prefix: Dev qrun <sfDir> <name>
-        val name = args(2)
-        val q = SparkEntry.registry.find(_.name.startsWith(name))
-          .getOrElse(sys.error(s"no registered query matches '$name'"))
+        val q = resolveQuery(args(2))
         val df = time(q.name)(q.fn(spark, sfDir))
         df.show(30, truncate = 60)
         println(s"[dev] ${q.name} rows=${df.count()}")
@@ -1402,8 +1413,7 @@ object Dev {
         // Dev planfile <sfDir> <query-name-prefix> <outfile> — dump the
         // registered query's formatted physical plan to a file (the
         // round-15 plans/r15 before/after evidence).
-        val q = SparkEntry.registry.find(_.name.startsWith(args(2)))
-          .getOrElse(sys.error(s"no registered query matches '${args(2)}'"))
+        val q = resolveQuery(args(2))
         val df = q.fn(spark, sfDir)
         java.nio.file.Files.writeString(java.nio.file.Paths.get(args(3)),
           df.queryExecution.explainString(
@@ -1415,8 +1425,7 @@ object Dev {
         // wall time; prints the pass-2 job profile sorted by cost. The
         // tool that answers "WHERE do a pipeline query's seconds go"
         // when the final plan alone can't show the verb-internal jobs.
-        val q = SparkEntry.registry.find(_.name.startsWith(args(2)))
-          .getOrElse(sys.error(s"no registered query matches '${args(2)}'"))
+        val q = resolveQuery(args(2))
         val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
         val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         val listener = new org.apache.spark.scheduler.SparkListener {
@@ -1437,6 +1446,11 @@ object Dev {
           if (pass == 2) spark.sparkContext.addSparkListener(listener)
           time(s"${q.name} qjobs (pass $pass)")(q.fn(spark, sfDir).count())
         }
+        // the listener bus is asynchronous: give it a moment to drain
+        // before removing the listener, or trailing onJobEnd events are
+        // dropped and those jobs silently vanish from the profile (any
+        // still-incomplete jobs are printed below instead of dropped)
+        Thread.sleep(500)
         spark.sparkContext.removeSparkListener(listener)
         import scala.jdk.CollectionConverters._
         val rows = jobs.asScala.toSeq.flatMap { case (id, (t0, desc)) =>
@@ -1446,6 +1460,28 @@ object Dev {
         rows.take(40).foreach { case (id, ms, desc) =>
           println(f"[qjobs] job $id%4d ${ms / 1e3}%7.3f s  ${desc.take(140)}")
         }
+        val incomplete = jobs.asScala.keySet -- done.asScala.keySet
+        if (incomplete.nonEmpty)
+          println(s"[qjobs] ${incomplete.size} job(s) without an end " +
+            s"event (incomplete): ${incomplete.toSeq.sorted.mkString(", ")}")
+      case "iplan" =>
+        // Dev iplan <sfDir> <op> <outfile> — dump an operator's INTERNAL
+        // (eager=false) formatted plan: the registered queries checkpoint
+        // their bounded results, so their own plans collapse to a Scan
+        // ExistingRDD and hide the pipeline this shows.
+        val df = args(2) match {
+          case "minhash" => ops.Dedup.minHashCandidatePairs(
+            Tables.documents(spark, sfDir), eager = false)
+          case "simhash" => ops.Dedup.simHashCandidatePairs(
+            Tables.documents(spark, sfDir), eager = false)
+          case "ngramjaccard" => ops.Dedup.ngramJaccardPairs(
+            Tables.documents(spark, sfDir), threshold = 0.5, eager = false)
+          case other => sys.error(s"unknown iplan op '$other'")
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(args(3)),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        println(s"[dev] wrote ${args(3)} (${args(2)} internal, eager=false)")
       case "q97plan" =>
         // the q97 INTERNAL shape (eager = false, the PlanSpec view) —
         // the registered query checkpoints its result, which hides the

@@ -147,22 +147,34 @@ object Dedup {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // Skew guard: oversized buckets come from degenerate/boilerplate
     // shingles; scoring their quadratic pair blow-up is both useless and
-    // the classic LSH hot-key failure at scale. Drop them.
+    // the classic LSH hot-key failure at scale. Drop them. The count
+    // window spills gracefully on a degenerate bucket (the reason the
+    // guard is not a size() filter after the collect below).
     val sized = banded
       .withColumn("bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
-    val a = sized.as("a"); val b = sized.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // dedup (a doc pair can share several bands) BEFORE joining the
-      // signatures back and the O(numHashes) agreement scoring; the slim
-      // banded rows also keep the 512-byte signature out of the band
-      // shuffle entirely
+    // Pair generation per bucket list, not a bucket self-join (the
+    // [[SparseSim.ngramCosinePairs]] shape): the surviving buckets are
+    // bounded at maxBucketSize docs, so the <= bsz*(bsz-1)/2 ordered
+    // pairs are generated in-memory after the ONE exchange the guard
+    // window already paid — the groupBy reuses its (band, bucket)
+    // partitioning — where the self-join recomputed the whole
+    // banded+window pipeline per side and shuffled it again. A doc
+    // appears once per (band, bucket) (bucket is a function of the
+    // doc's signature band), so x < y enumerates exactly the join's
+    // doc_a < doc_b pairs; the slim banded rows keep the 512-byte
+    // signature out of the band shuffle entirely. Dedup (a doc pair can
+    // share several bands) BEFORE joining the signatures back and the
+    // O(numHashes) agreement scoring.
+    val pairs = sized
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y > x), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val scored = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
@@ -239,13 +251,16 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // in-memory pair generation from the bounded bucket list — see
+    // [[minHashCandidatePairs]]: one exchange (reused by the groupBy)
+    // instead of a bucket self-join that recomputes banding per side
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y > x), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // before the O(64) hamming scoring
       .join(sh.select(col("doc_id").as("doc_a"), col("sig").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sig").as("shb")), "doc_b")
@@ -279,10 +294,14 @@ object Dedup {
       dstCol: String = "doc_b"): DataFrame = {
     // materialize the edge list BEFORE mirroring it: union branches have
     // no common-subplan reuse, so without the barrier the (potentially
-    // expensive) edge-producing pipeline would run once per direction
+    // expensive) edge-producing pipeline would run once per direction.
+    // The mirrored list is cached PRE-PARTITIONED on the probe key so
+    // every round's join reuses that partitioning instead of
+    // re-exchanging the edges per iteration (>= 2 rounds always run).
     val fwd = edges.select(col(srcCol).as("ea"), col(dstCol).as("eb"))
       .localCheckpoint(true)
     val e = fwd.union(fwd.select(col("eb"), col("ea")))
+      .repartition(col("eb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("ea").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
@@ -290,12 +309,17 @@ object Dedup {
     var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     var converged = false
     while (!converged) {
-      val nbrMin = e.join(labels.select(col("id").as("eb"), col("lbl")), "eb")
-        .groupBy(col("ea").as("id"))
-        .agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // min over (self ∪ neighbors) in ONE aggregation: the vertex's own
+      // label rides the union instead of a second (labels ⟕ nbrMin) join
+      // — identical result (least(lbl, min nbr_lbl), with label-less
+      // vertices covered by the union branch), one exchange fewer per
+      // round
+      val next = e
+        .join(labels.select(col("id").as("eb"), col("lbl")), "eb")
+        .select(col("ea").as("id"), col("lbl"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
       val sum2 = next.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
       converged = sum2 == prevSum
@@ -322,9 +346,12 @@ object Dedup {
     val cand = minHashCandidatePairs(docs, textCol,
       minEstJaccard = minEstJaccard)
     val labels = connectedComponents(cand.select(col("doc_a"), col("doc_b")))
-    val sizes = labels.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
+    // cluster size as a count-over-window: one exchange of the (already
+    // checkpointed) labels instead of the groupBy+join-back pair
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
       .select(col("id").as("doc_id"), col("cluster_id"),
         col("cluster_size"),
         (col("id") === col("cluster_id")).cast("int").as("keep"))
@@ -423,6 +450,36 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.05,
       eager: Boolean = true): DataFrame = {
+    val (verified, grams) = ngramJaccardVerified(docs, textCol, n, threshold)
+    if (!eager) verified
+    else {
+      val out = verified.localCheckpoint(true)
+      grams.unpersist()
+      out
+    }
+  }
+
+  /** Eager [[ngramJaccardPairs]] that ALSO returns the ids of docs with
+    * a nonempty shingle set, materialized from the same cached grams
+    * before the cache is released — [[collapsedNgramJaccardPairs]]'s
+    * within-group expansion needs exactly that set and would otherwise
+    * re-tokenize the whole representative corpus to recompute it. */
+  private[ops] def ngramJaccardPairsAndDocs(
+      docs: DataFrame, textCol: String, n: Int, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val (verified, grams) = ngramJaccardVerified(docs, textCol, n, threshold)
+    val pairs = verified.localCheckpoint(true)
+    val docsWithGrams = grams.select(col("doc_id")).localCheckpoint(true)
+    grams.unpersist()
+    (pairs, docsWithGrams)
+  }
+
+  /** Shared body of the AllPairs join: returns the (lazy) verified pair
+    * result plus the cached grams it reads from — the caller owns the
+    * cache release. */
+  private def ngramJaccardVerified(
+      docs: DataFrame, textCol: String, n: Int, threshold: Double)
+      : (DataFrame, DataFrame) = {
     // persist: reused by the prefix build and the two verification joins
     // (no common-subplan reuse across join sides). With eager=true
     // (default) the result — bounded: qualifying pairs only — is
@@ -460,12 +517,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    if (!eager) verified
-    else {
-      val out = verified.localCheckpoint(true)
-      grams.unpersist()
-      out
-    }
+    (verified, grams)
   }
 
   /** Incremental near-dup join: which documents of a NEW BATCH are
@@ -529,16 +581,18 @@ object Dedup {
   }
 
   /** Exact-dup membership: every doc_id mapped to the smallest doc_id
-    * sharing its exact text (rep_id). One md5 groupBy + one join back —
-    * the cheap pass that must run BEFORE any near-dup analysis. */
+    * sharing its exact text (rep_id). One min-over-window on the md5
+    * digest — the cheap pass that must run BEFORE any near-dup analysis.
+    * (The groupBy+join-back formulation this replaces computed the md5
+    * of every text twice — once per join side — and paid two digest
+    * exchanges where the window pays one.) */
   def exactDupMembership(docs: DataFrame, textCol: String = "text")
-      : DataFrame = {
-    val hashed = docs.select(col("doc_id"),
-      md5(col(textCol).cast("binary")).as("h"))
-    hashed.join(
-        hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id")), "h")
+      : DataFrame =
+    docs.select(col("doc_id"), md5(col(textCol).cast("binary")).as("__h"))
+      .withColumn("rep_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h"))))
       .select(col("doc_id"), col("rep_id"))
-  }
 
   /** Near-dup pairs with exact duplicates collapsed first: AllPairs runs
     * on unique representatives only, and member pairs are reconstituted
@@ -559,11 +613,20 @@ object Dedup {
       textCol: String = "text",
       n: Int = 3,
       threshold: Double = 0.05): DataFrame = {
-    val members = exactDupMembership(docs, textCol)
+    // ONE materialization of the membership table: it feeds the reps
+    // semi-join and BOTH reconstitution joins plus the within-group
+    // expansion — four consumers with no common-subplan reuse, and every
+    // recompute would pay a full md5 pass over the corpus texts. The
+    // rows are (doc_id, rep_id) — 16 bytes/doc, metadata-sized.
+    val members = exactDupMembership(docs, textCol).localCheckpoint(true)
     val reps = docs.join(
       members.filter(col("doc_id") === col("rep_id")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val repPairs = ngramJaccardPairs(reps, textCol, n, threshold)
+    // the AllPairs call also hands back which reps HAVE shingles — the
+    // within-group arm needs that set, and recomputing it would
+    // re-tokenize the whole representative corpus
+    val (repPairs, repsWithGrams) =
+      ngramJaccardPairsAndDocs(reps, textCol, n, threshold)
     // cross-group: every (memberA, memberB) for each qualifying rep pair
     val ma = members.select(col("rep_id").as("doc_a"), col("doc_id").as("ma"))
     val mb = members.select(col("rep_id").as("doc_b"), col("doc_id").as("mb"))
@@ -573,9 +636,7 @@ object Dedup {
     // within-group: exact dups pair at jaccard 1.0 — but only when the
     // rep has a nonempty shingle set (shingle-less docs never pair in
     // the direct formulation either)
-    val withGrams = reps
-      .filter(size(TextAnalysis.hashedNgrams(col(textCol), n)) > 0)
-      .select(col("doc_id").as("rep_id"))
+    val withGrams = repsWithGrams.select(col("doc_id").as("rep_id"))
     val gm = members.join(withGrams, "rep_id")
     val within = gm.select(col("rep_id"), col("doc_id").as("ma"))
       .join(gm.select(col("rep_id"), col("doc_id").as("mb")), "rep_id")
@@ -615,20 +676,38 @@ object Dedup {
       docs: DataFrame,
       minSpanTokens: Int = 5,
       dfCap: Int = 10,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      eager: Boolean = true): DataFrame = {
     require(minSpanTokens >= 3, s"3-gram spans need minSpanTokens >= 3")
     // positional occurrence-keeping grams: posexplode BEFORE the null
     // filter so positions stay corpus positions (the distinct kernel
-    // would renumber the moment a doc repeats a gram)
-    val grams = docs.select(col("doc_id"),
+    // would renumber the moment a doc repeats a gram).
+    // Cached (eager default): the occurrence postings feed BOTH the df
+    // count and the semi-join's probe side, and the CAPPED postings feed
+    // both sides of the diagonal self-join — without the two caches the
+    // corpus tokenizes four times per call (measured: the dominant cost
+    // at sf0.1). Both caches are released before returning, after the
+    // bounded pair result is materialized (the [[minHashCandidatePairs]]
+    // eager contract); eager=false keeps the plan lazy/inspectable.
+    val grams0 = docs.select(col("doc_id"),
         posexplode(TextAnalysis.hashedNgramOccurrences(col(textCol), 3))
           .as(Seq("pos", "g")))
       .filter(col("g").isNotNull)
+    val grams =
+      if (eager) grams0.persist(StorageLevel.MEMORY_AND_DISK) else grams0
+    // df is countDistinct, which Spark plans as a two-phase aggregate
+    // keyed on (g, doc_id) first — a hot gram's occurrences spread over
+    // many tasks in that phase, so the count itself is skew-safe; the
+    // semi-join's exchange of the occurrences is the remaining skew
+    // exposure and AQE's skew-join handling can split it (a window-over-g
+    // df cap could not be split — the reason this stays a semi-join)
     val rareG = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= dfCap)
       .select(col("g"))
-    val rare = grams.join(rareG, Seq("g"), "left_semi")
+    val rare0 = grams.join(rareG, Seq("g"), "left_semi")
+    val rare =
+      if (eager) rare0.persist(StorageLevel.MEMORY_AND_DISK) else rare0
     // NOTE: this deliberately stays a posting self-join, NOT the
     // collect_list pair generation used by SparseSim.ngramCosinePairs.
     // There the per-gram list holds one (doc, tf) entry per document —
@@ -647,7 +726,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
-    matches
+    val out = matches
       .withColumn("grp", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg((count(lit(1)) + lit(2L)).as("span_tokens"))
@@ -655,6 +734,13 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("span_tokens")).as("max_span_tokens"),
         count(lit(1)).as("n_spans"))
+    if (!eager) out
+    else {
+      val o = out.localCheckpoint(true)
+      rare.unpersist()
+      grams.unpersist()
+      o
+    }
   }
 
   /** Corpus-level repeated-span REMOVAL — the rewrite stage behind

@@ -1106,21 +1106,26 @@ object Stac {
     // ...unless the input is already a driver-materialized LocalRelation
     // (hand-built metadata tables in fixtures/CI): re-evaluating one is
     // free, and the checkpoint would only add a job.
-    val scx = spark.sparkContext
     val alreadyLocal = consistentIn.queryExecution.optimizedPlan
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
-    val preCkpt = scx.getPersistentRDDs.keySet
     val consistent =
       if (alreadyLocal) consistentIn else consistentIn.localCheckpoint(true)
-    val ckptIds =
-      if (alreadyLocal) Set.empty[Int]
-      else (scx.getPersistentRDDs.keySet -- preCkpt).toSet
+    // release handle: the checkpointed blocks are found by walking THIS
+    // DataFrame's own RDD lineage to its first persisted ancestor — a
+    // global persistent-RDD-set diff would also capture (and unpersist)
+    // anything another thread persisted concurrently
+    val ckptRdd: Option[org.apache.spark.rdd.RDD[_]] =
+      if (alreadyLocal) None
+      else {
+        def persisted(r: org.apache.spark.rdd.RDD[_])
+            : Option[org.apache.spark.rdd.RDD[_]] =
+          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            Some(r)
+          else r.dependencies.iterator.map(d => persisted(d.rdd))
+            .collectFirst { case Some(x) => x }
+        persisted(consistent.rdd)
+      }
     try {
-    require(!consistent.isEmpty,
-      s"refreshCatalog at $stacRoot: the metadata table is EMPTY — an " +
-        "upstream outage reads as zero layers, and refreshing a " +
-        "published catalog to zero items (pruning everything) is never " +
-        "a delta; fix the upstream read first")
     val itemsDir = s"$stacRoot/collections/$collectionId/items"
     val conf = spark.sparkContext.hadoopConfiguration
     WriFs.mkdirs(itemsDir, conf)
@@ -1180,6 +1185,22 @@ object Stac {
           }
         }
     }).toDF("item_id", "action", "json").localCheckpoint(true)
+    val audit = plan.select(col("item_id"), col("action"))
+    // id→action, collected once (from the checkpoint the line above
+    // already materialized): drives the EMPTINESS GATE below, the orphan
+    // sweep, AND tells the incremental sidecar rebuild which documents
+    // this refresh wrote (ids and one-word actions — bounded catalog
+    // metadata, the same size class as the listing below)
+    val actions = audit.as[(String, String)].collect()
+    // the gate rides the collect instead of its own isEmpty job: items
+    // are built 1:1 from metadata rows (buildItems is a mapPartitions),
+    // so zero planned items ⟺ an empty metadata table — and nothing has
+    // been written yet (phase 1 is read-only classification)
+    require(actions.nonEmpty,
+      s"refreshCatalog at $stacRoot: the metadata table is EMPTY — an " +
+        "upstream outage reads as zero layers, and refreshing a " +
+        "published catalog to zero items (pruning everything) is never " +
+        "a delta; fix the upstream read first")
     // phase 2: apply the delta, atomic replace per document (idempotent
     // and torn-read-free under retries/speculation)
     plan.filter(col("action") =!= "unchanged")
@@ -1193,12 +1214,6 @@ object Stac {
               r.getString(2))
           }
       }
-    val audit = plan.select(col("item_id"), col("action"))
-    // id→action, collected once: drives the orphan sweep AND tells the
-    // incremental sidecar rebuild which documents this refresh wrote
-    // (ids and one-word actions — bounded catalog metadata, the same
-    // size class as the listing below)
-    val actions = audit.as[(String, String)].collect()
     val current = actions.map(_._1).toSet
     // ONE post-write listing serves the foreign-delete repair, the
     // orphan sweep, and the collection links — a second/third LIST of
@@ -1261,8 +1276,7 @@ object Stac {
       case None => writeCatalogSidecar(spark, itemsDir)
     }
     audit.unionByName(orphanRows.toDF("item_id", "action"))
-    } finally ckptIds.foreach(id =>
-      scx.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    } finally ckptRdd.foreach(_.unpersist(blocking = false))
   }
 
   /** Full stage 02: items + collection + catalog under stacRoot. */

@@ -436,7 +436,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q119: span detection is keyed joins + one diagonal window, no cartesian") {
-    val p = plan("q119_shared_spans")
+    // the registered query now checkpoints its bounded pair result (the
+    // eager cache-release contract), which hides the pipeline behind a
+    // Scan ExistingRDD — assert on the internal eager=false shape, like
+    // the q36 test above
+    val p = graft.ops.Dedup.sharedSpanPairs(
+        Tables.documents(spark, sfDir), minSpanTokens = 5, dfCap = 10,
+        eager = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"all-pairs blowup in:\n$p")
     assert(p.contains("Window"), s"runs must group via the window trick:\n$p")

@@ -1476,6 +1476,9 @@ object Dev {
             Tables.documents(spark, sfDir), eager = false)
           case "ngramjaccard" => ops.Dedup.ngramJaccardPairs(
             Tables.documents(spark, sfDir), threshold = 0.5, eager = false)
+          case "sharedspans" => ops.Dedup.sharedSpanPairs(
+            Tables.documents(spark, sfDir), minSpanTokens = 5, dfCap = 10,
+            eager = false)
           case other => sys.error(s"unknown iplan op '$other'")
         }
         java.nio.file.Files.writeString(java.nio.file.Paths.get(args(3)),

@@ -141,6 +141,62 @@ object TextHash {
     c
   }
 
+  /** All deletion-neighborhood hashes of a string — the string itself
+    * plus every single-CODE-POINT deletion — via rolling polynomial
+    * prefix/suffix hashes: O(len) total where the
+    * substr+concat+xxhash64 expression chain this replaces paid O(len)
+    * per variant (O(len^2) total) plus a UTF8String allocation per
+    * variant. Deduplicated keeping first occurrence (repeated code
+    * points produce identical deletions).
+    *
+    * Only hash EQUALITY matters to the caller
+    * (graft.ops.Fuzzy.editDistance1Join verifies candidates with exact
+    * levenshtein, and a Bloom-style false candidate dies there), so the
+    * hash family is free to differ from xxhash64; each value is the
+    * seeded wrapping-64-bit polynomial of the RESULTING string's code
+    * points — a pure function of the variant's content, so equal
+    * variants collide by construction across any two source strings.
+    * Code-point (not Java-char) deletions mirror substring/levenshtein
+    * semantics: deleting half a surrogate pair would break the
+    * share-a-variant property for astral-plane text (pinned in
+    * FuzzySpec). Shuffle spread needs no finalizer — hash partitioning
+    * Murmur3-mixes column values itself. */
+  def deletionNeighborhoodHashes(s: UTF8String): ArrayData = {
+    val cps = s.toString.codePoints.toArray
+    val L = cps.length
+    val B = 1000003L
+    // pre(i) = seeded poly of cps[0..i-1]; pow(i) = B^i;
+    // suf(i) = unseeded positional poly of cps[i..L-1]
+    val pre = new Array[Long](L + 1)
+    val pow = new Array[Long](L + 1)
+    val suf = new Array[Long](L + 1)
+    pre(0) = 7L; pow(0) = 1L; suf(L) = 0L
+    var i = 0
+    while (i < L) {
+      pre(i + 1) = pre(i) * B + cps(i)
+      pow(i + 1) = pow(i) * B
+      i += 1
+    }
+    i = L - 1
+    while (i >= 0) { suf(i) = cps(i) * pow(L - 1 - i) + suf(i + 1); i -= 1 }
+    val out = new Array[Long](L + 1)
+    var n = 0
+    def add(h: Long): Unit = {
+      var j = 0; var dup = false
+      while (j < n && !dup) { dup = out(j) == h; j += 1 }
+      if (!dup) { out(n) = h; n += 1 }
+    }
+    add(pre(L)) // the string itself
+    i = 0
+    while (i < L) {
+      // seeded poly of cps[0..i-1] ++ cps[i+1..L-1] in O(1):
+      // the seed and prefix shift past the (L-1-i)-long suffix
+      add(pre(i) * pow(L - 1 - i) + suf(i + 1))
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
   // codegen entry points (UTF8String in, Catalyst ArrayData out)
   def tokenHashes(s: UTF8String): ArrayData =
     new GenericArrayData(tokenHashArray(s.toString))
@@ -272,10 +328,25 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<long> of deletion-neighborhood hashes (codegen'd static call). */
+case class DeletionNeighborhoodExpr(child: Expression) extends TextHashBase {
+  override def prettyName: String = "deletion_neighborhood_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.deletionNeighborhoodHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.deletionNeighborhoodHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
   /** Column wrappers for the native expressions. */
   def tokenHashes(text: Column): Column =
     GraftColumnBridge.column(TokenHashesExpr(GraftColumnBridge.expression(text)))
+  def deletionNeighborhoodHashes(text: Column): Column =
+    GraftColumnBridge.column(
+      DeletionNeighborhoodExpr(GraftColumnBridge.expression(text)))
   def hashedNgrams(text: Column, n: Int): Column =
     GraftColumnBridge.column(HashedNgramsExpr(GraftColumnBridge.expression(text), n))
   def minHashSig(values: Column, coefA: Seq[Long], coefB: Seq[Long]): Column =

@@ -46,6 +46,51 @@ object VectorKernels {
   def planeTable(numPlanes: Int, dim: Int): Array[Double] =
     Array.tabulate(numPlanes * dim)(planeWeight)
 
+  /** PQ encode + ADC lookup fused into one pass: for each of the m
+    * subspaces, find the codebook centroid nearest (squared L2) to the
+    * vector's subslice — ties to the LOWEST code, i.e. the FIRST index
+    * attaining the minimum, exactly `array_position(dists,
+    * array_min(dists)) - 1` — and accumulate the ADC table entry for
+    * that (cell, subspace, code), left-to-right over subspaces. Distance
+    * accumulation per centroid is the same i-ascending `(x - c)^2` fold
+    * as the HOF twin (graft.ops.Pq.encode), so the result is
+    * bit-identical to encode-then-lookup (pinned in PqSpec); the HOF
+    * twin allocated an m*k-expression tree that evaluated interpreted,
+    * per row. */
+  def pqAdcScore(
+      v: ArrayData,
+      cell: Int,
+      codebooks: Array[Array[Array[Double]]],
+      adc: Array[Array[Array[Double]]]): Double = {
+    val m = codebooks.length
+    val sub = if (m == 0) 0 else codebooks(0)(0).length
+    val adcCell = adc(cell)
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val base = j * sub
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = v.getFloat(base + i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      acc += adcCell(j)(bestC)
+      j += 1
+    }
+    acc
+  }
+
   /** All band buckets of the hyperplane LSH signature in one pass:
     * bit(p) = (dot(v, plane_p) > 0), bucket(b) = the binary fold of the
     * band's `numPlanes/bands` bits (matches `aggregate(slice(bits,...),
@@ -134,6 +179,38 @@ case class LshBandBucketsExpr(
     copy(child = newChild)
 }
 
+/** Fused PQ encode + ADC scoring of an array<float> embedding against
+  * baked-in codebooks and per-cell ADC tables (codegen'd static call;
+  * both tables live in generated-class fields). `cell` selects the ADC
+  * table — pass a literal 0 with a single table for non-IVF PQ. */
+case class PqAdcScoreExpr(
+    left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]],
+    adc: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  override def prettyName: String = "pq_adc_score"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprTypes.isFloatArray(left.dataType) &&
+        right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    VectorKernels.pqAdcScore(v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], codebooks, adc)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    val ad = ctx.addReferenceObj("pqAdc", adc, "double[][][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.VectorKernels.pqAdcScore($v, $c, $cb, $ad)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column wrappers for the native expressions. */
   def cosine(a: Column, b: Column): Column =
@@ -142,4 +219,10 @@ object VectorFunctions {
   def lshBandBuckets(v: Column, numPlanes: Int, bands: Int, dim: Int): Column =
     GraftColumnBridge.column(LshBandBucketsExpr(
       GraftColumnBridge.expression(v), numPlanes, bands, dim))
+  def pqAdcScore(v: Column, cell: Column,
+      codebooks: Array[Array[Array[Double]]],
+      adc: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqAdcScoreExpr(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(cell),
+      codebooks, adc))
 }

@@ -27,10 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** The string itself plus every single-character deletion, each hashed
-    * to 8 bytes. `array_union` also dedups (repeated characters produce
-    * identical deletions). */
+  /** The string itself plus every single-code-point deletion, each
+    * hashed to 8 bytes and deduplicated (repeated characters produce
+    * identical deletions). Native rolling-hash kernel: O(len) per row
+    * where the previous substr+concat+xxhash64 expression chain paid
+    * O(len) per VARIANT plus a string allocation per variant. The hash
+    * family changed with the kernel — only equality matters here (a
+    * variant hash is a pure function of the variant's content, and
+    * false candidates die in the exact levenshtein verify), so the
+    * join's result is unchanged (FuzzySpec pins it against brute
+    * force). */
   private[graft] def deletionNeighborhoodHashes(s: Column): Column =
+    graft.functions.TextHashFunctions.deletionNeighborhoodHashes(s)
+
+  /** HOF reference implementation of [[deletionNeighborhoodHashes]]'s
+    * SHAPE (kept for documentation and the neighborhood-size spec;
+    * hash VALUES differ from the kernel by design — both are valid
+    * families, and the join verifies candidates exactly). */
+  private[graft] def deletionNeighborhoodHashesHof(s: Column): Column =
     array_union(
       array(xxhash64(s)),
       transform(sequence(lit(1), greatest(length(s), lit(1))),

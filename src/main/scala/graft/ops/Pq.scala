@@ -150,15 +150,28 @@ object Pq {
         d
       }
     }
+    // fused native encode+lookup kernel: one primitive pass per row where
+    // the HOF twin ([[adcScoreHof]], kept for the parity spec) built an
+    // m x codebookSize interpreted expression tree per row
     emb.filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"),
-        round(aggregate(
-          zip_with(encode(col("embedding"), codebooks), typedLit(adc),
-            (c, row) => element_at(row, c + 1)),
-          lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
+        round(graft.functions.VectorFunctions.pqAdcScore(
+          col("embedding"), lit(0), codebooks,
+          Array(adc.map(_.toArray).toArray)), 6).as("approx_d2"))
       .orderBy(col("approx_d2"), col("vec_id"))
       .limit(k)
   }
+
+  /** HOF reference formulation of the fused ADC scoring (kept for the
+    * native-vs-expression parity spec, the [[graft.ops.Dedup]] pattern):
+    * encode to codes, then look each code up in the (per-cell) ADC table
+    * and sum left-to-right. */
+  private[graft] def adcScoreHof(v: Column, cellAdc: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    aggregate(
+      zip_with(encode(v, codebooks), cellAdc,
+        (c, row) => element_at(row, c + 1)),
+      lit(0.0), (a, x) => a + x)
 
   /** IVF-PQ: the production composition of [[Similarity.ivfTopK]]'s
     * inverted file and PQ residual codes — coarse k-means cells prune
@@ -223,12 +236,12 @@ object Pq {
     val out = assigned
       .filter(col("cell").isInCollection(probed) &&
         col("vec_id") =!= queryVecId)
+      // fused native encode+lookup (see pqTopK); the cell column selects
+      // the per-cell ADC table inside the kernel
       .select(col("vec_id"),
-        round(aggregate(
-          zip_with(encode(col("embedding"), codebooks),
-            element_at(typedLit(adc), col("cell") + 1),
-            (code, row) => element_at(row, code + 1)),
-          lit(0.0), (a, x) => a + x), 6).as("approx_d2"))
+        round(graft.functions.VectorFunctions.pqAdcScore(
+          col("embedding"), col("cell"), codebooks,
+          adc.map(_.map(_.toArray).toArray).toArray), 6).as("approx_d2"))
       .orderBy(col("approx_d2"), col("vec_id"))
       .limit(k)
       // k rows; materialize so the cached training inputs can be released

@@ -46,6 +46,25 @@ class FuzzySpec extends SparkSpec {
     assert(dup == 2)
   }
 
+  test("kernel neighborhood matches the HOF shape's size, and code-point " +
+      "deletions keep astral-plane pairs joinable") {
+    // same count as the expression formulation (values differ by design:
+    // the kernel's rolling poly replaces xxhash64 — only equality matters)
+    val sized = Seq("spark", "aa", "", "sparkle").toDF("s")
+      .select(size(Fuzzy.deletionNeighborhoodHashes($"s")).as("k"),
+        size(Fuzzy.deletionNeighborhoodHashesHof($"s")).as("h"))
+      .collect()
+    sized.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // a surrogate-pair (astral) code point must delete WHOLE: "a𝕏b" and
+    // "ab" are levenshtein distance 1 (code points), so they must share
+    // a neighborhood member
+    val l = Seq((1L, "a𝕏b")).toDF("lid", "ls")
+    val r = Seq((2L, "ab")).toDF("rid", "rs")
+    val got = Fuzzy.editDistance1Join(l, "lid", "ls", r, "rid", "rs")
+      .select($"lid", $"rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), got.toSeq.toString)
+  }
+
   test("a repeated id never multiplies output pairs") {
     // ids are documented unique per side; an accidental duplicate (same
     // id carried twice with its string, the realistic violation) must

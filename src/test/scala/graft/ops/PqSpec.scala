@@ -36,6 +36,30 @@ class PqSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("native pqAdcScore kernel is bit-identical to the HOF encode+lookup " +
+      "twin on every vector") {
+    val m = 4; val cb = 8
+    val codebooks = Pq.trainCodebooks(emb, m, cb, kmeansIters = 2)
+    val sub = codebooks.head.head.length
+    val q = emb.as[(Long, Array[Float])].collect().toMap.apply(0L)
+    val adcSeq: Seq[Seq[Double]] = Seq.tabulate(m) { j =>
+      Seq.tabulate(cb) { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val x = q(j * sub + i) - codebooks(j)(c)(i); d += x * x; i += 1
+        }
+        d
+      }
+    }
+    val adcArr = Array(adcSeq.map(_.toArray).toArray)
+    val diff = emb.select(
+        graft.functions.VectorFunctions.pqAdcScore(
+          $"embedding", lit(0), codebooks, adcArr).as("native"),
+        Pq.adcScoreHof($"embedding", typedLit(adcSeq), codebooks).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
   test("pqTopK is deterministic across runs") {
     def run() = Pq.pqTopK(emb, queryVecId = 3L, k = 5, m = 8,
       codebookSize = 8, kmeansIters = 2).collect().toSeq.map(_.toSeq)
